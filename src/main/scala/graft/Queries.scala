@@ -1,0 +1,442 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.gfn
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
+  * the training-data-pipeline operator set. Each oracle-checked entry has a
+  * DuckDB-equivalent SQL with IDENTICAL output column names and a total
+  * deterministic ORDER BY.
+  *
+  * Cross-engine determinism rules used throughout (so value hashes match):
+  *   - sums of doubles go through DECIMAL(18,2) (exact, order-independent),
+  *     then CAST AS DOUBLE;
+  *   - averages are one FP division of two exact values;
+  *   - double columns are either parquet passthrough or a single FP op;
+  *   - ties in every ORDER BY are broken by a unique key.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     build: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // ---------------------------------------------------------------- relational
+
+  /** Hash aggregate with partial (map-side) combine — TPC-H Q1 shape. */
+  private val q01 = Q("q01_pricing_summary",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        COUNT(*) AS count_order,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Filtered scan + narrow projection — predicate/column pushdown to parquet. */
+  private val q02 = Q("q02_filter_project",
+    (s, d) => t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") < 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+      .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_quantity < 10
+      ORDER BY l_orderkey, l_linenumber"""))
+
+  /** 5-way join: big-side shuffle joins + broadcast dims, agg by nation. */
+  private val q03 = Q("q03_join_revenue",
+    (s, d) => t(s, d, "lineitem")
+      .join(t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, d, "region")).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name")),
+    Some("""
+      SELECT n_name,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY n_name"""))
+
+  /** Top-k: planned as TakeOrderedAndProject (k rows/partition move, no sort). */
+  private val q04 = Q("q04_topk_orders",
+    (s, d) => t(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10),
+    Some("""
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** Ranking window function, filtered (top-3 rows per user). */
+  private val q05 = Q("q05_window_topn",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+        .orderBy(col("user_id"), col("rn"))
+    },
+    Some("""
+      SELECT user_id, event_id, rn FROM (
+        SELECT user_id, event_id,
+               row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        FROM events) x
+      WHERE rn <= 3 ORDER BY user_id, rn"""))
+
+  private val q06 = Q("q06_distinct_types",
+    (s, d) => t(s, d, "events").select(col("event_type")).distinct()
+      .orderBy(col("event_type")),
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+
+  /** Left-semi join (EXISTS). */
+  private val q07 = Q("q07_semi_join",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      ORDER BY c_custkey"""))
+
+  /** Left-anti join (NOT EXISTS). */
+  private val q08 = Q("q08_anti_join",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "orders").filter(col("o_totalprice") > 450000)
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+      ORDER BY c_custkey"""))
+
+  private val q09 = Q("q09_set_union",
+    (s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .union(e.filter(col("event_type") === "signup").select(col("user_id")))
+        .distinct().orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      UNION
+      SELECT user_id FROM events WHERE event_type = 'signup'
+      ORDER BY user_id"""))
+
+  /** ROLLUP grouping sets. */
+  private val q10 = Q("q10_rollup_agg",
+    (s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"""))
+
+  private val q11 = Q("q11_set_intersect",
+    (s, d) => {
+      val e = t(s, d, "events")
+      e.filter(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(e.filter(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+      ORDER BY user_id"""))
+
+  // ------------------------------------------------- parity pipeline operators
+
+  /** O6: JSON field extraction + predicate over a semi-structured column. */
+  private val q12 = Q("q12_json_extract",
+    (s, d) => t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("k") >= 90)
+      .select(col("event_id"), col("k"))
+      .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      ORDER BY event_id"""))
+
+  /** O7+O10+O12: required-field validation, unknown-routing, partition-key
+    * derivation (event_type='error' simulates a missing log_type).
+    */
+  private val q13 = Q("q13_validate_route",
+    (s, d) => {
+      val logType = when(col("event_type") === "error", lit(null).cast("string"))
+        .otherwise(col("event_type"))
+      t(s, d, "events")
+        .withColumn("route", when(logType.isNull, "unknown").otherwise(logType))
+        .withColumn("valid", when(logType.isNull, 0).otherwise(1))
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .withColumn("day", date_format(col("ts"), "dd"))
+        .select(col("event_id"), col("route"), col("valid"), col("month"), col("day"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id,
+        CASE WHEN nullif(event_type, 'error') IS NULL THEN 'unknown' ELSE event_type END AS route,
+        CASE WHEN nullif(event_type, 'error') IS NULL THEN 0 ELSE 1 END AS valid,
+        strftime(ts, '%Y-%m') AS month,
+        strftime(ts, '%d') AS day
+      FROM events ORDER BY event_id"""))
+
+  /** O8: whitelist semi-filter (isin against a literal set). */
+  private val q14 = Q("q14_whitelist",
+    (s, d) => t(s, d, "events")
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_id"), col("event_type"), col("user_id"))
+      .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id, event_type, user_id FROM events
+      WHERE event_type IN ('purchase', 'signup')
+      ORDER BY event_id"""))
+
+  /** O9: lenient multi-format timestamp parsing — strings in three formats
+    * (ISO-Z / SQL-local / RFC2822) are parsed by the custom LenientTimestamp
+    * expression; the oracle checks against the original event time truncated
+    * to seconds (the formats carry no sub-second part).
+    */
+  private val q15 = Q("q15_lenient_ts",
+    (s, d) => {
+      val raw = when(col("event_id") % 3 === 0,
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+        .when(col("event_id") % 3 === 1,
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .otherwise(date_format(col("ts"), "EEE, dd MMM yyyy HH:mm:ss Z"))
+      t(s, d, "events")
+        .withColumn("raw_ts", raw)
+        .withColumn("parsed", gfn.lenient_ts(col("raw_ts")))
+        .select(col("event_id"), col("parsed"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, date_trunc('second', ts) AS parsed
+      FROM events ORDER BY event_id"""))
+
+  /** Scalar function library: string/math ops, all codegen'd built-ins. */
+  private val q16 = Q("q16_scalar_funcs",
+    (s, d) => t(s, d, "part")
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        length(col("p_type")).cast("long").as("type_len"),
+        abs(col("p_size") - 25).as("size_dist"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+             CAST(length(p_type) AS BIGINT) AS type_len,
+             abs(p_size - 25) AS size_dist,
+             concat(p_brand, ':', p_type) AS brand_type
+      FROM part ORDER BY p_partkey"""))
+
+  private val q17 = Q("q17_count_distinct",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n"))
+      .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** Analytic window functions: lag + running sum (exact bigint arithmetic). */
+  private val q18 = Q("q18_window_running",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .withColumn("running_sum", sum(col("event_id"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .select(col("user_id"), col("event_id"), col("prev_id"), col("running_sum"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""
+      SELECT user_id, event_id,
+        lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id,
+        SUM(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+      FROM events ORDER BY user_id, event_id"""))
+
+  // ------------------------------------------- training-data pipeline operators
+
+  /** Exact dedup: hash-groupBy on content hash, keep lowest doc_id. */
+  private val q20 = Q("q20_dedup_exact",
+    (s, d) => Dedup.exactGroups(t(s, d, "documents"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id")),
+    Some("""
+      SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY md5(text) ORDER BY keep_id"""))
+
+  private val q21 = Q("q21_token_stats",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  private val q22 = Q("q22_quality_score",
+    (s, d) => TextOps.withQuality(t(s, d, "documents"), col("text"))
+      .withColumn("punct_ratio",
+        when(col("len") > 0, col("n_punct").cast("double") / col("len")))
+      .select(col("doc_id"), col("len"), col("n_tokens"), col("n_punct"),
+        col("n_spaces"), col("punct_ratio"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS len,
+        CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+        CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_spaces,
+        CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+             END AS punct_ratio
+      FROM documents ORDER BY doc_id"""))
+
+  /** Language-ID by stopword-evidence argmax (n-gram heuristic). */
+  private val q23 = Q("q23_lang_id",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.langPred(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id")),
+    Some {
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        val sum = ws.map(w =>
+          s"(length(text) - length(replace(text, '$w', '')))").mkString(" + ")
+        s"($sum) AS s_$l"
+      }.mkString(",\n          ")
+      s"""
+      WITH s AS (
+        SELECT doc_id,
+          $scores
+        FROM documents)
+      SELECT doc_id,
+        CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+             WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+             WHEN s_de >= s_fr THEN 'de'
+             ELSE 'fr' END AS lang_pred
+      FROM s ORDER BY doc_id"""
+    })
+
+  /** Document fingerprint (normalized md5). */
+  private val q24 = Q("q24_fingerprint",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** MinHash-LSH near-dup pairs (banded; no cartesian). Spark-only — the
+    * signature uses xxhash64; the driver records a rows-only check.
+    */
+  private val q25 = Q("q25_minhash_neardup",
+    (s, d) => Dedup.minhashNearDups(t(s, d, "documents"), threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id")),
+    None)
+
+  /** Embedding similarity top-k, integer-quantized dot product (exact). */
+  private val q26 = Q("q26_embed_topk",
+    (s, d) => Similarity.topKQuantized(t(s, d, "embeddings"), queryId = 0, k = 20),
+    Some("""
+      WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+        SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+            CAST(round(CAST(q.q_emb[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS dot
+      FROM embeddings e, q, range(1, 65) t(i)
+      GROUP BY e.vec_id
+      ORDER BY dot DESC, e.vec_id
+      LIMIT 20"""))
+
+  /** Brute-force cosine top-k (ANN correctness baseline; rows-only check). */
+  private val q27 = Q("q27_knn_cosine",
+    (s, d) => Similarity.topKCosine(t(s, d, "embeddings"), queryId = 0, k = 10),
+    None)
+
+  /** Hyperplane-LSH bucketed ANN (the scale path; rows-only check). */
+  private val q28 = Q("q28_ann_lsh",
+    (s, d) => Similarity.annTopK(t(s, d, "embeddings"), queryId = 0, k = 10),
+    None)
+
+  /** SimHash signatures (rows-only check). */
+  private val q29 = Q("q29_simhash",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      .orderBy(col("doc_id")),
+    None)
+
+  /** Multimodal decode plumbing (stubbed kernel; rows-only check). */
+  private val q30 = Q("q30_multimodal_stats",
+    (s, d) => Multimodal.kindStats(t(s, d, "documents"))(s),
+    None)
+
+  val all: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
+    q12, q13, q14, q15, q16, q17, q18,
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the three operations Spark lacks
+  * (SURVEY.md §7.2): per-value gzip inflate (O4), dateutil-grade lenient
+  * timestamp parsing (O9), and KPL aggregate-record deaggregation (O3).
+  * All are codegen'd (doGenCode via nullSafeCodeGen calling static JVM
+  * helpers) so they stay inside whole-stage codegen spans; KplDeaggregate
+  * is a Generator (planned by GenerateExec, like explode).
+  */
+
+/** O4: sniff gzip magic bytes, inflate when present, pass through otherwise;
+  * null on corrupt stream. Ref behavior: /root/reference/README.md:10.
+  */
+case class TryGunzip(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "try_gunzip"
+
+  override def nullSafeEval(v: Any): Any = GzipUtil.maybeGunzip(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.GzipUtil.maybeGunzip($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): TryGunzip = copy(newChild)
+}
+
+/** O9: lenient multi-format timestamp parse → TimestampType (micros), null
+  * when unparseable. Zone applies to zone-less formats.
+  * Ref: /root/reference/README.md:15 (dateutil.parser.parse leniency).
+  */
+case class LenientTimestamp(child: Expression, zoneId: String) extends UnaryExpression {
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lenient_ts"
+
+  override def nullSafeEval(v: Any): Any = LenientTs.parseMicros(v.toString, zoneId)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("parsed")
+      s"""
+      java.lang.Long $r = graft.functions.LenientTs.parseMicros($c.toString(), "$zoneId");
+      if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LenientTimestamp =
+    copy(child = newChild)
+}
+
+/** O3: KPL aggregate record → 0..N user payloads (Generator, like explode).
+  * Non-aggregate input yields itself. Ref: /root/reference/lambda/requirements.txt:4.
+  */
+case class KplDeaggregate(child: Expression) extends UnaryExpression
+    with Generator with CodegenFallback {
+  override def elementSchema: StructType = new StructType().add("payload", BinaryType)
+  override def prettyName: String = "kpl_deaggregate"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else Kpl.deaggregate(v.asInstanceOf[Array[Byte]]).map(d => InternalRow(d))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KplDeaggregate =
+    copy(newChild)
+}
+
+/** Column-API + SQL surface for the custom expressions. */
+object gfn {
+  private def col(e: Expression): Column = ColumnBridge.column(e)
+  private def ex(c: Column): Expression = ColumnBridge.expression(c)
+
+  def try_gunzip(c: Column): Column = col(TryGunzip(ex(c)))
+  def lenient_ts(c: Column, zone: String = "UTC"): Column = col(LenientTimestamp(ex(c), zone))
+  def kpl_deaggregate(c: Column): Column = col(KplDeaggregate(ex(c)))
+
+  /** Register for spark.sql use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("try_gunzip", es => TryGunzip(es.head), "builtin")
+    reg.createOrReplaceTempFunction("lenient_ts",
+      es => LenientTimestamp(es.head, "UTC"), "builtin")
+    reg.createOrReplaceTempFunction("kpl_deaggregate", es => KplDeaggregate(es.head), "builtin")
+  }
+}

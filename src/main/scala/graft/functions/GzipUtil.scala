@@ -1,0 +1,45 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+/** Static gzip helpers referenced from both interpreted eval and generated
+  * code (the codegen path calls these by fully-qualified name, so keep them
+  * on a plain object with JVM-static forwarders).
+  *
+  * Semantics follow the reference pipeline's documented "gzipped JSON ...
+  * supported" behavior (/root/reference/README.md:10): sniff the gzip magic
+  * bytes per value, inflate when present, pass through otherwise. A corrupt
+  * gzip stream yields null (the record is dropped downstream, mirroring the
+  * reference's silent-drop of undecodable payloads).
+  */
+object GzipUtil {
+  def isGzip(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 2 &&
+      (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b
+
+  /** Inflate if gzip-compressed, else return the input unchanged; null on a
+    * corrupt stream.
+    */
+  def maybeGunzip(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes == null) return null
+    if (!isGzip(bytes)) return bytes
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+      val out = new ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    } catch { case _: java.io.IOException => null }
+  }
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new GZIPOutputStream(out)
+    gz.write(bytes)
+    gz.close()
+    out.toByteArray
+  }
+}

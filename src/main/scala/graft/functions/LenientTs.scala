@@ -1,0 +1,80 @@
+package graft.functions
+
+import java.time._
+import java.time.format.{DateTimeFormatter, DateTimeFormatterBuilder}
+import java.time.temporal.ChronoField
+
+/** dateutil-grade lenient timestamp parsing (reference: the `time` field is
+  * "any timestamp supported by dateutil.parser.parse", ISO8601 with
+  * milli/micro recommended — /root/reference/README.md:15). Scope is bounded
+  * to the documented conformance core plus the formats the README and
+  * fixtures call out:
+  *
+  *   - ISO8601 with offset or Z, optional fraction to nanoseconds
+  *   - ISO8601 local ("2026-08-12T09:15:30[.SSSSSS]") — assumed in `zone`
+  *   - "yyyy-MM-dd HH:mm:ss[.SSSSSS]" — assumed in `zone`
+  *   - RFC 2822 / RFC 1123 ("Wed, 12 Aug 2026 09:15:30 +0900")
+  *   - bare date "yyyy-MM-dd" — midnight in `zone`
+  *   - epoch seconds (10 digits) / epoch millis (13 digits)
+  *
+  * Returns epoch MICROseconds (Spark's TimestampType physical type) or null
+  * when unparseable. Static so generated code can call it directly.
+  */
+object LenientTs {
+
+  private def fractional(pattern: String): DateTimeFormatter =
+    new DateTimeFormatterBuilder()
+      .appendPattern(pattern)
+      .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+      .toFormatter(java.util.Locale.US)
+
+  private val isoLocal = fractional("yyyy-MM-dd'T'HH:mm:ss")
+  private val sqlLocal = fractional("yyyy-MM-dd HH:mm:ss")
+  private val dateOnly = DateTimeFormatter.ofPattern("yyyy-MM-dd", java.util.Locale.US)
+
+  // ISO8601 with offset, fraction optional (handles Z, +09:00, +0900).
+  private val isoOffset = new DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .appendPattern("[XXX][XX][X]")
+    .toFormatter(java.util.Locale.US)
+
+  // "yyyy-MM-dd HH:mm:ss+09:00" (space separator with offset).
+  private val sqlOffset = new DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .appendFraction(ChronoField.NANO_OF_SECOND, 0, 9, true)
+    .appendPattern("[XXX][XX][X]")
+    .toFormatter(java.util.Locale.US)
+
+  private def micros(i: Instant): java.lang.Long =
+    java.lang.Long.valueOf(Math.addExact(
+      Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong))
+
+  def parseMicros(s: String, zoneId: String): java.lang.Long = {
+    if (s == null) return null
+    val t = s.trim
+    if (t.isEmpty) return null
+    val zone = try ZoneId.of(zoneId) catch { case _: Exception => ZoneOffset.UTC }
+
+    // Epoch numerics first: all-digit strings never match the date formats.
+    if (t.length >= 10 && t.forall(_.isDigit)) {
+      try {
+        if (t.length == 10) return micros(Instant.ofEpochSecond(t.toLong))
+        if (t.length == 13) return micros(Instant.ofEpochMilli(t.toLong))
+      } catch { case _: Exception => }
+      return null
+    }
+
+    def attempt(f: => Instant): java.lang.Long =
+      try micros(f) catch { case _: Exception => null }
+
+    var r: java.lang.Long = null
+    r = attempt(OffsetDateTime.parse(t, isoOffset).toInstant); if (r != null) return r
+    r = attempt(OffsetDateTime.parse(t, sqlOffset).toInstant); if (r != null) return r
+    r = attempt(LocalDateTime.parse(t, isoLocal).atZone(zone).toInstant); if (r != null) return r
+    r = attempt(LocalDateTime.parse(t, sqlLocal).atZone(zone).toInstant); if (r != null) return r
+    r = attempt(ZonedDateTime.parse(t, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant); if (r != null) return r
+    r = attempt(LocalDate.parse(t, dateOnly).atStartOfDay(zone).toInstant); if (r != null) return r
+    null
+  }
+}

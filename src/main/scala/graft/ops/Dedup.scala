@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, over `documents`.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is a hash-groupBy on a 128-bit content hash — one shuffle
+  *     keyed by the hash, no wide rows moved (we aggregate doc_ids, not text);
+  *   - near-dup (MinHash) is BANDED LSH: candidates come from an equi-join on
+  *     (band, band_signature) — a hash-partitioned join whose key cardinality
+  *     grows with the corpus, never an all-pairs/cartesian product. Verify
+  *     (exact Jaccard) runs only on bucket-collision candidates.
+  *   - SimHash gives a 64-bit signature whose hamming distance approximates
+  *     cosine-on-token-sets; banding its 4 × 16-bit chunks yields the same
+  *     equi-join shape (hamming ≤ 3 ⇒ at least one identical chunk).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest doc_id per identical text. */
+  def exactGroups(docs: DataFrame): DataFrame = docs
+    .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
+    .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ---- MinHash LSH ----
+
+  /** Deterministic permutation constants (fixed seed — reproducible runs).
+    * a, b < 2^31 and the hash is folded to 31 bits before the affine map, so
+    * a*h+b < 2^62 — no overflow under ANSI mode.
+    */
+  private val P = 2305843009213693951L // 2^61 - 1
+  private val M31 = 1L << 31
+  private def perms(k: Int): Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Word w-shingles of the lowercased text, distinct. */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
+  }
+
+  /** doc_id + materialized shingle set + 31-bit shingle hashes. Staged as
+    * real columns (not inlined expressions) so the k permutations below read
+    * the hash array once — CollapseProject keeps non-cheap multiply-referenced
+    * expressions staged, which is exactly what we rely on here.
+    */
+  def shingled(docs: DataFrame, w: Int = 3): DataFrame = docs
+    .select(col("doc_id"), shingles(col("text"), w).as("shingles"))
+    .withColumn("hashes", transform(col("shingles"), s => pmod(xxhash64(s), lit(M31))))
+
+  /** MinHash signature from a staged hash-array column: k minima of
+    * (a_j * h + b_j) mod P — O(k·|S|) long arithmetic, codegen'd.
+    */
+  def minhashSignature(hashesCol: Column, k: Int = 32): Column = {
+    val ps = perms(k)
+    array(ps.map { case (a, b) =>
+      array_min(transform(hashesCol, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** (doc_id, band, band_key) — banded LSH keys (bands × rowsPerBand = k).
+    * Narrow: the explode fans each doc to `bands` small rows; no text or
+    * arrays are carried, so the downstream bucket join shuffles only ids.
+    */
+  def lshBands(staged: DataFrame, k: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = k / bands
+    val withSig = staged.withColumn("sig", minhashSignature(col("hashes"), k))
+    val bandKeys = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(lit(b) +: (0 until rows).map(r => col("sig")(b * rows + r)): _*).as("band_key"))
+    }: _*)
+    withSig.select(col("doc_id"), explode(bandKeys).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.band_key"))
+  }
+
+  /** Near-duplicate pairs: banded-LSH candidates verified by exact Jaccard
+    * over word shingles. No cartesian product anywhere — candidates come
+    * from an equi-join on (band, band_key) carrying only doc_ids; shingle
+    * sets are joined back just for the (small) candidate set.
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+                      k: Int = 32, bands: Int = 8): DataFrame = {
+    val staged = shingled(docs.select(col("doc_id"), col("text")))
+    val b = lshBands(staged, k, bands)
+    val cand = b.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
+      .join(b.select(col("band"), col("band_key"), col("doc_id").as("b_id")),
+        Seq("band", "band_key"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .dropDuplicates("a_id", "b_id")
+    val sh = staged.select(col("doc_id"), col("shingles"))
+    val withSh = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
+    withSh
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    * ±1 contributions from each token's xxhash64.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, i) => a + call_function("getbit", h, i) * 2 - 1))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** n-gram Jaccard similarity between two text columns (exact, for
+    * candidate verification or small-side joins).
+    */
+  def ngramJaccard(a: Column, b: Column, w: Int = 3): Column = {
+    val sa = shingles(a, w); val sb = shingles(b, w)
+    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
+  }
+}

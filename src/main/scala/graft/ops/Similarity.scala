@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over `embeddings` (`embedding: array<float>`).
+  *
+  * Scale design: the baseline is brute-force scan top-k — a single narrow
+  * pass plus a k-row TakeOrdered, which is already the right plan for one
+  * query vector over any corpus size (no shuffle of the corpus; the ORDER BY
+  * ... LIMIT k is planned as TakeOrderedAndProject, so only k rows per
+  * partition ever move). The scale path for many-query workloads is
+  * hyperplane-LSH bucketing: signature equi-join prunes the corpus to one
+  * bucket (plus hamming-1 probes) before exact scoring — key-partitioned
+  * join, never all-pairs.
+  */
+object Similarity {
+
+  /** dot(a, b) with double accumulation, left-to-right (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Integer-quantized dot product (round(x*1000) per element) — exact
+    * arithmetic, so the DuckDB oracle matches bit-for-bit.
+    */
+  def quantizedDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast("double") * 1000).cast("long") *
+          round(y.cast("double") * 1000).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  private def queryVector(emb: DataFrame, queryId: Long): DataFrame =
+    emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
+
+  /** Brute-force top-k by quantized dot product vs one stored vector. */
+  def topKQuantized(emb: DataFrame, queryId: Long, k: Int): DataFrame = emb
+    .crossJoin(broadcast(queryVector(emb, queryId)))
+    .select(col("vec_id"), quantizedDot(col("embedding"), col("q_emb")).as("dot"))
+    .orderBy(col("dot").desc, col("vec_id"))
+    .limit(k)
+
+  /** Brute-force top-k by true cosine similarity (the ANN baseline). */
+  def topKCosine(emb: DataFrame, queryId: Long, k: Int): DataFrame = emb
+    .crossJoin(broadcast(queryVector(emb, queryId)))
+    .select(col("vec_id"), col("label"),
+      round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+    .orderBy(col("cos_sim").desc, col("vec_id"))
+    .limit(k)
+
+  // ---- Hyperplane-LSH ANN ----
+
+  /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays. */
+  private def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(7)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** LSH signature: nBits sign bits of dot(v, r_i), packed into a long. */
+  def lshSignature(v: Column, nBits: Int = 8, dim: Int = 64): Column = {
+    val ps = planes(nBits, dim)
+    (0 until nBits).map { i =>
+      val plane = array(ps(i).map(lit(_)): _*)
+      when(dot(v, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k: bucket the corpus by LSH signature, probe the query's bucket
+    * plus all hamming-1 neighbors (nBits+1 buckets), then exact cosine on the
+    * candidates only. Candidate selection is an equi-join on the signature.
+    */
+  def annTopK(emb: DataFrame, queryId: Long, k: Int,
+              nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val bucketed = emb.withColumn("sig", lshSignature(col("embedding"), nBits, dim))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
+    // query bucket + hamming-1 probes
+    val probes = q.select(col("q_emb"),
+      explode(array(col("q_sig") +:
+        (0 until nBits).map(i => col("q_sig").bitwiseXOR(shiftleft(lit(1L), i))): _*))
+        .as("sig"))
+    bucketed.join(broadcast(probes), "sig")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, over
+  * the `documents` table. All pure `org.apache.spark.sql.functions` column
+  * expressions — codegen'd, no UDFs, fully pushdown/prune-friendly; each is
+  * also expressible in ANSI SQL so the DuckDB oracle can check it 1:1.
+  */
+object TextOps {
+
+  /** Whitespace tokenization (the oracle uses regexp_split_to_array). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Token count — whitespace tokenizer. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword-count estimate: words plus intra-word transitions
+    * (letter↔digit boundaries and punctuation), a common cheap proxy for
+    * tokenizer load. Kept SQL-expressible: count of regex matches.
+    */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
+
+  def spaceCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, " ", ""))).cast("long")
+
+  /** Occurrences of `word` in `text` via the length-difference trick —
+    * identical semantics in Spark and DuckDB (`replace` replaces all).
+    */
+  def wordScore(text: Column, word: String): Column =
+    (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(word), "")))
+      .cast("long")
+
+  /** n-gram-heuristic language ID: stopword-evidence scores per language,
+    * argmax with a deterministic tiebreak (en > es > de > fr). The score for
+    * a language is the total matched length of its marker words.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de "),
+    "de" -> Seq(" der ", " und ", " das "),
+    "fr" -> Seq(" le ", " et ", " les "))
+
+  def langScore(text: Column, lang: String): Column =
+    langMarkers.toMap.apply(lang)
+      .map(w => wordScore(text, w))
+      .reduce(_ + _)
+
+  def langPred(text: Column): Column = {
+    val s = langMarkers.map { case (l, _) => l -> langScore(text, l) }.toMap
+    when(s("en") >= s("es") && s("en") >= s("de") && s("en") >= s("fr"), "en")
+      .when(s("es") >= s("de") && s("es") >= s("fr"), "es")
+      .when(s("de") >= s("fr"), "de")
+      .otherwise("fr")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Stable across engines (md5 hex lowercase in both).
+    */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(lower(regexp_replace(trim(text), "\\s+", " ")), lit("utf-8")))
+
+  /** Quality-score feature set as a projection. */
+  def withQuality(df: DataFrame, text: Column): DataFrame = df
+    .withColumn("len", length(text).cast("long"))
+    .withColumn("n_tokens", tokenCount(text))
+    .withColumn("n_punct", punctCount(text))
+    .withColumn("n_spaces", spaceCount(text))
+    // single FP division of exact ints — deterministic across engines
+    .withColumn("punct_ratio", col("n_punct").cast("double") / col("len"))
+}
