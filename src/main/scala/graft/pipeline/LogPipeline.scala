@@ -46,9 +46,10 @@ object LogPipeline {
     // CONTROL_MESSAGE yields nothing, anything else passes through as-is.
     val cwl = from_json(col("payload_str"), cwlSchema)
     val fanned = when(
-        cwl.isNotNull && cwl("messageType") === "DATA_MESSAGE" && cwl("logEvents").isNotNull,
-        cwl("logEvents.message"))
-      .when(cwl.isNotNull && cwl("messageType") === "CONTROL_MESSAGE",
+        cwl.isNotNull && cwl.getField("messageType") === "DATA_MESSAGE" &&
+          cwl.getField("logEvents").isNotNull,
+        cwl.getField("logEvents").getField("message"))
+      .when(cwl.isNotNull && cwl.getField("messageType") === "CONTROL_MESSAGE",
         array().cast(ArrayType(StringType)))
       .otherwise(array(col("payload_str")))
     inflated

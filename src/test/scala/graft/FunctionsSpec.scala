@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GzipUtil, Kpl, LenientTs}
+
+/** Unit tests for the custom-operation helpers (O3/O4/O9 kernels). */
+class FunctionsSpec extends AnyFunSuite {
+
+  // ---- O4 gzip ----
+
+  test("gzip roundtrip inflates back to the original bytes") {
+    val payload = """{"log_type":"app","log_id":"1","time":"2026-08-12T00:00:00Z"}"""
+      .getBytes("UTF-8")
+    val gz = GzipUtil.gzip(payload)
+    assert(GzipUtil.isGzip(gz))
+    assert(GzipUtil.maybeGunzip(gz).toSeq == payload.toSeq)
+  }
+
+  test("non-gzip bytes pass through unchanged") {
+    val b = "plain".getBytes("UTF-8")
+    assert(GzipUtil.maybeGunzip(b) eq b)
+  }
+
+  test("corrupt gzip stream yields null (record dropped, not crashed)") {
+    val corrupt = Array[Byte](0x1f, 0x8b.toByte, 1, 2, 3, 4)
+    assert(GzipUtil.maybeGunzip(corrupt) == null)
+  }
+
+  // ---- O3 KPL ----
+
+  test("KPL aggregate of 3 payloads deaggregates to all 3 (fixture F6)") {
+    val payloads = Seq("a", "bb", "ccc").map(_.getBytes("UTF-8"))
+    val agg = Kpl.aggregate(payloads)
+    assert(Kpl.isAggregate(agg))
+    assert(Kpl.deaggregate(agg).map(new String(_, "UTF-8")) == Seq("a", "bb", "ccc"))
+  }
+
+  test("non-KPL record deaggregates to itself") {
+    val b = """{"x":1}""".getBytes("UTF-8")
+    assert(Kpl.deaggregate(b).map(_.toSeq) == Seq(b.toSeq))
+  }
+
+  test("KPL magic with corrupt digest passes through as-is (not dropped)") {
+    val agg = Kpl.aggregate(Seq("p".getBytes("UTF-8")))
+    agg(agg.length - 1) = (agg(agg.length - 1) ^ 0x55).toByte
+    assert(Kpl.deaggregate(agg).map(_.toSeq) == Seq(agg.toSeq))
+  }
+
+  // ---- O9 lenient timestamp (conformance core per FIXTURES.md F2) ----
+
+  private def micros(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000L
+
+  test("parses every documented format variant") {
+    val cases = Seq(
+      "2026-08-12T00:15:30Z" -> "2026-08-12T00:15:30Z",
+      "2026-08-12T00:15:30.123Z" -> "2026-08-12T00:15:30.123Z",
+      "2026-08-12T00:15:30.123456+00:00" -> "2026-08-12T00:15:30.123456Z",
+      "2026-08-12T09:15:30.123456+09:00" -> "2026-08-12T00:15:30.123456Z",
+      "2026-08-12 09:15:30" -> "2026-08-12T09:15:30Z",
+      "2026-08-12 09:15:30.250" -> "2026-08-12T09:15:30.250Z",
+      "Wed, 12 Aug 2026 09:15:30 +0900" -> "2026-08-12T00:15:30Z",
+      "2026-08-12" -> "2026-08-12T00:00:00Z")
+    for ((in, want) <- cases) {
+      val got = LenientTs.parseMicros(in, "UTC")
+      assert(got != null, s"failed to parse: $in")
+      val wantUs = java.time.Instant.parse(want)
+      assert(got.longValue ==
+        wantUs.getEpochSecond * 1000000L + wantUs.getNano / 1000, s"wrong value for: $in")
+    }
+  }
+
+  test("zone-less formats are read in the configured zone") {
+    val got = LenientTs.parseMicros("2026-08-12 09:15:30", "Asia/Tokyo")
+    val want = java.time.Instant.parse("2026-08-12T00:15:30Z")
+    assert(got.longValue == want.getEpochSecond * 1000000L)
+  }
+
+  test("epoch seconds and millis") {
+    assert(LenientTs.parseMicros("1755000000", "UTC").longValue == 1755000000L * 1000000L)
+    assert(LenientTs.parseMicros("1755000000123", "UTC").longValue == 1755000000123L * 1000L)
+  }
+
+  test("garbage yields null") {
+    for (bad <- Seq("not-a-time", "", "  ", "12345", "2026-13-45T99:99:99Z"))
+      assert(LenientTs.parseMicros(bad, "UTC") == null, s"should not parse: $bad")
+  }
+
+  test("property: ISO formats round-trip through format+parse (500 seeded samples)") {
+    val rnd = new java.util.Random(4242)
+    for (_ <- 1 to 500) {
+      val sec = math.abs(rnd.nextLong()) % 4102444800L // 1970..2100
+      val frac = rnd.nextInt(1000000)
+      val i = java.time.Instant.ofEpochSecond(sec, frac * 1000L)
+      val s = java.time.format.DateTimeFormatter.ISO_INSTANT.format(i)
+      val got = LenientTs.parseMicros(s, "UTC")
+      assert(got != null && got.longValue == sec * 1000000L + frac, s"roundtrip failed: $s")
+    }
+  }
+}

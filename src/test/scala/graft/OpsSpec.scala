@@ -1,0 +1,133 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Unit tests for the training-data-pipeline operators. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // ---- dedup ----
+
+  test("exact dedup groups identical texts and keeps the lowest id") {
+    val d = Dedup.exactGroups(docs(1L -> "aaa", 2L -> "bbb", 3L -> "aaa", 4L -> "aaa"))
+      .orderBy("keep_id").collect()
+    assert(d.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("minhash LSH finds identical and near-identical docs, skips unrelated") {
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val near = base.replace("done", "finished")
+    val other = "completely different words about spark catalyst optimizer internals here"
+    val pairs = Dedup.minhashNearDups(
+      docs(1L -> base, 2L -> near, 3L -> other, 4L -> base), threshold = 0.4)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.contains((1L, 4L))) // identical
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 4L))) // near-dup caught
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated not paired
+  }
+
+  test("minhash near-dup plan contains no cartesian product") {
+    val plan = Dedup.minhashNearDups(docs(1L -> "a b c d", 2L -> "a b c e"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("simhash: identical texts agree, close texts are within small hamming distance") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val df = docs(1L -> a, 2L -> a, 3L -> a.replace("today", "tomorrow"))
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh")).collect()
+    val m = df.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 12)
+  }
+
+  test("ngram jaccard is 1.0 for identical, 0.0 for disjoint") {
+    val df = docs(1L -> "a b c d e")
+      .withColumn("j1", Dedup.ngramJaccard(col("text"), col("text")))
+      .withColumn("j0", Dedup.ngramJaccard(col("text"), lit("x y z w v")))
+      .collect().head
+    assert(df.getAs[Double]("j1") == 1.0 && df.getAs[Double]("j0") == 0.0)
+  }
+
+  // ---- similarity ----
+
+  private def vecs(rows: (Long, Seq[Float], Int)*) =
+    rows.toSeq.toDF("vec_id", "embedding", "label")
+
+  test("quantized dot product matches hand computation") {
+    val df = vecs((0L, Seq(0.5f, -1.0f, 0.25f), 1), (1L, Seq(1.0f, 1.0f, 1.0f), 2))
+    val r = Similarity.topKQuantized(df, queryId = 0, k = 2).collect()
+    // q=(500,-1000,250); dot(self)=500²+1000²+250²=1312500
+    // dot(v1)=500·1000 − 1000·1000 + 250·1000 = −250000
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((0L, 1312500L), (1L, -250000L)))
+  }
+
+  test("cosine top-k ranks the query itself first with similarity 1.0") {
+    val df = vecs(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 1), (1L, Seq(0.9f, 0.1f, 0.0f), 1),
+      (2L, Seq(0.0f, 1.0f, 0.0f), 2), (3L, Seq(-1.0f, 0.0f, 0.0f), 3))
+    val r = Similarity.topKCosine(df, queryId = 0, k = 4).collect()
+    assert(r.head.getLong(0) == 0L && r.head.getAs[Double]("cos_sim") == 1.0)
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L)) // descending similarity
+  }
+
+  test("ANN LSH returns the query itself and its plan has no cartesian product") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = Similarity.annTopK(emb, queryId = 0, k = 5)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.head.getLong(0) == 0L)
+    assert(rows.head.getAs[Double]("cos_sim") == 1.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  // ---- text ops ----
+
+  test("token counting on edge cases") {
+    val df = Seq("a b  c", "  lead trail  ", "one").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n")).collect().map(_.getLong(0))
+    assert(df.toSeq == Seq(3L, 2L, 1L))
+  }
+
+  test("language id picks the language with the most stopword evidence") {
+    val en = "we saw the cat and the dog of the town by the gate"
+    val es = "vimos el gato y la casa de el pueblo en la puerta"
+    val df = docs(1L -> en, 2L -> es)
+      .select(col("doc_id"), TextOps.langPred(col("text")).as("lang")).collect()
+    val m = df.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "en" && m(2L) == "es")
+  }
+
+  test("fingerprint is whitespace/case-normalized") {
+    val df = docs(1L -> "Hello   World", 2L -> "  hello world ")
+      .select(TextOps.fingerprint(col("text")).as("fp")).collect().map(_.getString(0))
+    assert(df(0) == df(1))
+  }
+
+  // ---- multimodal ----
+
+  test("multimodal decode: schema, determinism, per-kind stats") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val feats = Multimodal.decode(Multimodal.mediaTable(d))
+    assert(feats.columns.toSeq ==
+      Seq("media_id", "kind", "byte_len", "checksum", "width", "height", "n_frames", "feature"))
+    val one = feats.filter(col("media_id") === 0).collect().head
+    val again = Multimodal.decode(Multimodal.mediaTable(d))
+      .filter(col("media_id") === 0).collect().head
+    assert(one.checksum == again.checksum && one.feature.toSeq == again.feature.toSeq)
+    assert(one.feature.length == 8)
+    val stats = Multimodal.kindStats(d).collect()
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(stats.map(_.getLong(1)).sum == d.count())
+  }
+}
