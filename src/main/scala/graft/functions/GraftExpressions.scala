@@ -76,6 +76,46 @@ case class KplDeaggregate(child: Expression) extends UnaryExpression
     copy(newChild)
 }
 
+/** Native hashed-shingle extraction: text → distinct 31-bit hashes of
+  * w-token windows, no intermediate strings (see MinHashKernel). The HOF
+  * composition (split→transform→concat_ws→xxhash→distinct) evaluates
+  * interpreted per element; this runs as one primitive-array loop.
+  */
+case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.shingleHashes($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Native k-permutation MinHash signature over a hash array. */
+case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.signature(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhB", b, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashKernel.signature($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL surface for the custom expressions. */
 object gfn {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -84,6 +124,9 @@ object gfn {
   def try_gunzip(c: Column): Column = col(TryGunzip(ex(c)))
   def lenient_ts(c: Column, zone: String = "UTC"): Column = col(LenientTimestamp(ex(c), zone))
   def kpl_deaggregate(c: Column): Column = col(KplDeaggregate(ex(c)))
+  def shingle_hashes(c: Column, w: Int = 3): Column = col(ShingleHashes(ex(c), w))
+  def minhash_sig(c: Column, a: Array[Long], b: Array[Long]): Column =
+    col(MinHashSig(ex(c), a, b))
 
   /** Register for spark.sql use. */
   def register(spark: SparkSession): Unit = {

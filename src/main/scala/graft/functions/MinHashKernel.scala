@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels behind the native minhash expressions — tight loops over
+  * primitive arrays, callable from generated code.
+  */
+object MinHashKernel {
+
+  /** splitmix64 finalizer — fast, well-mixed 64-bit hash step. */
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def tokenHash(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0x2545f4914f6cdd1dL
+    var i = from
+    while (i < until) {
+      // ASCII lowercase fold inline (tokenizer contract: lower + whitespace)
+      val b = bytes(i)
+      val lb = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+      h = mix(h ^ (lb & 0xffL))
+      i += 1
+    }
+    h
+  }
+
+  /** Distinct hashed w-token shingles of a text, folded to 31 bits (so the
+    * downstream affine permutations can't overflow). Tokenization matches
+    * split(lower(trim(text)), "\\s+"): runs of whitespace delimit tokens.
+    * No shingle strings are ever materialized — token hashes are combined
+    * positionally.
+    */
+  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    // collect token hashes
+    var tokens = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isSpace(bytes(i))) i += 1
+        if (nTok == tokens.length) tokens = java.util.Arrays.copyOf(tokens, nTok * 2)
+        tokens(nTok) = tokenHash(bytes, start, i)
+        nTok += 1
+      }
+    }
+    if (nTok == 0) return new GenericArrayData(Array.empty[Long])
+    val nWin = math.max(nTok - w + 1, 1)
+    val out = new Array[Long](nWin)
+    var j = 0
+    while (j < nWin) {
+      var h = 0L
+      var d = 0
+      while (d < w && j + d < nTok) { h = mix(h ^ tokens(j + d)); d += 1 }
+      out(j) = h & 0x7fffffffL // 31-bit fold
+      j += 1
+    }
+    // distinct via sort + unique (shingle sets, not bags)
+    java.util.Arrays.sort(out)
+    var uniq = 1
+    var p = 1
+    while (p < nWin) {
+      if (out(p) != out(p - 1)) { out(uniq) = out(p); uniq += 1 }
+      p += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
+
+  /** k-permutation MinHash signature over a 31-bit hash array:
+    * sig_j = min over h of (a_j·h + b_j) mod P, P = 2^61 − 1.
+    */
+  def signature(hashes: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashes.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % 2305843009213693951L
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+}

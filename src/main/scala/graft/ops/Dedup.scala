@@ -44,23 +44,20 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
   }
 
-  /** doc_id + materialized shingle set + 31-bit shingle hashes. Staged as
-    * real columns (not inlined expressions) so the k permutations below read
-    * the hash array once — CollapseProject keeps non-cheap multiply-referenced
-    * expressions staged, which is exactly what we rely on here.
+  /** doc_id + 31-bit hashed w-shingles, via the native ShingleHashes
+    * expression (one primitive loop per doc; no shingle strings, no
+    * interpreted higher-order functions on the hot path).
     */
   def shingled(docs: DataFrame, w: Int = 3): DataFrame = docs
-    .select(col("doc_id"), shingles(col("text"), w).as("shingles"))
-    .withColumn("hashes", transform(col("shingles"), s => pmod(xxhash64(s), lit(M31))))
+    .select(col("doc_id"), graft.functions.gfn.shingle_hashes(col("text"), w).as("hashes"))
 
   /** MinHash signature from a staged hash-array column: k minima of
-    * (a_j * h + b_j) mod P — O(k·|S|) long arithmetic, codegen'd.
+    * (a_j * h + b_j) mod P — native kernel loop (MinHashKernel.signature).
     */
   def minhashSignature(hashesCol: Column, k: Int = 32): Column = {
     val ps = perms(k)
-    array(ps.map { case (a, b) =>
-      array_min(transform(hashesCol, h => pmod(h * lit(a) + lit(b), lit(P))))
-    }: _*)
+    graft.functions.gfn.minhash_sig(hashesCol,
+      ps.map(_._1).toArray, ps.map(_._2).toArray)
   }
 
   /** (doc_id, band, band_key) — banded LSH keys (bands × rowsPerBand = k).
@@ -85,18 +82,41 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
                       k: Int = 32, bands: Int = 8): DataFrame = {
-    val staged = shingled(docs.select(col("doc_id"), col("text")))
+    // Spread the corpus before the (CPU-heavy) shingle/signature pass — a
+    // single parquet row group must not pin the whole stage to one core.
+    // numPartitions is explicit so AQE doesn't coalesce the tiny-by-bytes
+    // (but CPU-heavy) shuffle back down to one partition.
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val text = docs.select(col("doc_id"), col("text"))
+      .repartition(parallelism, col("doc_id"))
+    val staged = shingled(text)
     val b = lshBands(staged, k, bands)
-    val cand = b.select(col("band"), col("band_key"), col("doc_id").as("a_id"))
-      .join(b.select(col("band"), col("band_key"), col("doc_id").as("b_id")),
-        Seq("band", "band_key"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+    // Candidate pairs per bucket via ONE shuffle (groupBy band key) and
+    // in-array pair expansion — not a self-join, so the shingle/signature
+    // pass runs exactly once and nothing resembling a cartesian appears.
+    // A bucket of n colliding docs yields n·(n−1)/2 pairs, which is the
+    // LSH contract; dedup across bands follows.
+    val ids = array_sort(col("ids"))
+    val cand = b.groupBy(col("band"), col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id")
-    val sh = staged.select(col("doc_id"), col("shingles"))
-    val withSh = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("a_sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("b_sh")), Seq("b_id"))
+    // Verify only the candidate set: broadcast the (small) pair list against
+    // the corpus so shingle hashes are recomputed for candidate rows alone —
+    // the full corpus is never re-shingled or shuffled. Jaccard over hashed
+    // shingles equals Jaccard over string shingles up to negligible 31-bit
+    // collision mass. (If candidates ever outgrow broadcast, swap for an
+    // equi-join on doc_id; shape is the same.)
+    val candB = broadcast(cand)
+    val sh = graft.functions.gfn.shingle_hashes(col("text"))
+    val withSh = text.join(candB, col("doc_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), sh.as("a_sh"))
+      .join(text, col("doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), sh.as("b_sh"))
     withSh
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
