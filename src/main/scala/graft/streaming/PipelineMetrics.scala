@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** O16: observability. The reference wraps its parse loop in an X-Ray
+  * subsegment and patches boto3 for tracing (/root/reference/lambda/main.py:7-17,46,65).
+  * The Spark-native equivalents are listener-based: task/stage IO counters
+  * from the SparkListener bus and per-micro-batch progress from the
+  * StreamingQueryListener — no Catalyst changes, no hot-path cost.
+  */
+class PipelineMetrics extends SparkListener {
+  val recordsRead = new LongAdder
+  val bytesRead = new LongAdder
+  val recordsWritten = new LongAdder
+  val bytesWritten = new LongAdder
+  val shuffleBytesWritten = new LongAdder
+  val tasks = new LongAdder
+
+  override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+    val m = e.taskMetrics
+    if (m != null) {
+      tasks.increment()
+      recordsRead.add(m.inputMetrics.recordsRead)
+      bytesRead.add(m.inputMetrics.bytesRead)
+      recordsWritten.add(m.outputMetrics.recordsWritten)
+      bytesWritten.add(m.outputMetrics.bytesWritten)
+      shuffleBytesWritten.add(m.shuffleWriteMetrics.bytesWritten)
+    }
+  }
+
+  def snapshot: Map[String, Long] = Map(
+    "tasks" -> tasks.sum(),
+    "records_read" -> recordsRead.sum(),
+    "bytes_read" -> bytesRead.sum(),
+    "records_written" -> recordsWritten.sum(),
+    "bytes_written" -> bytesWritten.sum(),
+    "shuffle_bytes_written" -> shuffleBytesWritten.sum())
+}
+
+object PipelineMetrics {
+  /** Attach task-level counters to the session; caller keeps the handle. */
+  def attach(spark: SparkSession): PipelineMetrics = {
+    val m = new PipelineMetrics
+    spark.sparkContext.addSparkListener(m)
+    m
+  }
+
+  /** Per-micro-batch progress log (rows/s per batch), the analogue of the
+    * reference's per-invocation trace segment.
+    */
+  def attachStreaming(spark: SparkSession)(onProgress: String => Unit): StreamingQueryListener = {
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        onProgress(s"batch=${e.progress.batchId} rows=${e.progress.numInputRows} " +
+          f"rows/s=${e.progress.processedRowsPerSecond}%.1f")
+    }
+    spark.streams.addListener(l)
+    l
+  }
+}
