@@ -140,8 +140,31 @@ object LogPipeline {
       .text(s"$outRoot/${cfg.pathPrefix}")
   }
 
+  /** Extension beyond reference parity (SURVEY.md §2.1 O15 note): the
+    * reference's at-least-once retries can duplicate records; since records
+    * carry `log_id` ("any unique identifier", /root/reference/README.md:14),
+    * dedup is a keyed drop. Batch form: keep the first occurrence per
+    * (route, log_id); records without an id pass through untouched.
+    * Streaming form: `dropDuplicatesWithinWatermark` on the parsed frame —
+    * state is bounded by the watermark, so it holds at unbounded scale.
+    */
+  def dedupeById(parsed: DataFrame): DataFrame = {
+    val withId = parsed.filter(col("log_id").isNotNull)
+      .dropDuplicates("route", "log_id")
+    withId.unionByName(parsed.filter(col("log_id").isNull))
+  }
+
+  def dedupeByIdStreaming(parsed: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    parsed
+      .withColumn("ts_w", coalesce(col("ts"), current_timestamp()))
+      .withWatermark("ts_w", watermarkDelay)
+      .dropDuplicatesWithinWatermark("log_id")
+      .drop("ts_w")
+
   /** Full batch path: binary records in → partitioned gzip objects out. */
   def run(records: DataFrame, cfg: PipelineConfig, outRoot: String,
-          dataCol: String = "data"): Unit =
-    write(parse(decode(records, dataCol), cfg), cfg, outRoot)
+          dataCol: String = "data", dedupe: Boolean = false): Unit = {
+    val parsed = parse(decode(records, dataCol), cfg)
+    write(if (dedupe) dedupeById(parsed) else parsed, cfg, outRoot)
+  }
 }
