@@ -319,6 +319,50 @@ object Queries {
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
       FROM events ORDER BY user_id, event_id"""))
 
+  /** Gap-based sessionization (window-function formulation; exact integer
+    * arithmetic on epoch micros so the oracle matches bit-for-bit).
+    */
+  private val q19 = Q("q19_sessionize",
+    (s, d) => graft.ops.Sessions.sessionize(t(s, d, "events"))
+      .orderBy(col("user_id"), col("sess_id")),
+    Some("""
+      WITH x AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+        FROM events),
+      s AS (
+        SELECT user_id, us,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM x)
+      SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
+             MIN(us) AS start_us, MAX(us) AS end_us
+      FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id"""))
+
+  /** As-of join: for each purchase, the latest error of the same user at or
+    * before it (AsOf.joinPrior union+window composition; DuckDB checks it
+    * with its native ASOF LEFT JOIN).
+    */
+  private val q31 = Q("q31_asof_join",
+    (s, d) => {
+      val e = t(s, d, "events")
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val err = e.filter(col("event_type") === "error")
+        .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      graft.ops.AsOf.joinPrior(p, err, "user_id", "e_user", "ts", "e_ts", Seq("e_ts"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("asof_e_ts")).as("last_err_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT p.event_id, p.user_id, epoch_us(e.ts) AS last_err_us
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        ON p.user_id = e.user_id AND e.ts <= p.ts
+      ORDER BY p.event_id"""))
+
   // ------------------------------------------- training-data pipeline operators
 
   /** Exact dedup: hash-groupBy on content hash, keep lowest doc_id. */
@@ -437,6 +481,6 @@ object Queries {
 
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
-    q12, q13, q14, q15, q16, q17, q18,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30)
+    q12, q13, q14, q15, q16, q17, q18, q19,
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
 }

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Sessionization (gap-based event-time sessions per user).
+  *
+  * Batch: the window-function formulation — lag-gap flag, running sum as
+  * session id, then a keyed aggregate. One shuffle (hash by user for the
+  * window), oracle-expressible in ANSI SQL.
+  *
+  * Streaming: two forms. `streamingSessionWindow` uses the built-in
+  * session_window (Spark plans merging + state for us). `sessionizeStream`
+  * is the flatMapGroupsWithState form for when session state needs custom
+  * fields/logic — event-time timeout keyed per user, state is O(1) per key.
+  */
+object Sessions {
+
+  val GapUs: Long = 1800000000L // 30 min
+
+  /** Batch sessionize over (user_id, event_id, ts). */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > GapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+  }
+
+  /** Built-in session_window aggregation (works batch + streaming). */
+  def streamingSessionWindow(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("n_events"))
+
+  // ---- flatMapGroupsWithState form (custom state) ----
+
+  case class Ev(user_id: Long, us: Long)
+  case class SessState(startUs: Long, endUs: Long, n: Long)
+  case class SessOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long)
+
+  /** Custom stateful sessionizer: emits a session when a new event arrives
+    * past the gap, or when the event-time timeout fires (watermark passed
+    * endUs + gap).
+    */
+  def sessionizeStream(events: DataFrame)(implicit spark: SparkSession): Dataset[SessOut] = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withWatermark("ts", "1 hour")
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessOut(user, s.startUs, s.endUs, s.n))
+          } else {
+            var out = List.empty[SessOut]
+            var cur = state.getOption
+            for ((_, us, _) <- rows.toSeq.sortBy(_._2)) {
+              cur match {
+                case Some(s) if us - s.endUs <= GapUs =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1))
+                case Some(s) =>
+                  out ::= SessOut(user, s.startUs, s.endUs, s.n)
+                  cur = Some(SessState(us, us, 1))
+                case None =>
+                  cur = Some(SessState(us, us, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.endUs + GapUs) / 1000 + 3600000)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+}

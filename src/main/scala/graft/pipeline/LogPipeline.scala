@@ -123,15 +123,17 @@ object LogPipeline {
     * passthrough — SURVEY.md §7.3.2), gzip-coded. Layout is Hive-style
     * (`log_type=app/month=2026-08/day=12/part-*.txt.gz`) vs the reference's
     * bare `app/2026-08/12/…gz` — documented divergence; content contract is
-    * identical. `repartition` on the partition columns keeps file counts at
-    * one-per-prefix (the reference's object granularity); at 100 TB scale,
-    * AQE + maxRecordsPerFile below bound both skew and file size.
+    * identical. The REBALANCE hint (AQE) clusters rows by partition column
+    * for few-files-per-prefix like the reference's one-object-per-prefix
+    * granularity, but — unlike a plain `repartition(cols)` — splits skewed
+    * partitions, so one hot log_type/day can't funnel terabytes through a
+    * single task at 100 TB. maxRecordsPerFile bounds file size either way.
     */
   def write(parsed: DataFrame, cfg: PipelineConfig, outRoot: String): Unit = {
     parsed
       .filter(col("kept"))
       .select(col("raw").as("value"), col("route").as("log_type"), col("month"), col("day"))
-      .repartition(col("log_type"), col("month"), col("day"))
+      .hint("rebalance", col("log_type"), col("month"), col("day"))
       .write
       .partitionBy("log_type", "month", "day")
       .option("compression", "gzip")
