@@ -479,8 +479,62 @@ object Queries {
     (s, d) => Multimodal.kindStats(t(s, d, "documents"))(s),
     None)
 
+  /** BPE-ish token counting (regex pre-tokenizer proxy). */
+  private val q32 = Q("q32_bpe_tokens",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.bpeishTokenCount(col("text")).as("n_bpe"),
+        TextOps.tokenCount(col("text")).as("n_ws"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_ws
+      FROM documents ORDER BY doc_id"""))
+
+  /** Exact n-gram Jaccard between consecutive docs (oracle via DuckDB list
+    * ops) — the verification kernel the LSH paths rely on, checked exactly.
+    */
+  private val q33 = Q("q33_ngram_jaccard",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val a = docs.select(col("doc_id").as("a_id"), col("text").as("a_text"))
+      val b = docs.select((col("doc_id") - 1).as("a_id"), col("doc_id").as("b_id"),
+        col("text").as("b_text"))
+      a.join(b, "a_id")
+        .select(col("a_id"), col("b_id"),
+          Dedup.ngramJaccard(col("a_text"), col("b_text")).as("jac"))
+        .orderBy(col("a_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                 FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s FROM t)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jac
+      FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      ORDER BY a_id"""))
+
+  /** SimHash-banded near-dup pairs (rows-only: xxhash64 signature). */
+  private val q34 = Q("q34_simhash_neardup",
+    (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), maxHamming = 3)
+      .orderBy(col("a_id"), col("b_id")),
+    None)
+
+  /** Embedding-cosine near-dup pairs via LSH buckets (rows-only). The
+    * corpus is random gaussians (max pairwise cosine ≈ 0.51), so the
+    * threshold/bits are set where candidate pairs exist; recall scales with
+    * probe count like any LSH.
+    */
+  private val q35 = Q("q35_cosine_neardup",
+    (s, d) => Similarity.cosineNearDups(t(s, d, "embeddings"),
+        threshold = 0.4, nBits = 4)
+      .orderBy(col("a_id"), col("b_id")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
-    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31)
+    q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
+    q32, q33, q34, q35)
 }

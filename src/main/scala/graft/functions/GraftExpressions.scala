@@ -116,6 +116,59 @@ case class MinHashSig(child: Expression, a: Array[Long], b: Array[Long])
     copy(child = newChild)
 }
 
+/** Native cosine similarity over two array<float> columns. */
+case class VecCosine(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecKernel.cosineF(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VecKernel.cosineF($l, $r);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
+    copy(left = l, right = r)
+}
+
+/** Native hyperplane-LSH signature over an array<float> column. */
+case class HyperplaneSig(child: Expression, planes: Array[Double], nBits: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.lshSig(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      planes, nBits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.lshSig($c, $p, $nBits, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSig =
+    copy(child = newChild)
+}
+
+/** Native 64-bit SimHash over a string column. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.simhash64(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.simhash64($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL surface for the custom expressions. */
 object gfn {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -127,6 +180,10 @@ object gfn {
   def shingle_hashes(c: Column, w: Int = 3): Column = col(ShingleHashes(ex(c), w))
   def minhash_sig(c: Column, a: Array[Long], b: Array[Long]): Column =
     col(MinHashSig(ex(c), a, b))
+  def vec_cosine(l: Column, r: Column): Column = col(VecCosine(ex(l), ex(r)))
+  def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =
+    col(HyperplaneSig(ex(c), planes, nBits, dim))
+  def simhash64(c: Column): Column = col(SimHash64(ex(c)))
 
   /** Register for spark.sql use. */
   def register(spark: SparkSession): Unit = {

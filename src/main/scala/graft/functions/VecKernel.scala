@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Vector + simhash kernels for the similarity/dedup hot paths — the
+  * higher-order-function formulations evaluate interpreted per element;
+  * these are single JVM loops callable from generated code.
+  */
+object VecKernel {
+
+  /** Cosine similarity of two float-element arrays (double accumulation). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Hyperplane LSH signature: bit i = sign(dot(v, plane_i)); planes are
+    * flattened row-major (nBits × dim).
+    */
+  def lshSig(v: ArrayData, planes: Array[Double], nBits: Int, dim: Int): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      val off = b * dim
+      val n = math.min(v.numElements(), dim)
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * planes(off + i); i += 1 }
+      if (dot >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash over whitespace tokens (same tokenizer contract as
+    * MinHashKernel.shingleHashes: lowercase fold, whitespace runs delimit).
+    */
+  def simhash64(text: UTF8String): Long = {
+    val bytes = text.getBytes
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      if (i < n) {
+        var h = 0x2545f4914f6cdd1dL
+        while (i < n && !isSpace(bytes(i))) {
+          val b0 = bytes(i)
+          val lb = if (b0 >= 'A' && b0 <= 'Z') (b0 + 32).toByte else b0
+          h = MinHashKernel.mix(h ^ (lb & 0xffL))
+          i += 1
+        }
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) { if (counts(bit) > 0) sig |= 1L << bit; bit += 1 }
+    sig
+  }
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
+}

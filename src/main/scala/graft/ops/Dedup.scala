@@ -91,20 +91,7 @@ object Dedup {
       .repartition(parallelism, col("doc_id"))
     val staged = shingled(text)
     val b = lshBands(staged, k, bands)
-    // Candidate pairs per bucket via ONE shuffle (groupBy band key) and
-    // in-array pair expansion — not a self-join, so the shingle/signature
-    // pass runs exactly once and nothing resembling a cartesian appears.
-    // A bucket of n colliding docs yields n·(n−1)/2 pairs, which is the
-    // LSH contract; dedup across bands follows.
-    val ids = array_sort(col("ids"))
-    val cand = b.groupBy(col("band"), col("band_key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(ids, (a, i) =>
-        transform(slice(ids, i + 2, size(ids)),
-          bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val cand = pairsFromBuckets(b, Seq("band", "band_key"))
     // Verify only the candidate set: broadcast the (small) pair list against
     // the corpus so shingle hashes are recomputed for candidate rows alone —
     // the full corpus is never re-shingled or shuffled. Jaccard over hashed
@@ -125,22 +112,59 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Candidate pairs from LSH buckets: ONE shuffle (groupBy bucket key) and
+    * in-array pair expansion — not a self-join, so upstream signature passes
+    * run exactly once and nothing resembling a cartesian appears. A bucket
+    * of n colliding ids yields n·(n−1)/2 pairs (the LSH contract); pairs are
+    * deduped across buckets. Shared by MinHash, SimHash, and embedding-LSH
+    * near-dup paths.
+    */
+  def pairsFromBuckets(bucketed: DataFrame, keyCols: Seq[String],
+                       idCol: String = "doc_id"): DataFrame = {
+    val ids = array_sort(col("ids"))
+    bucketed.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
   // ---- SimHash ----
 
-  /** 64-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    * ±1 contributions from each token's xxhash64.
+  /** 64-bit SimHash over whitespace tokens: per bit, sign of the summed ±1
+    * contributions from each token's hash — native kernel expression
+    * (VecKernel.simhash64), one pass over the text bytes.
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(lower(trim(text)), "\\s+"), t => xxhash64(t))
-    val counts = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, i) => a + call_function("getbit", h, i) * 2 - 1))
-    aggregate(
-      zip_with(counts, sequence(lit(0), lit(63)),
-        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  def simhash(text: Column): Column = graft.functions.gfn.simhash64(text)
+
+  /** SimHash near-dup pairs: band the 64-bit signature into four 16-bit
+    * chunks — hamming distance ≤ 3 guarantees at least one identical chunk,
+    * so candidates come from the same bucket equi-group shape as MinHash;
+    * exact hamming verifies candidates only.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val text = docs.select(col("doc_id"), col("text"))
+      .repartition(parallelism, col("doc_id"))
+    val sigs = text.select(col("doc_id"), simhash(col("text")).as("sig"))
+    val chunked = sigs.select(col("doc_id"), explode(array((0 until 4).map { c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
+    }: _*)).as("ck"))
+      .select(col("doc_id"), col("ck.chunk"), col("ck.chunk_val"))
+    val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"))
+    val candB = broadcast(cand)
+    val withSig = sigs.join(candB, col("doc_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("sig").as("a_sig"))
+      .join(sigs, col("doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("sig").as("b_sig"))
+    withSig
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
   }
 
   /** n-gram Jaccard similarity between two text columns (exact, for

@@ -23,7 +23,10 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native kernel expression (VecKernel.cosineF), one
+    * JVM loop per pair instead of interpreted array HOFs.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.gfn.vec_cosine(a, b)
 
   /** Integer-quantized dot product (round(x*1000) per element) — exact
     * arithmetic, so the DuckDB oracle matches bit-for-bit.
@@ -61,13 +64,32 @@ object Similarity {
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** LSH signature: nBits sign bits of dot(v, r_i), packed into a long. */
-  def lshSignature(v: Column, nBits: Int = 8, dim: Int = 64): Column = {
-    val ps = planes(nBits, dim)
-    (0 until nBits).map { i =>
-      val plane = array(ps(i).map(lit(_)): _*)
-      when(dot(v, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  /** LSH signature: nBits sign bits of dot(v, r_i), packed into a long —
+    * native kernel expression (one fused loop over all planes).
+    */
+  def lshSignature(v: Column, nBits: Int = 8, dim: Int = 64): Column =
+    graft.functions.gfn.hyperplane_sig(v, planes(nBits, dim).flatten, nBits, dim)
+
+  /** Embedding-cosine near-dup pairs: bucket by hyperplane-LSH signature,
+    * expand pairs within buckets (shared bucket-join shape — no cartesian),
+    * verify with exact cosine. The scale knob is nBits: more bits → smaller
+    * buckets → higher recall cost, lower pair fan-out.
+    */
+  def cosineNearDups(emb: DataFrame, threshold: Double = 0.95,
+                     nBits: Int = 8, dim: Int = 64): DataFrame = {
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      lshSignature(col("embedding"), nBits, dim).as("sig"))
+    val cand = Dedup.pairsFromBuckets(
+      sigs.select(col("vec_id"), col("sig")), Seq("sig"), idCol = "vec_id")
+    val candB = broadcast(cand)
+    val withVecs = sigs.join(candB, col("vec_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("embedding").as("a_emb"))
+      .join(sigs, col("vec_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_emb"), col("embedding").as("b_emb"))
+    withVecs
+      .withColumn("cos_sim", round(cosine(col("a_emb"), col("b_emb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 
   /** ANN top-k: bucket the corpus by LSH signature, probe the query's bucket

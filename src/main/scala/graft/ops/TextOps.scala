@@ -16,10 +16,14 @@ object TextOps {
   /** Token count — whitespace tokenizer. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
-  /** BPE-ish subword-count estimate: words plus intra-word transitions
-    * (letter↔digit boundaries and punctuation), a common cheap proxy for
-    * tokenizer load. Kept SQL-expressible: count of regex matches.
+  /** BPE-ish token-count estimate: letter runs, single digits, and single
+    * punctuation marks each count as one token (a GPT-style pre-tokenizer
+    * proxy). Count of regex matches — SQL-expressible in both engines.
     */
+  val BpeishPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeishPattern), lit(0))).cast("long")
+
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
 

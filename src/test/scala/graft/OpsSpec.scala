@@ -90,6 +90,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("cosine near-dup finds planted near-identical embeddings, plan has no cartesian") {
+    val base = Seq.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val far = Seq.tabulate(64)(i => math.cos(i * 2.3).toFloat)
+    val df = vecs((1L, base, 0), (2L, near, 0), (3L, far, 0))
+    val out = Similarity.cosineNearDups(df, threshold = 0.99, nBits = 4)
+    val pairs = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("simhash near-dup pairs identical docs with hamming 0") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today ok"
+    val pairs = Dedup.simhashNearDups(
+      docs(1L -> a, 2L -> a, 3L -> "entirely different content with other words here"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs == Seq((1L, 2L, 0)))
+  }
+
   // ---- text ops ----
 
   test("token counting on edge cases") {
