@@ -532,9 +532,16 @@ object Queries {
       .orderBy(col("a_id"), col("b_id")),
     None)
 
+  /** IVF-bucketed ANN (rows-only): coarse-quantize, probe nProbe cells,
+    * exact-score candidates only.
+    */
+  private val q36 = Q("q36_ann_ivf",
+    (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), queryId = 0, k = 10),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35)
+    q32, q33, q34, q35, q36)
 }

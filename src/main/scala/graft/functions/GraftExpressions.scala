@@ -153,6 +153,46 @@ case class HyperplaneSig(child: Expression, planes: Array[Double], nBits: Int, d
     copy(child = newChild)
 }
 
+/** Native IVF coarse-quantizer: nearest-centroid cell id for array<float>. */
+case class NearestCentroid(child: Expression, cents: Array[Double], nList: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.nearestCentroid(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, nList, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.nearestCentroid($c, $cRef, $nList, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Native IVF probe list: the nProbe nearest cells for a query vector. */
+case class TopCells(child: Expression, cents: Array[Double], nList: Int, dim: Int,
+                    nProbe: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "top_cells"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.topCells(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, nList, dim, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.topCells($c, $cRef, $nList, $dim, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash over a string column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -184,6 +224,10 @@ object gfn {
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =
     col(HyperplaneSig(ex(c), planes, nBits, dim))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =
+    col(NearestCentroid(ex(c), cents, nList, dim))
+  def top_cells(c: Column, cents: Array[Double], nList: Int, dim: Int, nProbe: Int): Column =
+    col(TopCells(ex(c), cents, nList, dim, nProbe))
 
   /** Register for spark.sql use. */
   def register(spark: SparkSession): Unit = {

@@ -41,6 +41,42 @@ object VecKernel {
     sig
   }
 
+  /** Index of the max-dot centroid (centroids flattened row-major and
+    * pre-normalized, so argmax dot = argmax cosine).
+    */
+  def nearestCentroid(v: ArrayData, cents: Array[Double], nList: Int, dim: Int): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < nList) {
+      var dot = 0.0
+      val off = c * dim
+      val n = math.min(v.numElements(), dim)
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * cents(off + i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** The nProbe nearest centroids by dot score (descending). */
+  def topCells(v: ArrayData, cents: Array[Double], nList: Int, dim: Int,
+               nProbe: Int): ArrayData = {
+    val dots = new Array[Double](nList)
+    var c = 0
+    while (c < nList) {
+      var dot = 0.0
+      val off = c * dim
+      val n = math.min(v.numElements(), dim)
+      var i = 0
+      while (i < n) { dot += v.getFloat(i).toDouble * cents(off + i); i += 1 }
+      dots(c) = dot
+      c += 1
+    }
+    val order = dots.zipWithIndex.sortBy(-_._1).take(math.min(nProbe, nList))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(order.map(_._2))
+  }
+
   /** 64-bit SimHash over whitespace tokens (same tokenizer contract as
     * MinHashKernel.shingleHashes: lowercase fold, whitespace runs delimit).
     */

@@ -56,6 +56,50 @@ object Similarity {
     .orderBy(col("cos_sim").desc, col("vec_id"))
     .limit(k)
 
+  // ---- IVF ANN ----
+
+  /** Deterministic coarse centroids: the nList corpus vectors with the
+    * smallest xxhash64(vec_id) (a seeded uniform sample), L2-normalized,
+    * flattened row-major. One tiny driver-side collect (nList × dim doubles)
+    * — in production this is the "train index" step, persisted and reused.
+    */
+  def ivfCentroids(emb: DataFrame, nList: Int, dim: Int = 64): Array[Double] = {
+    val rows = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(nList)
+      .select(col("embedding"))
+      .collect()
+    val out = new Array[Double](nList * dim)
+    rows.zipWithIndex.foreach { case (r, c) =>
+      val v = r.getSeq[Float](0)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum) max 1e-12
+      v.indices.foreach(i => out(c * dim + i) = v(i) / norm)
+    }
+    out
+  }
+
+  /** IVF top-k: assign the corpus to nearest-centroid cells (narrow, native
+    * kernel; centroids ride along as a codegen reference object), probe the
+    * query's nProbe best cells, exact cosine within probed cells only. The
+    * candidate restriction is an equi-join on `cell` — corpus scanned once
+    * for assignment, then only nProbe/nList of it is scored.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int,
+              nList: Int = 16, nProbe: Int = 4, dim: Int = 64): DataFrame = {
+    import graft.functions.gfn
+    val cents = ivfCentroids(emb, nList, dim)
+    val assigned = emb.withColumn("cell",
+      gfn.nearest_centroid(col("embedding"), cents, nList, dim))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        explode(gfn.top_cells(col("embedding"), cents, nList, dim, nProbe)).as("cell"))
+    assigned.join(broadcast(q), "cell")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+
   // ---- Hyperplane-LSH ANN ----
 
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays. */

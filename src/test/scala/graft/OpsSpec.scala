@@ -80,6 +80,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L)) // descending similarity
   }
 
+  test("IVF ANN: query ranks first in its probed cells, recall vs brute force is sane") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = Similarity.ivfTopK(emb, queryId = 0, k = 10, nList = 8, nProbe = 4)
+    val rows = df.collect()
+    assert(rows.head.getLong(0) == 0L && rows.head.getAs[Double]("cos_sim") == 1.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // probing half the cells should recover a decent share of the true top-10
+    val brute = Similarity.topKCosine(emb, queryId = 0, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = rows.map(_.getLong(0)).toSet
+    assert(got.intersect(brute).size >= 4, s"recall too low: ${got.intersect(brute).size}")
+  }
+
   test("ANN LSH returns the query itself and its plan has no cartesian product") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val df = Similarity.annTopK(emb, queryId = 0, k = 5)
