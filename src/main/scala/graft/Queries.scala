@@ -539,9 +539,35 @@ object Queries {
     (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"), queryId = 0, k = 10),
     None)
 
+  /** The full parity parse path, oracle-checked end-to-end: events rendered
+    * to raw JSON log lines (envelope + passthrough), pushed through
+    * LogPipeline.parse (variant JSON parse → field extraction → lenient
+    * timestamp → validation → routing → partition keys), aggregated per
+    * route-partition. The oracle derives the same partition counts straight
+    * from the source columns — agreement proves parse+extract+ts+route are
+    * lossless.
+    */
+  private val q37 = Q("q37_pipeline_parse",
+    (s, d) => {
+      val raw = t(s, d, "events").select(to_json(struct(
+        col("event_type").as("log_type"),
+        col("event_id").cast("string").as("log_id"),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
+        col("user_id"), col("value"))).as("payload"))
+      graft.pipeline.LogPipeline.parse(raw, PipelineConfig())
+        .groupBy(col("route"), col("month"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
+        .orderBy(col("route"), col("month"), col("day"))
+    },
+    Some("""
+      SELECT event_type AS route, strftime(ts, '%Y-%m') AS month,
+             strftime(ts, '%d') AS day, COUNT(*) AS n, COUNT(*) AS n_valid
+      FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36)
+    q32, q33, q34, q35, q36, q37)
 }
