@@ -565,9 +565,30 @@ object Queries {
              strftime(ts, '%d') AS day, COUNT(*) AS n, COUNT(*) AS n_valid
       FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  /** Pivot-style conditional aggregation (wide per-type metrics per user). */
+  private val q38 = Q("q38_pivot_conditional",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") === "purchase", dec(col("value")))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 2))))
+          .cast("double").as("purchase_value"))
+      .orderBy(col("user_id")),
+    Some("""
+      SELECT user_id,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37)
+    q32, q33, q34, q35, q36, q37, q38)
 }

@@ -24,12 +24,12 @@ object Scratch {
     time("warm count")(docs.count())
     val text = docs.repartition(32, col("doc_id"))
     val staged = Dedup.shingled(text)
-    println("staged partitions: " + staged.rdd.getNumPartitions)
     time("staged pass")(staged.select(max(size(col("hashes")))).collect())
-    time("staged pass2")(staged.select(max(size(col("hashes")))).collect())
+    val b = Dedup.lshBands(staged)
+    time("bands->buckets pairs")(
+      Dedup.pairsFromBuckets(b, Seq("band", "band_key")).count())
     time("full neardup")(Dedup.minhashNearDups(docs).count())
     time("full neardup2")(Dedup.minhashNearDups(docs).count())
-    time("full neardup3")(Dedup.minhashNearDups(docs).count())
     spark.stop()
   }
 }

@@ -47,6 +47,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(Kpl.deaggregate(agg).map(_.toSeq) == Seq(agg.toSeq))
   }
 
+  test("KPL magic with corrupt protobuf body (digest fixed up) passes through") {
+    val agg = Kpl.aggregate(Seq("p".getBytes("UTF-8")))
+    // mangle the body, then recompute the md5 so only the protobuf is bad
+    val body = java.util.Arrays.copyOfRange(agg, 4, agg.length - 16)
+    body(0) = 0x7f.toByte // wire type 7 = invalid
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(body)
+    val bad = new java.io.ByteArrayOutputStream()
+    bad.write(agg, 0, 4); bad.write(body); bad.write(md5)
+    val b = bad.toByteArray
+    assert(Kpl.deaggregate(b).map(_.toSeq) == Seq(b.toSeq))
+  }
+
   // ---- O9 lenient timestamp (conformance core per FIXTURES.md F2) ----
 
   private def micros(iso: String): Long = java.time.Instant.parse(iso).toEpochMilli * 1000L
