@@ -182,6 +182,25 @@ class LogPipelineSpec extends AnyFunSuite {
     assert(all.size == 4 && !all.exists(_.startsWith("not json")))
   }
 
+  test("compaction rewrites many small batch outputs into few files, byte-exact") {
+    import graft.ops.Compact
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val mk = (i: Int) =>
+      s"""{"log_type":"app","log_id":"$i","time":"2026-08-12T0$i:00:00Z","m":"v$i"}"""
+    // three separate micro-batch writes → ≥3 files under the same prefix
+    for (batch <- 0 until 3)
+      LogPipeline.run(Seq(mk(batch)).map(_.getBytes("UTF-8")).toDF("data"), cfg, tmp)
+    val srcDir = new java.io.File(s"$tmp/${cfg.pathPrefix}/log_type=app/month=2026-08/day=12")
+    assert(srcDir.listFiles().count(_.getName.endsWith(".gz")) >= 3)
+
+    Compact.run(spark, s"$tmp/${cfg.pathPrefix}", s"$tmp/compacted")
+    val dstDir = new java.io.File(s"$tmp/compacted/log_type=app/month=2026-08/day=12")
+    assert(dstDir.listFiles().count(_.getName.endsWith(".gz")) == 1)
+    val lines = spark.read.text(s"$tmp/compacted")
+      .select("value").as[String].collect().toSet
+    assert(lines == (0 until 3).map(mk).toSet)
+  }
+
   test("property: every kept record lands in exactly one route (seeded corpus)") {
     val rnd = new java.util.Random(99)
     val inputs = (1 to 300).map { i =>
