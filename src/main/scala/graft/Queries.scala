@@ -586,9 +586,30 @@ object Queries {
                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
       FROM events GROUP BY user_id ORDER BY user_id"""))
 
+  /** Per-group top-k via the custom TopKByScore TypedImperativeAggregate:
+    * bounded heaps with map-side partial aggregation (shuffle carries
+    * k·groups rows), vs the window formulation which shuffles everything.
+    * The oracle is the window formulation — results must be identical.
+    */
+  private val q39 = Q("q39_grouped_topk",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(graft.functions.gfn.topk_by_score(col("value"), col("event_id"), 5).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").as("value"), col("col.id").as("event_id"))
+      .orderBy(col("event_type"), col("rank")),
+    Some("""
+      SELECT event_type, rn AS rank, value, event_id FROM (
+        SELECT event_type, value, event_id,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value DESC, event_id) AS rn
+        FROM events) x
+      WHERE rn <= 5 ORDER BY event_type, rn"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38)
+    q32, q33, q34, q35, q36, q37, q38, q39)
 }

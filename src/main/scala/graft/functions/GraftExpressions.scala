@@ -226,6 +226,8 @@ object gfn {
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =
     col(NearestCentroid(ex(c), cents, nList, dim))
+  def topk_by_score(score: Column, id: Column, k: Int): Column =
+    col(TopKByScore(ex(score), ex(id), k).toAggregateExpression())
   def top_cells(c: Column, cents: Array[Double], nList: Int, dim: Int, nProbe: Int): Column =
     col(TopCells(ex(c), cents, nList, dim, nProbe))
 

@@ -124,6 +124,28 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L, 0)))
   }
 
+  test("TopKByScore aggregate matches the window formulation and plans " +
+       "with partial (map-side) aggregation") {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, "/root/testdata/sf0.001", "events")
+    val viaAgg = e.groupBy(col("event_type"))
+      .agg(graft.functions.gfn.topk_by_score(col("value"), col("event_id"), 3).as("top"))
+      .select(col("event_type"), explode(col("top")).as("t"))
+      .select(col("event_type"), col("t.score"), col("t.id"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    val viaWindow = e.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("event_type"), col("value").as("score"), col("event_id").as("id"))
+    assert(viaAgg.exceptAll(viaWindow).count() == 0 &&
+      viaWindow.exceptAll(viaAgg).count() == 0)
+    // partial + final aggregate pair present (ObjectHashAggregate for
+    // TypedImperativeAggregate), i.e. map-side combine happens
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert("(?s)partial_topk_by_score".r.findFirstIn(plan).isDefined ||
+      plan.contains("partial"), plan)
+  }
+
   // ---- text ops ----
 
   test("token counting on edge cases") {
