@@ -34,7 +34,7 @@ object LogPipeline {
     * Output: column `payload` (StringType), other columns preserved.
     */
   def decode(df: DataFrame, dataCol: String = "data"): DataFrame = {
-    val passthrough = df.columns.filterNot(_ == dataCol).map(col)
+    val passthrough = df.columns.filterNot(_ == dataCol).toIndexedSeq.map(col)
     // O3: KPL aggregate → user records (generator; plain records pass through)
     val deagg = df.select(passthrough :+ gfn.kpl_deaggregate(col(dataCol)).as("payload_bin"): _*)
     // O4: per-value gzip sniff+inflate (corrupt → null → dropped)
