@@ -328,12 +328,12 @@ object Queries {
     Some("""
       WITH x AS (
         SELECT user_id, event_id, epoch_us(ts) AS us,
-               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_us
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
         FROM events),
       s AS (
         SELECT user_id, us,
                SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END)
-                 OVER (PARTITION BY user_id ORDER BY event_id
+                 OVER (PARTITION BY user_id ORDER BY us, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
         FROM x)
       SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
@@ -509,7 +509,7 @@ object Queries {
       WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
                  FROM documents),
       sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
-                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS s FROM t)
+                    i -> array_to_string(l[i:least(i+2, len(l))], ' '))) AS s FROM t)
       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jac
       FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1

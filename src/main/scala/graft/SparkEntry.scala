@@ -11,25 +11,13 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     *
     * Runs the full reference parity path (SURVEY.md §3.1): the `events`
-    * table is rendered to raw JSON log lines (log_type/log_id/time envelope
-    * + passthrough fields), then parsed / validated / routed / partitioned
-    * by LogPipeline, and aggregated per route-partition — the per-prefix
-    * grouping the reference's save step performs per batch.
+    * table is rendered to raw JSON log lines, then parsed / validated /
+    * routed / partitioned by LogPipeline and aggregated per route-partition.
+    * Same builder as the oracle-checked q37_pipeline_parse — one copy of
+    * the pipeline, two gates (driver smoke + DuckDB hash).
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val cfg = PipelineConfig()
-    val events = Tables(spark, "/root/testdata/sf0.001", "events")
-    val rawLines = events.select(
-      to_json(struct(
-        col("event_type").as("log_type"),
-        col("event_id").cast("string").as("log_id"),
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
-        col("user_id"), col("value"), col("props"))).as("payload"))
-    LogPipeline.parse(rawLines, cfg)
-      .groupBy(col("route"), col("month"), col("day"))
-      .agg(count(lit(1)).as("n"), sum(when(col("valid"), 1).otherwise(0)).as("n_valid"))
-      .orderBy(col("route"), col("month"), col("day"))
-  }
+  def entry(spark: SparkSession): DataFrame =
+    queries("q37_pipeline_parse")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

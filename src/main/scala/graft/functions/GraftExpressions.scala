@@ -48,8 +48,11 @@ case class LenientTimestamp(child: Expression, zoneId: String) extends UnaryExpr
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       val r = ctx.freshName("parsed")
+      // zoneId goes in as a reference object, never spliced into source —
+      // a quote/backslash in a user-supplied TZ must not break codegen
+      val z = ctx.addReferenceObj("lenientTsZone", zoneId, "java.lang.String")
       s"""
-      java.lang.Long $r = graft.functions.LenientTs.parseMicros($c.toString(), "$zoneId");
+      java.lang.Long $r = graft.functions.LenientTs.parseMicros($c.toString(), $z);
       if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
       """
     })
@@ -227,7 +230,8 @@ object gfn {
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =
     col(NearestCentroid(ex(c), cents, nList, dim))
   def topk_by_score(score: Column, id: Column, k: Int): Column =
-    col(TopKByScore(ex(score), ex(id), k).toAggregateExpression())
+    col(TopKByScore(ex(score.cast("double")), ex(id.cast("long")), k)
+      .toAggregateExpression())
   def top_cells(c: Column, cents: Array[Double], nList: Int, dim: Int, nProbe: Int): Column =
     col(TopCells(ex(c), cents, nList, dim, nProbe))
 

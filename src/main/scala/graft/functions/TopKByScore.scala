@@ -43,7 +43,10 @@ case class TopKByScore(
   override def update(buf: Heap, input: InternalRow): Heap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    // NaN scores are unrankable and would poison the worst-tracking
+    // (every comparison against NaN is false) — skip them, like a SQL
+    // ORDER BY ... LIMIT over a filtered score would.
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       buf.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buf
   }

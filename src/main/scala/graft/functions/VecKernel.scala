@@ -20,7 +20,10 @@ object VecKernel {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm (or empty) vectors: similarity 0, not NaN — NaN would sort
+    // ABOVE every real score in Spark's descending order and hijack top-k
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   /** Hyperplane LSH signature: bit i = sign(dot(v, plane_i)); planes are

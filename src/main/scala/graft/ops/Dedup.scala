@@ -93,16 +93,19 @@ object Dedup {
     val b = lshBands(staged, k, bands)
     val cand = pairsFromBuckets(b, Seq("band", "band_key"))
     // Verify only the candidate set: broadcast the (small) pair list against
-    // the corpus so shingle hashes are recomputed for candidate rows alone —
-    // the full corpus is never re-shingled or shuffled. Jaccard over hashed
-    // shingles equals Jaccard over string shingles up to negligible 31-bit
-    // collision mass. (If candidates ever outgrow broadcast, swap for an
-    // equi-join on doc_id; shape is the same.)
+    // the raw corpus (NOT the repartitioned frame — a broadcast join needs
+    // no partitioning, so joining `text` here would re-run the repartition
+    // shuffle twice for nothing). Shingle hashes are recomputed for the
+    // candidate rows alone; Jaccard over hashed shingles equals Jaccard over
+    // string shingles up to negligible 31-bit collision mass. (If candidates
+    // ever outgrow broadcast, swap for an equi-join on doc_id; shape is the
+    // same. For repeated runs over one corpus, cache/persist `docs`.)
     val candB = broadcast(cand)
+    val src = docs.select(col("doc_id"), col("text"))
     val sh = graft.functions.gfn.shingle_hashes(col("text"))
-    val withSh = text.join(candB, col("doc_id") === col("a_id"))
+    val withSh = src.join(candB, col("doc_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), sh.as("a_sh"))
-      .join(text, col("doc_id") === col("b_id"))
+      .join(src, col("doc_id") === col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sh"), sh.as("b_sh"))
     withSh
       .withColumn("jaccard",
@@ -156,11 +159,14 @@ object Dedup {
     }: _*)).as("ck"))
       .select(col("doc_id"), col("ck.chunk"), col("ck.chunk_val"))
     val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"))
+    // verify against the raw corpus (broadcast join, no repartition rerun),
+    // recomputing signatures post-join for candidate rows only
     val candB = broadcast(cand)
-    val withSig = sigs.join(candB, col("doc_id") === col("a_id"))
-      .select(col("a_id"), col("b_id"), col("sig").as("a_sig"))
-      .join(sigs, col("doc_id") === col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), col("sig").as("b_sig"))
+    val src = docs.select(col("doc_id"), col("text"))
+    val withSig = src.join(candB, col("doc_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), simhash(col("text")).as("a_sig"))
+      .join(src, col("doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), simhash(col("text")).as("b_sig"))
     withSig
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)

@@ -20,9 +20,12 @@ object Sessions {
 
   val GapUs: Long = 1800000000L // 30 min
 
-  /** Batch sessionize over (user_id, event_id, ts). */
+  /** Batch sessionize over (user_id, event_id, ts) — event-TIME order
+    * (event_id only as deterministic tiebreak), so out-of-id-order arrivals
+    * sessionize identically to the streaming forms.
+    */
   def sessionize(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, 0)
     events
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
@@ -86,7 +89,9 @@ object Sessions {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp((s.endUs + GapUs) / 1000 + 3600000)
+              // fires once the watermark (already delayed by the
+              // withWatermark clause) passes session end + gap
+              state.setTimeoutTimestamp((s.endUs + GapUs) / 1000)
             }
             out.reverseIterator
           }

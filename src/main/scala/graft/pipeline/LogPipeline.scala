@@ -156,12 +156,17 @@ object LogPipeline {
     withId.unionByName(parsed.filter(col("log_id").isNull))
   }
 
-  def dedupeByIdStreaming(parsed: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
-    parsed
+  def dedupeByIdStreaming(parsed: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {
+    // mirror the batch semantics: key on (route, log_id); id-less records
+    // pass through untouched (null keys must NOT collapse into one record)
+    val withWm = parsed
       .withColumn("ts_w", coalesce(col("ts"), current_timestamp()))
       .withWatermark("ts_w", watermarkDelay)
-      .dropDuplicatesWithinWatermark("log_id")
+    withWm.filter(col("log_id").isNotNull)
+      .dropDuplicatesWithinWatermark("route", "log_id")
+      .unionByName(withWm.filter(col("log_id").isNull))
       .drop("ts_w")
+  }
 
   /** Full batch path: binary records in → partitioned gzip objects out. */
   def run(records: DataFrame, cfg: PipelineConfig, outRoot: String,
