@@ -38,11 +38,23 @@ object LogStreamJob {
   /** File-source emulation of the Kinesis stream: each line of each file in
     * `inDir` is one record's payload bytes (the decode stage handles KPL /
     * gzip / CWL envelopes after this point when fed binary files).
+    *
+    * The reference's ESM knobs map onto source options: `batch_size`
+    * (/root/reference/variables.tf:16-18) → maxFilesPerTrigger (per-batch
+    * intake bound), `starting_position` (variables.tf:50-53) →
+    * TRIM_HORIZON reads the backlog oldest-first, LATEST newest-first
+    * (latestFirst — the file source still drains the backlog, which is the
+    * closest offline analogue).
     */
   def startFromTextDir(spark: SparkSession, inDir: String, cfg: PipelineConfig,
-                       outRoot: String, checkpoint: String): StreamingQuery = {
+                       outRoot: String, checkpoint: String,
+                       maxFilesPerTrigger: Option[Int] = None,
+                       startingPosition: String = "TRIM_HORIZON"): StreamingQuery = {
     import org.apache.spark.sql.functions._
-    val lines = spark.readStream.text(inDir)
+    var reader = spark.readStream
+      .option("latestFirst", (startingPosition.toUpperCase == "LATEST").toString)
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n))
+    val lines = reader.text(inDir)
       .select(col("value").cast("binary").as("data"))
     start(lines, cfg, outRoot, checkpoint)
   }
