@@ -607,9 +607,48 @@ object Queries {
         FROM events) x
       WHERE rn <= 5 ORDER BY event_type, rn"""))
 
+  /** Repetition ratio — a standard training-data quality signal (exact
+    * integer counts, single FP division).
+    */
+  private val q40 = Q("q40_repetition",
+    (s, d) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_distinct"))
+        .withColumn("repetition",
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                 FROM documents)
+      SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(l)) AS BIGINT) AS n_distinct,
+             1.0 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS repetition
+      FROM t ORDER BY doc_id"""))
+
+  /** Exact interpolated quantiles per group (both engines: linear
+    * interpolation over the sorted values — deterministic on identical
+    * input doubles).
+    */
+  private val q41 = Q("q41_quantiles",
+    (s, d) => t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS p50,
+             quantile_cont(o_totalprice, 0.9) AS p90, COUNT(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 }
