@@ -646,9 +646,32 @@ object Queries {
              quantile_cont(o_totalprice, 0.9) AS p90, COUNT(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Aggregate-below-join: revenue rolls up on the fact table FIRST (6 M →
+    * |suppliers| rows), then joins the supplier dimension — the join input
+    * shrinks by the fan-in instead of widening every lineitem row.
+    */
+  private val q42 = Q("q42_top_suppliers",
+    (s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      rev.join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT s_suppkey, s_name, revenue
+      FROM (SELECT l_suppkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY l_suppkey) r
+      JOIN supplier ON s_suppkey = l_suppkey
+      ORDER BY revenue DESC, s_suppkey LIMIT 20"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
 }
