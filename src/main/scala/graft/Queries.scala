@@ -669,9 +669,22 @@ object Queries {
       JOIN supplier ON s_suppkey = l_suppkey
       ORDER BY revenue DESC, s_suppkey LIMIT 20"""))
 
+  /** CUBE grouping sets (all 2^n combinations, vs ROLLUP's hierarchy). */
+  private val q43 = Q("q43_cube_agg",
+    (s, d) => t(s, d, "events")
+      .cube(col("event_type"), date_format(col("ts"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+      .orderBy(col("event_type").asc_nulls_first, col("month").asc_nulls_first),
+    Some("""
+      SELECT event_type, strftime(ts, '%Y-%m') AS month, COUNT(*) AS n,
+             COUNT(DISTINCT user_id) AS users
+      FROM events
+      GROUP BY CUBE(event_type, strftime(ts, '%Y-%m'))
+      ORDER BY event_type ASC NULLS FIRST, month ASC NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
 }
