@@ -19,11 +19,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Execute via a noop-format write, not count(): under count() Catalyst's
+    // EliminateSorts removes every terminal ORDER BY, so the bench would
+    // silently skip the final sorts that Verify (a real parquet write) pays.
+    def run(q: Queries.Q): Unit =
+      q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
+
     val ordered = Queries.all.sortBy(_.name)
     // warm the JVM + parquet footers once so per-query numbers measure the
     // query, not first-touch classloading
     ordered.headOption.foreach { q =>
-      try q.build(spark, sfDir).count() catch { case _: Throwable => () }
+      try run(q) catch { case _: Throwable => () }
     }
 
     // min of two runs per query: the first run of a plan pays one-time
@@ -32,7 +38,7 @@ object Bench {
     val results = ordered.map { q =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        q.build(spark, sfDir).count()
+        run(q)
         (System.nanoTime() - t0) / 1e9
       }
       val secs = try math.min(once(), once())

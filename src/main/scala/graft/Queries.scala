@@ -315,8 +315,8 @@ object Queries {
     Some("""
       SELECT user_id, event_id,
         lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_id,
-        SUM(event_id) OVER (PARTITION BY user_id ORDER BY event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_sum
+        CAST(SUM(event_id) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_sum
       FROM events ORDER BY user_id, event_id"""))
 
   /** Gap-based sessionization (window-function formulation; exact integer
@@ -450,8 +450,8 @@ object Queries {
     Some("""
       WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
       SELECT e.vec_id,
-        SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
-            CAST(round(CAST(q.q_emb[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS dot
+        CAST(SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+            CAST(round(CAST(q.q_emb[t.i] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS dot
       FROM embeddings e, q, range(1, 65) t(i)
       GROUP BY e.vec_id
       ORDER BY dot DESC, e.vec_id
@@ -579,9 +579,9 @@ object Queries {
       .orderBy(col("user_id")),
     Some("""
       SELECT user_id,
-        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_value
       FROM events GROUP BY user_id ORDER BY user_id"""))

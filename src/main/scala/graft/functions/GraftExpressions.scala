@@ -136,6 +136,43 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = l, right = r)
 }
 
+/** Native exact w-shingle Jaccard over two string columns (string-set
+  * semantics — bit-identical to the HOF composition, one JVM pass).
+  */
+case class NgramJaccard(left: Expression, right: Expression, w: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MinHashKernel.ngramJaccard(l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.MinHashKernel.ngramJaccard($l, $r, $w);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): NgramJaccard =
+    copy(left = l, right = r)
+}
+
+/** Native integer-quantized dot product over two array<float> columns. */
+case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "quantized_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecKernel.quantizedDot(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VecKernel.quantizedDot($l, $r);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantizedDot =
+    copy(left = l, right = r)
+}
+
 /** Native hyperplane-LSH signature over an array<float> column. */
 case class HyperplaneSig(child: Expression, planes: Array[Double], nBits: Int, dim: Int)
     extends UnaryExpression {
@@ -224,6 +261,9 @@ object gfn {
   def minhash_sig(c: Column, a: Array[Long], b: Array[Long]): Column =
     col(MinHashSig(ex(c), a, b))
   def vec_cosine(l: Column, r: Column): Column = col(VecCosine(ex(l), ex(r)))
+  def quantized_dot(l: Column, r: Column): Column = col(QuantizedDot(ex(l), ex(r)))
+  def ngram_jaccard(l: Column, r: Column, w: Int = 3): Column =
+    col(NgramJaccard(ex(l), ex(r), w))
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =
     col(HyperplaneSig(ex(c), planes, nBits, dim))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))

@@ -77,6 +77,46 @@ object MinHashKernel {
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
 
+  /** Exact w-token-shingle Jaccard between two texts — the native form of
+    * the Column composition
+    * `size(intersect(shingles(a), shingles(b))) / size(union(...))` where
+    * shingles = distinct concat_ws(" ", w-windows of split(lower(trim(t)),
+    * "\\s+")). String sets (not hashes), so the result is bit-identical to
+    * the interpreted-HOF formulation and the DuckDB list-ops oracle; the
+    * win is one JVM pass per pair instead of per-element interpreted eval.
+    * UTF8String.trim/toLowerCase are exactly Spark's trim()/lower().
+    */
+  def ngramJaccard(a: UTF8String, b: UTF8String, w: Int): Double = {
+    val sa = shingleStringSet(a, w)
+    val sb = shingleStringSet(b, w)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) { if (sb.contains(it.next())) inter += 1 }
+    val union = sa.size() + sb.size() - inter
+    if (union == 0) Double.NaN else inter.toDouble / union
+  }
+
+  private def shingleStringSet(text: UTF8String, w: Int): java.util.HashSet[String] = {
+    val toks = text.trim().toLowerCase().toString.split("\\s+", -1)
+    val n = toks.length
+    val nWin = math.max(n - w, 0) + 1
+    val set = new java.util.HashSet[String](nWin * 2)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nWin) {
+      sb.setLength(0)
+      var d = 0
+      while (d < w && i + d < n) {
+        if (d > 0) sb.append(' ')
+        sb.append(toks(i + d))
+        d += 1
+      }
+      set.add(sb.toString)
+      i += 1
+    }
+    set
+  }
+
   /** k-permutation MinHash signature over a 31-bit hash array:
     * sig_j = min over h of (a_j·h + b_j) mod P, P = 2^61 − 1.
     */

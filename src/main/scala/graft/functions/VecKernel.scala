@@ -26,6 +26,29 @@ object VecKernel {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** Round half away from zero — the semantics of both Spark's round() and
+    * DuckDB's round(), unlike Math.round (floor(x+0.5)) which differs on
+    * negative halves.
+    */
+  @inline private def roundHalfAway(x: Double): Long =
+    (if (x >= 0) Math.floor(x + 0.5) else Math.ceil(x - 0.5)).toLong
+
+  /** Integer-quantized dot product: sum of round(x*1000)*round(y*1000) as
+    * exact long arithmetic (matches the DuckDB oracle formulation
+    * bit-for-bit).
+    */
+  def quantizedDot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += roundHalfAway(a.getFloat(i).toDouble * 1000) *
+        roundHalfAway(b.getFloat(i).toDouble * 1000)
+      i += 1
+    }
+    acc
+  }
+
   /** Hyperplane LSH signature: bit i = sign(dot(v, plane_i)); planes are
     * flattened row-major (nBits × dim).
     */

@@ -92,15 +92,15 @@ object Dedup {
     val staged = shingled(text)
     val b = lshBands(staged, k, bands)
     val cand = pairsFromBuckets(b, Seq("band", "band_key"))
-    // Verify only the candidate set: broadcast the (small) pair list against
-    // the raw corpus (NOT the repartitioned frame — a broadcast join needs
-    // no partitioning, so joining `text` here would re-run the repartition
-    // shuffle twice for nothing). Shingle hashes are recomputed for the
-    // candidate rows alone; Jaccard over hashed shingles equals Jaccard over
-    // string shingles up to negligible 31-bit collision mass. (If candidates
-    // ever outgrow broadcast, swap for an equi-join on doc_id; shape is the
-    // same. For repeated runs over one corpus, cache/persist `docs`.)
-    val candB = broadcast(cand)
+    // Verify only the candidate set: equi-join the pair list against the raw
+    // corpus on doc_id. NO broadcast hint — the candidate set scales with
+    // corpus size × duplicate rate, so a forced broadcast is a driver OOM on
+    // a near-dup-heavy 100 TB corpus; AQE picks broadcast at runtime when
+    // the pairs genuinely fit, and a shuffled join otherwise. Shingle hashes
+    // are recomputed for the candidate rows alone; Jaccard over hashed
+    // shingles equals Jaccard over string shingles up to negligible 31-bit
+    // collision mass. (For repeated runs over one corpus, persist `docs`.)
+    val candB = cand
     val src = docs.select(col("doc_id"), col("text"))
     val sh = graft.functions.gfn.shingle_hashes(col("text"))
     val withSh = src.join(candB, col("doc_id") === col("a_id"))
@@ -159,9 +159,10 @@ object Dedup {
     }: _*)).as("ck"))
       .select(col("doc_id"), col("ck.chunk"), col("ck.chunk_val"))
     val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"))
-    // verify against the raw corpus (broadcast join, no repartition rerun),
-    // recomputing signatures post-join for candidate rows only
-    val candB = broadcast(cand)
+    // verify against the raw corpus (equi-join on doc_id; no broadcast hint —
+    // AQE decides, see minhashNearDups), recomputing signatures post-join for
+    // candidate rows only
+    val candB = cand
     val src = docs.select(col("doc_id"), col("text"))
     val withSig = src.join(candB, col("doc_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), simhash(col("text")).as("a_sig"))
@@ -173,11 +174,11 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
   }
 
-  /** n-gram Jaccard similarity between two text columns (exact, for
-    * candidate verification or small-side joins).
+  /** n-gram Jaccard similarity between two text columns (exact string-set
+    * semantics, for candidate verification or small-side joins). Native
+    * kernel — the HOF composition (split→transform→concat_ws→intersect)
+    * evaluates interpreted per element, ~20× slower per pair.
     */
-  def ngramJaccard(a: Column, b: Column, w: Int = 3): Column = {
-    val sa = shingles(a, w); val sb = shingles(b, w)
-    size(array_intersect(sa, sb)).cast("double") / size(array_union(sa, sb))
-  }
+  def ngramJaccard(a: Column, b: Column, w: Int = 3): Column =
+    graft.functions.gfn.ngram_jaccard(a, b, w)
 }

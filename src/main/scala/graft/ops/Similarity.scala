@@ -29,14 +29,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = graft.functions.gfn.vec_cosine(a, b)
 
   /** Integer-quantized dot product (round(x*1000) per element) — exact
-    * arithmetic, so the DuckDB oracle matches bit-for-bit.
+    * arithmetic, so the DuckDB oracle matches bit-for-bit. Native kernel
+    * expression (VecKernel.quantizedDot): the HOF formulation
+    * (aggregate(zip_with(...))) evaluates interpreted per element, ~2×
+    * slower on the q26 hot path.
     */
-  def quantizedDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast("double") * 1000).cast("long") *
-          round(y.cast("double") * 1000).cast("long")),
-      lit(0L), (acc, v) => acc + v)
+  def quantizedDot(a: Column, b: Column): Column = graft.functions.gfn.quantized_dot(a, b)
 
   private def queryVector(emb: DataFrame, queryId: Long): DataFrame =
     emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
@@ -125,7 +123,10 @@ object Similarity {
       lshSignature(col("embedding"), nBits, dim).as("sig"))
     val cand = Dedup.pairsFromBuckets(
       sigs.select(col("vec_id"), col("sig")), Seq("sig"), idCol = "vec_id")
-    val candB = broadcast(cand)
+    // No broadcast hint on the candidate pairs: they scale with corpus ×
+    // dup-rate, so a forced broadcast is a driver OOM at 100 TB. AQE picks
+    // broadcast at runtime when they fit, a shuffled equi-join otherwise.
+    val candB = cand
     val withVecs = sigs.join(candB, col("vec_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), col("embedding").as("a_emb"))
       .join(sigs, col("vec_id") === col("b_id"))
