@@ -682,9 +682,28 @@ object Queries {
       GROUP BY CUBE(event_type, strftime(ts, '%Y-%m'))
       ORDER BY event_type ASC NULLS FIRST, month ASC NULLS FIRST"""))
 
+  /** EXACT all-pairs near-dup ground truth (oracle-checked): inverted-index
+    * similarity join — posting-list candidates (equi-group, no cartesian,
+    * provably recall-1) + exact string-shingle Jaccard verify. This is the
+    * reference the q25/q34 LSH paths' recall is asserted against in OpsSpec.
+    */
+  private val q44 = Q("q44_neardup_exact",
+    (s, d) => Dedup.exactNearDups(t(s, d, "documents"), threshold = 0.5)
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                 FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                    i -> array_to_string(l[i:least(i+2, len(l))], ' '))) AS s FROM t)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) AS jac
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      WHERE len(list_intersect(a.s, b.s)) >= 0.5 * len(list_distinct(a.s || b.s))
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
 }

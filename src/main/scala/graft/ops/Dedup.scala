@@ -115,6 +115,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** EXACT near-duplicate pairs — the ground truth the LSH paths' recall is
+    * measured against, formulated as an inverted-index similarity join (the
+    * classic exact set-similarity-join shape), NOT a cartesian product:
+    * any pair with Jaccard ≥ t > 0 shares at least one shingle, so the
+    * candidate set is exactly the pairs co-occurring in some shingle-hash
+    * posting list (equi-group shape). A 31-bit shingle-hash collision can
+    * only merge posting lists, never split one, so candidate recall is
+    * exactly 1; the verify then computes string-set Jaccard (native
+    * NgramJaccard kernel), so emitted pairs are exact with no collision
+    * error. At 100 TB the posting join gains prefix filtering (index only
+    * each doc's ⌈(1−t)·|S|⌉+1 globally-rarest shingles — any ≥t pair still
+    * shares an indexed one); at oracle scale the plain posting join is the
+    * honest exact baseline.
+    */
+  def exactNearDups(docs: DataFrame, threshold: Double = 0.5, w: Int = 3): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val src = docs.select(col("doc_id"), col("text"))
+    val posting = shingled(src.repartition(parallelism, col("doc_id")), w)
+      .select(col("doc_id"), explode(col("hashes")).as("h"))
+    val cand = pairsFromBuckets(posting, Seq("h"))
+    val withText = src.join(cand, col("doc_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("text").as("a_text"))
+      .join(src, col("doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_text"), col("text").as("b_text"))
+    withText
+      .withColumn("jac", ngramJaccard(col("a_text"), col("b_text"), w))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
   /** Candidate pairs from LSH buckets: ONE shuffle (groupBy bucket key) and
     * in-array pair expansion — not a self-join, so upstream signature passes
     * run exactly once and nothing resembling a cartesian appears. A bucket

@@ -101,35 +101,50 @@ object Similarity {
   // ---- Hyperplane-LSH ANN ----
 
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays. */
-  private def planes(nBits: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new java.util.Random(7)
+  private def planes(nBits: Int, dim: Int, seed: Long = 7): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
     Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
   /** LSH signature: nBits sign bits of dot(v, r_i), packed into a long —
     * native kernel expression (one fused loop over all planes).
     */
-  def lshSignature(v: Column, nBits: Int = 8, dim: Int = 64): Column =
-    graft.functions.gfn.hyperplane_sig(v, planes(nBits, dim).flatten, nBits, dim)
+  def lshSignature(v: Column, nBits: Int = 8, dim: Int = 64, seed: Long = 7): Column =
+    graft.functions.gfn.hyperplane_sig(v, planes(nBits, dim, seed).flatten, nBits, dim)
 
   /** Embedding-cosine near-dup pairs: bucket by hyperplane-LSH signature,
     * expand pairs within buckets (shared bucket-join shape — no cartesian),
-    * verify with exact cosine. The scale knob is nBits: more bits → smaller
-    * buckets → higher recall cost, lower pair fan-out.
+    * verify with exact cosine.
+    *
+    * Recall comes from the standard OR-amplification: nTables independent
+    * signatures per vector (an explode to nTables narrow rows, bucket key =
+    * (table, sig) — same equi-group shape, never all-pairs), a pair is a
+    * candidate if it collides in ANY table. Single-table recall for cosine
+    * s is (1 − acos(s)/π)^nBits; nTables lifts it to 1 − (1 − p)^nTables —
+    * e.g. s = 0.4, nBits = 4: 0.16 alone, ≈ 0.75 with 8 tables. The knobs
+    * trade verify fan-out (more tables) against recall, exactly like
+    * MinHash bands.
     */
   def cosineNearDups(emb: DataFrame, threshold: Double = 0.95,
-                     nBits: Int = 8, dim: Int = 64): DataFrame = {
+                     nBits: Int = 8, dim: Int = 64, nTables: Int = 8): DataFrame = {
     val sigs = emb.select(col("vec_id"), col("embedding"),
-      lshSignature(col("embedding"), nBits, dim).as("sig"))
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(col("embedding"), nBits, dim, seed = 7 + t).as("sig"))
+      }: _*)).as("ts"))
+      .select(col("vec_id"), col("embedding"), col("ts.tbl"), col("ts.sig"))
     val cand = Dedup.pairsFromBuckets(
-      sigs.select(col("vec_id"), col("sig")), Seq("sig"), idCol = "vec_id")
+      sigs.select(col("vec_id"), col("tbl"), col("sig")),
+      Seq("tbl", "sig"), idCol = "vec_id")
     // No broadcast hint on the candidate pairs: they scale with corpus ×
     // dup-rate, so a forced broadcast is a driver OOM at 100 TB. AQE picks
     // broadcast at runtime when they fit, a shuffled equi-join otherwise.
-    val candB = cand
-    val withVecs = sigs.join(candB, col("vec_id") === col("a_id"))
+    // Vectors come from the un-exploded frame (sigs carries nTables rows
+    // per vector).
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val withVecs = vecs.join(cand, col("vec_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), col("embedding").as("a_emb"))
-      .join(sigs, col("vec_id") === col("b_id"))
+      .join(vecs, col("vec_id") === col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_emb"), col("embedding").as("b_emb"))
     withVecs
       .withColumn("cos_sim", round(cosine(col("a_emb"), col("b_emb")), 6))
@@ -137,21 +152,39 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 
-  /** ANN top-k: bucket the corpus by LSH signature, probe the query's bucket
-    * plus all hamming-1 neighbors (nBits+1 buckets), then exact cosine on the
-    * candidates only. Candidate selection is an equi-join on the signature.
+  /** ANN top-k: multi-table multi-probe hyperplane LSH. Each vector gets
+    * nTables independent signatures (an explode to nTables narrow rows);
+    * the query probes, per table, its own bucket plus all hamming-1
+    * neighbors (nBits+1 probes × nTables — the standard multi-probe trick
+    * that recovers most of a second table's recall without its memory).
+    * Candidate selection is an equi-join on (tbl, sig); candidates are
+    * deduped by vec_id before exact cosine, so each survivor is scored
+    * once. Expected scanned fraction ≈ nTables·(nBits+1)/2^nBits of the
+    * corpus (bits/tables are the recall-vs-work dial); the probe frame is
+    * nTables·(nBits+1) rows — legitimately broadcast.
     */
   def annTopK(emb: DataFrame, queryId: Long, k: Int,
-              nBits: Int = 8, dim: Int = 64): DataFrame = {
-    val bucketed = emb.withColumn("sig", lshSignature(col("embedding"), nBits, dim))
-    val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("q_emb"), col("sig").as("q_sig"))
-    // query bucket + hamming-1 probes
-    val probes = q.select(col("q_emb"),
+              nBits: Int = 8, dim: Int = 64, nTables: Int = 8): DataFrame = {
+    val bucketed = emb.select(col("vec_id"), col("label"), col("embedding"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(col("embedding"), nBits, dim, seed = 7 + t).as("sig"))
+      }: _*)).as("ts"))
+      .select(col("vec_id"), col("label"), col("embedding"), col("ts.tbl"), col("ts.sig"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_emb"),
+        explode(array((0 until nTables).map { t =>
+          struct(lit(t).as("tbl"),
+            lshSignature(col("embedding"), nBits, dim, seed = 7 + t).as("sig"))
+        }: _*)).as("ts"))
+      .select(col("q_emb"), col("ts.tbl"), col("ts.sig").as("q_sig"))
+    // per table: query bucket + hamming-1 probes
+    val probes = q.select(col("q_emb"), col("tbl"),
       explode(array(col("q_sig") +:
         (0 until nBits).map(i => col("q_sig").bitwiseXOR(shiftleft(lit(1L), i))): _*))
         .as("sig"))
-    bucketed.join(broadcast(probes), "sig")
+    bucketed.join(broadcast(probes), Seq("tbl", "sig"))
+      .dropDuplicates("vec_id")
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("q_emb")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))

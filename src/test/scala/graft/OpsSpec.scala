@@ -116,6 +116,70 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  // ---- recall vs exact ground truth (sf0.01: 500 docs / 500 vectors) ----
+  // The exact sides are oracle-checked elsewhere (q44 vs DuckDB all-pairs
+  // list-ops; brute-force cosine is a cross product computed here in-test),
+  // so these pin the LSH paths' recall to a measured floor: a band/bucket
+  // regression shows up as a recall drop, not a silent rows-only change.
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash near-dup recall >= 0.9 and precision 1.0 vs exact all-pairs truth") {
+    val d = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val exact = pairSet(Dedup.exactNearDups(d, threshold = 0.5))
+    val mh = pairSet(Dedup.minhashNearDups(d, threshold = 0.5))
+    assert(exact.size >= 20, s"ground truth unexpectedly small: ${exact.size}")
+    val recall = mh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9 (${mh.size} found / ${exact.size} true)")
+    assert(mh.subsetOf(exact), s"precision < 1: false pairs ${mh.diff(exact)}")
+  }
+
+  test("simhash near-dup covers >= 0.6 of the exact-Jaccard truth") {
+    // simhash approximates cosine-on-token-multisets, not Jaccard, so full
+    // overlap with the Jaccard ground truth isn't expected — but planted
+    // near-dups are near-identical and most must fall within hamming 3.
+    val d = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val exact = pairSet(Dedup.exactNearDups(d, threshold = 0.5))
+    val sh = pairSet(Dedup.simhashNearDups(d, maxHamming = 3))
+    val covered = sh.intersect(exact).size.toDouble / exact.size
+    assert(covered >= 0.6, s"simhash covered $covered of exact truth")
+  }
+
+  test("cosine near-dup (multi-table LSH) recall >= 0.75 vs brute-force truth") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val a = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val brute = pairSet(a.crossJoin(b).filter(col("a_id") < col("b_id"))
+      .filter(Similarity.cosine(col("a_emb"), col("b_emb")) >= 0.4))
+    val lsh = pairSet(Similarity.cosineNearDups(emb, threshold = 0.4, nBits = 4))
+    assert(brute.size >= 40, s"ground truth unexpectedly small: ${brute.size}")
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.75, s"cosine-LSH recall $recall < 0.75 (${lsh.size}/${brute.size})")
+    assert(lsh.subsetOf(brute), s"precision < 1: false pairs ${lsh.diff(brute)}")
+  }
+
+  test("ANN recall@10 vs brute force: LSH and IVF each avg >= 0.5 over 5 queries") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val qids = Seq(0L, 7L, 123L, 250L, 444L)
+    val (lshHits, ivfHits) = qids.map { q =>
+      val truth = Similarity.topKCosine(emb, q, 10).collect().map(_.getLong(0)).toSet
+      val lsh = Similarity.annTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+      val ivf = Similarity.ivfTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
+      (lsh.intersect(truth).size, ivf.intersect(truth).size)
+    }.unzip
+    assert(lshHits.forall(_ >= 3), s"per-query LSH recall@10 too low: $lshHits")
+    assert(ivfHits.forall(_ >= 3), s"per-query IVF recall@10 too low: $ivfHits")
+    assert(lshHits.sum >= 25, s"avg LSH recall@10 ${lshHits.sum / 50.0} < 0.5")
+    assert(ivfHits.sum >= 25, s"avg IVF recall@10 ${ivfHits.sum / 50.0} < 0.5")
+  }
+
+  test("exact near-dup plan: inverted-index join, no cartesian product") {
+    val plan = Dedup.exactNearDups(docs(1L -> "a b c d", 2L -> "a b c e"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("simhash near-dup pairs identical docs with hamming 0") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today ok"
     val pairs = Dedup.simhashNearDups(
