@@ -701,9 +701,42 @@ object Queries {
       WHERE len(list_intersect(a.s, b.s)) >= 0.5 * len(list_distinct(a.s || b.s))
       ORDER BY a_id, b_id"""))
 
+  /** O15 extension: deterministic at-least-once dedup. Events are replayed
+    * (every 3rd event re-arrives with a different payload rendering, as a
+    * retried delivery would); `LogPipeline.dedupeById` must keep the SAME
+    * winner per (route, log_id) regardless of partitioning — the full-row
+    * minimum, which the oracle expresses as DuckDB `min(raw)` (raw is the
+    * only varying column within a key).
+    */
+  private val q45 = Q("q45_dedup_by_id",
+    (s, d) => {
+      val base = t(s, d, "events").select(
+        col("event_type").as("route"),
+        col("event_id").cast("string").as("log_id"),
+        concat(lit("a:"), col("props")).as("raw"))
+      val retries = t(s, d, "events")
+        .filter(col("event_id") % 3 === 0)
+        .select(col("event_type").as("route"),
+          col("event_id").cast("string").as("log_id"),
+          concat(lit("b:"), col("props")).as("raw"))
+      graft.pipeline.LogPipeline.dedupeById(base.unionAll(retries))
+        .orderBy(col("log_id"), col("route"))
+    },
+    Some("""
+      WITH input AS (
+        SELECT event_type AS route, CAST(event_id AS VARCHAR) AS log_id,
+               'a:' || props AS raw
+        FROM events
+        UNION ALL
+        SELECT event_type, CAST(event_id AS VARCHAR), 'b:' || props
+        FROM events WHERE event_id % 3 = 0)
+      SELECT route, log_id, min(raw) AS raw
+      FROM input GROUP BY route, log_id
+      ORDER BY log_id, route"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
 }

@@ -145,15 +145,23 @@ object LogPipeline {
   /** Extension beyond reference parity (SURVEY.md §2.1 O15 note): the
     * reference's at-least-once retries can duplicate records; since records
     * carry `log_id` ("any unique identifier", /root/reference/README.md:14),
-    * dedup is a keyed drop. Batch form: keep the first occurrence per
-    * (route, log_id); records without an id pass through untouched.
+    * dedup is a keyed drop. Batch form: keep the lexicographically-least full
+    * row per (route, log_id) — `min(struct(*))` is deterministic under any
+    * partitioning/ordering (unlike `dropDuplicates`, which keeps an arbitrary
+    * copy) and still gets map-side partial aggregation, so the shuffle carries
+    * one row per key per partition, not every duplicate. Records without an id
+    * pass through untouched. Requires all columns orderable (no map columns) —
+    * true for every frame `parse` produces.
     * Streaming form: `dropDuplicatesWithinWatermark` on the parsed frame —
     * state is bounded by the watermark, so it holds at unbounded scale.
     */
   def dedupeById(parsed: DataFrame): DataFrame = {
-    val withId = parsed.filter(col("log_id").isNotNull)
-      .dropDuplicates("route", "log_id")
-    withId.unionByName(parsed.filter(col("log_id").isNull))
+    val allCols = parsed.columns.toIndexedSeq.map(col)
+    val winner = parsed.filter(col("log_id").isNotNull)
+      .groupBy(col("route"), col("log_id"))
+      .agg(min(struct(allCols: _*)).as("_row"))
+      .select(col("_row.*"))
+    winner.unionByName(parsed.filter(col("log_id").isNull))
   }
 
   def dedupeByIdStreaming(parsed: DataFrame, watermarkDelay: String = "1 hour"): DataFrame = {

@@ -37,4 +37,27 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(deduped.count() == 4) // app/dup collapses; web/dup stays; 2 id-less stay
     assert(deduped.filter($"log_id" === "dup").count() == 2)
   }
+
+  test("batch dedup is deterministic: same winner under any partitioning") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // 50 keys × 4 duplicate payload renderings each; the winner must be the
+    // lexicographically-least full row, independent of physical layout.
+    val inputs = (0 until 50).flatMap { k =>
+      Seq("d", "b", "c", "a").map { tag =>
+        s"""{"log_type":"app","log_id":"id$k","time":"2026-08-12T00:00:0${k % 10}Z","tag":"$tag"}"""
+      }
+    }
+    def winners(partitions: Int): Map[String, String] = {
+      val parsed = LogPipeline.parse(
+        inputs.toDF("payload").repartition(partitions), PipelineConfig())
+      LogPipeline.dedupeById(parsed)
+        .select($"log_id", $"raw").as[(String, String)].collect().toMap
+    }
+    val w1 = winners(1)
+    assert(w1.size == 50)
+    // every winner is the 'a'-tagged rendering (least raw string per key)
+    assert(w1.values.forall(_.contains(""""tag":"a"""")))
+    assert(winners(7) == w1 && winners(32) == w1)
+  }
 }
