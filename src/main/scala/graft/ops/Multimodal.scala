@@ -1,16 +1,24 @@
 package graft.ops
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.util.zip.CRC32
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus a decode/feature-extract stage.
   *
-  * The decode kernel is a STUB — this container has no image/audio codecs —
-  * implemented as a deterministic fake (CRC32/length-derived features) so the
-  * Spark-side plumbing (schema, Dataset encoders, per-partition batch
-  * processing, partitioning) is real and testable. Swap `fakeDecode` for a
-  * JNI/codec call in production; everything around it stands.
+  * Images are REAL: the media table carries genuine PNG bytes (synthesized
+  * deterministically from the document corpus, since the testdata has no
+  * native media column) and the decode stage runs them through
+  * `javax.imageio` — width/height/checksum/histogram-feature all derive from
+  * actual decoded pixels. Audio/video decode remains a declared STUB (this
+  * container has no audio/video codecs) implemented as a deterministic fake
+  * (CRC32/length-derived features) so the Spark-side plumbing — schema,
+  * Dataset encoders, per-partition batch processing, partitioning — is real
+  * and testable for every kind. Swap `fakeDecode` for a codec call in
+  * production; everything around it stands.
   *
   * Scale notes: decode runs per-partition via mapPartitions (the Scala
   * analogue of mapInPandas batches) so a real decoder can amortize codec
@@ -20,24 +28,95 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO must not touch a display; set before any AWT class initializes.
+  if (System.getProperty("java.awt.headless") == null)
+    System.setProperty("java.awt.headless", "true")
+
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
   case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
                            checksum: Long, width: Int, height: Int,
                            n_frames: Int, feature: Array[Float])
 
-  /** Synthesize a media table from `documents` (text bytes stand in for
-    * encoded media content; kind assigned round-robin).
+  /** Deterministic synthetic PNG for a document: dimensions from the id,
+    * pixels from an xorshift stream seeded by the text hash. Stand-in for a
+    * real ingest's encoded bytes; everything downstream treats it as opaque.
     */
-  def mediaTable(docs: DataFrame): DataFrame = docs.select(
-    col("doc_id").as("media_id"),
-    when(col("doc_id") % 3 === 0, "image")
-      .when(col("doc_id") % 3 === 1, "audio")
-      .otherwise("video").as("kind"),
-    to_binary(col("text"), lit("utf-8")).as("content"))
+  private[graft] def encodePng(id: Long, text: String): Array[Byte] = {
+    val w = 8 + (id % 24).toInt
+    val h = 8 + ((id * 7) % 24).toInt
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = scala.util.hashing.MurmurHash3.stringHash(text, id.toInt) | 1
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s ^= s << 13; s ^= s >>> 17; s ^= s << 5
+        img.setRGB(x, y, s & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
 
-  /** STUB decode kernel: deterministic features from the raw bytes. */
+  private val imageMagics: Seq[Array[Byte]] = Seq(
+    Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte), // PNG
+    Array('B'.toByte, 'M'.toByte),                          // BMP
+    Array(0xff.toByte, 0xd8.toByte))                        // JPEG
+
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    imageMagics.exists(m => b.length >= m.length &&
+      java.util.Arrays.equals(b, 0, m.length, m, 0, m.length))
+
+  /** Real image decode: pixels → checksum + 8-bin luminance histogram. */
+  private def imageDecode(m: MediaRow): Option[MediaFeatures] =
+    Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(m.content))).map { img =>
+      val w = img.getWidth
+      val h = img.getHeight
+      val crc = new CRC32()
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) & 0xffffff
+          crc.update(rgb >>> 16); crc.update((rgb >>> 8) & 0xff); crc.update(rgb & 0xff)
+          val lum = (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(math.min(lum >>> 5, 7)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      MediaFeatures(m.media_id, m.kind, m.content.length.toLong, crc.getValue,
+        w, h, n_frames = 1, feature = Array.tabulate(8)(i => hist(i) / n))
+    }
+
+  /** Synthesize a media table from `documents` (kind assigned round-robin;
+    * image rows get real PNG bytes, audio/video carry the raw text bytes as
+    * opaque stand-in content).
+    */
+  def mediaTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val kind =
+          if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+        val content =
+          if (kind == "image") encodePng(id, text)
+          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        MediaRow(id, kind, content)
+      }.toDF()
+  }
+
+  /** STUB decode kernel (audio/video, and unrecognized bytes): deterministic
+    * features from the raw bytes.
+    */
   private def fakeDecode(m: MediaRow): MediaFeatures = {
-    val crc = new java.util.zip.CRC32()
+    val crc = new CRC32()
     crc.update(m.content)
     val c = crc.getValue
     val len = m.content.length.toLong
@@ -52,12 +131,17 @@ object Multimodal {
       feature = Array.tabulate(8)(i => (((c >>> (i * 8)) & 0xff).toFloat / 255.0f)))
   }
 
+  private def decodeOne(m: MediaRow): MediaFeatures =
+    if (m.kind == "image" && looksLikeImage(m.content))
+      imageDecode(m).getOrElse(fakeDecode(m))
+    else fakeDecode(m)
+
   /** Decode/feature-extract stage: binary in, typed features out. */
   def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select("media_id", "kind", "content").as[MediaRow]
       .repartition(col("media_id"))
-      .mapPartitions(_.map(fakeDecode))
+      .mapPartitions(_.map(decodeOne))
   }
 
   /** Per-kind feature aggregate used by the q30 smoke query. */

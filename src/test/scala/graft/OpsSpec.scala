@@ -250,4 +250,23 @@ class OpsSpec extends AnyFunSuite {
     assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
     assert(stats.map(_.getLong(1)).sum == d.count())
   }
+
+  test("image decode is real: javax.imageio dims + pixel-derived features") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val imgs = Multimodal.decode(Multimodal.mediaTable(d))
+      .filter(col("kind") === "image").collect()
+    assert(imgs.nonEmpty)
+    imgs.foreach { f =>
+      // dims must match what encodePng drew for this id (proves ImageIO read
+      // the actual PNG header, not a length-derived fake)
+      assert(f.width == 8 + (f.media_id % 24).toInt)
+      assert(f.height == 8 + ((f.media_id * 7) % 24).toInt)
+      assert(f.n_frames == 1)
+      // luminance histogram is a distribution over decoded pixels
+      assert(math.abs(f.feature.map(_.toDouble).sum - 1.0) < 1e-5)
+    }
+    // distinct pixel content ⇒ distinct checksums (no degenerate constant)
+    assert(imgs.map(_.checksum).distinct.length == imgs.length)
+  }
 }
