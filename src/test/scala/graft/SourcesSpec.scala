@@ -45,6 +45,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(records.count() == 0)
   }
 
+  test("Kinesis connector binding maps the reference ESM knobs 1:1 (O1)") {
+    import graft.sources.KinesisConnectorSource
+    val cfg = KinesisConnectorSource.Config(
+      streamArn = "arn:aws:kinesis:ap-northeast-1:123456789012:stream/app-logs",
+      batchSize = Some(100),                 // var.batch_size
+      startingPosition = "latest")           // var.starting_position
+    val o = KinesisConnectorSource.options(cfg)
+    assert(o("kinesis.streamName") == "app-logs")
+    assert(o("kinesis.region") == "ap-northeast-1")
+    assert(o("kinesis.maxFetchRecordsPerShard") == "100")
+    assert(o("kinesis.startingPosition") == "LATEST")
+    // batch_size omitted ⇒ no per-shard bound forced on the connector
+    assert(!KinesisConnectorSource.options(cfg.copy(batchSize = None))
+      .contains("kinesis.maxFetchRecordsPerShard"))
+    intercept[IllegalArgumentException] {
+      KinesisConnectorSource.parseArn("arn:aws:sqs:us-east-1:1:queue/x")
+    }
+  }
+
+  test("connector rows normalize to the seam schema and feed the pipeline (O1)") {
+    import graft.sources.KinesisConnectorSource
+    // a frame shaped like the connector's output schema
+    val raw = Seq(
+      ("pk-1", "495903", new java.sql.Timestamp(1755000000123L),
+       """{"log_type":"app","log_id":"1","time":"2026-08-12T00:00:00Z"}""".getBytes("UTF-8")),
+      ("pk-2", "495904", new java.sql.Timestamp(1755000001500L),
+       """{"log_type":"web","log_id":"2","time":"2026-08-12T01:00:00Z"}""".getBytes("UTF-8")))
+      .toDF("partitionKey", "sequenceNumber", "approximateArrivalTimestamp", "data")
+    val rec = KinesisConnectorSource.normalize(raw)
+    assert(rec.columns.toSeq ==
+      Seq("partition_key", "sequence_number", "arrival_ts", "data"))
+    val parsed = LogPipeline.parse(LogPipeline.decode(rec), PipelineConfig())
+    assert(parsed.select("route").as[String].collect().sorted.toSeq == Seq("app", "web"))
+  }
+
   test("task metrics listener counts reads through a pipeline run (O16)") {
     val m = PipelineMetrics.attach(spark)
     Tables(spark, "/root/testdata/sf0.001", "events").count()
