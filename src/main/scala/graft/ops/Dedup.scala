@@ -81,7 +81,8 @@ object Dedup {
     * sets are joined back just for the (small) candidate set.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
-                      k: Int = 32, bands: Int = 8): DataFrame = {
+                      k: Int = 32, bands: Int = 8,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     // Spread the corpus before the (CPU-heavy) shingle/signature pass — a
     // single parquet row group must not pin the whole stage to one core.
     // numPartitions is explicit so AQE doesn't coalesce the tiny-by-bytes
@@ -91,7 +92,8 @@ object Dedup {
       .repartition(parallelism, col("doc_id"))
     val staged = shingled(text)
     val b = lshBands(staged, k, bands)
-    val cand = pairsFromBuckets(b, Seq("band", "band_key"))
+    val cand = pairsFromBuckets(b, Seq("band", "band_key"),
+      maxBucketSize = maxBucketSize, capMetric = "minhash_lsh_cap")
     // Verify only the candidate set: equi-join the pair list against the raw
     // corpus on doc_id. NO broadcast hint — the candidate set scales with
     // corpus size × duplicate rate, so a forced broadcast is a driver OOM on
@@ -151,13 +153,36 @@ object Dedup {
     * of n colliding ids yields n·(n−1)/2 pairs (the LSH contract); pairs are
     * deduped across buckets. Shared by MinHash, SimHash, and embedding-LSH
     * near-dup paths.
+    *
+    * Giant-bucket guard (`maxBucketSize`): a degenerate key — empty docs, a
+    * boilerplate shingle, a zero embedding — collects a bucket of n ids whose
+    * n²/2 pair fan-out can dominate the whole job at 100 TB while
+    * contributing near-zero real near-dups. With the cap set, buckets larger
+    * than `maxBucketSize` are dropped (their members are overwhelmingly
+    * mutual near-dups of the same degenerate content; exemplar-level dedup
+    * of those belongs to exact dedup, not pairwise LSH) and the drops are
+    * OBSERVED: an `observe(capMetric, ...)` node records dropped_buckets /
+    * dropped_ids / max_bucket_size on every execution, surfaced through
+    * `PipelineMetrics.attachCapLogger`. Uncapped (the default) nothing
+    * changes — same plan as before.
     */
   def pairsFromBuckets(bucketed: DataFrame, keyCols: Seq[String],
-                       idCol: String = "doc_id"): DataFrame = {
+                       idCol: String = "doc_id",
+                       maxBucketSize: Option[Int] = None,
+                       capMetric: String = "lsh_bucket_cap"): DataFrame = {
     val ids = array_sort(col("ids"))
-    bucketed.groupBy(keyCols.map(col): _*)
+    val grouped = bucketed.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col(idCol)).as("ids"))
       .filter(size(col("ids")) > 1)
+    val capped = maxBucketSize.fold(grouped) { cap =>
+      grouped
+        .observe(capMetric,
+          sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+          sum(when(size(col("ids")) > cap, size(col("ids"))).otherwise(0L)).as("dropped_ids"),
+          max(size(col("ids"))).as("max_bucket_size"))
+        .filter(size(col("ids")) <= cap)
+    }
+    capped
       .select(explode(flatten(transform(ids, (a, i) =>
         transform(slice(ids, i + 2, size(ids)),
           bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
@@ -178,7 +203,8 @@ object Dedup {
     * so candidates come from the same bucket equi-group shape as MinHash;
     * exact hamming verifies candidates only.
     */
-  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val text = docs.select(col("doc_id"), col("text"))
       .repartition(parallelism, col("doc_id"))
@@ -188,7 +214,8 @@ object Dedup {
         shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
     }: _*)).as("ck"))
       .select(col("doc_id"), col("ck.chunk"), col("ck.chunk_val"))
-    val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"))
+    val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"),
+      maxBucketSize = maxBucketSize, capMetric = "simhash_lsh_cap")
     // verify against the raw corpus (equi-join on doc_id; no broadcast hint —
     // AQE decides, see minhashNearDups), recomputing signatures post-join for
     // candidate rows only

@@ -126,7 +126,8 @@ object Similarity {
     * MinHash bands.
     */
   def cosineNearDups(emb: DataFrame, threshold: Double = 0.95,
-                     nBits: Int = 8, dim: Int = 64, nTables: Int = 8): DataFrame = {
+                     nBits: Int = 8, dim: Int = 64, nTables: Int = 8,
+                     maxBucketSize: Option[Int] = None): DataFrame = {
     val sigs = emb.select(col("vec_id"), col("embedding"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
@@ -135,7 +136,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("ts.tbl"), col("ts.sig"))
     val cand = Dedup.pairsFromBuckets(
       sigs.select(col("vec_id"), col("tbl"), col("sig")),
-      Seq("tbl", "sig"), idCol = "vec_id")
+      Seq("tbl", "sig"), idCol = "vec_id",
+      maxBucketSize = maxBucketSize, capMetric = "cosine_lsh_cap")
     // No broadcast hint on the candidate pairs: they scale with corpus ×
     // dup-rate, so a forced broadcast is a driver OOM at 100 TB. AQE picks
     // broadcast at runtime when they fit, a shuffled equi-join otherwise.

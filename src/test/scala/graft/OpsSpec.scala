@@ -116,6 +116,47 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("giant-bucket cap drops degenerate buckets, keeps real pairs, logs drops") {
+    // degenerate corpus: 40 identical boilerplate docs land in one bucket
+    // (40·39/2 = 780 pair fan-out) + one genuine near-dup pair of distinct
+    // content that must survive the cap
+    val boiler = (1L to 40L).map(i => i -> "lorem ipsum dolor sit amet boilerplate page")
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val corpus = docs(boiler ++ Seq(100L -> base, 101L -> base.replace("done", "finished")): _*)
+
+    val uncapped = Dedup.minhashNearDups(corpus, threshold = 0.4)
+    assert(uncapped.count() >= 780) // degenerate fan-out is real
+
+    @volatile var logged = Map.empty[String, Map[String, Long]]
+    val l = graft.streaming.PipelineMetrics.attachCapLogger(spark) {
+      (name, m) => logged = logged + (name -> m)
+    }
+    try {
+      val capped = Dedup.minhashNearDups(corpus, threshold = 0.4, maxBucketSize = Some(10))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.contains((100L, 101L)), "real near-dup pair must survive the cap")
+      assert(!capped.exists(p => p._1 <= 40L), "giant boilerplate bucket must be dropped")
+      // listener bus is async; poll briefly for the observed metrics
+      val deadline = System.currentTimeMillis() + 10000
+      while (!logged.contains("minhash_lsh_cap") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val m = logged("minhash_lsh_cap")
+      assert(m("dropped_buckets") >= 1L, s"drop count not logged: $m")
+      assert(m("dropped_ids") >= 40L && m("max_bucket_size") >= 40L)
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("cap is plumbed through simhash and cosine paths (plans stay sane)") {
+    val p1 = Dedup.simhashNearDups(docs(1L -> "a b c d", 2L -> "a b c e"),
+      maxBucketSize = Some(100)).queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoop"))
+    val emb = Seq((1L, "x", Array.fill(4)(0.5f)), (2L, "x", Array.fill(4)(0.5f)))
+      .toDF("vec_id", "label", "embedding")
+    val p2 = Similarity.cosineNearDups(emb, threshold = 0.9, nBits = 4, dim = 4,
+      maxBucketSize = Some(100)).queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"))
+  }
+
   // ---- recall vs exact ground truth (sf0.01: 500 docs / 500 vectors) ----
   // The exact sides are oracle-checked elsewhere (q44 vs DuckDB all-pairs
   // list-ops; brute-force cosine is a cross product computed here in-test),
