@@ -126,16 +126,39 @@ object Dedup {
     * only merge posting lists, never split one, so candidate recall is
     * exactly 1; the verify then computes string-set Jaccard (native
     * NgramJaccard kernel), so emitted pairs are exact with no collision
-    * error. At 100 TB the posting join gains prefix filtering (index only
-    * each doc's ⌈(1−t)·|S|⌉+1 globally-rarest shingles — any ≥t pair still
-    * shares an indexed one); at oracle scale the plain posting join is the
-    * honest exact baseline.
+    * error.
+    *
+    * Prefix filtering (`prefixFilter`, default on — the PPJoin-family
+    * optimization): index only each doc's ⌊(1−t)·|S|⌋+1 shingles that come
+    * FIRST in a global rarest-first order (ascending document frequency,
+    * hash as tiebreak). LOSSLESS for Jaccard ≥ t: |A\B| ≤ (1−t)·|A|, so the
+    * globally-smallest element of A∩B sits within the first ⌊(1−t)·|A|⌋+1
+    * elements of A — and symmetrically of B — hence every qualifying pair
+    * still collides on an indexed shingle. The high-DF boilerplate shingles
+    * that generate almost all spurious candidates are exactly the ones the
+    * ordering pushes out of the prefix, so candidate (and verify-join)
+    * volume drops by orders of magnitude at the cost of one DF aggregation
+    * and a per-doc rank — the trade that keeps this exact join viable at
+    * 100 TB.
     */
-  def exactNearDups(docs: DataFrame, threshold: Double = 0.5, w: Int = 3): DataFrame = {
+  def exactNearDups(docs: DataFrame, threshold: Double = 0.5, w: Int = 3,
+                    prefixFilter: Boolean = true): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val src = docs.select(col("doc_id"), col("text"))
-    val posting = shingled(src.repartition(parallelism, col("doc_id")), w)
-      .select(col("doc_id"), explode(col("hashes")).as("h"))
+    val staged = shingled(src.repartition(parallelism, col("doc_id")), w)
+    val posting =
+      if (!prefixFilter) staged.select(col("doc_id"), explode(col("hashes")).as("h"))
+      else {
+        val full = staged
+          .select(col("doc_id"), size(col("hashes")).as("sz"), explode(col("hashes")).as("h"))
+        val dfreq = full.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        val w_ = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+        full.join(dfreq, "h")
+          .withColumn("rk", row_number().over(w_))
+          .filter(col("rk") <= floor(col("sz") * lit(1.0 - threshold)) + 1)
+          .select(col("doc_id"), col("h"))
+      }
     val cand = pairsFromBuckets(posting, Seq("h"))
     val withText = src.join(cand, col("doc_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), col("text").as("a_text"))
@@ -216,15 +239,15 @@ object Dedup {
       .select(col("doc_id"), col("ck.chunk"), col("ck.chunk_val"))
     val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"),
       maxBucketSize = maxBucketSize, capMetric = "simhash_lsh_cap")
-    // verify against the raw corpus (equi-join on doc_id; no broadcast hint —
-    // AQE decides, see minhashNearDups), recomputing signatures post-join for
-    // candidate rows only
-    val candB = cand
-    val src = docs.select(col("doc_id"), col("text"))
-    val withSig = src.join(candB, col("doc_id") === col("a_id"))
-      .select(col("a_id"), col("b_id"), simhash(col("text")).as("a_sig"))
-      .join(src, col("doc_id") === col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sig"), simhash(col("text")).as("b_sig"))
+    // Verify joins the PRECOMPUTED signature frame (8 bytes/doc), not the raw
+    // text: recomputing simhash post-join would hash ~|candidates|×2 full
+    // texts (the dominant cost when LSH fans out — measured 2× the whole
+    // query at sf0.1) where joining sigs hashes each doc once per side. No
+    // broadcast hint — AQE decides, see minhashNearDups.
+    val withSig = sigs.join(cand, col("doc_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("sig").as("a_sig"))
+      .join(sigs, col("doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("sig").as("b_sig"))
     withSig
       .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
       .filter(col("hamming") <= maxHamming)

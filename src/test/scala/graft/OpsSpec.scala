@@ -215,6 +215,19 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfHits.sum >= 25, s"avg IVF recall@10 ${ivfHits.sum / 50.0} < 0.5")
   }
 
+  test("prefix filtering is lossless: same exact near-dup pairs with and without") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def all(pf: Boolean) =
+      Dedup.exactNearDups(d, threshold = 0.5, prefixFilter = pf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(all(pf = true) == all(pf = false))
+    // and at a lower threshold (longer prefixes) too
+    def lo(pf: Boolean) =
+      Dedup.exactNearDups(d, threshold = 0.2, prefixFilter = pf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lo(pf = true) == lo(pf = false))
+  }
+
   test("exact near-dup plan: inverted-index join, no cartesian product") {
     val plan = Dedup.exactNearDups(docs(1L -> "a b c d", 2L -> "a b c e"))
       .queryExecution.executedPlan.toString
