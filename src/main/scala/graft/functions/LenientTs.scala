@@ -68,7 +68,29 @@ object LenientTs {
     def attempt(f: => Instant): java.lang.Long =
       try micros(f) catch { case _: Exception => null }
 
+    // Structural dispatch before the try-every-format chain: each format
+    // family is mutually exclusive on cheap string shape (letter first char
+    // ⇔ RFC 1123; 'T' at index 10 ⇔ ISO; length 10 ⇔ bare date; space at
+    // index 10 ⇔ SQL), and within a family the original relative order is
+    // kept, so results are bit-identical to the plain chain — this only
+    // removes the DateTimeParseException-per-wrong-format control flow that
+    // dominated the parse cost (several filled-in stack traces per row for
+    // late-chain formats).
     var r: java.lang.Long = null
+    if (t.charAt(0).isLetter) {
+      r = attempt(ZonedDateTime.parse(t, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant)
+      if (r != null) return r
+    } else if (t.length > 10 && t.charAt(10) == 'T') {
+      r = attempt(OffsetDateTime.parse(t, isoOffset).toInstant); if (r != null) return r
+      r = attempt(LocalDateTime.parse(t, isoLocal).atZone(zone).toInstant); if (r != null) return r
+    } else if (t.length == 10) {
+      r = attempt(LocalDate.parse(t, dateOnly).atStartOfDay(zone).toInstant); if (r != null) return r
+    } else {
+      r = attempt(OffsetDateTime.parse(t, sqlOffset).toInstant); if (r != null) return r
+      r = attempt(LocalDateTime.parse(t, sqlLocal).atZone(zone).toInstant); if (r != null) return r
+    }
+
+    // Fallback: the full chain, for shapes the dispatch above misjudged.
     r = attempt(OffsetDateTime.parse(t, isoOffset).toInstant); if (r != null) return r
     r = attempt(OffsetDateTime.parse(t, sqlOffset).toInstant); if (r != null) return r
     r = attempt(LocalDateTime.parse(t, isoLocal).atZone(zone).toInstant); if (r != null) return r
