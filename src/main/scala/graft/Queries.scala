@@ -734,9 +734,64 @@ object Queries {
       FROM input GROUP BY route, log_id
       ORDER BY log_id, route"""))
 
+  /** End-to-end training-data CURATION pipeline — the flagship composition
+    * of the LLM-pipeline operators: exact-dedup keepers (left-semi against
+    * the md5-group minima) → language ID → quality gates (token count,
+    * punctuation ratio, repetition). One scan feeds both the dedup aggregate
+    * and the quality expressions; all gates are codegen'd column
+    * expressions, so the whole filter chain is scan-bound and the only
+    * shuffles are the dedup groupBy and the semi-join — the shape that holds
+    * at 100 TB (no operator ever widens a row beyond the doc it's scoring).
+    */
+  private val q46 = Q("q46_curation",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val keepers = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      docs.join(keepers, Seq("doc_id"), "left_semi")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .withColumn("punct_ratio",
+          when(length(col("text")) > 0,
+            TextOps.punctCount(col("text")).cast("double") / length(col("text"))))
+        .withColumn("repetition",
+          lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+        .withColumn("lang_pred", TextOps.langPred(col("text")))
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 20 &&
+          col("punct_ratio") < 0.2 && col("repetition") < 0.6)
+        .select(col("doc_id"), col("n_tokens"), col("punct_ratio"), col("repetition"))
+        .orderBy(col("doc_id"))
+    },
+    Some {
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        val sum = ws.map(w =>
+          s"(length(text) - length(replace(text, '$w', '')))").mkString(" + ")
+        s"($sum) AS s_$l"
+      }.mkString(",\n          ")
+      s"""
+      WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      q AS (
+        SELECT doc_id, text,
+          CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+          CASE WHEN length(text) > 0
+               THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+                    / length(text) END AS punct_ratio,
+          1.0 - CAST(length(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE)
+                / length(regexp_split_to_array(lower(trim(text)), '\\s+')) AS repetition,
+          $scores
+        FROM documents JOIN keep USING (doc_id))
+      SELECT doc_id, n_tokens, punct_ratio, repetition
+      FROM q
+      WHERE (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END) = 'en'
+        AND n_tokens >= 20 AND punct_ratio < 0.2 AND repetition < 0.6
+      ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
 }
