@@ -79,21 +79,24 @@ case class KplDeaggregate(child: Expression) extends UnaryExpression
     copy(newChild)
 }
 
-/** Native hashed-shingle extraction: text → distinct 31-bit hashes of
-  * w-token windows, no intermediate strings (see MinHashKernel). The HOF
-  * composition (split→transform→concat_ws→xxhash→distinct) evaluates
-  * interpreted per element; this runs as one primitive-array loop.
+/** Native hashed-shingle extraction: text → distinct 31-bit (minhash-safe)
+  * or 64-bit (set-exact counting) hashes of w-token windows, no intermediate
+  * strings (see MinHashKernel). The HOF composition
+  * (split→transform→concat_ws→xxhash→distinct) evaluates interpreted per
+  * element; this runs as one primitive-array loop.
   */
-case class ShingleHashes(child: Expression, w: Int) extends UnaryExpression {
+case class ShingleHashes(child: Expression, w: Int, fold31: Boolean = true)
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def prettyName: String = "shingle_hashes"
+  override def prettyName: String = if (fold31) "shingle_hashes" else "shingle_hashes64"
 
   override def nullSafeEval(v: Any): Any =
-    MinHashKernel.shingleHashes(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+    MinHashKernel.shingleHashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, fold31)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.MinHashKernel.shingleHashes($c, $w);")
+      s"${ev.value} = graft.functions.MinHashKernel.shingleHashes($c, $w, $fold31);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -258,6 +261,8 @@ object gfn {
   def lenient_ts(c: Column, zone: String = "UTC"): Column = col(LenientTimestamp(ex(c), zone))
   def kpl_deaggregate(c: Column): Column = col(KplDeaggregate(ex(c)))
   def shingle_hashes(c: Column, w: Int = 3): Column = col(ShingleHashes(ex(c), w))
+  def shingle_hashes64(c: Column, w: Int = 3): Column =
+    col(ShingleHashes(ex(c), w, fold31 = false))
   def minhash_sig(c: Column, a: Array[Long], b: Array[Long]): Column =
     col(MinHashSig(ex(c), a, b))
   def vec_cosine(l: Column, r: Column): Column = col(VecCosine(ex(l), ex(r)))

@@ -30,12 +30,16 @@ object MinHashKernel {
   }
 
   /** Distinct hashed w-token shingles of a text, folded to 31 bits (so the
-    * downstream affine permutations can't overflow). Tokenization matches
+    * downstream affine permutations can't overflow) or kept at 64 bits
+    * (`fold31 = false`, for set-exact counting). Tokenization matches
     * split(lower(trim(text)), "\\s+"): runs of whitespace delimit tokens.
     * No shingle strings are ever materialized — token hashes are combined
     * positionally.
     */
-  def shingleHashes(text: UTF8String, w: Int): ArrayData = {
+  def shingleHashes(text: UTF8String, w: Int): ArrayData =
+    shingleHashes(text, w, fold31 = true)
+
+  def shingleHashes(text: UTF8String, w: Int, fold31: Boolean): ArrayData = {
     val bytes = text.getBytes
     // collect token hashes
     var tokens = new Array[Long](16)
@@ -60,7 +64,10 @@ object MinHashKernel {
       var h = 0L
       var d = 0
       while (d < w && j + d < nTok) { h = mix(h ^ tokens(j + d)); d += 1 }
-      out(j) = h & 0x7fffffffL // 31-bit fold
+      // 31-bit fold keeps the minhash affine map under 2^62 (ANSI mode);
+      // the unfolded 64-bit form serves set-exact counting joins, where
+      // collision mass must be certifiably negligible (~|S|²/2^64 per doc)
+      out(j) = if (fold31) h & 0x7fffffffL else h
       j += 1
     }
     // distinct via sort + unique (shingle sets, not bags)

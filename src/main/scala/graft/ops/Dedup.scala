@@ -120,34 +120,61 @@ object Dedup {
   /** EXACT near-duplicate pairs — the ground truth the LSH paths' recall is
     * measured against, formulated as an inverted-index similarity join (the
     * classic exact set-similarity-join shape), NOT a cartesian product:
-    * any pair with Jaccard ≥ t > 0 shares at least one shingle, so the
-    * candidate set is exactly the pairs co-occurring in some shingle-hash
-    * posting list (equi-group shape). A 31-bit shingle-hash collision can
-    * only merge posting lists, never split one, so candidate recall is
-    * exactly 1; the verify then computes string-set Jaccard (native
-    * NgramJaccard kernel), so emitted pairs are exact with no collision
-    * error.
+    * any pair with Jaccard ≥ t > 0 shares at least one shingle, so every
+    * qualifying pair co-occurs in some shingle-hash posting list
+    * (equi-group shape). Three strategies, same result set:
     *
-    * Prefix filtering (`prefixFilter`, default on — the PPJoin-family
-    * optimization): index only each doc's ⌊(1−t)·|S|⌋+1 shingles that come
-    * FIRST in a global rarest-first order (ascending document frequency,
-    * hash as tiebreak). LOSSLESS for Jaccard ≥ t: |A\B| ≤ (1−t)·|A|, so the
-    * globally-smallest element of A∩B sits within the first ⌊(1−t)·|A|⌋+1
-    * elements of A — and symmetrically of B — hence every qualifying pair
-    * still collides on an indexed shingle. The high-DF boilerplate shingles
-    * that generate almost all spurious candidates are exactly the ones the
-    * ordering pushes out of the prefix, so candidate (and verify-join)
-    * volume drops by orders of magnitude at the cost of one DF aggregation
-    * and a per-doc rank — the trade that keeps this exact join viable at
-    * 100 TB.
+    *  - `"count"` (default): |A∩B| is COUNTED straight off the posting
+    *    lists — in-bucket pair expansion, one groupBy(a,b) count — and
+    *    Jaccard = c/(|A|+|B|−c) from a broadcast-size per-doc |S| frame.
+    *    NO per-pair text work at all. Shingles are hashed at 64 bits
+    *    (`shingle_hashes64`): within-doc collision mass ~|S|²/2^64 per doc
+    *    (≈4e-15 at |S|=400) is certifiably negligible, so counts equal the
+    *    string-set values. Work scales with Σ_h C(df_h, 2) — the right
+    *    choice when document frequency is bounded (i.e. after exact dedup
+    *    has removed identical content).
+    *  - `"prefix"`: index only each doc's ⌊(1−t)·|S|⌋+1 shingles that come
+    *    FIRST in a global rarest-first order (ascending DF, hash tiebreak),
+    *    then string-exact kernel verify on candidates. LOSSLESS for
+    *    Jaccard ≥ t: |A\B| ≤ (1−t)·|A|, so the globally-smallest element of
+    *    A∩B sits within the first ⌊(1−t)·|A|⌋+1 elements of A — and
+    *    symmetrically of B. The high-DF boilerplate shingles that make
+    *    `"count"` quadratic are exactly the ones the ordering pushes out of
+    *    the prefix — the PPJoin-family trade for heavy-tailed corpora.
+    *  - `"full"`: unfiltered posting join + string-exact verify (the naive
+    *    baseline the other two are tested equivalent to).
     */
   def exactNearDups(docs: DataFrame, threshold: Double = 0.5, w: Int = 3,
-                    prefixFilter: Boolean = true): DataFrame = {
+                    strategy: String = "count"): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val src = docs.select(col("doc_id"), col("text"))
+
+    if (strategy == "count") {
+      val staged = src.repartition(parallelism, col("doc_id"))
+        .select(col("doc_id"), graft.functions.gfn.shingle_hashes64(col("text"), w).as("hashes"))
+      val sizes = staged.select(col("doc_id"), size(col("hashes")).as("sz"))
+      val posting = staged.select(col("doc_id"), explode(col("hashes")).as("h"))
+      val ids = array_sort(col("ids"))
+      val counts = posting.groupBy(col("h"))
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(flatten(transform(ids, (a, i) =>
+          transform(slice(ids, i + 2, size(ids)),
+            bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
+        .groupBy(col("p.a_id"), col("p.b_id")).agg(count(lit(1)).as("c"))
+      return counts
+        .join(sizes, col("doc_id") === col("a_id")).withColumnRenamed("sz", "a_sz")
+        .drop("doc_id")
+        .join(sizes, col("doc_id") === col("b_id")).withColumnRenamed("sz", "b_sz")
+        .withColumn("jac",
+          col("c").cast("double") / (col("a_sz") + col("b_sz") - col("c")))
+        .filter(col("jac") >= threshold)
+        .select(col("a_id"), col("b_id"), col("jac"))
+    }
+
     val staged = shingled(src.repartition(parallelism, col("doc_id")), w)
     val posting =
-      if (!prefixFilter) staged.select(col("doc_id"), explode(col("hashes")).as("h"))
+      if (strategy == "full") staged.select(col("doc_id"), explode(col("hashes")).as("h"))
       else {
         val full = staged
           .select(col("doc_id"), size(col("hashes")).as("sz"), explode(col("hashes")).as("h"))

@@ -215,17 +215,18 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfHits.sum >= 25, s"avg IVF recall@10 ${ivfHits.sum / 50.0} < 0.5")
   }
 
-  test("prefix filtering is lossless: same exact near-dup pairs with and without") {
+  test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
-    def all(pf: Boolean) =
-      Dedup.exactNearDups(d, threshold = 0.5, prefixFilter = pf)
+    def all(st: String, t: Double) =
+      Dedup.exactNearDups(d, threshold = t, strategy = st)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(all(pf = true) == all(pf = false))
-    // and at a lower threshold (longer prefixes) too
-    def lo(pf: Boolean) =
-      Dedup.exactNearDups(d, threshold = 0.2, prefixFilter = pf)
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lo(pf = true) == lo(pf = false))
+    val (c5, p5, f5) = (all("count", 0.5), all("prefix", 0.5), all("full", 0.5))
+    assert(c5 == f5, "count vs full at t=0.5")
+    assert(p5 == f5, "prefix vs full at t=0.5")
+    // lower threshold: longer prefixes, denser counting — still identical
+    val (c2, p2, f2) = (all("count", 0.2), all("prefix", 0.2), all("full", 0.2))
+    assert(c2 == f2, "count vs full at t=0.2")
+    assert(p2 == f2, "prefix vs full at t=0.2")
   }
 
   test("exact near-dup plan: inverted-index join, no cartesian product") {
