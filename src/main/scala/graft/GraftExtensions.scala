@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{KplDeaggregate, LenientTimestamp, TryGunzip}
+import graft.functions.{KplDeaggregate, LenientTimestamp, NgramJaccard,
+  QuantizedDot, ShingleHashes, SimHash64, TryGunzip, VecCosine}
 
 /** SparkSessionExtensions hook: makes the engine's custom expressions
   * available to plain `spark.sql(...)` users via
@@ -35,5 +36,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("kpl_deaggregate"),
       info("kpl_deaggregate", "kpl_deaggregate(bin) - explode KPL aggregate records"),
       (es: Seq[Expression]) => KplDeaggregate(es.head)))
+
+    // text-analysis / near-dup kernels — the parameterized ones take their
+    // static knob (shingle width) as a foldable int argument
+    def intLit(e: Expression, name: String): Int = e.eval() match {
+      case i: Int => i
+      case other => throw new IllegalArgumentException(
+        s"$name expects a literal int, got $other")
+    }
+    e.injectFunction((FunctionIdentifier("ngram_jaccard"),
+      info("ngram_jaccard", "ngram_jaccard(a, b[, w]) - exact w-token-shingle Jaccard of two texts"),
+      (es: Seq[Expression]) => es match {
+        case Seq(a, b) => NgramJaccard(a, b, 3)
+        case Seq(a, b, w) => NgramJaccard(a, b, intLit(w, "ngram_jaccard"))
+        case _ => throw new IllegalArgumentException("ngram_jaccard takes 2 or 3 args")
+      }))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text[, w]) - distinct 31-bit hashed w-token shingles"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t) => ShingleHashes(t, 3)
+        case Seq(t, w) => ShingleHashes(t, intLit(w, "shingle_hashes"))
+        case _ => throw new IllegalArgumentException("shingle_hashes takes 1 or 2 args")
+      }))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens"),
+      (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
+      (es: Seq[Expression]) => VecCosine(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("quantized_dot"),
+      info("quantized_dot", "quantized_dot(a, b) - integer-quantized (x1000) dot product"),
+      (es: Seq[Expression]) => QuantizedDot(es.head, es(1))))
   }
 }

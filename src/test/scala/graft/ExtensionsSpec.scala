@@ -23,6 +23,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("analysis kernels are callable from spark.sql") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql(
+      """SELECT ngram_jaccard('a b c d', 'a b c d') AS j_same,
+                ngram_jaccard('a b c d', 'x y z w', 2) AS j_diff,
+                size(shingle_hashes('a b c d e')) AS n_sh,
+                simhash64('hello world') AS sh,
+                vec_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos,
+                quantized_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS qd""")
+      .collect().head
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getInt(2) == 3) // 5 tokens, w=3 → 3 windows
+    assert(r.getLong(3) == graft.functions.VecKernel.simhash64(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world")))
+    assert(math.abs(r.getDouble(4) - 1.0) < 1e-9)
+    assert(r.getLong(5) == 1000L * 3000 + 2000L * 4000)
+    // the width knob accepts any foldable int expression
+    val w = spark.sql("SELECT ngram_jaccard('a b', 'a b', length('xx')) AS j")
+      .collect().head.getDouble(0)
+    assert(w == 1.0)
+  }
+
   test("batch log_id dedup keeps one record per (route, id), passes id-less through") {
     val spark = SparkTestSession.spark
     import spark.implicits._
