@@ -109,4 +109,32 @@ class FunctionsSpec extends AnyFunSuite {
       assert(got != null && got.longValue == sec * 1000000L + frac, s"roundtrip failed: $s")
     }
   }
+
+  test("property: every dispatch branch round-trips (RFC1123 / SQL / date / epoch)") {
+    val rnd = new java.util.Random(2468)
+    val utc = java.time.ZoneOffset.UTC
+    for (_ <- 1 to 500) {
+      val sec = math.abs(rnd.nextLong()) % 4102444800L
+      val i = java.time.Instant.ofEpochSecond(sec)
+      val zdt = i.atZone(utc)
+      // RFC 1123 (letter-first branch)
+      val rfc = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+        .withLocale(java.util.Locale.US).format(zdt)
+      assert(LenientTs.parseMicros(rfc, "UTC").longValue == sec * 1000000L, rfc)
+      // SQL form, zone-less (space-at-10 branch), read in configured zone
+      val sql = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss", java.util.Locale.US).format(zdt)
+      assert(LenientTs.parseMicros(sql, "UTC").longValue == sec * 1000000L, sql)
+      // bare date (length-10 branch) = midnight in zone
+      val day = zdt.toLocalDate
+      assert(LenientTs.parseMicros(day.toString, "UTC").longValue ==
+        day.atStartOfDay(utc).toEpochSecond * 1000000L, day.toString)
+      // epoch seconds and millis (digit branch; only 10/13-digit strings parse)
+      if (sec.toString.length == 10)
+        assert(LenientTs.parseMicros(sec.toString, "UTC").longValue == sec * 1000000L)
+      val ms = sec * 1000L + rnd.nextInt(1000)
+      if (ms.toString.length == 13)
+        assert(LenientTs.parseMicros(ms.toString, "UTC").longValue == ms * 1000L)
+    }
+  }
 }
