@@ -157,6 +157,31 @@ class OpsSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoop"))
   }
 
+  test("salted join: identical result to plain join, hot key spread across salts") {
+    import graft.ops.Skew
+    // one pathological key (5000 rows) + 50 normal keys
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).flatMap(k => (1 to 10).map(i => (s"k$k", i.toLong))))
+      .toDF("key", "v")
+    val dim = (Seq("hot") ++ (1 to 50).map(k => s"k$k")).zipWithIndex
+      .map { case (k, i) => (k, s"label$i") }.toDF("key", "label")
+    val plain = big.join(dim, Seq("key"), "inner")
+    val salted = Skew.saltedJoin(big, dim, Seq("key"), factor = 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("key", "label").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(salted) == counts(plain))
+    // the hot key's rows really occupy all 8 salt buckets
+    val spread = big.filter($"key" === "hot")
+      .select(Skew.saltColumn(Seq("key"), 8).as("s"))
+      .distinct().count()
+    assert(spread == 8L)
+    // report surfaces the skew: hot key first with ~90% share
+    val top = Skew.skewReport(big, Seq("key")).collect().head
+    assert(top.getString(0) == "hot" && top.getAs[Double]("share") > 0.85)
+  }
+
   // ---- recall vs exact ground truth (sf0.01: 500 docs / 500 vectors) ----
   // The exact sides are oracle-checked elsewhere (q44 vs DuckDB all-pairs
   // list-ops; brute-force cosine is a cross product computed here in-test),

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 
-import graft.streaming.LogStreamJob
+import graft.streaming.{CurationStreamJob, LogStreamJob}
 
 /** O1/O15: micro-batch streaming wrapper — checkpointed foreachBatch over a
   * memory source standing in for the Kinesis connector (SURVEY.md §7.1.6).
@@ -44,5 +44,33 @@ class StreamingSpec extends AnyFunSuite {
     val q2 = LogStreamJob.start(records, cfg, s"$tmp/out", s"$tmp/cp")
     q2.awaitTermination(60000)
     assert(countLines() == 3)
+  }
+
+  test("streaming curation: quality gates + watermark content dedup on the fly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val good = "the quick brown fox jumps over a lazy dog while many other " +
+      "animals watch quietly from their warm homes and some birds fly south " +
+      "for winter because it is getting cold in the north these days"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val ts = java.sql.Timestamp.valueOf("2026-08-12 01:00:00")
+    mem.addData(
+      (1L, ts, good),                                   // passes
+      (2L, ts, "  " + good + "  "),                     // exact dup modulo ws → dropped
+      (3L, ts, "short text"),                           // < minTokens → dropped
+      (4L, ts, good.replace("dog", ("!!! ### $$$ " * 10).trim)), // punct-heavy
+      (5L, ts, ("der und die das ist nicht ein " * 6).trim))                    // not en
+    val out = CurationStreamJob.curate(
+      mem.toDF().toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("curated").select($"doc_id").as[Long].collect().sorted
+    assert(rows.toSeq == Seq(1L))
+    // the survivor carries its gate columns for downstream audit
+    val cols = spark.table("curated").columns.toSet
+    assert(Set("n_tokens", "punct_ratio", "repetition", "lang_pred").subsetOf(cols))
   }
 }
