@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.gfn
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Components, Dedup, Multimodal, Similarity, TextOps}
 
 /** The engine's query catalog: one entry per operator from SURVEY.md §2 plus
   * the training-data-pipeline operator set. Each oracle-checked entry has a
@@ -789,9 +789,119 @@ object Queries {
       ORDER BY doc_id"""
     })
 
+  /** Near-dup CLUSTERING: the connected components of the exact near-dup
+    * pair graph (q44), labeled with the component-minimum doc_id — pairs
+    * alone aren't actionable for dedup (a–b and b–c must collapse to ONE
+    * keeper, not two). Large-star/small-star contraction (Components.scala);
+    * the oracle computes the same closure with a recursive CTE.
+    */
+  private val q47 = Q("q47_dedup_clusters",
+    (s, d) => {
+      val pairs = Dedup.exactNearDups(t(s, d, "documents"), threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+      Components.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("cluster_size", count(lit(1)).over(w))
+        .withColumn("is_keeper", (col("doc_id") === col("cluster_id")).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+            FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                    i -> array_to_string(l[i:least(i+2, len(l))], ' '))) AS s FROM t),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.s, b.s)) >= 0.5 * len(list_distinct(a.s || b.s))),
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      walk AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u),
+      labels AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM walk GROUP BY u)
+      SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+             CAST(doc_id = cluster_id AS INT) AS is_keeper
+      FROM labels ORDER BY doc_id"""))
+
+  /** Benchmark DECONTAMINATION: corpus docs sharing any word n-gram with an
+    * eval set (here: every 97th doc stands in for a held-out benchmark).
+    * Grams travel as 64-bit hashes (q44's kernel) — join on the hash equals
+    * join on the gram up to negligible collision mass; the oracle joins the
+    * literal gram strings. w=3 here (production default is 5) so the tiny
+    * sf0.01 corpus yields a dense result (171 docs) for the hash compare.
+    */
+  private val q48 = Q("q48_decontaminate",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Decontam.overlaps(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        evalDocs = docs.filter(col("doc_id") % 97 === 0), w = 3)
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                   i -> array_to_string(l[i:least(i+2, len(l))], ' ')))) AS g FROM t),
+      ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM g JOIN ev USING (g)
+      WHERE doc_id % 97 <> 0
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Deterministic STRATIFIED SAMPLING (data mixing): per-source keep rates
+    * applied through a Knuth-multiplicative hash gate on doc_id — exactly
+    * reproducible in any engine (the oracle re-computes the same gate in
+    * integer arithmetic), unlike rand()-based sampleBy.
+    */
+  private val q49 = Q("q49_stratified_sample",
+    (s, d) => graft.ops.Mix.stratifiedSample(
+        t(s, d, "documents"), col("source"), col("doc_id"),
+        rates = Map("src0" -> 0.8, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, source
+      FROM documents
+      WHERE (doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 <
+            CASE source WHEN 'src0' THEN 800 WHEN 'src1' THEN 500
+                        WHEN 'src2' THEN 250 ELSE 100 END
+      ORDER BY doc_id"""))
+
+  /** Token-budget SHARD PACKING: docs laid per-source onto a token tape cut
+    * every 2000 tokens; shard_id = floor(preceding token sum / budget) — the
+    * running-sum window both engines express identically.
+    */
+  private val q50 = Q("q50_shard_packing",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      graft.ops.Mix.packShards(docs, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 2000L)
+        .select(col("doc_id"), col("source"), col("n_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, source,
+             CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             CAST(floor((SUM(length(regexp_split_to_array(trim(text), '\s+')))
+                           OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING)
+                         - length(regexp_split_to_array(trim(text), '\s+')))
+                        / 2000.0) AS BIGINT) AS shard_id
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
-    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46)
+    q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
+    q47, q48, q49, q50)
 }

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step that turns
+  * near-duplicate PAIRS (q44/q25/q34) into actionable dedup CLUSTERS: each
+  * document gets the minimum doc_id of its component as `cluster_id`, and
+  * keeping exactly the `doc_id == cluster_id` rows dedups the corpus with
+  * one representative per duplicate group.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — converges in
+  * O(log n) rounds on any graph, vs. graph-diameter rounds for naive label
+  * propagation (a duplicate CHAIN a–b–c–…–z, common when boilerplate drifts
+  * gradually, has diameter = chain length).
+  *
+  * Scale design (100 TB / billions of edges):
+  *   - Each round is groupBy-min + a co-partitioned equi-join + distinct —
+  *     shuffle volume linear in |E|, and the min aggregate combines map-side,
+  *     so a hot node (a star center with millions of members) reduces to one
+  *     row per map partition before the shuffle.
+  *   - NO collect_list: the naive formulation gathers Γ(u) per node, which
+  *     OOMs on the mega-component every dirty corpus has. Here neighborhoods
+  *     are never materialized — the per-node minimum joins back against the
+  *     edge list, and AQE's skew-join splits the star center's join side.
+  *   - `localCheckpoint` per round truncates lineage — iterative DataFrame
+  *     plans otherwise grow exponentially and re-execute prior rounds.
+  *   - Convergence is detected structurally (the edge set IS a star forest —
+  *     see [[isStarForest]]): exact, one limit-1 action per round, and no
+  *     compare-with-previous extra round. `maxIter` bounds the loop
+  *     regardless.
+  */
+object Components {
+
+  /** (id, cluster_id) for every node of `edges` — cluster_id is the smallest
+    * id in the node's connected component. Input columns `a_id`/`b_id`;
+    * self-loops ignored; direction ignored.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val nodes = edges
+      .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    val stars = starContraction(
+      edges.filter(col("a_id") =!= col("b_id"))
+        .select(greatest(col("a_id"), col("b_id")).as("u"),
+          least(col("a_id"), col("b_id")).as("v"))
+        .distinct(),
+      maxIter)
+    // At the fixpoint every non-root points straight at its component's
+    // minimum; roots don't appear as `u` at all, so they label themselves.
+    nodes
+      .join(stars.select(col("u").as("id"), col("v").as("cluster_id")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
+  /** Alternate large-star / small-star until the edge set is stable.
+    * Invariant maintained: edges point from the larger endpoint `u` to the
+    * smaller `v` (v < u), de-duplicated.
+    */
+  private def starContraction(edges0: DataFrame, maxIter: Int): DataFrame = {
+    var e = edges0.localCheckpoint(true)
+    var star = isStarForest(e)
+    var i = 0
+    while (!star && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint(true)
+      star = isStarForest(e)
+      i += 1
+    }
+    require(star, s"connectedComponents did not converge in $maxIter rounds")
+    e
+  }
+
+  /** The alternating contraction's fixpoint is EXACTLY a star forest rooted
+    * at component minima (Kiveris et al., Thm 5.1) — so convergence is
+    * detected structurally on the round that produces it, one round earlier
+    * than compare-with-previous, and with no signature-collision caveat:
+    * converged ⇔ every child u has a single distinct parent AND no parent
+    * also appears as a child (a chain a→b→c has unique parents but b on
+    * both sides). Probes are limit-1 and short-circuited: the cheap
+    * multi-parent check fires on nearly every non-final round, so the
+    * costlier semi-join probe runs ~once per contraction.
+    */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val multiParent = e.groupBy(col("u"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .filter(col("mn") =!= col("mx")).limit(1)
+    if (!multiParent.isEmpty) return false
+    e.select(col("v").as("u")).distinct()
+      .join(e.select(col("u")), Seq("u"), "left_semi")
+      .limit(1).isEmpty
+  }
+
+  /** Large-star: every neighbor v > u re-points at m = min(Γ(u) ∪ {u}).
+    * Neighborhoods enter symmetrically (both directions); the per-u minimum
+    * is a map-side-combining aggregate joined back on the grouping key.
+    */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    // No distinct here: duplicate edges cannot change any downstream min,
+    // and smallStar's terminal distinct dedups — one shuffle saved per round.
+    nbrs.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+  }
+
+  /** Small-star: all strictly-smaller neighbors of u (after largeStar that is
+    * all of them) re-point at m = min(Γ⁻(u)), and u itself points at m.
+    */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+    e.join(mins, "u")
+      .filter(col("v") =!= col("mn"))
+      .select(col("v").as("u"), col("mn").as("v"))
+      .unionByName(mins.select(col("u"), col("mn").as("v")))
+      .distinct()
+  }
+
+}

@@ -1,0 +1,38 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share word n-grams
+  * with an evaluation/benchmark set, so training data can be scrubbed of
+  * test-set leakage before a model ever sees it.
+  *
+  * Shape at 100 TB: the eval side is always tiny relative to the corpus
+  * (benchmarks are thousands of docs, the corpus is billions), so its
+  * distinct gram set broadcasts and the whole check is a scan-bound
+  * broadcast semi-join — the corpus is read once, no corpus-sized shuffle
+  * exists anywhere. Grams travel as 64-bit hashes (`shingle_hashes64`, the
+  * q44 kernel), never as strings: equality on the hash equals equality on
+  * the gram up to ~|grams|²/2^64 collision mass, and an n-gram string is
+  * ~10× the bytes of its hash.
+  */
+object Decontam {
+
+  /** Distinct hashed w-grams of an eval set — the (small) probe side. */
+  def evalGrams(evalDocs: DataFrame, w: Int = 5): DataFrame = evalDocs
+    .select(explode(graft.functions.gfn.shingle_hashes64(col("text"), w)).as("g"))
+    .distinct()
+
+  /** (doc_id, n_hits) for every corpus doc sharing ≥1 distinct w-gram with
+    * the eval set. n_hits counts the doc's distinct overlapping grams — the
+    * usual decontamination score thresholded downstream (any-hit = drop is
+    * the conservative policy; a hit *fraction* can be derived by joining
+    * back the doc's gram count).
+    */
+  def overlaps(corpus: DataFrame, evalDocs: DataFrame, w: Int = 5): DataFrame =
+    corpus
+      .select(col("doc_id"),
+        explode(graft.functions.gfn.shingle_hashes64(col("text"), w)).as("g"))
+      .join(evalGrams(evalDocs, w), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Data mixing for training-corpus assembly: per-stratum downsampling to hit
+  * a target mixture, and token-budget shard packing for the sampled output.
+  *
+  * Sampling is a DETERMINISTIC hash gate, not `rand()`/`sampleBy`:
+  *   keep ⇔ (Knuth-multiplicative hash of the id, folded to 31 bits) mod
+  *          1000 < rate·1000.
+  * Properties that matter at 100 TB: reproducible across runs, engines and
+  * task retries (rand() is none of these); a pure narrow filter evaluated at
+  * the scan (no shuffle, no state); and the same id always resolves the same
+  * way, so incremental re-runs over a growing corpus never flip earlier
+  * decisions. The 31-bit fold keeps `h·2654435761` under 2^62 — ANSI-safe.
+  */
+object Mix {
+
+  private val M31 = 2147483648L // 2^31
+  private val Knuth = 2654435761L
+
+  /** Uniform pseudo-random bucket in [0, buckets) from a numeric id. */
+  def hashGate(id: Column, buckets: Int = 1000): Column =
+    pmod(pmod(id, lit(M31)) * lit(Knuth), lit(M31)) % buckets
+
+  /** Keep each row iff its id-hash bucket falls under its stratum's rate.
+    * Unlisted strata use `defaultRate`. Rates are in [0, 1] with 1/1000
+    * resolution (the gate granularity).
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val threshold = rates.foldLeft(lit((defaultRate * 1000).toInt)) {
+      case (acc, (k, r)) => when(stratum === k, lit((r * 1000).toInt)).otherwise(acc)
+    }
+    df.filter(hashGate(id) < threshold)
+  }
+
+  /** Sequential token-budget packing: within each stratum, docs (in `order`)
+    * are laid onto a continuous token tape and the tape is cut every
+    * `budget` tokens; a doc belongs to the shard where it STARTS —
+    * shard_id = floor(preceding-docs' token sum / budget). Shards hold
+    * ~budget tokens (±1 doc of overshoot), ids are dense from 0, and a doc
+    * larger than the whole budget still lands in exactly one shard. One
+    * window per stratum = one hash shuffle; the running sum is O(1) state
+    * per row.
+    */
+  def packShards(df: DataFrame, stratum: Column, order: Column,
+                 tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(stratum).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard_id",
+      floor((sum(tokens).over(w) - tokens) / lit(budget)))
+  }
+}

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Components, Dedup, Multimodal, Similarity, TextOps}
 
 /** Unit tests for the training-data-pipeline operators. */
 class OpsSpec extends AnyFunSuite {
@@ -180,6 +180,83 @@ class OpsSpec extends AnyFunSuite {
     // report surfaces the skew: hot key first with ~90% share
     val top = Skew.skewReport(big, Seq("key")).collect().head
     assert(top.getString(0) == "hot" && top.getAs[Double]("share") > 0.85)
+  }
+
+  // ---- connected components (near-dup clustering) ----
+
+  /** Brute-force union-find for ground truth. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components match union-find on a mixed random graph") {
+    // deterministic pseudo-random graph: triangles, chains, isolated pairs
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 120).map { _ =>
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong; (a, b)
+    }.filter(e => e._1 != e._2) ++ Seq((500L, 501L), (501L, 500L), (600L, 601L))
+    val got = Components.connectedComponents(edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ufComponents(edges))
+  }
+
+  test("connected components converge on a 300-node chain (diameter >> rounds)") {
+    // a duplicate CHAIN is the adversarial case for naive label propagation:
+    // diameter 300 but star contraction needs only O(log n) rounds
+    val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Components.connectedComponents(chain.toDF("a_id", "b_id"), maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 300 && got.forall(_._2 == 0L))
+  }
+
+  // ---- mixing / decontamination ----
+
+  test("stratified sample: deterministic, rate-accurate, repartition-stable") {
+    import graft.ops.Mix
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Mix.stratifiedSample(d, $"source", $"doc_id",
+        Map("a" -> 0.5), defaultRate = 0.1)
+        .select($"doc_id").as[Long].collect().toSet
+    val s1 = run(df)
+    assert(run(df.repartition(7)) == s1) // same ids whatever the partitioning
+    val aN = s1.count(_ % 2 == 0); val bN = s1.count(_ % 2 == 1)
+    assert(math.abs(aN / 2000.0 - 0.5) < 0.05, s"rate(a)=$aN/2000")
+    assert(math.abs(bN / 2000.0 - 0.1) < 0.05, s"rate(b)=$bN/2000")
+  }
+
+  test("shard packing: budget respected at shard starts, ids dense, oversize doc isolated") {
+    import graft.ops.Mix
+    val df = Seq((1L, "s", 900L), (2L, "s", 900L), (3L, "s", 5000L),
+      (4L, "s", 100L), (5L, "s", 2100L), (6L, "t", 50L))
+      .toDF("doc_id", "source", "n_tokens")
+    val got = Mix.packShards(df, $"source", $"doc_id", $"n_tokens", budget = 2000L)
+      .select($"doc_id", $"shard_id").as[(Long, Long)].collect().toMap
+    // tape offsets in s: 0, 900, 1800, 6800, 6900 → shards 0,0,0,3,3
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 3L, 5L -> 3L, 6L -> 0L))
+  }
+
+  test("decontamination flags only docs overlapping the eval set") {
+    import graft.ops.Decontam
+    val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val leaked = "prefix words then alpha beta gamma delta epsilon more tail here"
+    val clean = "totally unrelated content with no shared five gram sequences at all"
+    val hits = Decontam.overlaps(
+      corpus = docs(1L -> leaked, 2L -> clean),
+      evalDocs = docs(100L -> evalDoc), w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits.contains(1L) && hits(1L) >= 1L)
+    assert(!hits.contains(2L))
   }
 
   // ---- recall vs exact ground truth (sf0.01: 500 docs / 500 vectors) ----
