@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{KplDeaggregate, LenientTimestamp, NgramJaccard,
-  QuantizedDot, ShingleHashes, SimHash64, TryGunzip, VecCosine}
+  NormalizeText, QuantizedDot, ShingleHashes, SimHash64, TryGunzip, VecCosine}
 
 /** SparkSessionExtensions hook: makes the engine's custom expressions
   * available to plain `spark.sql(...)` users via
@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(t, w) => ShingleHashes(t, intLit(w, "shingle_hashes"))
         case _ => throw new IllegalArgumentException("shingle_hashes takes 1 or 2 args")
       }))
+    e.injectFunction((FunctionIdentifier("normalize_text"),
+      info("normalize_text", "normalize_text(text) - NFC + control-strip + whitespace-collapse + trim"),
+      (es: Seq[Expression]) => NormalizeText(es.head)))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens"),
       (es: Seq[Expression]) => SimHash64(es.head)))

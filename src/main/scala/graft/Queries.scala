@@ -898,10 +898,31 @@ object Queries {
                         / 2000.0) AS BIGINT) AS shard_id
       FROM documents ORDER BY doc_id"""))
 
+  /** Text NORMALIZATION (native NormalizeText kernel): NFC + control-strip +
+    * whitespace-collapse + trim — the canonicalization pass run before any
+    * hashing/dedup so byte-level noise doesn't defeat content identity. The
+    * oracle re-derives the exact pipeline with nfc_normalize + RE2 regexes
+    * (cross-engine agreement on nasty inputs is pinned in FunctionsSpec).
+    */
+  private val q51 = Q("q51_normalize_text",
+    (s, d) => t(s, d, "documents")
+      .select(col("doc_id"), gfn.normalize_text(col("text")).as("norm_text"),
+        (gfn.normalize_text(col("text")) =!= col("text")).cast("int").as("changed"))
+      .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+                  '[\t\n\f\r ]+', ' ', 'g'), ' ') AS norm_text,
+             CAST(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                  '[\x00-\x08\x0B\x0E-\x1F\x7F]', '', 'g'),
+                  '[\t\n\f\r ]+', ' ', 'g'), ' ') <> text AS INT) AS changed
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50)
+    q47, q48, q49, q50, q51)
 }

@@ -236,6 +236,25 @@ case class TopCells(child: Expression, cents: Array[Double], nList: Int, dim: In
     copy(child = newChild)
 }
 
+/** Native curation-grade text normalization: NFC + control-strip +
+  * whitespace-collapse + trim, one pass (see TextKernel for the exact spec
+  * and the cross-engine ordering rationale).
+  */
+case class NormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.normalize(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.normalize($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash over a string column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -272,6 +291,7 @@ object gfn {
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =
     col(HyperplaneSig(ex(c), planes, nBits, dim))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
+  def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =
     col(NearestCentroid(ex(c), cents, nList, dim))
   def topk_by_score(score: Column, id: Column, k: Int): Column =

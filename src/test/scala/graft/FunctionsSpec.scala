@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.functions.{GzipUtil, Kpl, LenientTs}
+import graft.functions.{GzipUtil, Kpl, LenientTs, TextKernel}
 
 /** Unit tests for the custom-operation helpers (O3/O4/O9 kernels). */
 class FunctionsSpec extends AnyFunSuite {
@@ -108,6 +108,40 @@ class FunctionsSpec extends AnyFunSuite {
       val got = LenientTs.parseMicros(s, "UTC")
       assert(got != null && got.longValue == sec * 1000000L + frac, s"roundtrip failed: $s")
     }
+  }
+
+  // ---- text normalization kernel ----
+
+  private def norm(s: String): String =
+    TextKernel.normalize(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+
+  test("normalize: NFC composes decomposed sequences") {
+    assert(norm("cafe\u0301") == "caf\u00e9")   // e + combining acute -> e-acute
+    assert(norm("A\u030a") == "\u00c5")         // A + ring -> Angstrom A
+  }
+
+  test("normalize: strips non-whitespace control chars") {
+    assert(norm("a\u0000b") == "ab")             // NUL stripped, no space introduced
+    assert(norm("a\u0007\u001b\u007fb") == "ab") // BEL/ESC/DEL stripped
+    assert(norm("a\tb\nc") == "a b c")           // ws controls collapse to single space
+    assert(norm("a \u0000 b") == "a b")          // ctl inside a ws run doesn't double it
+  }
+
+  test("normalize: collapses ASCII whitespace runs and trims; keeps unicode spaces") {
+    assert(norm("  a \r\n\t  b  ") == "a b")
+    assert(norm("a\u00a0b") == "a\u00a0b")       // NBSP not in the ASCII ws class
+    assert(norm("\u2009a\u2009") == "\u2009a\u2009") // thin space preserved (engine-portable)
+  }
+
+  test("normalize: empty / all-whitespace / all-control inputs -> empty") {
+    assert(norm("") == "")
+    assert(norm(" \t\r\n ") == "")
+    assert(norm("\u0000\u0007\u001f") == "")
+  }
+
+  test("normalize: surrogate pairs pass through untouched") {
+    val s = "x \ud83d\ude00  y" // emoji between whitespace runs
+    assert(norm(s) == "x \ud83d\ude00 y")
   }
 
   test("property: every dispatch branch round-trips (RFC1123 / SQL / date / epoch)") {
