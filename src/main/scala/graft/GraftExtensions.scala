@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions.{KplDeaggregate, LenientTimestamp, NgramJaccard,
-  NormalizeText, QuantizedDot, ShingleHashes, SimHash64, TryGunzip, VecCosine}
+  NormalizeText, PiiCount, QuantizedDot, RedactPii, ShingleHashes, SimHash64,
+  TryGunzip, VecCosine}
 
 /** SparkSessionExtensions hook: makes the engine's custom expressions
   * available to plain `spark.sql(...)` users via
@@ -61,6 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("normalize_text"),
       info("normalize_text", "normalize_text(text) - NFC + control-strip + whitespace-collapse + trim"),
       (es: Seq[Expression]) => NormalizeText(es.head)))
+    e.injectFunction((FunctionIdentifier("redact_pii"),
+      info("redact_pii", "redact_pii(text) - emails/IPv4/phones -> <EMAIL>/<IP>/<PHONE>"),
+      (es: Seq[Expression]) => RedactPii(es.head)))
+    e.injectFunction((FunctionIdentifier("pii_count"),
+      info("pii_count", "pii_count(text) - number of PII matches redact_pii would replace"),
+      (es: Seq[Expression]) => PiiCount(es.head)))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens"),
       (es: Seq[Expression]) => SimHash64(es.head)))

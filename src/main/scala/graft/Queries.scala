@@ -919,10 +919,56 @@ object Queries {
                   '[\t\n\f\r ]+', ' ', 'g'), ' ') <> text AS INT) AS changed
       FROM documents ORDER BY doc_id"""))
 
+  /** PII REDACTION (native RedactPii/PiiCount kernels): emails, IPv4
+    * literals, and phone-shaped numbers → typed placeholders — the privacy
+    * scrub pass of a curation pipeline. The synthetic docs carry no PII, so
+    * both engines append the same doc_id-derived email/IP/phone suffix
+    * first; the oracle replays the identical RE2-safe regex passes
+    * (cross-engine agreement pinned on nasty inputs in FunctionsSpec).
+    */
+  private val q52 = Q("q52_pii_redact",
+    (s, d) => {
+      val dirty = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(256L)).cast("string"),
+        lit(".1 call 555-010-"),
+        lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          gfn.redact_pii(dirty).as("redacted"),
+          gfn.pii_count(dirty).as("n_pii"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH dirty AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.com from 10.0.' ||
+                 CAST(doc_id % 256 AS VARCHAR) ||
+                 '.1 call 555-010-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+        FROM documents)
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted,
+             CAST(len(regexp_extract_all(s,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               + len(regexp_extract_all(regexp_replace(s,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+               + len(regexp_extract_all(regexp_replace(regexp_replace(s,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                 '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b')) AS INT) AS n_pii
+      FROM dirty ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q51)
+    q47, q48, q49, q50, q51, q52)
 }

@@ -255,6 +255,40 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native PII redaction: emails / IPv4 literals / phone-shaped numbers →
+  * typed placeholders, fixed pass order (see TextKernel.redactPii).
+  */
+case class RedactPii(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "redact_pii"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.redactPii(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.redactPii($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RedactPii =
+    copy(child = newChild)
+}
+
+/** Count of PII matches RedactPii would replace (same sequential passes). */
+case class PiiCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "pii_count"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.piiCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.piiCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): PiiCount =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash over a string column. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -292,6 +326,8 @@ object gfn {
     col(HyperplaneSig(ex(c), planes, nBits, dim))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def redact_pii(c: Column): Column = col(RedactPii(ex(c)))
+  def pii_count(c: Column): Column = col(PiiCount(ex(c)))
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =
     col(NearestCentroid(ex(c), cents, nList, dim))
   def topk_by_score(score: Column, id: Column, k: Int): Column =

@@ -40,4 +40,46 @@ object TextKernel {
     }
     UTF8String.fromString(sb.toString) // trailing pendingSpace never emitted
   }
+
+  // ---- PII redaction ----
+  // Patterns are deliberately RE2-safe (no backrefs, no lookaround) so a
+  // DuckDB regexp_replace oracle is byte-identical. Applied in a fixed
+  // order (email → IPv4 → phone); placeholders contain no digits, so a
+  // replacement can never manufacture a later match.
+  private val EmailRe =
+    java.util.regex.Pattern.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+  private val Ipv4Re =
+    java.util.regex.Pattern.compile("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+  private val PhoneRe =
+    java.util.regex.Pattern.compile("\\b\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b")
+
+  /** Replace emails, IPv4 literals, and phone-shaped numbers with typed
+    * placeholders. Sequential passes; order documented above.
+    */
+  def redactPii(s: UTF8String): UTF8String = {
+    var t = s.toString
+    t = EmailRe.matcher(t).replaceAll("<EMAIL>")
+    t = Ipv4Re.matcher(t).replaceAll("<IP>")
+    t = PhoneRe.matcher(t).replaceAll("<PHONE>")
+    UTF8String.fromString(t)
+  }
+
+  /** Number of PII matches `redactPii` would replace — counted on the same
+    * sequentially-redacted intermediates so overlapping patterns (an IPv4
+    * inside an email's domain) are attributed exactly once, matching the
+    * redaction itself.
+    */
+  def piiCount(s: UTF8String): Int = {
+    var t = s.toString
+    var n = 0
+    var m = EmailRe.matcher(t)
+    while (m.find()) n += 1
+    t = EmailRe.matcher(t).replaceAll("<EMAIL>")
+    m = Ipv4Re.matcher(t)
+    while (m.find()) n += 1
+    t = Ipv4Re.matcher(t).replaceAll("<IP>")
+    m = PhoneRe.matcher(t)
+    while (m.find()) n += 1
+    n
+  }
 }

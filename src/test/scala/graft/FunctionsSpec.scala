@@ -171,4 +171,45 @@ class FunctionsSpec extends AnyFunSuite {
         assert(LenientTs.parseMicros(ms.toString, "UTC").longValue == ms * 1000L)
     }
   }
+
+  // ---- PII redaction kernel ----
+  // Expected strings below were cross-checked against DuckDB's RE2
+  // regexp_replace/regexp_extract_all on the identical patterns — this pin
+  // is what makes the q52 oracle trustworthy.
+
+  private def redact(s: String): String =
+    TextKernel.redactPii(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+  private def npii(s: String): Int =
+    TextKernel.piiCount(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+
+  test("pii: email forms, including dotted/plus locals and multi-label domains") {
+    assert(redact("contact a.b-c_d%e+f@sub.example.co.uk now") == "contact <EMAIL> now")
+    assert(redact("a@b.co") == "<EMAIL>")
+    assert(redact("double  email a@b.com c@d.org") == "double  email <EMAIL> <EMAIL>")
+    assert(npii("double  email a@b.com c@d.org") == 2)
+  }
+
+  test("pii: IPv4 literals — greedy octets, no range check, leftover tail kept") {
+    assert(redact("ip 10.0.0.1 and 999.999.999.999 and 1.2.3.4.5")
+      == "ip <IP> and <IP> and <IP>.5")
+    assert(npii("ip 10.0.0.1 and 999.999.999.999 and 1.2.3.4.5") == 3)
+    assert(redact("v1.2.3 release notes") == "v1.2.3 release notes") // version strings survive
+  }
+
+  test("pii: numeric-domain address redacts as IP, not email") {
+    assert(redact("user@10.0.0.1 login") == "user@<IP> login")
+    assert(npii("user@10.0.0.1 login") == 1)
+  }
+
+  test("pii: phone shapes with -, ., space separators and 3-or-4 middle group") {
+    assert(redact("call 555-010-1234 or 555 0101 1234 or 555.123.4567")
+      == "call <PHONE> or <PHONE> or <PHONE>")
+    assert(npii("call 555-010-1234 or 555 0101 1234 or 555.123.4567") == 3)
+    assert(redact("x 123-4567-8901 y") == "x <PHONE> y")
+  }
+
+  test("pii: clean text untouched, zero count") {
+    assert(redact("no pii here 12345") == "no pii here 12345")
+    assert(npii("no pii here 12345") == 0)
+  }
 }
