@@ -965,10 +965,73 @@ object Queries {
                  '\b\d{3}[-. ]\d{3,4}[-. ]\d{4}\b')) AS INT) AS n_pii
       FROM dirty ORDER BY doc_id"""))
 
+  /** TF-IDF TOP-K TERMS per document — the canonical corpus-statistics
+    * pipeline (tf shuffle, df shuffle, vocab join, per-doc rank). The raw
+    * double score is rounded through DECIMAL(18,6) on both sides so a
+    * last-ulp ln() divergence can't flip the hash; the rank itself
+    * tie-breaks (score DESC, term ASC) and is part of the output so row
+    * order is total.
+    */
+  private val q53 = Q("q53_tfidf_topk",
+    (s, d) => TextOps.tfidfTopK(t(s, d, "documents"), col("doc_id"), col("text"), k = 5)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"),
+        col("score").cast(DecimalType(18, 6)).cast("double").as("score"))
+      .orderBy(col("doc_id"), col("rk")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, term, tf, df,
+               CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS raw
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tf, df, raw,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY raw DESC, term) AS INT) AS rk
+        FROM scored)
+      SELECT doc_id, rk, term, tf, df,
+             CAST(CAST(raw AS DECIMAL(18,6)) AS DOUBLE) AS score
+      FROM ranked WHERE rk <= 5 ORDER BY doc_id, rk"""))
+
+  /** HOPPING (sliding) EVENT-TIME WINDOW aggregation: 1 h windows every
+    * 30 min via `functions.window` — Spark's native overlapping-window
+    * expansion (each event replicated into size/slide = 2 windows before a
+    * plain hash aggregate; same plan Structured Streaming uses with a
+    * watermark). The oracle re-derives both epoch-aligned window starts
+    * per event with integer micros arithmetic and unnests them.
+    */
+  private val q54 = Q("q54_hopping_window",
+    (s, d) => t(s, d, "events")
+      .select(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("user_id"), col("value"))
+      .groupBy(unix_micros(col("w.start")).as("win_start_us"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("win_start_us")),
+    Some("""
+      WITH e AS (SELECT epoch_us(ts) AS us, user_id, value FROM events),
+      w AS (
+        SELECT unnest([(us // 1800000000) * 1800000000 - 1800000000,
+                       (us // 1800000000) * 1800000000]) AS win_start_us,
+               user_id, value
+        FROM e)
+      SELECT win_start_us,
+             COUNT(*) AS n,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM w GROUP BY 1 ORDER BY win_start_us"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q51, q52)
+    q47, q48, q49, q50, q51, q52, q53, q54)
 }

@@ -66,6 +66,37 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(to_binary(lower(regexp_replace(trim(text), "\\s+", " ")), lit("utf-8")))
 
+  /** TF-IDF top-k terms per document — the classic corpus-statistics join:
+    *   tf  = term count per (doc, term)        (shuffle on doc_id+term)
+    *   df  = docs containing term              (shuffle on term, from tf)
+    *   n   = corpus size                       (1-row agg, broadcast)
+    *   score = tf · ln(n/df), ranked per doc with a deterministic
+    *           (score DESC, term ASC) tie-break.
+    *
+    * 100 TB shape: both aggregates are partial-agg hash shuffles; the
+    * tf⋈df join shuffles on `term` (vocab-sized, NOT broadcast — vocab at
+    * corpus scale is large); the 1-row corpus count is the only broadcast.
+    * The final per-doc rank shuffles on doc_id. No driver-side state.
+    */
+  def tfidfTopK(docs: DataFrame, docId: Column, text: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(docId.as("doc_id"),
+      explode(tokens(lower(text))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .where(col("rk") <= k)
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -426,4 +426,36 @@ class OpsSpec extends AnyFunSuite {
     // distinct pixel content ⇒ distinct checksums (no degenerate constant)
     assert(imgs.map(_.checksum).distinct.length == imgs.length)
   }
+
+  // ---- tf-idf ----
+
+  test("tfidf: corpus-wide terms score 0, rare terms rank first, ties break by term") {
+    // 4 docs; "common" in all 4 (idf = ln(1) = 0), "rare" only in doc 1.
+    val d = docs(
+      1L -> "common rare mid",
+      2L -> "common mid",
+      3L -> "common common",
+      4L -> "common")
+    val top = TextOps.tfidfTopK(d, col("doc_id"), col("text"), k = 2)
+      .orderBy(col("doc_id"), col("rk"))
+      .select("doc_id", "rk", "term", "tf", "df").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    // doc 1: rare (df=1) beats mid (df=2); both beat common (score 0)
+    assert(top.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq == Seq(1 -> "rare", 2 -> "mid"))
+    // doc 3: tf=2 of a zero-idf term still scores 0; "common" is its only term
+    assert(top.filter(_._1 == 3L).map(_._3).toSeq == Seq("common"))
+    // df counts docs, not occurrences: common df=4 even though doc 3 has it twice
+    assert(top.find(t => t._1 == 3L && t._3 == "common").get._5 == 4L)
+  }
+
+  test("tfidf: only the 1-row corpus count is hinted broadcast, not the vocab join") {
+    val d = docs(1L -> "a b", 2L -> "b c")
+    // AQE may still choose broadcast for the tf-df join on small data (fine);
+    // what must NOT exist is a forced hint on the vocab side, which would be
+    // a driver-OOM at corpus scale. Count explicit hints in the logical plan.
+    val logical = TextOps.tfidfTopK(d, col("doc_id"), col("text"), k = 1)
+      .queryExecution.analyzed.toString
+    val nHints = "ResolvedHint".r.findAllIn(logical).length
+    assert(nHints == 1, s"expected only the n_docs broadcast hint, got $nHints\n$logical")
+  }
 }
