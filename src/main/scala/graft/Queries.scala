@@ -1028,10 +1028,91 @@ object Queries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM w GROUP BY 1 ORDER BY win_start_us"""))
 
+  /** ORDERED CONVERSION FUNNEL (view → click-after-view →
+    * purchase-after-click): three chained conditional window-minima over
+    * one user_id partitioning — a single shuffle however deep the funnel.
+    * All timestamps surface as epoch-micros bigints (exact cross-engine).
+    */
+  private val q55 = Q("q55_funnel",
+    (s, d) => graft.ops.Sessions.funnel(t(s, d, "events"))
+      .orderBy(col("user_id")),
+    Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      a AS (SELECT user_id, event_type, us,
+              min(CASE WHEN event_type = 'view' THEN us END)
+                OVER (PARTITION BY user_id) AS t1_us FROM e),
+      b AS (SELECT user_id, event_type, us, t1_us,
+              min(CASE WHEN event_type = 'click' AND us > t1_us THEN us END)
+                OVER (PARTITION BY user_id) AS t2_us FROM a),
+      c AS (SELECT user_id, us, event_type, t1_us, t2_us,
+              min(CASE WHEN event_type = 'purchase' AND us > t2_us THEN us END)
+                OVER (PARTITION BY user_id) AS t3_us FROM b)
+      SELECT DISTINCT user_id, t1_us, t2_us, t3_us,
+             CAST((t1_us IS NOT NULL)::INT + (t2_us IS NOT NULL)::INT
+                + (t3_us IS NOT NULL)::INT AS INT) AS stage
+      FROM c ORDER BY user_id"""))
+
+  /** TIME-GRID RESAMPLE + GAP-FILL + FORWARD-FILL at 1-minute granularity
+    * (~79% of the sf0.01 grid is gaps). Event-sized work is one hash
+    * aggregate; the generated grid, join, and fill window all run on
+    * time-range-sized data (see ops/Resample scaladoc).
+    */
+  private val q56 = Q("q56_resample_fill",
+    (s, d) => graft.ops.Resample.resampleFill(t(s, d, "events"), stepUs = 60000000L)
+      .orderBy(col("bucket_us")),
+    Some("""
+      WITH e AS (
+        SELECT (epoch_us(ts) // 60000000) * 60000000 AS bucket_us, value
+        FROM events),
+      pm AS (
+        SELECT bucket_us, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM e GROUP BY 1),
+      b AS (SELECT min(bucket_us) AS lo, max(bucket_us) AS hi FROM pm),
+      grid AS (SELECT unnest(range(lo, hi + 60000000, 60000000)) AS bucket_us FROM b)
+      SELECT g.bucket_us, coalesce(n, 0) AS n, sum_value,
+             last_value(sum_value IGNORE NULLS)
+               OVER (ORDER BY g.bucket_us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_sum
+      FROM grid g LEFT JOIN pm USING (bucket_us)
+      ORDER BY g.bucket_us"""))
+
+  /** BINNED INTERVAL JOIN: purchases attributed to 10-minute error-incident
+    * windows. A raw BETWEEN theta-join would plan a nested loop
+    * (O(|P|·|I|)); the binned rewrite equi-joins on a time-bin id and
+    * re-checks the exact predicate — shuffle-hash scale (see ops/RangeJoin
+    * scaladoc; no-nested-loop asserted in OpsSpec). Oracle uses the plain
+    * BETWEEN join, proving the rewrite exact.
+    */
+  private val q57 = Q("q57_interval_join",
+    (s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      val incidents = e.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"), col("us").as("start_us"),
+          (col("us") + 600000000L).as("end_us"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("us").as("p_us"))
+      graft.ops.RangeJoin.binnedIntervalJoin(
+          purchases, "p_us", incidents, "start_us", "end_us", binUs = 600000000L)
+        .groupBy(col("incident_id"))
+        .agg(count(lit(1)).as("n_purchases"), min(col("p_us")).as("first_p_us"))
+        .orderBy(col("incident_id"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, epoch_us(ts) AS us, event_type FROM events),
+      i AS (SELECT event_id AS incident_id, us AS start_us,
+                   us + 600000000 AS end_us
+            FROM e WHERE event_type = 'error'),
+      p AS (SELECT us AS p_us FROM e WHERE event_type = 'purchase')
+      SELECT incident_id, COUNT(*) AS n_purchases, min(p_us) AS first_p_us
+      FROM i JOIN p ON p_us BETWEEN start_us AND end_us
+      GROUP BY 1 ORDER BY incident_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q51, q52, q53, q54)
+    q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
 }

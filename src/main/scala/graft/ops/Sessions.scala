@@ -97,4 +97,31 @@ object Sessions {
           }
       }
   }
+
+  /** Ordered conversion FUNNEL (view → click → purchase): per user,
+    * t1 = first view, t2 = first click AFTER t1, t3 = first purchase AFTER
+    * t2; `stage` counts completed steps. Expressed as three chained
+    * conditional window-minima over the SAME user_id partitioning — Spark
+    * plans ONE hash shuffle and evaluates all three passes (plus the final
+    * distinct) on the already-partitioned data, so at 100 TB the cost is a
+    * single repartition of the events regardless of funnel depth.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    events
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .withColumn("t1_us",
+        min(when(col("event_type") === "view", col("us"))).over(w))
+      .withColumn("t2_us",
+        min(when(col("event_type") === "click" && col("us") > col("t1_us"),
+          col("us"))).over(w))
+      .withColumn("t3_us",
+        min(when(col("event_type") === "purchase" && col("us") > col("t2_us"),
+          col("us"))).over(w))
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"))
+      .distinct()
+      .withColumn("stage",
+        (col("t1_us").isNotNull.cast("int") + col("t2_us").isNotNull.cast("int")
+          + col("t3_us").isNotNull.cast("int")))
+  }
 }

@@ -427,6 +427,59 @@ class OpsSpec extends AnyFunSuite {
     assert(imgs.map(_.checksum).distinct.length == imgs.length)
   }
 
+  // ---- funnel / resample / range join ----
+
+  private def evts(rows: (Long, Long, String, Long)*) = // user, event_id, type, us
+    rows.toSeq.toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("value", lit(1.0))
+
+  test("funnel: order matters — click before first view doesn't count") {
+    val d = evts(
+      (1L, 1L, "click", 100L), (1L, 2L, "view", 200L), (1L, 3L, "click", 300L),
+      (1L, 4L, "purchase", 400L),
+      (2L, 5L, "purchase", 100L), (2L, 6L, "view", 200L), // purchase precedes view
+      (3L, 7L, "click", 100L)) // never views
+    val f = graft.ops.Sessions.funnel(d).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getInt(4)))
+    assert(f.toSeq == Seq(1L -> 3, 2L -> 1, 3L -> 0))
+  }
+
+  test("funnel plans a single shuffle (all window passes share one partitioning)") {
+    val d = evts((1L, 1L, "view", 100L), (2L, 2L, "click", 200L))
+    val plan = graft.ops.Sessions.funnel(d).queryExecution.executedPlan.toString
+    val nEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nEx <= 2, s"expected <=2 exchanges (windows + distinct), got $nEx\n$plan")
+  }
+
+  test("resample: gaps get n=0 and forward-filled sum; leading gap stays null") {
+    val d = evts((1L, 1L, "view", 60000000L), (1L, 2L, "view", 240000000L))
+      .withColumn("value", col("event_id").cast("double"))
+    val r = graft.ops.Resample.resampleFill(d, stepUs = 60000000L)
+      .orderBy("bucket_us").collect()
+      .map(x => (x.getLong(0) / 60000000L, x.getLong(1), Option(x.get(3)).map(_.toString)))
+    assert(r.toSeq == Seq(
+      (1L, 1L, Some("1.0")), (2L, 0L, Some("1.0")),
+      (3L, 0L, Some("1.0")), (4L, 1L, Some("2.0"))))
+  }
+
+  test("interval join matches a nested-loop BETWEEN join and plans no nested loop") {
+    val pts = (0L until 200L).map(i => (i, i * 7L)).toDF("p_id", "p_us")
+    val ivs = (0L until 40L).map(i => (i, i * 31L, i * 31L + 50L))
+      .toDF("iv_id", "start_us", "end_us")
+    val binned = graft.ops.RangeJoin.binnedIntervalJoin(
+      pts, "p_us", ivs, "start_us", "end_us", binUs = 64L)
+    val naive = pts.join(ivs,
+      col("p_us") >= col("start_us") && col("p_us") <= col("end_us"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(binned) == pairs(naive))
+    assert(binned.count() == binned.dropDuplicates("p_id", "iv_id").count()) // no dup pairs
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned join must not nest-loop:\n$plan")
+  }
+
   // ---- tf-idf ----
 
   test("tfidf: corpus-wide terms score 0, rare terms rank first, ties break by term") {

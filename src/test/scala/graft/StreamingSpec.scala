@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, sum, unix_micros, window}
 
 import graft.streaming.{CurationStreamJob, LogStreamJob}
 
@@ -72,5 +73,42 @@ class StreamingSpec extends AnyFunSuite {
     // the survivor carries its gate columns for downstream audit
     val cols = spark.table("curated").columns.toSet
     assert(Set("n_tokens", "punct_ratio", "repetition", "lang_pred").subsetOf(cols))
+  }
+
+  test("streaming hopping-window agg matches the batch q54 formulation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 6 events across 3 half-hours; watermark far enough that all close
+    val base = java.sql.Timestamp.valueOf("2026-08-12 01:00:00").getTime
+    val evs = Seq(0L, 5L, 29L, 31L, 61L, 62L).zipWithIndex.map { case (m, i) =>
+      (i.toLong, new java.sql.Timestamp(base + m * 60000L), 2.0 + i)
+    }
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    mem.addData(evs: _*)
+    val stream = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n"), col("sum_value"))
+    val q = stream.writeStream.format("memory").queryName("hop")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val batch = evs.toDF("user_id", "ts", "value")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("win_start_us"),
+        col("n"), col("sum_value"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // append mode only emits windows the watermark has closed; every emitted
+    // window must agree exactly with the batch computation over the same data
+    val emitted = rows(spark.table("hop"))
+    assert(emitted.nonEmpty)
+    assert(emitted.subsetOf(rows(batch)),
+      s"streaming windows diverge from batch: $emitted vs ${rows(batch)}")
   }
 }
