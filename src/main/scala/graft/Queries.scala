@@ -1109,10 +1109,85 @@ object Queries {
       FROM i JOIN p ON p_us BETWEEN start_us AND end_us
       GROUP BY 1 ORDER BY incident_id"""))
 
+  /** TRAILING TIME-RANGE WINDOW (RANGE frame on epoch-micros): per user,
+    * events-in-last-hour and value-sum-over-last-hour at every event.
+    * Complements q18's ROWS frame — a RANGE frame is tie-safe (all peers at
+    * equal timestamps always join the frame) so no ordering tiebreak can
+    * affect values. One hash shuffle on user_id + per-partition sort.
+    */
+  private val q58 = Q("q58_trailing_window",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hour = 3600000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-hour, 0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", sum(dec(col("value"))).over(w).cast("double"))
+        .drop("value")
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS us,
+             COUNT(*) OVER w AS n_1h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** DATA-QUALITY AUDIT: one pass emitting a (metric, violations) table —
+    * referential orphans (anti joins), duplicate primary keys, domain-range
+    * violations, null checks. The constraint-checking sweep a pipeline runs
+    * before promoting a snapshot; every leg is a standard shuffle/anti-join
+    * so the audit scales like the joins it already mirrors.
+    */
+  private val q59 = Q("q59_quality_audit",
+    (s, d) => {
+      val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+      val c = t(s, d, "customer"); val n = t(s, d, "nation")
+      def m(name: String, cnt: DataFrame): DataFrame =
+        cnt.select(lit(name).as("metric"), col("violations"))
+      val orphanLi = li.join(o, li("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val dupOrders = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1).agg(count(lit(1)).as("violations"))
+      val badQty = li.filter(col("l_quantity") <= 0 || col("l_quantity") > 50)
+        .agg(count(lit(1)).as("violations"))
+      val orphanCust = c.join(n, c("c_nationkey") === n("n_nationkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+      val badPrice = o.filter(col("o_totalprice") <= 0)
+        .agg(count(lit(1)).as("violations"))
+      m("customer_orphan_nation", orphanCust)
+        .unionByName(m("lineitem_orphan_order", orphanLi))
+        .unionByName(m("lineitem_qty_out_of_range", badQty))
+        .unionByName(m("orders_dup_pk", dupOrders))
+        .unionByName(m("orders_nonpositive_total", badPrice))
+        .orderBy(col("metric"))
+    },
+    Some("""
+      SELECT 'customer_orphan_nation' AS metric, COUNT(*) AS violations
+        FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+      UNION ALL
+      SELECT 'lineitem_orphan_order', COUNT(*)
+        FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      UNION ALL
+      SELECT 'lineitem_qty_out_of_range', COUNT(*)
+        FROM lineitem WHERE l_quantity <= 0 OR l_quantity > 50
+      UNION ALL
+      SELECT 'orders_dup_pk', COUNT(*) FROM
+        (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+      UNION ALL
+      SELECT 'orders_nonpositive_total', COUNT(*)
+        FROM orders WHERE o_totalprice <= 0
+      ORDER BY metric"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57)
+    q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
 }

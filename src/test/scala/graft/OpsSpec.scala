@@ -427,6 +427,28 @@ class OpsSpec extends AnyFunSuite {
     assert(imgs.map(_.checksum).distinct.length == imgs.length)
   }
 
+  // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
+
+  test("approx_count_distinct within 5% of exact on lineitem keys (HLL++ path)") {
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx")).head()
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL drifted: exact=$exact approx=$approx")
+  }
+
+  test("approx percentile within one st.dev-ish band of exact median") {
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val r = li.agg(
+      expr("percentile(l_extendedprice, 0.5)").as("exact"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx")).head()
+    val (exact, approx) = (r.getDouble(0), r.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.02,
+      s"sketch drifted: exact=$exact approx=$approx")
+  }
+
   // ---- funnel / resample / range join ----
 
   private def evts(rows: (Long, Long, String, Long)*) = // user, event_id, type, us
