@@ -38,10 +38,14 @@ object Components {
     * self-loops ignored; direction ignored.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val nodes = edges
+    // Materialize the input ONCE: both the node inventory and the contraction
+    // read it, and upstream `edges` is typically an expensive near-dup join
+    // that must not be re-executed per consumer.
+    val e0 = edges.localCheckpoint(true)
+    val nodes = e0
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
     val stars = starContraction(
-      edges.filter(col("a_id") =!= col("b_id"))
+      e0.filter(col("a_id") =!= col("b_id"))
         .select(greatest(col("a_id"), col("b_id")).as("u"),
           least(col("a_id"), col("b_id")).as("v"))
         .distinct(),

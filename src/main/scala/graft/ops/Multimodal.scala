@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus a decode/feature-extract stage.
   *
-  * Images are REAL: the media table carries genuine PNG bytes (synthesized
-  * deterministically from the document corpus, since the testdata has no
-  * native media column) and the decode stage runs them through
-  * `javax.imageio` — width/height/checksum/histogram-feature all derive from
-  * actual decoded pixels. Audio/video decode remains a declared STUB (this
-  * container has no audio/video codecs) implemented as a deterministic fake
+  * Images and audio are REAL: the media table carries genuine PNG and
+  * RIFF/WAVE bytes (synthesized deterministically from the document corpus,
+  * since the testdata has no native media column) and the decode stage runs
+  * them through `javax.imageio` / `javax.sound.sampled` — dimensions,
+  * checksums, luminance histograms and RMS envelopes all derive from
+  * actually-decoded pixels/samples. Video decode remains a declared STUB
+  * (no video codec ships with the JVM) implemented as a deterministic fake
   * (CRC32/length-derived features) so the Spark-side plumbing — schema,
   * Dataset encoders, per-partition batch processing, partitioning — is real
   * and testable for every kind. Swap `fakeDecode` for a codec call in
@@ -61,6 +62,71 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV for a document: 16-bit mono PCM at 8 kHz,
+    * length and tone from the id, phase noise from the text hash — written
+    * through `javax.sound.sampled`, so the bytes are a genuine RIFF/WAVE
+    * stream any decoder accepts.
+    */
+  private[graft] def encodeWav(id: Long, text: String): Array[Byte] = {
+    val sampleRate = 8000
+    val nSamples = 400 + (id % 1600).toInt // 50–250 ms
+    val freq = 100.0 + (id * 37 % 900)
+    var s = scala.util.hashing.MurmurHash3.stringHash(text, id.toInt) | 1
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      s ^= s << 13; s ^= s >>> 17; s ^= s << 5
+      val noise = (s % 1000) / 1000.0 * 0.1
+      val v = (math.sin(2 * math.Pi * freq * i / sampleRate) * 0.8 + noise) * 32767
+      val sv = math.max(-32768, math.min(32767, v.toInt))
+      pcm(2 * i) = (sv & 0xff).toByte          // little-endian per WAV PCM
+      pcm(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** Real audio decode: PCM samples → checksum + 8-segment RMS envelope.
+    * width = samples, height = channels, n_frames = sample frames.
+    */
+  private def audioDecode(m: MediaRow): Option[MediaFeatures] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(m.content))
+      val fmt = ais.getFormat
+      val pcm = ais.readAllBytes()
+      val n = pcm.length / 2 // 16-bit mono
+      if (n == 0) None
+      else {
+        val crc = new CRC32()
+        crc.update(pcm)
+        val seg = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toDouble / 32768.0
+          val b = math.min(i * 8 / n, 7)
+          seg(b) += v * v; cnt(b) += 1
+          i += 1
+        }
+        Some(MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+          crc.getValue, width = n, height = fmt.getChannels, n_frames = n,
+          feature = Array.tabulate(8)(b =>
+            if (cnt(b) == 0) 0f else math.sqrt(seg(b) / cnt(b)).toFloat)))
+      }
+    } catch { case _: Exception => None }
+
   private val imageMagics: Seq[Array[Byte]] = Seq(
     Array(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte), // PNG
     Array('B'.toByte, 'M'.toByte),                          // BMP
@@ -105,9 +171,11 @@ object Multimodal {
       .map { case (id, text) =>
         val kind =
           if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
-        val content =
-          if (kind == "image") encodePng(id, text)
-          else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val content = kind match {
+          case "image" => encodePng(id, text)
+          case "audio" => encodeWav(id, text)
+          case _       => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        }
         MediaRow(id, kind, content)
       }.toDF()
   }
@@ -134,6 +202,8 @@ object Multimodal {
   private def decodeOne(m: MediaRow): MediaFeatures =
     if (m.kind == "image" && looksLikeImage(m.content))
       imageDecode(m).getOrElse(fakeDecode(m))
+    else if (m.kind == "audio" && looksLikeWav(m.content))
+      audioDecode(m).getOrElse(fakeDecode(m))
     else fakeDecode(m)
 
   /** Decode/feature-extract stage: binary in, typed features out. */

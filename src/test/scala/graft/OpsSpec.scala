@@ -427,6 +427,23 @@ class OpsSpec extends AnyFunSuite {
     assert(imgs.map(_.checksum).distinct.length == imgs.length)
   }
 
+  test("audio decode is real: javax.sound sample counts + RMS envelope") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val auds = Multimodal.decode(Multimodal.mediaTable(d))
+      .filter(col("kind") === "audio").collect()
+    assert(auds.nonEmpty)
+    auds.foreach { f =>
+      // sample count must match what encodeWav synthesized for this id
+      // (proves the WAV container was actually parsed, not length-faked)
+      assert(f.width == 400 + (f.media_id % 1600).toInt, s"media ${f.media_id}")
+      assert(f.height == 1 && f.n_frames == f.width)
+      // a 0.8-amplitude sine has RMS ≈ 0.57 in every segment
+      f.feature.foreach(v => assert(v > 0.2f && v < 0.9f))
+    }
+    assert(auds.map(_.checksum).distinct.length == auds.length)
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("approx_count_distinct within 5% of exact on lineitem keys (HLL++ path)") {
