@@ -1184,10 +1184,118 @@ object Queries {
         FROM orders WHERE o_totalprice <= 0
       ORDER BY metric"""))
 
+  /** SNAPSHOT DIFF (CDC classify): two simulated snapshots of `orders`
+    * (key-gated membership, a deterministic price bump on a subset) run
+    * through a full outer join on the primary key and classify every key as
+    * added / removed / changed / same — the change-data-capture sweep
+    * between pipeline runs. One co-partitioned shuffle join; counts and an
+    * exact key-sum per class.
+    */
+  private val q60 = Q("q60_snapshot_diff",
+    (s, d) => {
+      val o = t(s, d, "orders")
+      val old = o.filter(pmod(col("o_orderkey"), lit(11L)) =!= 3L)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("old_price"))
+      val neu = o.filter(pmod(col("o_orderkey"), lit(13L)) =!= 5L)
+        .select(col("o_orderkey").as("k"),
+          when(pmod(col("o_orderkey"), lit(5L)) === 0L, col("o_totalprice") + 1.5)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      old.join(neu, Seq("k"), "full_outer")
+        .withColumn("status",
+          when(col("new_price").isNull, "removed")
+            .when(col("old_price").isNull, "added")
+            .when(col("old_price") =!= col("new_price"), "changed")
+            .otherwise("same"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      WITH old AS (
+        SELECT o_orderkey AS k, o_totalprice AS old_price
+        FROM orders WHERE o_orderkey % 11 <> 3),
+      neu AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS new_price
+        FROM orders WHERE o_orderkey % 13 <> 5),
+      j AS (
+        SELECT coalesce(old.k, neu.k) AS k,
+               CASE WHEN new_price IS NULL THEN 'removed'
+                    WHEN old_price IS NULL THEN 'added'
+                    WHEN old_price <> new_price THEN 'changed'
+                    ELSE 'same' END AS status
+        FROM old FULL OUTER JOIN neu USING (k))
+      SELECT status, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+      FROM j GROUP BY status ORDER BY status"""))
+
+  /** KEYED INTERVAL ATTRIBUTION: views by the SAME user in the 24 hours
+    * before each purchase — the binned interval join of q57 extended with
+    * an entity key, so the equi-join runs on (user_id, time_bin) and a hot
+    * bin still spreads across users. Oracle is the naive BETWEEN join.
+    */
+  private val q61 = Q("q61_attribution",
+    (s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          (col("us") - 86400000000L).as("start_us"), col("us").as("end_us"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("us").as("v_us"))
+      graft.ops.RangeJoin.binnedIntervalJoin(
+          views, "v_us", purchases, "start_us", "end_us",
+          binUs = 86400000000L, keys = Seq("user_id"))
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_views"), max(col("v_us")).as("last_view_us"))
+        .orderBy(col("p_id"))
+    },
+    Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+                 FROM events),
+      p AS (SELECT event_id AS p_id, user_id, us - 86400000000 AS start_us,
+                   us AS end_us
+            FROM e WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, us AS v_us FROM e WHERE event_type = 'view')
+      SELECT p_id, COUNT(*) AS n_views, max(v_us) AS last_view_us
+      FROM p JOIN v ON p.user_id = v.user_id
+                   AND v_us BETWEEN start_us AND end_us
+      GROUP BY 1 ORDER BY p_id"""))
+
+  /** PERCENTILE BANDS (NTILE): customers quartiled by total spend within
+    * their market segment — window rank machinery with a deterministic
+    * (value, key) ordering so band edges are stable across engines.
+    */
+  private val q62 = Q("q62_ntile_bands",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val spend = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+      t(s, d, "customer")
+        .join(spend, col("c_custkey") === col("o_custkey"))
+        .withColumn("band", ntile(4).over(
+          Window.partitionBy(col("c_mktsegment"))
+            .orderBy(col("spend").desc, col("c_custkey"))))
+        .select(col("c_custkey"), col("c_mktsegment"), col("spend"), col("band"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY 1)
+      SELECT c_custkey, c_mktsegment, spend,
+             CAST(ntile(4) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY spend DESC, c_custkey) AS INT) AS band
+      FROM customer JOIN spend ON c_custkey = o_custkey
+      ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59)
+    q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
+    q60, q61, q62)
 }

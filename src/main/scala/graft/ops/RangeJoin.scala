@@ -26,16 +26,19 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
 
   /** Join `points` (with bigint column `pointCol`) to `intervals` (bigint
-    * `startCol`/`endCol`, inclusive ends). Caller guarantees disjoint
-    * column names across the two frames.
+    * `startCol`/`endCol`, inclusive ends). `keys` are equi-join columns
+    * present in BOTH frames (e.g. user_id for per-entity attribution) —
+    * they join alongside the bin id, which also spreads a hot time bin
+    * across the key space. Caller guarantees the remaining column names are
+    * disjoint across the two frames.
     */
   def binnedIntervalJoin(points: DataFrame, pointCol: String,
                          intervals: DataFrame, startCol: String, endCol: String,
-                         binUs: Long): DataFrame = {
+                         binUs: Long, keys: Seq[String] = Nil): DataFrame = {
     val p = points.withColumn("__bin", expr(s"$pointCol div $binUs"))
     val iv = intervals.withColumn("__bin",
       explode(sequence(expr(s"$startCol div $binUs"), expr(s"$endCol div $binUs"))))
-    p.join(iv, Seq("__bin"))
+    p.join(iv, "__bin" +: keys)
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
