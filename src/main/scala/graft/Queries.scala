@@ -1291,11 +1291,83 @@ object Queries {
       FROM customer JOIN spend ON c_custkey = o_custkey
       ORDER BY c_custkey"""))
 
+  /** Deterministic LISTAGG: per nation, the names of its 3 lowest-custkey
+    * customers joined in key order. String aggregation is order-sensitive,
+    * so the collect is sorted on a unique key before slicing/joining —
+    * the only way listagg can be reproducible on a distributed engine.
+    */
+  private val q63 = Q("q63_listagg",
+    (s, d) => t(s, d, "customer")
+      .join(t(s, d, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(array_join(
+        transform(
+          slice(sort_array(collect_list(struct(col("c_custkey"), col("c_name")))),
+            1, 3),
+          x => x.getField("c_name")), ",").as("top_names"))
+      .orderBy(col("n_name")),
+    Some("""
+      WITH r AS (
+        SELECT n_name, c_name, c_custkey,
+               row_number() OVER (PARTITION BY n_name ORDER BY c_custkey) AS rk
+        FROM customer JOIN nation ON c_nationkey = n_nationkey)
+      SELECT n_name,
+             string_agg(c_name, ',' ORDER BY c_custkey)
+               FILTER (WHERE rk <= 3) AS top_names
+      FROM r GROUP BY n_name ORDER BY n_name"""))
+
+  /** Arbitrary GROUPING SETS (not expressible as rollup/cube): totals by
+    * (status), by (priority), and grand total in one pass, disambiguated
+    * with grouping_id — Spark 4's Dataset.groupingSets API.
+    */
+  private val q64 = Q("q64_grouping_sets",
+    (s, d) => t(s, d, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority")),
+    Some("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus, o_orderpriority"""))
+
+  /** UNPIVOT (wide → long): per-day conditional counts melted into
+    * (day, metric, n) rows — the inverse of q38's pivot, via the native
+    * Dataset.unpivot (melt) operator.
+    */
+  private val q65 = Q("q65_unpivot",
+    (s, d) => t(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(when(col("event_type") === "purchase", 1)).as("n_purchase"),
+        count(when(col("event_type") === "click", 1)).as("n_click"),
+        count(when(col("event_type") === "error", 1)).as("n_error"))
+      .unpivot(Array(col("day")),
+        Array(col("n_purchase"), col("n_click"), col("n_error")),
+        "metric", "n")
+      .orderBy(col("day"), col("metric")),
+    Some("""
+      WITH wide AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+        FROM events GROUP BY 1)
+      SELECT day, metric, n
+      FROM wide UNPIVOT (n FOR metric IN (n_purchase, n_click, n_error))
+      ORDER BY day, metric"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62)
+    q60, q61, q62, q63, q64, q65)
 }
