@@ -1363,11 +1363,27 @@ object Queries {
       FROM wide UNPIVOT (n FOR metric IN (n_purchase, n_click, n_error))
       ORDER BY day, metric"""))
 
+  /** APPROX HEAVY HITTERS (SpaceSaving TypedImperativeAggregate): top terms
+    * per source from an O(m) mergeable summary — one pass, no vocab-sized
+    * shuffle. Estimates depend on merge order (inherent to the sketch), so
+    * no value oracle; the recovery + error-bound contract is asserted
+    * against exact counts in OpsSpec.
+    */
+  private val q66 = Q("q66_heavy_hitters",
+    (s, d) => t(s, d, "documents")
+      .select(col("source"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("source"))
+      .agg(gfn.heavy_hitters(col("term"), 64).as("hh"))
+      .select(col("source"), expr("slice(hh, 1, 10)").as("top10"))
+      .orderBy(col("source")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65)
+    q60, q61, q62, q63, q64, q65, q66)
 }

@@ -330,6 +330,8 @@ object gfn {
   def pii_count(c: Column): Column = col(PiiCount(ex(c)))
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =
     col(NearestCentroid(ex(c), cents, nList, dim))
+  def heavy_hitters(term: Column, m: Int): Column =
+    col(HeavyHitters(ex(term), m).toAggregateExpression())
   def topk_by_score(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(ex(score.cast("double")), ex(id.cast("long")), k)
       .toAggregateExpression())

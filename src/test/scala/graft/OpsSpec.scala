@@ -446,6 +446,39 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
+  test("heavy hitters: recovers true top terms with bounded overestimate") {
+    import graft.functions.gfn
+    val d = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val toks = d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val sketch = toks.agg(gfn.heavy_hitters(col("term"), 64).as("hh"))
+      .selectExpr("inline(hh)").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = toks.groupBy("term").count()
+      .orderBy(col("count").desc, col("term")).limit(10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val sketchTop = sketch.sortBy { case (t, c, _) => (-c, t) }.take(20).map(_._1).toSet
+    // every true top-10 term must surface in the sketch's top-20
+    assert(exact.keySet.subsetOf(sketchTop),
+      s"missed: ${exact.keySet -- sketchTop}")
+    // SpaceSaving bound: est - err <= true <= est for tracked true counts
+    sketch.filter(x => exact.contains(x._1)).foreach { case (t, est, err) =>
+      val truth = exact(t)
+      assert(truth <= est && truth >= est - err, s"$t: est=$est err=$err true=$truth")
+    }
+  }
+
+  test("heavy hitters: partial aggregation ships O(m) state, not the vocab") {
+    import graft.functions.gfn
+    val d = docs(1L -> ("x " * 50).trim, 2L -> "y z w v u t s r q p")
+    val agg = d.select(explode(split(col("text"), " ")).as("term"))
+      .agg(gfn.heavy_hitters(col("term"), 4).as("hh"))
+    val plan = agg.queryExecution.executedPlan.toString
+    // both partial and final ObjectHashAggregate stages must exist
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2, plan)
+    val top = agg.selectExpr("inline(hh)").collect().map(_.getString(0))
+    assert(top.head == "x") // the planted 50x term dominates any eviction
+  }
+
   test("approx_count_distinct within 5% of exact on lineitem keys (HLL++ path)") {
     val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
     val r = li.agg(
