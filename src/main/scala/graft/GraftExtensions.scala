@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{KplDeaggregate, LenientTimestamp, NgramJaccard,
-  NormalizeText, PiiCount, QuantizedDot, RedactPii, ShingleHashes, SimHash64,
-  TryGunzip, VecCosine}
+import graft.functions.{HeavyHitters, KplDeaggregate, LenientTimestamp,
+  NgramJaccard, NormalizeText, PiiCount, QuantizedDot, RedactPii,
+  ShingleHashes, SimHash64, TopKByScore, TryGunzip, VecCosine}
 
 /** SparkSessionExtensions hook: makes the engine's custom expressions
   * available to plain `spark.sql(...)` users via
@@ -71,6 +71,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash over whitespace tokens"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    // custom aggregates: the analyzer wraps a bare AggregateFunction in its
+    // AggregateExpression, so returning the function itself is enough
+    e.injectFunction((FunctionIdentifier("heavy_hitters"),
+      info("heavy_hitters", "heavy_hitters(term, m) - SpaceSaving m-counter frequent-items summary"),
+      (es: Seq[Expression]) => es match {
+        case Seq(t, m) => HeavyHitters(t, intLit(m, "heavy_hitters"))
+        case _ => throw new IllegalArgumentException("heavy_hitters takes (term, m)")
+      }))
+    e.injectFunction((FunctionIdentifier("topk_by_score"),
+      info("topk_by_score", "topk_by_score(score, id, k) - bounded per-group top-k (partial-agg)"),
+      (es: Seq[Expression]) => es match {
+        case Seq(s, i, k) => TopKByScore(s, i, intLit(k, "topk_by_score"))
+        case _ => throw new IllegalArgumentException("topk_by_score takes (score, id, k)")
+      }))
     e.injectFunction((FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => VecCosine(es.head, es(1))))

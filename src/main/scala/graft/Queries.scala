@@ -1379,11 +1379,74 @@ object Queries {
       .orderBy(col("source")),
     None)
 
+  /** SALTED SKEW JOIN on the correctness surface: lineitem ⋈ orders with
+    * the big side salted 8 ways and the dim replicated per salt — the
+    * oracle is the PLAIN join, proving the salt rewrite changes the
+    * physical key distribution and nothing else.
+    */
+  private val q67 = Q("q67_salted_join",
+    (s, d) => graft.ops.Skew.saltedJoin(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        keys = Seq("l_orderkey"), factor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1"""))
+
+  /** CHARACTER-ENTROPY quality feature: Shannon entropy of each document's
+    * character distribution — low entropy flags repetitive/degenerate text.
+    * Each summand is (p·ln p) — ln bit-agrees across engines (q53) where
+    * log2-as-a-primitive does not — routed through DECIMAL(28,12) so the
+    * SUM is order-independent; one final division by a shared ln(2)
+    * literal converts to bits.
+    */
+  private val q68 = Q("q68_char_entropy",
+    (s, d) => {
+      val chars = t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .where(length(col("ch")) > 0)
+      chars.groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .withColumn("p", col("cnt").cast("double") / col("n").cast("double"))
+        .groupBy(col("doc_id"))
+        .agg((-sum((col("p") * log(col("p"))).cast(DecimalType(28, 12))))
+          .cast("double").as("nats"))
+        .select(col("doc_id"),
+          (col("nats") / lit(0.6931471805599453)).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      cnts AS (
+        SELECT doc_id, ch, COUNT(*) AS cnt FROM chars
+        WHERE len(ch) > 0 GROUP BY 1, 2),
+      withn AS (
+        SELECT doc_id, cnt,
+               SUM(cnt) OVER (PARTITION BY doc_id) AS n FROM cnts),
+      terms AS (
+        SELECT doc_id,
+               CAST(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) *
+                    ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+                    AS DECIMAL(28,12)) AS term
+        FROM withn)
+      SELECT doc_id,
+             CAST(-SUM(term) AS DOUBLE) / 0.6931471805599453 AS entropy
+      FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68)
 }

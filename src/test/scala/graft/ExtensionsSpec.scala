@@ -23,6 +23,19 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(n == 1)
   }
 
+  test("custom aggregates are callable from spark.sql (analyzer wraps them)") {
+    val spark = SparkTestSession.spark
+    spark.sql("SELECT explode(split('a a a b c', ' ')) AS term")
+      .createOrReplaceTempView("terms_sql_test")
+    val hh = spark.sql(
+      "SELECT inline(heavy_hitters(term, 4)) FROM terms_sql_test").collect()
+    assert(hh.head.getString(0) == "a" && hh.head.getLong(1) == 3L)
+    val tk = spark.sql(
+      """SELECT inline(topk_by_score(s, id, 2)) FROM
+         (SELECT CAST(id AS DOUBLE) AS s, id FROM range(10))""").collect()
+    assert(tk.map(_.getLong(1)).toSeq == Seq(9L, 8L))
+  }
+
   test("analysis kernels are callable from spark.sql") {
     val spark = SparkTestSession.spark
     val r = spark.sql(
