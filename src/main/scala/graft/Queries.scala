@@ -1442,11 +1442,41 @@ object Queries {
              CAST(-SUM(term) AS DOUBLE) / 0.6931471805599453 AS entropy
       FROM terms GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** PER-GROUP EMBEDDING CENTROIDS: element-wise mean of the 64-dim float
+    * vectors per label — the building block of cluster refinement / class
+    * prototypes. posexplode → (label, dim) hash aggregate: one shuffle of
+    * |rows|·dim scalar values with full partial aggregation (each map task
+    * emits one partial sum per (label, dim), NOT its vectors).
+    *
+    * Exactness: fixed-scale DECIMAL rounding of floats is NOT cross-engine
+    * safe — dyadic rationals (every float) land exactly on .5 boundaries
+    * where HALF_UP (Spark) and HALF_EVEN (DuckDB) split. Instead each
+    * float is scaled by 2^52 (exact in double for any |v| down to 2^-29),
+    * cast to DECIMAL(38,0) — an integer, nothing to round — summed
+    * exactly, and divided back: no rounding happens anywhere.
+    */
+  private val q69 = Q("q69_embed_centroid",
+    (s, d) => t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), (col("pos") + 1).as("idx"),
+        col("col").cast("double").as("v"))
+      .groupBy(col("label"), col("idx"))
+      .agg((sum((col("v") * lit(4503599627370496.0)).cast(DecimalType(38, 0)))
+        .cast("double") / lit(4503599627370496.0) / count(lit(1))).as("c"))
+      .orderBy(col("label"), col("idx")),
+    Some("""
+      SELECT label, CAST(i AS INT) AS idx,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) * 4503599627370496.0
+                           AS DECIMAL(38,0))) AS DOUBLE)
+               / 4503599627370496.0 / COUNT(*) AS c
+      FROM embeddings, range(1, 65) t(i)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
 }
