@@ -1472,11 +1472,42 @@ object Queries {
       FROM embeddings, range(1, 65) t(i)
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** COHORT RETENTION MATRIX: users grouped by first-activity week, counted
+    * in each subsequent week they return — (cohort_week, week_offset,
+    * n_users). Pure integer epoch-week arithmetic; the cohort assignment is
+    * a window-min over the same user partitioning the distinct already
+    * shuffles on.
+    */
+  private val q70 = Q("q70_cohort_retention",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wk = t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+      wk.withColumn("cohort_week",
+          min(col("week")).over(Window.partitionBy(col("user_id"))))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH wk AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      c AS (
+        SELECT user_id, week,
+               min(week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM wk)
+      SELECT cohort_week, week - cohort_week AS week_offset,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
 }
