@@ -1503,11 +1503,63 @@ object Queries {
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
       FROM c GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** PERPLEXITY-PROXY QUALITY FILTER (CCNet-style): each document scored by
+    * the negated mean bigram log-likelihood under the corpus's own MLE
+    * bigram model — ppl_proxy = -avg ln(c(w1,w2)/c(w1)). High values flag
+    * improbable token sequences. The LM "training" is two corpus-wide
+    * count aggregates; scoring joins them back per bigram — all
+    * vocab-sized equi shuffles, the distributed shape of n-gram LM
+    * scoring. ln summands routed through DECIMAL(28,12) as usual.
+    */
+  private val q71 = Q("q71_ppl_proxy",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+      val big = toks
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .where(col("w2").isNotNull)
+      val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      big.join(c2, Seq("w", "w2")).join(c1, Seq("w"))
+        .withColumn("lp",
+          log(col("c2").cast("double") / col("c1").cast("double"))
+            .cast(DecimalType(28, 12)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          ((-sum(col("lp"))).cast("double") / count(lit(1))).as("ppl_proxy"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents),
+      big AS (
+        SELECT doc_id, w,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+      b2 AS (SELECT doc_id, w, w2 FROM big WHERE w2 IS NOT NULL),
+      c2 AS (SELECT w, w2, COUNT(*) AS c2 FROM b2 GROUP BY 1, 2),
+      c1 AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+      lp AS (
+        SELECT doc_id,
+               CAST(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                    AS DECIMAL(28,12)) AS lp
+        FROM b2 JOIN c2 USING (w, w2) JOIN c1 USING (w))
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             CAST(-SUM(lp) AS DOUBLE) / COUNT(*) AS ppl_proxy
+      FROM lp GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
 }
