@@ -111,4 +111,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.subsetOf(rows(batch)),
       s"streaming windows diverge from batch: $emitted vs ${rows(batch)}")
   }
+
+  test("streaming trending terms: state accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.TrendingTerms.trending(
+      mem.toDF().toDF("source", "term"), m = 8, k = 3)
+    val q = out.writeStream.format("memory").queryName("trending")
+      .outputMode("append").start()
+    try {
+      // batch 1: "hot" leads in src0
+      mem.addData(Seq("hot", "hot", "hot", "warm", "cold").map("src0" -> _): _*)
+      q.processAllAvailable()
+      val b1 = spark.table("trending").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(b1.exists(t => t._2 == "hot" && t._3 == 3L), b1.toSeq)
+      // batch 2: "warm" surges; counts must include batch-1 state
+      mem.addData(Seq("warm", "warm", "warm", "warm").map("src0" -> _): _*)
+      q.processAllAvailable()
+      val b2 = spark.table("trending").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(b2.exists(t => t._2 == "warm" && t._3 == 5L),
+        s"state did not accumulate: ${b2.toSeq}")
+    } finally q.stop()
+  }
 }
