@@ -1555,11 +1555,46 @@ object Queries {
              CAST(-SUM(lp) AS DOUBLE) / COUNT(*) AS ppl_proxy
       FROM lp GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** ROLLING 7-DAY DISTINCT USERS (WAU): COUNT(DISTINCT) over a sliding
+    * window isn't a window function Spark (or ANSI) has — the scalable
+    * rewrite dedups to (user, day) once, replicates each active day into
+    * the 7 report-days it contributes to (bounded 7× fan-out of the
+    * already-tiny distinct frame), and runs a plain distinct-count per
+    * report day. Report days clipped to the observed range.
+    */
+  private val q72 = Q("q72_rolling_dau",
+    (s, d) => {
+      val days = t(s, d, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val bounds = days.agg(max(col("day")).as("max_day"))
+      days
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("report_day"))
+        .crossJoin(broadcast(bounds))
+        .where(col("report_day") <= col("max_day"))
+        .groupBy(col("report_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .orderBy(col("report_day"))
+    },
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        FROM events),
+      b AS (SELECT max(day) AS max_day FROM days),
+      r AS (
+        SELECT user_id, day + o AS report_day
+        FROM days, range(0, 7) t(o))
+      SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM r, b WHERE report_day <= max_day
+      GROUP BY report_day ORDER BY report_day"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
 }
