@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, sum, unix_micros, window}
+import org.apache.spark.sql.functions.{col, count, expr, lit, sum, unix_micros, window}
 
 import graft.streaming.{CurationStreamJob, LogStreamJob}
 
@@ -110,6 +110,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.nonEmpty)
     assert(emitted.subsetOf(rows(batch)),
       s"streaming windows diverge from batch: $emitted vs ${rows(batch)}")
+  }
+
+  test("stream-stream interval join: purchases attach to error windows under watermarks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2026-08-12 02:00:00").getTime
+    def ts(m: Long) = new java.sql.Timestamp(base + m * 60000L)
+    val errs = MemoryStream[(Long, java.sql.Timestamp)]
+    val purch = MemoryStream[(Long, java.sql.Timestamp)]
+    // error 100 at t=0 covers [0, 10]; purchase 200 at t=5 inside, 201 at t=30 outside
+    errs.addData((100L, ts(0)))
+    purch.addData((200L, ts(5)), (201L, ts(30)))
+    // Spark refuses stream-stream joins without an equality predicate —
+    // the SAME time-bin equi-key that makes the batch range join scale
+    // (ops/RangeJoin) is what makes it legal here: interval side explodes
+    // into its 2 bins, point side carries 1, join on bin + exact predicate.
+    val e = errs.toDF().toDF("incident_id", "e_ts").withWatermark("e_ts", "1 hour")
+      .withColumn("bin", org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array(
+          expr("unix_micros(e_ts) div 600000000"),
+          expr("unix_micros(e_ts) div 600000000 + 1"))))
+    val p = purch.toDF().toDF("p_id", "p_ts").withWatermark("p_ts", "1 hour")
+      .withColumn("bin", expr("unix_micros(p_ts) div 600000000"))
+    val joined = p.join(e,
+      p("bin") === e("bin") &&
+        col("p_ts") >= col("e_ts") &&
+        col("p_ts") <= col("e_ts") + expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").trigger(
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ssjoin").select($"p_id", $"incident_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(200L -> 100L), s"got $got")
   }
 
   test("streaming trending terms: state accumulates across micro-batches") {
