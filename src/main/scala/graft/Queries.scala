@@ -1590,11 +1590,58 @@ object Queries {
       FROM r, b WHERE report_day <= max_day
       GROUP BY report_day ORDER BY report_day"""))
 
+  /** FORWARD AS-OF JOIN: for each purchase, the user's next error at or
+    * after it — the mirror of q31's backward as-of, same one-shuffle
+    * union+window formulation (ops/AsOf.joinNext). Oracle uses DuckDB's
+    * native forward ASOF LEFT JOIN (`p_us <= e_us`).
+    */
+  private val q73 = Q("q73_asof_next",
+    (s, d) => {
+      val e = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("us").as("p_us"))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("us").as("e_us"), col("event_id").as("e_id"))
+      graft.ops.AsOf.joinNext(purchases, errors,
+          leftKey = "user_id", rightKey = "user_id",
+          leftTs = "p_us", rightTs = "e_us",
+          rightVals = Seq("e_id", "e_us"))
+        .select(col("p_id"), col("user_id"), col("p_us"),
+          col("asof_e_id"), col("asof_e_us"))
+        .orderBy(col("p_id"))
+    },
+    Some("""
+      WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+                 FROM events WHERE event_type = 'purchase'),
+      e AS (SELECT event_id AS e_id, user_id, epoch_us(ts) AS e_us
+            FROM events WHERE event_type = 'error')
+      SELECT p_id, p.user_id, p_us, e_id AS asof_e_id, e_us AS asof_e_us
+      FROM p ASOF LEFT JOIN e ON p.user_id = e.user_id AND p.p_us <= e.e_us
+      ORDER BY p_id"""))
+
+  /** SET EXCEPT (distinct difference): customers with no urgent order —
+    * completes the set-op family beside q09 UNION and q11 INTERSECT.
+    */
+  private val q74 = Q("q74_set_except",
+    (s, d) => t(s, d, "customer").select(col("c_custkey"))
+      .except(t(s, d, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey")))
+      .orderBy(col("c_custkey")),
+    Some("""
+      SELECT c_custkey FROM customer
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
     q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q30, q31,
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
-    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72)
+    q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
+    q73, q74)
 }

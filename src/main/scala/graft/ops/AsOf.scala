@@ -51,4 +51,35 @@ object AsOf {
     matched.select(leftCols.map(col) ++
       rightVals.map(v => col("_m").getField(v).as(s"asof_$v")): _*)
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * rightTs ≥ leftTs for the same key (e.g. "next error after each
+    * purchase"). Same union+window shape as [[joinPrior]], mirrored: left
+    * sorts before right at equal ts and the frame looks forward, so an
+    * equal-ts right row matches (inclusive).
+    */
+  def joinNext(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_k", col(leftKey)).withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(0)) // left sorts before right at equal ts
+      .withColumn("_rv", lit(null).cast(right.select(rightVals.map(col): _*).schema
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType())((s, f) => s.add(f))))
+    val r = right
+      .select((Seq(col(rightKey).as("_k"), col(rightTs).as("_ts"), lit(1).as("_side"),
+        struct(rightVals.map(col): _*).as("_rv")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val unioned = l.select((Seq("_k", "_ts", "_side", "_rv").map(col) ++
+      leftCols.map(col)): _*).unionByName(r)
+
+    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val matched = unioned.withColumn("_m", first(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+    matched.select(leftCols.map(col) ++
+      rightVals.map(v => col("_m").getField(v).as(s"asof_$v")): _*)
+  }
 }

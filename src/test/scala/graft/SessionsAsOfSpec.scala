@@ -47,6 +47,20 @@ class SessionsAsOfSpec extends AnyFunSuite {
     assert(j.collect().head.getAs[String]("asof_tag") == "same")
   }
 
+  test("forward as-of picks the earliest following row, inclusive, null when none") {
+    import spark.implicits._
+    val left = Seq((10L, 100L, ts("2026-08-12T02:00:00Z")),
+      (11L, 100L, ts("2026-08-12T03:00:00Z")), // equal-ts right must match
+      (12L, 100L, ts("2026-08-12T06:00:00Z")), // nothing after -> null
+      (13L, 200L, ts("2026-08-12T01:00:00Z"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, ts("2026-08-12T02:30:00Z"), "a"),
+      (100L, ts("2026-08-12T03:00:00Z"), "b"),
+      (200L, ts("2026-08-12T00:30:00Z"), "early")).toDF("r_user", "r_ts", "tag")
+    val j = AsOf.joinNext(left, right, "user_id", "r_user", "ts", "r_ts", Seq("tag"))
+      .orderBy("event_id").collect()
+    assert(j.map(_.getAs[String]("asof_tag")).toSeq == Seq("a", "b", null, null))
+  }
+
   test("streaming session_window aggregation emits merged sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
