@@ -1375,9 +1375,48 @@ object Queries {
         explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
       .groupBy(col("source"))
       .agg(gfn.heavy_hitters(col("term"), 64).as("hh"))
-      .select(col("source"), expr("slice(hh, 1, 10)").as("top10"))
-      .orderBy(col("source")),
+      .select(col("source"), posexplode(expr("slice(hh, 1, 10)")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.term").as("term"), col("col.est").as("est"),
+        col("col.err").as("err"))
+      .orderBy(col("source"), col("rank")),
     None)
+
+  /** EXACT TOP TERMS — the oracle-checkable companion to q66: full
+    * `groupBy(term).count` top-10 per source with a deterministic
+    * (cnt DESC, term) tiebreak. At 100 TB this shuffles the whole
+    * vocabulary (which is exactly why q66's O(m) sketch exists); here it
+    * doubles as the ground truth the SpaceSaving summary is asserted
+    * against in OpsSpec.
+    */
+  private val q75 = Q("q75_top_terms_exact",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("cnt").desc, col("term"))
+      t(s, d, "documents")
+        .select(col("source"),
+          explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("source"), col("rank"), col("term"), col("cnt"))
+        .orderBy(col("source"), col("rank"))
+    },
+    Some("""
+      WITH terms AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        FROM documents),
+      cnts AS (
+        SELECT source, term, COUNT(*) AS cnt FROM terms GROUP BY 1, 2),
+      ranked AS (
+        SELECT source, term, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, term) AS rank
+        FROM cnts)
+      SELECT source, rank, term, cnt FROM ranked WHERE rank <= 10
+      ORDER BY source, rank"""))
 
   /** SALTED SKEW JOIN on the correctness surface: lineitem ⋈ orders with
     * the big side salted 8 ways and the dim replicated per salt — the
@@ -1643,5 +1682,5 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74)
+    q73, q74, q75)
 }

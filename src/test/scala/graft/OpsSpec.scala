@@ -467,6 +467,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("heavy hitters: q66 sketch top-10 matches q75 exact top-10 per source") {
+    def topTerms(name: String): Map[String, Set[String]] =
+      Queries.all.find(_.name == name).get
+        .build(spark, "/root/testdata/sf0.01")
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (src, rows) => src -> rows.map(_.getString(2)).toSet }
+    val sketch = topTerms("q66_heavy_hitters")
+    val exact = topTerms("q75_top_terms_exact")
+    assert(sketch.keySet == exact.keySet)
+    // m=64 on the sf0.01 skew profile: the sketch's top-10 must equal the
+    // exact top-10 per source (the skew margin dominates the sketch error)
+    exact.foreach { case (src, terms) =>
+      assert(sketch(src) == terms,
+        s"source=$src missed=${terms -- sketch(src)} extra=${sketch(src) -- terms}")
+    }
+  }
+
   test("heavy hitters: partial aggregation ships O(m) state, not the vocab") {
     import graft.functions.gfn
     val d = docs(1L -> ("x " * 50).trim, 2L -> "y z w v u t s r q p")
