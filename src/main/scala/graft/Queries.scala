@@ -264,7 +264,12 @@ object Queries {
         .when(col("event_id") % 3 === 1,
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
         .otherwise(date_format(col("ts"), "EEE, dd MMM yyyy HH:mm:ss Z"))
+      // The sf-scale events table is one parquet file = one input split,
+      // which would run the CPU-bound render+parse chain single-threaded;
+      // at real scale the scan has thousands of splits. Spread it explicitly
+      // (the rows are tiny, the shuffle is cheap, the kernel is the cost).
       t(s, d, "events")
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("raw_ts", raw)
         .withColumn("parsed", gfn.lenient_ts(col("raw_ts")))
         .select(col("event_id"), col("parsed"))
@@ -549,11 +554,15 @@ object Queries {
     */
   private val q37 = Q("q37_pipeline_parse",
     (s, d) => {
-      val raw = t(s, d, "events").select(to_json(struct(
-        col("event_type").as("log_type"),
-        col("event_id").cast("string").as("log_id"),
-        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
-        col("user_id"), col("value"))).as("payload"))
+      // One parquet file = one input split at bench scale: repartition first
+      // so the CPU-bound render+parse chain uses every core (see q15 note).
+      val raw = t(s, d, "events")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(to_json(struct(
+          col("event_type").as("log_type"),
+          col("event_id").cast("string").as("log_id"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'").as("time"),
+          col("user_id"), col("value"))).as("payload"))
       graft.pipeline.LogPipeline.parse(raw, PipelineConfig())
         .groupBy(col("route"), col("month"), col("day"))
         .agg(count(lit(1)).as("n"),

@@ -50,11 +50,32 @@ object LenientTs {
     java.lang.Long.valueOf(Math.addExact(
       Math.multiplyExact(i.getEpochSecond, 1000000L), (i.getNano / 1000).toLong))
 
+  // ZoneId.of per row is a measurable fraction of the parse cost at 100k
+  // rows/task; the zone string is a per-query constant, so memoize it.
+  private val zoneCache = new java.util.concurrent.ConcurrentHashMap[String, ZoneId]()
+  private def zoneOf(zoneId: String): ZoneId =
+    zoneCache.computeIfAbsent(zoneId, z =>
+      try ZoneId.of(z) catch { case _: Exception => ZoneOffset.UTC })
+
+  // True iff an offset indicator (+hh[:mm], -hh[:mm], Z) appears after the
+  // seconds field — distinguishes "…09:15:30+09:00" from "…09:15:30[.SSS]"
+  // so the first formatter tried is the one that will succeed (a wrong-first
+  // try costs a filled-in DateTimeParseException per row).
+  private def hasOffsetAfterSeconds(t: String): Boolean = {
+    var j = 19 // index right after "yyyy-MM-ddTHH:mm:ss"
+    while (j < t.length) {
+      val c = t.charAt(j)
+      if (c == '+' || c == '-' || c == 'Z' || c == 'z') return true
+      j += 1
+    }
+    false
+  }
+
   def parseMicros(s: String, zoneId: String): java.lang.Long = {
     if (s == null) return null
     val t = s.trim
     if (t.isEmpty) return null
-    val zone = try ZoneId.of(zoneId) catch { case _: Exception => ZoneOffset.UTC }
+    val zone = zoneOf(zoneId)
 
     // Epoch numerics first: all-digit strings never match the date formats.
     if (t.length >= 10 && t.forall(_.isDigit)) {
@@ -81,13 +102,27 @@ object LenientTs {
       r = attempt(ZonedDateTime.parse(t, DateTimeFormatter.RFC_1123_DATE_TIME).toInstant)
       if (r != null) return r
     } else if (t.length > 10 && t.charAt(10) == 'T') {
-      r = attempt(OffsetDateTime.parse(t, isoOffset).toInstant); if (r != null) return r
-      r = attempt(LocalDateTime.parse(t, isoLocal).atZone(zone).toInstant); if (r != null) return r
+      // The offset and local formatters accept disjoint strings (the offset
+      // form requires a zone suffix to resolve; the local form rejects
+      // trailing text), so trying the sniffed one first is order-equivalent
+      // to the plain chain — it only skips the guaranteed-to-throw attempt.
+      if (hasOffsetAfterSeconds(t)) {
+        r = attempt(OffsetDateTime.parse(t, isoOffset).toInstant); if (r != null) return r
+        r = attempt(LocalDateTime.parse(t, isoLocal).atZone(zone).toInstant); if (r != null) return r
+      } else {
+        r = attempt(LocalDateTime.parse(t, isoLocal).atZone(zone).toInstant); if (r != null) return r
+        r = attempt(OffsetDateTime.parse(t, isoOffset).toInstant); if (r != null) return r
+      }
     } else if (t.length == 10) {
       r = attempt(LocalDate.parse(t, dateOnly).atStartOfDay(zone).toInstant); if (r != null) return r
     } else {
-      r = attempt(OffsetDateTime.parse(t, sqlOffset).toInstant); if (r != null) return r
-      r = attempt(LocalDateTime.parse(t, sqlLocal).atZone(zone).toInstant); if (r != null) return r
+      if (hasOffsetAfterSeconds(t)) {
+        r = attempt(OffsetDateTime.parse(t, sqlOffset).toInstant); if (r != null) return r
+        r = attempt(LocalDateTime.parse(t, sqlLocal).atZone(zone).toInstant); if (r != null) return r
+      } else {
+        r = attempt(LocalDateTime.parse(t, sqlLocal).atZone(zone).toInstant); if (r != null) return r
+        r = attempt(OffsetDateTime.parse(t, sqlOffset).toInstant); if (r != null) return r
+      }
     }
 
     // Fallback: the full chain, for shapes the dispatch above misjudged.
