@@ -90,25 +90,28 @@ object Dedup {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val text = docs.select(col("doc_id"), col("text"))
       .repartition(parallelism, col("doc_id"))
+    // The staged (doc_id, hashes) frame feeds three consumers — the
+    // signature/band pass and BOTH sides of the candidate verify join.
+    // Without persistence each consumer re-runs the shingle kernel over the
+    // full corpus (ReuseExchange only dedupes the repartition shuffle, not
+    // the post-shuffle compute). MEMORY_AND_DISK: hash arrays are ~100×
+    // smaller than the text and spill rather than OOM at scale.
     val staged = shingled(text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val b = lshBands(staged, k, bands)
     val cand = pairsFromBuckets(b, Seq("band", "band_key"),
       maxBucketSize = maxBucketSize, capMetric = "minhash_lsh_cap")
-    // Verify only the candidate set: equi-join the pair list against the raw
-    // corpus on doc_id. NO broadcast hint — the candidate set scales with
-    // corpus size × duplicate rate, so a forced broadcast is a driver OOM on
-    // a near-dup-heavy 100 TB corpus; AQE picks broadcast at runtime when
-    // the pairs genuinely fit, and a shuffled join otherwise. Shingle hashes
-    // are recomputed for the candidate rows alone; Jaccard over hashed
-    // shingles equals Jaccard over string shingles up to negligible 31-bit
-    // collision mass. (For repeated runs over one corpus, persist `docs`.)
-    val candB = cand
-    val src = docs.select(col("doc_id"), col("text"))
-    val sh = graft.functions.gfn.shingle_hashes(col("text"))
-    val withSh = src.join(candB, col("doc_id") === col("a_id"))
-      .select(col("a_id"), col("b_id"), sh.as("a_sh"))
-      .join(src, col("doc_id") === col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), sh.as("b_sh"))
+    // Verify only the candidate set: equi-join the pair list against the
+    // staged hash frame on doc_id — never back to the raw text. NO broadcast
+    // hint — the candidate set scales with corpus size × duplicate rate, so
+    // a forced broadcast is a driver OOM on a near-dup-heavy 100 TB corpus;
+    // AQE picks broadcast at runtime when the pairs genuinely fit, and a
+    // shuffled join otherwise. Jaccard over hashed shingles equals Jaccard
+    // over string shingles up to negligible 31-bit collision mass.
+    val withSh = staged.join(cand, col("doc_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("hashes").as("a_sh"))
+      .join(staged, col("doc_id") === col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("hashes").as("b_sh"))
     withSh
       .withColumn("jaccard",
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
@@ -143,9 +146,22 @@ object Dedup {
     *    the prefix — the PPJoin-family trade for heavy-tailed corpora.
     *  - `"full"`: unfiltered posting join + string-exact verify (the naive
     *    baseline the other two are tested equivalent to).
+    *
+    * `maxDf` (the `"count"` strategy's giant-bucket guard, mirroring
+    * `pairsFromBuckets(maxBucketSize)`): a boilerplate shingle shared by n
+    * docs is an unbounded `collect_list` and an O(n²) pair fan-out — the one
+    * quadratic a heavy-tailed corpus can hit. With the cap set, posting
+    * lists longer than `maxDf` are dropped and OBSERVED (`exact_count_df_cap`:
+    * dropped_buckets / dropped_ids / max_bucket_size). Dropping a list
+    * removes its +1 from every co-occurring pair's intersection count, so
+    * capped results are a certified LOWER bound on Jaccard (pairs connected
+    * only through boilerplate may be missed) — same contract as the LSH cap;
+    * `"prefix"` is the lossless alternative for such corpora. Uncapped (the
+    * default), the plan is unchanged.
     */
   def exactNearDups(docs: DataFrame, threshold: Double = 0.5, w: Int = 3,
-                    strategy: String = "count"): DataFrame = {
+                    strategy: String = "count",
+                    maxDf: Option[Int] = None): DataFrame = {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val src = docs.select(col("doc_id"), col("text"))
 
@@ -155,9 +171,18 @@ object Dedup {
       val sizes = staged.select(col("doc_id"), size(col("hashes")).as("sz"))
       val posting = staged.select(col("doc_id"), explode(col("hashes")).as("h"))
       val ids = array_sort(col("ids"))
-      val counts = posting.groupBy(col("h"))
+      val grouped = posting.groupBy(col("h"))
         .agg(collect_list(col("doc_id")).as("ids"))
         .filter(size(col("ids")) > 1)
+      val capped = maxDf.fold(grouped) { cap =>
+        grouped
+          .observe("exact_count_df_cap",
+            sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+            sum(when(size(col("ids")) > cap, size(col("ids"))).otherwise(0L)).as("dropped_ids"),
+            max(size(col("ids"))).as("max_bucket_size"))
+          .filter(size(col("ids")) <= cap)
+      }
+      val counts = capped
         .select(explode(flatten(transform(ids, (a, i) =>
           transform(slice(ids, i + 2, size(ids)),
             bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))

@@ -62,7 +62,7 @@ object PipelineMetrics {
     val l = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
-          if (name.endsWith("lsh_cap"))
+          if (name.endsWith("_cap"))
             onDrop(name, row.schema.fieldNames.map(f =>
               f -> (row.getAs[Any](f) match {
                 case null => 0L

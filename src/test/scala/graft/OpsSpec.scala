@@ -146,6 +146,36 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("exact count-path maxDf cap drops boilerplate posting lists, keeps real pairs, logs drops") {
+    // every boilerplate doc shares the same 3 leading shingles (df = 40)
+    // but is otherwise unique; one genuine near-dup pair shares df=2 lists
+    val boiler = (1L to 40L).map(i =>
+      i -> s"shared boilerplate header line fixed unique$i content$i word$i extra$i tail$i")
+    val base = "the quick brown fox jumps over the lazy dog again and again until done"
+    val corpus = docs(boiler ++ Seq(100L -> base, 101L -> base.replace("done", "finished")): _*)
+
+    // uncapped at a low threshold the boilerplate fan-out is real
+    val uncapped = Dedup.exactNearDups(corpus, threshold = 0.1)
+    assert(uncapped.count() >= 780)
+
+    @volatile var logged = Map.empty[String, Map[String, Long]]
+    val l = graft.streaming.PipelineMetrics.attachCapLogger(spark) {
+      (name, m) => logged = logged + (name -> m)
+    }
+    try {
+      val capped = Dedup.exactNearDups(corpus, threshold = 0.1, maxDf = Some(10))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.contains((100L, 101L)), "real near-dup pair must survive the cap")
+      assert(!capped.exists(p => p._1 <= 40L), "boilerplate-only pairs must be dropped")
+      val deadline = System.currentTimeMillis() + 10000
+      while (!logged.contains("exact_count_df_cap") && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      val m = logged("exact_count_df_cap")
+      assert(m("dropped_buckets") >= 1L, s"drop count not logged: $m")
+      assert(m("dropped_ids") >= 40L && m("max_bucket_size") >= 40L)
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("cap is plumbed through simhash and cosine paths (plans stay sane)") {
     val p1 = Dedup.simhashNearDups(docs(1L -> "a b c d", 2L -> "a b c e"),
       maxBucketSize = Some(100)).queryExecution.executedPlan.toString
