@@ -116,6 +116,21 @@ object HeavyHitters {
 
     def size: Int = counts.size
 
+    /** The eviction floor, for callers persisting a summary across batches
+      * (streaming state): without it a term evicted in batch N and re-added
+      * in batch N+1 would restart from 0, breaking the est-err bound.
+      */
+    def floor: Long = evictedFloor
+    def raiseFloor(f: Long): Unit = if (f > evictedFloor) evictedFloor = f
+
+    /** Reinstate a persisted (term, est, err) row verbatim — unlike `offer`,
+      * no floor is folded in (the row's est already includes it).
+      */
+    def restore(t: String, c: Long, e: Long): Unit = {
+      counts.update(t, (c, e))
+      if (counts.size >= 2 * m) trim()
+    }
+
     def offer(t: String, c: Long, e: Long): Unit = {
       counts.get(t) match {
         case Some((c0, e0)) => counts.update(t, (c0 + c, e0 + e))

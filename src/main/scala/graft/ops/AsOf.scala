@@ -18,9 +18,10 @@ import org.apache.spark.sql.functions._
   * explosion, no broadcast requirement on either side; state per row is one
   * struct. A sort-merge range join would shuffle the same data and then
   * still sort — this is the minimal plan for "latest prior per key".
-  * Tie semantics: equal rightTs duplicates make the winner the last in
-  * (ts, side) order — callers needing total determinism add a tiebreak
-  * column to rightTs ordering upstream.
+  * Tie semantics: among multiple right rows with identical (key, ts), the
+  * window ordering tiebreaks on the right-value struct itself, so the
+  * winner is deterministic under any partitioning — joinPrior picks the
+  * greatest `rightVals` struct, joinNext the least.
   */
 object AsOf {
 
@@ -44,7 +45,12 @@ object AsOf {
     val unioned = l.select((Seq("_k", "_ts", "_side", "_rv").map(col) ++
       leftCols.map(col)): _*).unionByName(r)
 
-    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+    // _rv as the final sort key: right rows with identical (key, ts) would
+    // otherwise surface an arbitrary copy to last() depending on shuffle
+    // order. Structs order field-by-field; left rows' null _rv sorts first,
+    // which cannot displace any right row within the frame.
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_rv"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned.withColumn("_m", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
@@ -75,7 +81,9 @@ object AsOf {
     val unioned = l.select((Seq("_k", "_ts", "_side", "_rv").map(col) ++
       leftCols.map(col)): _*).unionByName(r)
 
-    val w = Window.partitionBy(col("_k")).orderBy(col("_ts"), col("_side"))
+    // deterministic tiebreak among equal-(key, ts) right rows — see joinPrior
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_side"), col("_rv"))
       .rowsBetween(0, Window.unboundedFollowing)
     val matched = unioned.withColumn("_m", first(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === 0)

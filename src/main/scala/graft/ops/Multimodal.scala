@@ -9,17 +9,18 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, plus a decode/feature-extract stage.
   *
-  * Images and audio are REAL: the media table carries genuine PNG and
-  * RIFF/WAVE bytes (synthesized deterministically from the document corpus,
-  * since the testdata has no native media column) and the decode stage runs
-  * them through `javax.imageio` / `javax.sound.sampled` — dimensions,
-  * checksums, luminance histograms and RMS envelopes all derive from
-  * actually-decoded pixels/samples. Video decode remains a declared STUB
-  * (no video codec ships with the JVM) implemented as a deterministic fake
-  * (CRC32/length-derived features) so the Spark-side plumbing — schema,
-  * Dataset encoders, per-partition batch processing, partitioning — is real
-  * and testable for every kind. Swap `fakeDecode` for a codec call in
-  * production; everything around it stands.
+  * All three kinds are REAL decodes: the media table carries genuine PNG,
+  * RIFF/WAVE, and MJPEG (concatenated JPEG frames) bytes — synthesized
+  * deterministically from the document corpus, since the testdata has no
+  * native media column — and the decode stage runs them through
+  * `javax.imageio` / `javax.sound.sampled`. Dimensions, checksums,
+  * luminance histograms, RMS envelopes, and per-frame brightness all derive
+  * from actually-decoded pixels/samples. Video uses the MJPEG container
+  * because no inter-frame codec ships with the JVM: frames split on the
+  * JPEG EOI marker (sound — entropy-coded data byte-stuffs 0xFF) and each
+  * frame decodes independently; a production inter-frame codec would slot
+  * into `videoDecode` behind the same `decodeOne` seam. `fakeDecode`
+  * remains only as the corrupt/unknown-bytes fallback.
   *
   * Scale notes: decode runs per-partition via mapPartitions (the Scala
   * analogue of mapInPandas batches) so a real decoder can amortize codec
@@ -92,6 +93,96 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic MJPEG "video" for a document: 2–7 JPEG frames
+    * (dimensions from the id, pixels from an xorshift stream seeded by the
+    * text hash) concatenated back-to-back — the classic MJPEG container
+    * shape, each frame independently decodable by `javax.imageio`.
+    */
+  private[graft] def encodeMjpeg(id: Long, text: String): Array[Byte] = {
+    val nFrames = 2 + (id % 6).toInt
+    val w = 8 + (id % 24).toInt
+    val h = 8 + ((id * 7) % 24).toInt
+    var s = scala.util.hashing.MurmurHash3.stringHash(text, id.toInt) | 1
+    val bos = new ByteArrayOutputStream()
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          s ^= s << 13; s ^= s >>> 17; s ^= s << 5
+          img.setRGB(x, y, s & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  private def looksLikeMjpeg(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 0xff.toByte && b(1) == 0xd8.toByte
+
+  /** Real video decode: split the byte stream on JPEG EOI markers (0xFFD9 —
+    * cannot occur inside a frame's entropy-coded data, where 0xFF is
+    * byte-stuffed as 0xFF00), decode each frame via `javax.imageio`, and
+    * derive features from the decoded pixels: width/height from frame 0,
+    * n_frames = decoded frame count, feature = per-frame mean luminance
+    * binned into an 8-slot temporal envelope, checksum over decoded RGB.
+    */
+  private def videoDecode(m: MediaRow): Option[MediaFeatures] =
+    try {
+      val b = m.content
+      val frames = scala.collection.mutable.ArrayBuffer.empty[java.awt.image.BufferedImage]
+      var start = 0
+      var i = 1
+      while (i < b.length) {
+        if (b(i - 1) == 0xff.toByte && b(i) == 0xd9.toByte) {
+          val img = javax.imageio.ImageIO.read(
+            new ByteArrayInputStream(java.util.Arrays.copyOfRange(b, start, i + 1)))
+          if (img != null) frames += img
+          start = i + 1
+          i += 1
+        }
+        i += 1
+      }
+      if (frames.isEmpty) None
+      else {
+        val crc = new CRC32()
+        val segLum = new Array[Double](8)
+        val segCnt = new Array[Long](8)
+        var f = 0
+        while (f < frames.length) {
+          val img = frames(f)
+          val seg = math.min(f * 8 / frames.length, 7)
+          var lumSum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y) & 0xffffff
+              crc.update(rgb >>> 16); crc.update((rgb >>> 8) & 0xff); crc.update(rgb & 0xff)
+              lumSum += (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          segLum(seg) += lumSum.toDouble / (img.getWidth.toLong * img.getHeight) / 255.0
+          segCnt(seg) += 1
+          f += 1
+        }
+        Some(MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+          crc.getValue, width = frames(0).getWidth, height = frames(0).getHeight,
+          n_frames = frames.length,
+          feature = Array.tabulate(8)(s =>
+            if (segCnt(s) == 0) 0f else (segLum(s) / segCnt(s)).toFloat)))
+      }
+    } catch { case _: Exception => None }
+
   private def looksLikeWav(b: Array[Byte]): Boolean =
     b.length >= 12 &&
       b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
@@ -162,8 +253,8 @@ object Multimodal {
     }
 
   /** Synthesize a media table from `documents` (kind assigned round-robin;
-    * image rows get real PNG bytes, audio/video carry the raw text bytes as
-    * opaque stand-in content).
+    * image rows get real PNG bytes, audio rows real RIFF/WAVE bytes, video
+    * rows real MJPEG bytes — all deterministic functions of (id, text)).
     */
   def mediaTable(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -174,14 +265,14 @@ object Multimodal {
         val content = kind match {
           case "image" => encodePng(id, text)
           case "audio" => encodeWav(id, text)
-          case _       => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          case _       => encodeMjpeg(id, text)
         }
         MediaRow(id, kind, content)
       }.toDF()
   }
 
-  /** STUB decode kernel (audio/video, and unrecognized bytes): deterministic
-    * features from the raw bytes.
+  /** Fallback kernel for corrupt/unrecognized bytes only (every kind has a
+    * real decoder above): deterministic features from the raw bytes.
     */
   private def fakeDecode(m: MediaRow): MediaFeatures = {
     val crc = new CRC32()
@@ -204,6 +295,8 @@ object Multimodal {
       imageDecode(m).getOrElse(fakeDecode(m))
     else if (m.kind == "audio" && looksLikeWav(m.content))
       audioDecode(m).getOrElse(fakeDecode(m))
+    else if (m.kind == "video" && looksLikeMjpeg(m.content))
+      videoDecode(m).getOrElse(fakeDecode(m))
     else fakeDecode(m)
 
   /** Decode/feature-extract stage: binary in, typed features out. */

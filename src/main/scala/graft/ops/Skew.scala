@@ -46,14 +46,23 @@ object Skew {
 
   /** Per-key row counts of the heaviest `topK` keys plus the share of all
     * rows they hold — the measurement that decides whether salting (or a
-    * bucket cap) is warranted. One aggregation, safe at any scale.
+    * bucket cap) is warranted.
+    *
+    * One query, no driver-side `count()`: the total comes from a second
+    * aggregate over the same per-key frame (ReuseExchange dedupes the
+    * groupBy shuffle, so source reads once and both sides see one snapshot)
+    * joined in as a broadcast single row. Top-k is TakeOrdered (k rows per
+    * partition move, no global sort); an empty input yields an empty report
+    * rather than NaN shares, and every key present counts ≥ 1 row so the
+    * division is never by zero.
     */
   def skewReport(df: DataFrame, keys: Seq[String], topK: Int = 20): DataFrame = {
-    val total = df.count()
-    df.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_rows"))
-      .withColumn("share", col("n_rows").cast("double") / lit(total.toDouble))
-      .orderBy(col("n_rows").desc)
-      .limit(topK)
+    val byKey = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val top = byKey.orderBy((col("n_rows").desc +: keys.map(col)): _*).limit(topK)
+    val total = byKey.agg(sum(col("n_rows")).as("__total"))
+    top.crossJoin(broadcast(total))
+      .withColumn("share", col("n_rows").cast("double") / col("__total").cast("double"))
+      .drop("__total")
+      .orderBy((col("n_rows").desc +: keys.map(col)): _*)
   }
 }

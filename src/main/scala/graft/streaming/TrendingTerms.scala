@@ -13,10 +13,12 @@ import graft.functions.HeavyHitters
   *
   * This is the streaming face of the batch `heavy_hitters` aggregate
   * (q66): same summary semantics, same error contract (est - err <= true
-  * <= est), state bounded regardless of how many distinct terms flow
-  * through — the property that makes it runnable forever. State is stored
-  * as the summary's (term, est, err) rows (tuple-encodable, so Spark's
-  * state store needs no custom serializer).
+  * <= est) ACROSS batches, state bounded regardless of how many distinct
+  * terms flow through — the property that makes it runnable forever. State
+  * is the summary's (term, est, err) rows plus its eviction floor
+  * (tuple-encodable, so Spark's state store needs no custom serializer);
+  * persisting the floor is what keeps the bound honest when a term evicted
+  * in batch N re-enters in batch N+1.
   */
 object TrendingTerms {
 
@@ -27,19 +29,19 @@ object TrendingTerms {
     import spark.implicits._
     stream.select(col("source"), col("term")).as[(String, String)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[(String, Long, Long)], TopTerm](
+      .flatMapGroupsWithState[(Long, List[(String, Long, Long)]), TopTerm](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (source: String, rows: Iterator[(String, String)],
-         state: GroupState[List[(String, Long, Long)]]) =>
+         state: GroupState[(Long, List[(String, Long, Long)])]) =>
+          val (floor, stored) = state.getOption.getOrElse((0L, Nil))
           val summary = new HeavyHitters.Summary(m)
-          state.getOption.getOrElse(Nil).foreach { case (t, c, e) =>
-            summary.offer(t, c, e)
-          }
+          stored.foreach { case (t, c, e) => summary.restore(t, c, e) }
+          summary.raiseFloor(floor) // after restore: stored ests already include it
           rows.foreach { case (_, term) => summary.offer(term, 1L, 0L) }
           summary.trim()
           val rowsOut = scala.collection.mutable.ListBuffer.empty[(String, Long, Long)]
           summary.foreach(rowsOut += _)
-          state.update(rowsOut.toList)
+          state.update((summary.floor, rowsOut.toList))
           summary.sortedDesc().iterator.take(k).map { case (t, c, e) =>
             TopTerm(source, t, c, e)
           }

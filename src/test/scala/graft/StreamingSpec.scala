@@ -173,4 +173,67 @@ class StreamingSpec extends AnyFunSuite {
         s"state did not accumulate: ${b2.toSeq}")
     } finally q.stop()
   }
+
+  test("trending terms match the batch heavy_hitters aggregate on a fixed corpus") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    // m far above the distinct-term count: no evictions on either side, so
+    // stream and batch must agree exactly (both equal true counts, err 0)
+    val corpus = (1 to 9).flatMap(i => Seq.fill(i)(s"term$i" -> ())).map(_._1)
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.TrendingTerms.trending(
+      mem.toDF().toDF("source", "term"), m = 64, k = 10)
+    val q = out.writeStream.format("memory").queryName("trend_parity")
+      .outputMode("append").start()
+    try {
+      corpus.grouped(15).foreach { chunk =>
+        mem.addData(chunk.map("src" -> _): _*)
+        q.processAllAvailable()
+      }
+      // est grows monotonically across emissions; max per term = final state
+      val streamed = spark.table("trend_parity").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).map { case (t, rows) => (t, rows.map(_._2).max, rows.map(_._3).max) }
+        .toSet
+      val batch = corpus.toDF("term")
+        .agg(graft.functions.gfn.heavy_hitters(col("term"), 64).as("hh"))
+        .selectExpr("inline(hh)").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      assert(batch.forall(_._3 == 0L)) // no eviction: err must be 0 everywhere
+    } finally q.stop()
+  }
+
+  test("trending terms: eviction floor survives micro-batch boundaries") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(String, String)]
+    val out = graft.streaming.TrendingTerms.trending(
+      mem.toDF().toDF("source", "term"), m = 4, k = 8)
+    val q = out.writeStream.format("memory").queryName("trend_floor")
+      .outputMode("append").start()
+    try {
+      // batch 1: 8 distinct terms at m=4 forces a trim; e..h evicted at
+      // count 1, so the persisted floor must be 1
+      val b1 = Seq("a" -> 5, "b" -> 4, "c" -> 3, "d" -> 2,
+        "e" -> 1, "f" -> 1, "g" -> 1, "h" -> 1).flatMap { case (t, n) => Seq.fill(n)(t) }
+      mem.addData(b1.map("src" -> _): _*)
+      q.processAllAvailable()
+      // batch 2: the evicted "e" re-enters twice; true count is now 3.
+      // Without the floor in state its est would restart at 2 (< true),
+      // breaking est - err <= true <= est across batches.
+      mem.addData(Seq("src" -> "e", "src" -> "e"): _*)
+      q.processAllAvailable()
+      val eRow = spark.table("trend_floor").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+        .filter(_._1 == "e").maxBy(_._2)
+      val trueCount = 3L
+      assert(eRow._2 >= trueCount, s"floor lost: est ${eRow._2} < true $trueCount")
+      assert(eRow._2 - eRow._3 <= trueCount, s"lower bound broken: $eRow")
+    } finally q.stop()
+  }
 }
