@@ -28,6 +28,22 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** `documents` spread across cores before a CPU-heavy text kernel: the
+    * sf-scale table is one single-row-group parquet file = one input split,
+    * which would pin the whole kernel (regex/entropy/n-gram/normalize) to
+    * one thread — at real scale the scan has thousands of splits and this
+    * shuffle (a few MB here) is noise next to the kernel CPU it unblocks.
+    * Hash-partitioned by doc_id, not round-robin: HashPartitioning(doc_id)
+    * satisfies every downstream doc_id-clustered requirement (groupBy /
+    * window keyed on doc_id [+ more columns]), so those later exchanges are
+    * elided — one shuffle buys both the parallelism and the co-partitioning.
+    * Explicit numPartitions so AQE can't coalesce the byte-tiny exchange
+    * back to one partition.
+    */
+  private def docsSpread(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
   // ---------------------------------------------------------------- relational
@@ -943,7 +959,7 @@ object Queries {
         pmod(col("doc_id"), lit(256L)).cast("string"),
         lit(".1 call 555-010-"),
         lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0"))
-      t(s, d, "documents")
+      docsSpread(s, d)
         .select(col("doc_id"),
           gfn.redact_pii(dirty).as("redacted"),
           gfn.pii_count(dirty).as("n_pii"))
