@@ -1700,6 +1700,145 @@ object Queries {
       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
       ORDER BY c_custkey"""))
 
+  /** URL/DOMAIN EXTRACTION + per-domain stats — the blocklist/allowlist
+    * primitive of web-corpus curation. The synthetic docs carry no URLs, so
+    * both engines append the same doc_id-derived URL first (the q52
+    * pattern); the regex and first-match semantics are identical across
+    * engines. One hash aggregate on the extracted domain.
+    */
+  private val q76 = Q("q76_domain_stats",
+    (s, d) => t(s, d, "documents")
+      .withColumn("s", concat(col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(50L)).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string")))
+      .select(col("doc_id"),
+        regexp_extract(col("s"), "https?://([A-Za-z0-9.-]+)", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("domain")),
+    Some("""
+      WITH u AS (
+        SELECT doc_id,
+               text || ' see https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+                 '.example.org/p/' || CAST(doc_id AS VARCHAR) AS s
+        FROM documents)
+      SELECT regexp_extract(s, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+             COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      FROM u GROUP BY 1 ORDER BY 1"""))
+
+  /** ROBUST OUTLIER STATS (median + MAD): per-group median price, median
+    * absolute deviation, and the |x-med| > 3·MAD outlier count — the
+    * clipping rule that, unlike mean±kσ, a few extreme rows can't drag.
+    * Exact percentiles here (both sides interpolate (lo+hi)/2 identically);
+    * at 100 TB swap `percentile` for `approx_percentile` — the plan shape
+    * (two grouped aggregates + two co-partitioned joins on the tiny
+    * per-group stats frame) is unchanged.
+    */
+  private val q77 = Q("q77_mad_outliers",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+      val med = li.groupBy(col("flag")).agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = li.join(med, "flag").withColumn("adev", abs(col("x") - col("med")))
+      val mad = dev.groupBy(col("flag")).agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(mad, "flag")
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          max(col("med")).as("med"),
+          max(col("mad")).as("mad"),
+          sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
+      med AS (SELECT flag, quantile_cont(x, 0.5) AS med FROM li GROUP BY 1),
+      dev AS (SELECT li.flag AS flag, x, med, abs(x - med) AS adev
+              FROM li JOIN med USING (flag)),
+      mad AS (SELECT flag, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+      SELECT flag, COUNT(*) AS n, MAX(med) AS med, MAX(mad) AS mad,
+             CAST(SUM(CASE WHEN adev > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers
+      FROM dev JOIN mad USING (flag)
+      GROUP BY flag ORDER BY flag"""))
+
+  /** EXACT-ARITHMETIC PEARSON CORRELATION: corr from the five exact DECIMAL
+    * sums (n, Σx, Σy, Σxy, Σx², Σy²) with one fixed FP expression at the
+    * end — order-independent where the built-in streaming `corr` is not
+    * (its co-moment updates accumulate FP error in partition order, so its
+    * last bits differ run to run; this formulation hash-matches). Partial
+    * aggregation ships six numbers per group per task.
+    */
+  private val q78 = Q("q78_exact_corr",
+    (s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      def dbl(c: Column): Column = c.cast("double")
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * y).cast(DecimalType(38, 4))).as("sxy"),
+          sum((x * x).cast(DecimalType(38, 4))).as("sxx"),
+          sum((y * y).cast(DecimalType(38, 4))).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          ((dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            sqrt((dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+                 (dbl(col("n")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))))
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+              CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                  (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      FROM sums ORDER BY l_returnflag"""))
+
+  /** EQUI-WIDTH HISTOGRAM (data profiling): 20 buckets over the global
+    * [min, max] of l_extendedprice. The 1-row bounds frame broadcasts; the
+    * bucket index is one identical FP expression in both engines, so even
+    * boundary values land identically. One hash aggregate on the bucket id.
+    */
+  private val q79 = Q("q79_histogram",
+    (s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+      val bounds = li.agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      val b = least(floor((col("x") - col("mn")) / (col("mx") - col("mn")) * 20)
+        .cast("long"), lit(19L))
+      li.crossJoin(broadcast(bounds))
+        .select(b.as("bucket"), col("mn"), col("mx"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          max((col("mn") + (col("mx") - col("mn")) / 20 * col("bucket")))
+            .as("lo"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH b AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+                 FROM lineitem),
+      bk AS (
+        SELECT least(CAST(floor((l_extendedprice - mn) / (mx - mn) * 20)
+                          AS BIGINT), 19) AS bucket, mn, mx
+        FROM lineitem, b)
+      SELECT bucket, COUNT(*) AS n,
+             MAX(mn + (mx - mn) / 20 * bucket) AS lo
+      FROM bk GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -1707,5 +1846,5 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75)
+    q73, q74, q75, q76, q77, q78, q79)
 }
