@@ -120,6 +120,56 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** A reusable MinHash-LSH index over a corpus: the staged per-doc hash
+    * frame plus its banded keys, built ONCE and probed by every increment —
+    * see [[minhashProbe]]. `staged` is persisted (MEMORY_AND_DISK): the
+    * index is the thing a daily-ingest pipeline keeps hot between runs.
+    */
+  final case class MinHashIndex(staged: DataFrame, bands: DataFrame,
+                                k: Int, nBands: Int)
+
+  def minhashIndex(corpus: DataFrame, k: Int = 32, bands: Int = 8): MinHashIndex = {
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    val staged = shingled(corpus.select(col("doc_id"), col("text"))
+        .repartition(parallelism, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    MinHashIndex(staged, lshBands(staged, k, bands), k, bands)
+  }
+
+  /** INCREMENTAL near-dup detection — probe NEW documents against an
+    * existing corpus index without touching the corpus text again: the
+    * daily-ingest shape at 100 TB, where the corpus index amortizes across
+    * arrivals and each increment pays only for itself. Bands of the
+    * increment equi-join the index's bands (same key space — the
+    * permutations are deterministic), candidates verify by exact Jaccard
+    * over the two staged hash frames. Returns (new_id, dup_of, jaccard)
+    * with jaccard ≥ threshold; `new_id` ids must be disjoint from corpus
+    * ids (enforced by the caller's id scheme).
+    */
+  def minhashProbe(index: MinHashIndex, incoming: DataFrame,
+                   threshold: Double = 0.5): DataFrame = {
+    val parallelism = incoming.sparkSession.sparkContext.defaultParallelism
+    val incStaged = shingled(incoming.select(col("doc_id"), col("text"))
+      .repartition(parallelism, col("doc_id")))
+    val incBands = lshBands(incStaged, index.k, index.nBands)
+    val cand = incBands.select(col("doc_id").as("new_id"), col("band"), col("band_key"))
+      .join(index.bands.select(col("doc_id").as("dup_of"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .select(col("new_id"), col("dup_of"))
+      .dropDuplicates("new_id", "dup_of")
+    cand
+      .join(incStaged.select(col("doc_id"), col("hashes").as("a_sh")),
+        col("doc_id") === col("new_id"))
+      .drop("doc_id")
+      .join(index.staged.select(col("doc_id"), col("hashes").as("b_sh")),
+        col("doc_id") === col("dup_of"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("dup_of"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** EXACT near-duplicate pairs — the ground truth the LSH paths' recall is
     * measured against, formulated as an inverted-index similarity join (the
     * classic exact set-similarity-join shape), NOT a cartesian product:

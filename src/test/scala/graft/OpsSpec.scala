@@ -356,6 +356,28 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfHits.sum >= ivfAvgFloor, s"avg IVF recall@10 ${ivfHits.sum / 50.0} < ${ivfAvgFloor / 50.0}")
   }
 
+  test("incremental minhash probe finds new-vs-corpus dups without re-banding the corpus") {
+    val corpusBase = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = docs(
+      1L -> corpusBase,
+      2L -> "entirely different content with many other words present here now",
+      3L -> "a third document about completely unrelated structured data topics")
+    val index = Dedup.minhashIndex(corpus)
+    val incoming = docs(
+      100L -> corpusBase.replace("today", "tonight"), // near-dup of doc 1
+      101L -> "fresh unseen content sharing nothing at all with the corpus docs")
+    val hits = Dedup.minhashProbe(index, incoming, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((100L, 1L)), s"got $hits")
+    // probe agrees with the full batch path restricted to (new, old) pairs
+    val full = Dedup.minhashNearDups(
+        corpus.unionByName(incoming), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 100L) != (b >= 100L) }
+      .map { case (a, b) => if (a >= 100L) (a, b) else (b, a) }.toSet
+    assert(full == hits, s"batch $full != incremental $hits")
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =

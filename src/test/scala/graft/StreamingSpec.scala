@@ -174,6 +174,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedupeById drops within-watermark duplicates, passes id-less rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2026-08-12 10:00:00")
+    val mem = MemoryStream[(String, String, java.sql.Timestamp)]
+    val parsed = mem.toDF().toDF("route", "log_id", "ts")
+    val out = graft.pipeline.LogPipeline.dedupeByIdStreaming(parsed, "1 hour")
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: id1 twice (same batch), one id-less row
+      mem.addData(("app", "id1", base), ("app", "id1", base), ("app", null, base))
+      q.processAllAvailable()
+      // batch 2: id1 again (cross-batch, within watermark) + a fresh id2
+      // + another id-less row (null keys must never collapse)
+      mem.addData(("app", "id1", base), ("app", "id2", base), ("app", null, base))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_stream").collect()
+        .map(r => Option(r.getString(1)).getOrElse("<null>"))
+      assert(rows.count(_ == "id1") == 1, s"id1 duplicated: ${rows.toSeq}")
+      assert(rows.count(_ == "id2") == 1)
+      assert(rows.count(_ == "<null>") == 2, s"id-less rows must pass through: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("trending terms match the batch heavy_hitters aggregate on a fixed corpus") {
     import spark.implicits._
     implicit val s = spark
