@@ -44,6 +44,24 @@ object Skew {
     salted.join(replicated, keys :+ "__salt", "inner").drop("__salt")
   }
 
+  /** PARTIAL salting — the production form: only rows whose key appears in
+    * `hotKeys` (typically [[skewReport]]'s output, filtered to shares worth
+    * the trade) pay the salt; the long tail joins plain. The `factor`×
+    * replication cost then applies to `dim ⋉ hotKeys` — a handful of rows —
+    * instead of the whole dim, which is what makes salting affordable when
+    * the dim itself is large. `hotKeys` is bounded (top-k) so its
+    * semi/anti-join gates broadcast. Row-exact vs the plain join.
+    */
+  def saltedJoinHotKeys(big: DataFrame, dim: DataFrame, keys: Seq[String],
+                        hotKeys: DataFrame, factor: Int = 16): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
+    val hk = broadcast(hotKeys.select(keys.map(col): _*).distinct())
+    val hot = saltedJoin(
+      big.join(hk, keys, "left_semi"),
+      dim.join(hk, keys, "left_semi"), keys, factor)
+    hot.unionByName(big.join(hk, keys, "left_anti").join(dim, keys, "inner"))
+  }
+
   /** Per-key row counts of the heaviest `topK` keys plus the share of all
     * rows they hold — the measurement that decides whether salting (or a
     * bucket cap) is warranted.

@@ -212,6 +212,22 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getString(0) == "hot" && top.getAs[Double]("share") > 0.85)
   }
 
+  test("partial salting: hot keys salted, tail joins plain, result row-exact") {
+    import graft.ops.Skew
+    val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).flatMap(k => (1 to 10).map(i => (s"k$k", i.toLong))))
+      .toDF("key", "v")
+    val dim = (Seq("hot") ++ (1 to 50).map(k => s"k$k")).zipWithIndex
+      .map { case (k, i) => (k, s"label$i") }.toDF("key", "label")
+    val hot = Skew.skewReport(big, Seq("key")).filter($"share" > 0.5).select("key")
+    val partial = Skew.saltedJoinHotKeys(big, dim, Seq("key"), hot, factor = 8)
+    val plain = big.join(dim, Seq("key"), "inner")
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("key", "label").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts(partial) == counts(plain))
+  }
+
   // ---- connected components (near-dup clustering) ----
 
   /** Brute-force union-find for ground truth. */

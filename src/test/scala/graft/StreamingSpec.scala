@@ -200,6 +200,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental dedup stream flags near-dups of the static index per batch") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "entirely different content with many other words present here now"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.minhashIndex(corpus)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    val ckpt = java.nio.file.Files.createTempDirectory("inc_dedup_ckpt").toString
+    val q = graft.streaming.IncrementalDedupJob.start(
+      mem.toDF().toDF("doc_id", "text"), index,
+      out => got.synchronized {
+        out.collect().foreach(r =>
+          got(r.getLong(0)) = if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      },
+      ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(
+        (100L, base.replace("today", "tonight")), // near-dup of corpus doc 1
+        (101L, "fresh unseen content sharing nothing at all with corpus docs"))
+      q.processAllAvailable()
+      assert(got.get(100L).flatten.contains(1L), s"got $got")
+      assert(got.get(101L).contains(None), s"got $got")
+      // a later batch probes the SAME index without rebuilding it
+      mem.addData((102L, base + " indeed"))
+      q.processAllAvailable()
+      assert(got.get(102L).flatten.contains(1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("trending terms match the batch heavy_hitters aggregate on a fixed corpus") {
     import spark.implicits._
     implicit val s = spark
