@@ -216,8 +216,12 @@ object Dedup {
     val src = docs.select(col("doc_id"), col("text"))
 
     if (strategy == "count") {
+      // consumed by the posting explode AND both per-doc size joins — persist
+      // so the shingle kernel runs once (ReuseExchange only dedupes the
+      // repartition shuffle, not the post-shuffle hashing; see minhash path)
       val staged = src.repartition(parallelism, col("doc_id"))
         .select(col("doc_id"), graft.functions.gfn.shingle_hashes64(col("text"), w).as("hashes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = staged.select(col("doc_id"), size(col("hashes")).as("sz"))
       val posting = staged.select(col("doc_id"), explode(col("hashes")).as("h"))
       val ids = array_sort(col("ids"))
