@@ -773,7 +773,10 @@ object Queries {
       val docs = t(s, d, "documents")
       val keepers = Dedup.exactGroups(docs).select(col("keep_id").as("doc_id"))
       val toks = split(lower(trim(col("text"))), "\\s+")
-      docs.join(keepers, Seq("doc_id"), "left_semi")
+      // keepers broadcast (they're ids), so without spreading the left side
+      // the whole gate chain would fuse into the single-split scan (see
+      // docsSpread); the kernels are the cost, the shuffle is noise
+      docsSpread(s, d).join(keepers, Seq("doc_id"), "left_semi")
         .withColumn("n_tokens", TextOps.tokenCount(col("text")))
         .withColumn("punct_ratio",
           when(length(col("text")) > 0,
