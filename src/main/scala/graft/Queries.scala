@@ -1739,7 +1739,11 @@ object Queries {
     */
   private val q77 = Q("q77_mad_outliers",
     (s, d) => {
+      // spread the single-split scan so the exact-percentile PARTIAL buffers
+      // build in parallel (round-robin, NOT by flag — only 3 flags, hashing
+      // by them would recreate the skew the spread removes)
       val li = t(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
       val med = li.groupBy(col("flag")).agg(expr("percentile(x, 0.5)").as("med"))
       val dev = li.join(med, "flag").withColumn("adev", abs(col("x") - col("med")))
