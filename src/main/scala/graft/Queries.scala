@@ -1846,6 +1846,39 @@ object Queries {
              MAX(mn + (mx - mn) / 20 * bucket) AS lo
       FROM bk GROUP BY bucket ORDER BY bucket"""))
 
+  /** WEIGHTED SAMPLING (Efraimidis-Spirakis A-ES, deterministic): top-20
+    * docs per source with inclusion probability proportional to token count
+    * — the sample-by-quality/length primitive of corpus mixing. The key
+    * ln(u)/w uses the same Knuth hash arithmetic as q49's uniform gate (and
+    * ln bit-agrees cross-engine), so the oracle replays identical keys.
+    */
+  private val q80 = Q("q80_weighted_sample",
+    (s, d) => graft.ops.Mix.weightedSample(
+        t(s, d, "documents")
+          .withColumn("n_tokens", TextOps.tokenCount(col("text"))),
+        col("source"), col("doc_id"), col("n_tokens"), k = 20)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("sample_rank"))
+      .orderBy(col("source"), col("sample_rank")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      keyed AS (
+        SELECT doc_id, source, n_tokens,
+               ln(((doc_id % 2147483648) * 2654435761 % 2147483648 + 1)
+                  / 2147483649.0) / CAST(n_tokens AS DOUBLE) AS key
+        FROM t WHERE n_tokens > 0),
+      ranked AS (
+        SELECT doc_id, source, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY key DESC, doc_id) AS sample_rank
+        FROM keyed)
+      SELECT doc_id, source, n_tokens, sample_rank
+      FROM ranked WHERE sample_rank <= 20
+      ORDER BY source, sample_rank"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -1853,5 +1886,5 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79)
+    q73, q74, q75, q76, q77, q78, q79, q80)
 }

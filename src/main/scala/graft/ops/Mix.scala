@@ -40,6 +40,29 @@ object Mix {
     df.filter(hashGate(id) < threshold)
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis A-ES): each row draws key = ln(u)/w from the same integer
+    * hash arithmetic as [[hashGate]] (u ∈ (0,1] at full 31-bit resolution)
+    * and the top-k keys per stratum ARE a without-replacement sample with
+    * inclusion probability proportional to `weight` — the
+    * sample-by-quality / sample-by-length primitive of corpus mixing.
+    * Reproducible across runs, engines, and task retries like the uniform
+    * gate (no rand()); ln bit-agrees cross-engine, so the oracle can replay
+    * the identical keys. One window shuffle per stratum; weights must be
+    * strictly positive (rows with weight <= 0 are dropped).
+    */
+  def weightedSample(df: DataFrame, stratum: Column, id: Column,
+                     weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (pmod(pmod(id, lit(M31)) * lit(Knuth), lit(M31)) + 1).cast("double") /
+      lit(2147483649.0) // (0, 1]
+    val key = log(u) / weight.cast("double") // <= 0; larger = more likely kept
+    val w = Window.partitionBy(stratum).orderBy(key.desc, id)
+    df.filter(weight.cast("double") > 0)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+  }
+
   /** Sequential token-budget packing: within each stratum, docs (in `order`)
     * are laid onto a continuous token tape and the tape is cut every
     * `budget` tokens; a doc belongs to the shard where it STARTS —

@@ -212,6 +212,25 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getString(0) == "hot" && top.getAs[Double]("share") > 0.85)
   }
 
+  test("weighted sample biases toward heavy weights, deterministic, exactly k per stratum") {
+    import graft.ops.Mix
+    val rows = (1L to 2000L).map(i =>
+      (i, "s", if (i % 2 == 0) 50.0 else 1.0)).toDF("doc_id", "stratum", "w")
+    def draw() = Mix.weightedSample(rows, col("stratum"), col("doc_id"), col("w"), k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val s1 = draw()
+    assert(s1.length == 100 && s1.distinct.length == 100)
+    assert(s1 == draw(), "hash-gated sampling must be deterministic")
+    // P(heavy) per draw ≈ 50/51; in 100 draws heavy ids must dominate
+    val heavy = s1.count(_ % 2 == 0)
+    assert(heavy >= 85, s"weighting ignored: $heavy/100 heavy")
+    // zero/negative weights are dropped, never sampled
+    val withBad = rows.withColumn("w", when(col("doc_id") <= 1000, lit(0.0)).otherwise(col("w")))
+    val good = Mix.weightedSample(withBad, col("stratum"), col("doc_id"), col("w"), k = 100)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(good.forall(_ > 1000L))
+  }
+
   test("partial salting: hot keys salted, tail joins plain, result row-exact") {
     import graft.ops.Skew
     val big = ((1 to 5000).map(i => ("hot", i.toLong)) ++
