@@ -1746,7 +1746,12 @@ object Queries {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
       val med = li.groupBy(col("flag")).agg(expr("percentile(x, 0.5)").as("med"))
+      // dev feeds both the MAD percentile and the final outlier count, and
+      // its lineage holds the med percentile: without persistence the scan
+      // runs 4x and the median twice (exchange reuse does not fire across
+      // the aliased subtrees — verified in the executed plan)
       val dev = li.join(med, "flag").withColumn("adev", abs(col("x") - col("med")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val mad = dev.groupBy(col("flag")).agg(expr("percentile(adev, 0.5)").as("mad"))
       dev.join(mad, "flag")
         .groupBy(col("flag"))
