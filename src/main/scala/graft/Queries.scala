@@ -1884,6 +1884,40 @@ object Queries {
       FROM ranked WHERE sample_rank <= 20
       ORDER BY source, sample_rank"""))
 
+  /** BATCHED KNN JOIN (exact, integer-quantized): top-5 corpus vectors for
+    * EVERY query in a 20-query probe set — q26 generalized from one query
+    * to a query table, reduced by the bounded-heap TopKByScore aggregate
+    * (shuffle carries 5 rows per query per partition, never the corpus).
+    * Quantized dot keeps the arithmetic integer-exact, so the oracle
+    * hash-matches; score returns as DOUBLE (dots < 2^53, exact either way).
+    */
+  private val q81 = Q("q81_knn_join",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      Similarity.knnJoin(emb, queries, k = 5,
+          scorer = Similarity.quantizedDot)
+        .withColumnRenamed("score", "dot")
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+                 FROM embeddings WHERE vec_id < 20),
+      d AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+                        CAST(round(CAST(q.q_emb[t.i] AS DOUBLE) * 1000) AS BIGINT))
+                    AS DOUBLE) AS dot
+        FROM embeddings e, q, range(1, 65) t(i)
+        GROUP BY 1, 2),
+      r AS (SELECT query_id, vec_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, vec_id) AS rank
+            FROM d)
+      SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -1891,5 +1925,5 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81)
 }

@@ -54,6 +54,69 @@ object Similarity {
     .orderBy(col("cos_sim").desc, col("vec_id"))
     .limit(k)
 
+  /** Batched EXACT KNN JOIN: for EVERY query vector, the top-k corpus rows
+    * by score — the retrieval-eval / hard-negative-mining shape (q26/q27
+    * answer one query; this answers a query TABLE). The query set is the
+    * small side by construction (eval suites, probe sets), so it broadcasts;
+    * each corpus row scores against all queries in one narrow pass and the
+    * bounded-heap TopKByScore aggregate reduces map-side — the shuffle
+    * carries k rows per query per partition, never corpus rows. `scorer`
+    * picks the kernel (exact cosine, or quantized dot for integer-exact
+    * oracle checks). Output: (query_id, rank, vec_id, score).
+    */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+              scorer: (Column, Column) => Column = cosine): DataFrame = {
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus.select(col("vec_id"), col("embedding"))
+      .repartition(parallelism, col("vec_id")) // single-split scan guard
+      .crossJoin(broadcast(queries.select(col("query_id"), col("q_emb"))))
+      .select(col("query_id"), col("vec_id"),
+        scorer(col("embedding"), col("q_emb")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.gfn.topk_by_score(col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("score"))
+  }
+
+  /** Batched ANN KNN join — the LSH-pruned form of [[knnJoin]] for when the
+    * query table itself is large: corpus rows bucket by nTables hyperplane
+    * signatures, each query probes its bucket plus hamming-1 neighbors per
+    * table, candidates come from the (tbl, sig) equi-join (never all-pairs),
+    * dedupe per (query, candidate), exact-score survivors, TopKByScore per
+    * query. Expected scored fraction ≈ nTables·(nBits+1)/2^nBits per query.
+    */
+  def annKnnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nBits: Int = 8, dim: Int = 64, nTables: Int = 8): DataFrame = {
+    val bucketed = corpus.select(col("vec_id"), col("embedding"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(col("embedding"), nBits, dim, seed = 7 + t).as("sig"))
+      }: _*)).as("ts"))
+      .select(col("vec_id"), col("embedding"), col("ts.tbl"), col("ts.sig"))
+    val probes = queries.select(col("query_id"), col("q_emb"),
+      explode(array((0 until nTables).map { t =>
+        struct(lit(t).as("tbl"),
+          lshSignature(col("q_emb"), nBits, dim, seed = 7 + t).as("sig"))
+      }: _*)).as("ts"))
+      .select(col("query_id"), col("q_emb"), col("ts.tbl"), col("ts.sig").as("q_sig"))
+      .select(col("query_id"), col("q_emb"), col("tbl"),
+        explode(array(col("q_sig") +:
+          (0 until nBits).map(i => col("q_sig").bitwiseXOR(shiftleft(lit(1L), i))): _*))
+          .as("sig"))
+    // no broadcast hint: with a LARGE query table the probe frame scales
+    // with it — AQE broadcasts when it fits, shuffles otherwise
+    bucketed.join(probes, Seq("tbl", "sig"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.gfn.topk_by_score(col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("score"))
+  }
+
   // ---- IVF ANN ----
 
   /** Deterministic coarse centroids: the nList corpus vectors with the

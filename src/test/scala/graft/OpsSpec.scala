@@ -413,6 +413,27 @@ class OpsSpec extends AnyFunSuite {
     assert(full == hits, s"batch $full != incremental $hits")
   }
 
+  test("ANN knn join: avg recall@10 >= 0.5 vs the exact knn join, self-match first") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def topMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (q, rows) =>
+        q -> rows.sortBy(_._2).map(_._3).toSeq }
+    val exact = topMap(Similarity.knnJoin(emb, queries, k = 10))
+    // every query is its own nearest neighbor at cosine 1.0
+    exact.foreach { case (q, ids) => assert(ids.head == q, s"query $q: $ids") }
+    val ann = topMap(Similarity.annKnnJoin(emb, queries, k = 10))
+    val hits = exact.map { case (q, ids) =>
+      ann.getOrElse(q, Seq.empty).toSet.intersect(ids.toSet).size }
+    info(s"batched ANN recall@10 per query: ${hits.toSeq}")
+    assert(hits.sum >= 50, s"avg recall ${hits.sum / 100.0} < 0.5: $hits")
+    val plan = Similarity.annKnnJoin(emb, queries, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
