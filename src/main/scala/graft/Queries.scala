@@ -1918,6 +1918,90 @@ object Queries {
       SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 5
       ORDER BY query_id, rank"""))
 
+  /** N-GRAM NOVELTY: the fraction of each doc's distinct 3-grams that occur
+    * NOWHERE else in the corpus (df = 1) — high novelty separates fresh
+    * content from boilerplate/templates; the diversity face of the q44
+    * posting-list machinery. Gram strings (not hashes) so the oracle can
+    * replay them; at 100 TB grams travel as 64-bit hashes exactly like
+    * Decontam's. One vocab-sized df aggregate + one gram join.
+    */
+  private val q82 = Q("q82_gram_novelty",
+    (s, d) => {
+      val grams = docsSpread(s, d)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+      val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      grams.join(dfreq, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_grams").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS l
+        FROM documents),
+      g AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(l)-2, 1)+1),
+                 i -> array_to_string(l[i:least(i+2, len(l))], ' ')))) AS g
+        FROM t),
+      dfreq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY 1)
+      SELECT doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS novelty
+      FROM g JOIN dfreq USING (g)
+      GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** PER-SOURCE DISTRIBUTION DRIFT: KL(source ‖ corpus) over unigram
+    * distributions — the mixing diagnostic that flags a source whose token
+    * distribution diverges from the blend (domain skew, encoding rot).
+    * All counts exact; each p·ln(p/q) summand is one fixed FP expression
+    * routed through DECIMAL(28,12) (the q68/q71 recipe) so the sum is
+    * order-independent and hash-matches. Global stats derive from the
+    * per-source counts (one extra tiny aggregate), never a second scan.
+    */
+  private val q83 = Q("q83_source_kl",
+    (s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      val sw = toks.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c_sw"))
+      val sTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+      val gw = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_gw"))
+      val gTot = gw.agg(sum(col("c_gw")).as("n_g"))
+      val ps = col("c_sw").cast("double") / col("n_s").cast("double")
+      val pg = col("c_gw").cast("double") / col("n_g").cast("double")
+      sw.join(sTot, "source").join(gw, "w").crossJoin(broadcast(gTot))
+        .withColumn("term", (ps * log(ps / pg)).cast(DecimalType(28, 12)))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_tokens"),
+          sum(col("term")).cast("double").as("kl_nats"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents),
+      sw AS (SELECT source, w, COUNT(*) AS c_sw FROM toks GROUP BY 1, 2),
+      st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+      gw AS (SELECT w, CAST(SUM(c_sw) AS BIGINT) AS c_gw FROM sw GROUP BY 1),
+      gt AS (SELECT CAST(SUM(c_gw) AS BIGINT) AS n_g FROM gw),
+      terms AS (
+        SELECT source, n_s,
+               CAST((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) *
+                    ln((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE)) /
+                       (CAST(c_gw AS DOUBLE) / CAST(n_g AS DOUBLE)))
+                    AS DECIMAL(28,12)) AS term
+        FROM sw JOIN st USING (source) JOIN gw USING (w) CROSS JOIN gt)
+      SELECT source, MAX(n_s) AS n_tokens,
+             CAST(SUM(term) AS DOUBLE) AS kl_nats
+      FROM terms GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -1925,5 +2009,5 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
 }
