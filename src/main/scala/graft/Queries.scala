@@ -2002,6 +2002,35 @@ object Queries {
              CAST(SUM(term) AS DOUBLE) AS kl_nats
       FROM terms GROUP BY source ORDER BY source"""))
 
+  /** LEAKAGE-SAFE SPLIT: train/val/test assignment gated on the CONTENT
+    * GROUP (min doc_id per identical text — q20's keeper), not the row, so
+    * duplicate documents can never straddle splits and leak eval text into
+    * training. The same Knuth gate as q49 ⇒ the oracle replays it exactly;
+    * the same-md5-same-split property is what the grouping guarantees.
+    */
+  private val q84 = Q("q84_leakage_safe_split",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(to_binary(col("text"), lit("utf-8"))))
+      graft.ops.Mix.leakageSafeSplit(
+          t(s, d, "documents").withColumn("gid", min(col("doc_id")).over(w)),
+          col("gid"))
+        .select(col("doc_id"), col("gid"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid
+        FROM documents)
+      SELECT doc_id, gid,
+             CASE WHEN (gid % 2147483648) * 2654435761 % 2147483648 % 1000 < 800
+                  THEN 'train'
+                  WHEN (gid % 2147483648) * 2654435761 % 2147483648 % 1000 < 900
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2009,5 +2038,5 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
 }

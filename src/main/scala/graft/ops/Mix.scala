@@ -63,6 +63,28 @@ object Mix {
       .filter(col("sample_rank") <= k)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the split is a deterministic hash
+    * gate on a numeric GROUP id (the min doc_id of a content group, a
+    * near-dup cluster_id from Components, a domain id) — never the row id —
+    * so duplicate or near-duplicate content can never straddle splits and
+    * leak eval data into training. `cuts` are ascending per-mille upper
+    * bounds (e.g. train 800 / val 900 / test 1000). Purely narrow once the
+    * group id exists, and as reproducible as the id derivation (the same
+    * Knuth gate as [[stratifiedSample]] — no rand(), retry-stable).
+    */
+  def leakageSafeSplit(df: DataFrame, groupId: Column,
+                       cuts: Seq[(String, Int)] =
+                         Seq("train" -> 800, "val" -> 900, "test" -> 1000)): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 1000 &&
+      cuts.map(_._2) == cuts.map(_._2).sorted,
+      s"cuts must be ascending per-mille bounds ending at 1000, got $cuts")
+    val gate = hashGate(groupId)
+    val split = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, cut), acc) => when(gate < cut, name).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
   /** Sequential token-budget packing: within each stratum, docs (in `order`)
     * are laid onto a continuous token tape and the tape is cut every
     * `budget` tokens; a doc belongs to the shard where it STARTS —

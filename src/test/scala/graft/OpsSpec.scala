@@ -212,6 +212,28 @@ class OpsSpec extends AnyFunSuite {
     assert(top.getString(0) == "hot" && top.getAs[Double]("share") > 0.85)
   }
 
+  test("leakage-safe split: same group always same split, proportions near cuts") {
+    import graft.ops.Mix
+    // 1000 groups of 3 rows each, gid = group id
+    val rows = (0L until 3000L).map(i => (i, i / 3)).toDF("row_id", "gid")
+    val split = Mix.leakageSafeSplit(rows, col("gid"))
+      .select("row_id", "gid", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the guarantee: no group straddles splits
+    split.groupBy(_._2).foreach { case (g, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"group $g straddles splits")
+    }
+    // proportions track the 800/100/100 cuts (hash gate, so ±a few %)
+    val byName = split.groupBy(_._3).map { case (k, v) => k -> v.length }
+    assert(byName("train") > 2200 && byName("train") < 2600, byName.toString)
+    assert(byName("val") > 150 && byName("val") < 450, byName.toString)
+    assert(byName("test") > 150 && byName("test") < 450, byName.toString)
+    // bad cuts rejected
+    intercept[IllegalArgumentException] {
+      Mix.leakageSafeSplit(rows, col("gid"), Seq("a" -> 500, "b" -> 400))
+    }
+  }
+
   test("weighted sample biases toward heavy weights, deterministic, exactly k per stratum") {
     import graft.ops.Mix
     val rows = (1L to 2000L).map(i =>
