@@ -1927,8 +1927,11 @@ object Queries {
     */
   private val q82 = Q("q82_gram_novelty",
     (s, d) => {
+      // both the df aggregate and the join consume the exploded grams;
+      // persist so the shingle pass runs once (the q25/q44 lesson)
       val grams = docsSpread(s, d)
         .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       grams.join(dfreq, "g")
         .groupBy(col("doc_id"))
