@@ -337,7 +337,10 @@ object Dedup {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val text = docs.select(col("doc_id"), col("text"))
       .repartition(parallelism, col("doc_id"))
+    // consumed by the chunk explode AND both verify-join sides: persist so
+    // the simhash kernel hashes each doc once (8 bytes + id per row cached)
     val sigs = text.select(col("doc_id"), simhash(col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), explode(array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
         shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
