@@ -607,6 +607,27 @@ class OpsSpec extends AnyFunSuite {
     vids.foreach(f => assert(again(f.media_id) == f.checksum))
   }
 
+  test("corrupt media bytes fall back deterministically, never crash the decode stage") {
+    implicit val s = spark
+    import spark.implicits._
+    val goodVid = graft.ops.Multimodal.encodeMjpeg(5L, "some text for frames")
+    val rows = Seq(
+      (1L, "video", goodVid.take(goodVid.length / 2)), // truncated mid-stream
+      (2L, "video", Array[Byte](1, 2, 3)),             // not MJPEG at all
+      (3L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G', 0, 0)), // bad PNG
+      (4L, "audio", "RIFFxxxxWAVEgarbage".getBytes))   // bad WAV
+      .toDF("media_id", "kind", "content")
+    val out = graft.ops.Multimodal.decode(rows).collect()
+    assert(out.length == 4) // every row decodes to SOMETHING
+    // truncated MJPEG still yields frames decoded before the cut
+    val trunc = out.find(_.media_id == 1L).get
+    assert(trunc.n_frames >= 1 && trunc.width == 8 + 5 % 24)
+    // determinism of the fallback too
+    val again = graft.ops.Multimodal.decode(rows).collect()
+    assert(out.map(f => (f.media_id, f.checksum)).toSet ==
+      again.map(f => (f.media_id, f.checksum)).toSet)
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("heavy hitters: recovers true top terms with bounded overestimate") {
