@@ -2034,6 +2034,57 @@ object Queries {
                   ELSE 'test' END AS split
       FROM g ORDER BY doc_id"""))
 
+  /** NEAR-DUP-CLUSTER-SAFE SPLIT — the full composition: exact near-dup
+    * pairs (q44) → connected components (q47) → split gated on the cluster
+    * minimum (q84's gate), so not just identical but NEAR-duplicate
+    * documents can never straddle train/eval. Singletons gate on their own
+    * id. The oracle replays the whole chain: recursive-CTE closure + the
+    * same Knuth gate.
+    */
+  private val q85 = Q("q85_cluster_safe_split",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.exactNearDups(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val clusters = Components.connectedComponents(pairs)
+        .withColumnRenamed("id", "doc_id")
+      graft.ops.Mix.leakageSafeSplit(
+          docs.select(col("doc_id"))
+            .join(clusters, Seq("doc_id"), "left")
+            .withColumn("gid", coalesce(col("cluster_id"), col("doc_id"))),
+          col("gid"))
+        .select(col("doc_id"), col("gid"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+            FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                    i -> array_to_string(l[i:least(i+2, len(l))], ' '))) AS s FROM t),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.s, b.s)) >= 0.5 * len(list_distinct(a.s || b.s))),
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      walk AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u),
+      labels AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM walk GROUP BY u),
+      g AS (
+        SELECT d.doc_id, CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS gid
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+      SELECT doc_id, gid,
+             CASE WHEN (gid % 2147483648) * 2654435761 % 2147483648 % 1000 < 800
+                  THEN 'train'
+                  WHEN (gid % 2147483648) * 2654435761 % 2147483648 % 1000 < 900
+                  THEN 'val'
+                  ELSE 'test' END AS split
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2041,5 +2092,5 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
 }

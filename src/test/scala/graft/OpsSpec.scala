@@ -234,6 +234,19 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-safe split: every near-dup pair lands in one split") {
+    val sf = "/root/testdata/sf0.01"
+    val split = Queries.all.find(_.name == "q85_cluster_safe_split").get
+      .build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val pairs = Dedup.exactNearDups(Tables(spark, sf, "documents"), threshold = 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a, $b) straddles splits")
+    }
+  }
+
   test("weighted sample biases toward heavy weights, deterministic, exactly k per stratum") {
     import graft.ops.Mix
     val rows = (1L to 2000L).map(i =>
