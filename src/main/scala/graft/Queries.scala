@@ -2085,6 +2085,279 @@ object Queries {
                   ELSE 'test' END AS split
       FROM g ORDER BY doc_id"""))
 
+  /** TRAINING-CHUNK SPLIT: every doc cut into 200-char windows with 50-char
+    * overlap (TextOps.chunkDocs) — the context-window prep step before
+    * tokenize-and-pack. Entirely narrow (integer chunk count + sequence
+    * explode + dynamic substr): zero shuffles at any scale; output size is
+    * the only cost and it's the point.
+    */
+  private val q86 = Q("q86_chunk_docs",
+    (s, d) => TextOps.chunkDocs(t(s, d, "documents"),
+        col("doc_id"), col("text"), size = 200, overlap = 50)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""
+      WITH c AS (
+        SELECT doc_id, text,
+               greatest(1, (length(text) - 50 + 149) // 150) AS n_chunks
+        FROM documents),
+      e AS (
+        SELECT doc_id, text, unnest(range(n_chunks)) AS chunk_idx FROM c)
+      SELECT doc_id, chunk_idx, chunk_idx * 150 AS chunk_start,
+             substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200) AS chunk,
+             CAST(length(substr(text, CAST(chunk_idx * 150 + 1 AS BIGINT), 200))
+                  AS BIGINT) AS chunk_len
+      FROM e ORDER BY doc_id, chunk_idx"""))
+
+  /** BIGRAM COLLOCATIONS (PMI): the corpus's top-50 word pairs by pointwise
+    * mutual information ln(c2·N / (c1·c1')) with min count 3 — the phrase
+    * mining / tokenizer-merge-candidate primitive. Counts are exact hash
+    * aggregates (vocab-sized shuffles); PMI is one fixed FP expression,
+    * emitted rounded to 12 dp because JVM and libm ln differ in the last
+    * ulp. The top-50 runs as TakeOrderedAndProject (per-partition
+    * heaps, never a global sort) with a total (pmi DESC, w, w2) order.
+    */
+  private val q87 = Q("q87_bigram_pmi",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+      val big = toks
+        .withColumn("w2", lead(col("w"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+        .where(col("w2").isNotNull)
+      val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val n = toks.agg(count(lit(1)).as("n_tok"))
+      c2.where(col("c2") >= 3)
+        .join(c1, "w")
+        .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+        .crossJoin(broadcast(n))
+        .select(col("w"), col("w2"), col("c2"),
+          log((col("c2") * col("n_tok")).cast("double") /
+              (col("c1") * col("c1b")).cast("double")).as("pmi_raw"))
+        .orderBy(col("pmi_raw").desc, col("w"), col("w2"))
+        .limit(50)
+        // emit ln rounded to 12 dp (the q68 recipe): JVM Math.log and libm
+        // ln differ in the last ulp for some inputs
+        .select(col("w"), col("w2"), col("c2"),
+          col("pmi_raw").cast(DecimalType(28, 12)).cast("double").as("pmi"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        FROM documents),
+      big AS (
+        SELECT doc_id, w,
+               lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM toks),
+      c2 AS (SELECT w, w2, COUNT(*) AS c2 FROM big
+             WHERE w2 IS NOT NULL GROUP BY 1, 2),
+      c1 AS (SELECT w, COUNT(*) AS c1 FROM toks GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_tok FROM toks),
+      top AS (
+        SELECT c2.w AS w, c2.w2 AS w2, c2.c2 AS c2,
+               ln(CAST(c2.c2 * n_tok AS DOUBLE) /
+                  CAST(a.c1 * b.c1 AS DOUBLE)) AS pmi_raw
+        FROM c2 JOIN c1 a ON c2.w = a.w JOIN c1 b ON c2.w2 = b.w
+        CROSS JOIN n
+        WHERE c2.c2 >= 3
+        ORDER BY pmi_raw DESC, w, w2 LIMIT 50)
+      SELECT w, w2, c2,
+             CAST(CAST(pmi_raw AS DECIMAL(28,12)) AS DOUBLE) AS pmi
+      FROM top ORDER BY pmi DESC, w, w2"""))
+
+  /** INVERTED INDEX (truncated posting lists): term → exact document
+    * frequency + the 20 LOWEST doc_ids as the posting list. The truncation
+    * happens BEFORE aggregation — a per-term row_number filter on the same
+    * term partitioning the aggregates reuse — so no group ever accumulates
+    * more than 20 ids no matter how degenerate the vocabulary (a stopword's
+    * df can be the corpus size; its posting state here stays 20). One
+    * distinct (term, doc) shuffle feeds the rank, the df count, and the
+    * posting aggregate without re-exchanging.
+    */
+  private val q88 = Q("q88_inverted_index",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val td = docsSpread(s, d)
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"),
+          col("doc_id"))
+        .distinct()
+      val posting = td
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("doc_id"))))
+        .where(col("rk") <= 20)
+        .groupBy(col("term"))
+        .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("posting"))
+      td.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .join(posting, "term")
+        .orderBy(col("term"))
+    },
+    Some("""
+      WITH td AS (
+        SELECT DISTINCT
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term,
+               doc_id
+        FROM documents),
+      ranked AS (
+        SELECT term, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+        FROM td),
+      posting AS (
+        SELECT term,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS posting
+        FROM ranked WHERE rk <= 20 GROUP BY term),
+      dfreq AS (SELECT term, COUNT(*) AS df FROM td GROUP BY term)
+      SELECT term, df, posting
+      FROM dfreq JOIN posting USING (term)
+      ORDER BY term"""))
+
+  /** FEATURE SCALING (normalization for downstream models): per-source
+    * min-max scale + percent_rank of doc length. Two window passes over the
+    * SAME source partitioning = one shuffle total; each scaled value is one
+    * FP division of exact ints (or the exact rational (rank-1)/(n-1)), so
+    * both engines agree bit-for-bit. Degenerate groups (max = min) pin to
+    * 0.5 instead of dividing by zero.
+    */
+  private val q89 = Q("q89_feature_scale",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bySrc = Window.partitionBy(col("source"))
+      val mn = min(col("n_chars")).over(bySrc)
+      val mx = max(col("n_chars")).over(bySrc)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          when(mx > mn, (col("n_chars") - mn).cast("double") /
+              (mx - mn).cast("double"))
+            .otherwise(0.5).as("minmax"),
+          percent_rank().over(bySrc.orderBy(col("n_chars"))).as("pr"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, source, n_chars,
+             CASE WHEN max(n_chars) OVER w > min(n_chars) OVER w
+                  THEN CAST(n_chars - min(n_chars) OVER w AS DOUBLE) /
+                       CAST(max(n_chars) OVER w - min(n_chars) OVER w AS DOUBLE)
+                  ELSE 0.5 END AS minmax,
+             percent_rank() OVER (PARTITION BY source ORDER BY n_chars) AS pr
+      FROM documents
+      WINDOW w AS (PARTITION BY source)
+      ORDER BY doc_id"""))
+
+  /** GROUPED OLS REGRESSION (price on quantity per return flag): slope and
+    * intercept from the exact DECIMAL sums of q78's recipe — partial
+    * aggregation ships five numbers per group per task, and the two closing
+    * FP expressions are fixed, so the result is order-independent and
+    * hash-matches where a streaming covariance would not.
+    */
+  private val q90 = Q("q90_regr_slope",
+    (s, d) => {
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      def dbl(c: Column): Column = c.cast("double")
+      val slope =
+        (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+        (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * y).cast(DecimalType(38, 4))).as("sxy"),
+          sum((x * x).cast(DecimalType(38, 4))).as("sxx"))
+        .select(col("l_returnflag"), col("n"), slope.as("slope"),
+          ((dbl(col("sy")) - slope * dbl(col("sx"))) / dbl(col("n")))
+            .as("intercept"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+               SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+                        CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx
+        FROM lineitem GROUP BY l_returnflag),
+      sl AS (
+        SELECT l_returnflag, n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+               (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+               CAST(sx AS DOUBLE) AS dx, CAST(sy AS DOUBLE) AS dy
+        FROM sums)
+      SELECT l_returnflag, n, slope,
+             (dy - slope * dx) / CAST(n AS DOUBLE) AS intercept
+      FROM sl ORDER BY l_returnflag"""))
+
+  /** BLOOM-PRUNED JOIN (ops/BloomJoin): orders⋈BUILDING-customers where the
+    * fact side is first filtered by an 8 KiB broadcast Bloom filter built
+    * distributed from the dim keys — the fact side stays NARROW until the
+    * (already pruned) real join, which removes the false positives. The
+    * oracle is the PLAIN join: row-exactness of the rewrite is the claim.
+    */
+  private val q91 = Q("q91_bloom_join",
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      graft.ops.BloomJoin.join(
+          t(s, d, "orders")
+            .select(col("o_custkey"), col("o_orderpriority"), col("o_totalprice")),
+          col("o_custkey"), cust, col("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TEMPERATURE-SCALED MIXTURE WEIGHTS (T = 0.5): per-source sampling
+    * weights p^T / Σ p^T — the corpus-mixing knob that upweights small
+    * sources. One per-source count aggregate; sqrt is correctly rounded in
+    * both engines, the Σ routes through DECIMAL(28,12) (the q68/q83 recipe)
+    * so the normalizer is order-independent, and each weight is one FP
+    * division.
+    */
+  private val q92 = Q("q92_mixture_weights",
+    (s, d) => {
+      val cnt = t(s, d, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = cnt.agg(sum(col("n_docs")).as("n_total"))
+      val p = col("n_docs").cast("double") / col("n_total").cast("double")
+      val scaled = cnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), p.as("p"),
+          sqrt(p).cast(DecimalType(28, 12)).as("sq"))
+      val z = scaled.agg(sum(col("sq")).as("z"))
+      scaled.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"), col("p"),
+          (col("sq").cast("double") / col("z").cast("double")).as("w"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH cnt AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(n_docs) AS n_total FROM cnt),
+      scaled AS (
+        SELECT source, n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE) AS p,
+               CAST(sqrt(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE))
+                    AS DECIMAL(28,12)) AS sq
+        FROM cnt, tot),
+      z AS (SELECT SUM(sq) AS z FROM scaled)
+      SELECT source, n_docs, p,
+             CAST(sq AS DOUBLE) / CAST(z AS DOUBLE) AS w
+      FROM scaled, z ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2092,5 +2365,6 @@ object Queries {
     q32, q33, q34, q35, q36, q37, q38, q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
-    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85)
+    q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
+    q86, q87, q88, q89, q90, q91, q92)
 }

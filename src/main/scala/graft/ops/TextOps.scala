@@ -97,6 +97,35 @@ object TextOps {
       .where(col("rk") <= k)
   }
 
+  /** Fixed-size training-chunk split with overlap: each doc becomes
+    * ceil((len-overlap)/stride) chunks of `size` chars starting every
+    * `stride` = size-overlap chars (the standard context-window prep for
+    * tokenize-and-pack). Pure narrow ops — integer chunk count, sequence
+    * explode, dynamic substr — no shuffle, no state; the bounded fan-out is
+    * ~len/stride rows per doc. Empty/short docs still yield exactly one
+    * chunk so no document is silently dropped.
+    */
+  def chunkDocs(docs: DataFrame, docId: Column, text: Column,
+                size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    val n = length(text).cast("long")
+    // ceil((n-overlap)/stride); floor of the exact double ratio == integer
+    // division for these magnitudes (< 2^53). >= 1 always.
+    val nChunks = greatest(lit(1L),
+      floor((n - overlap + (stride - 1)) / stride).cast("long"))
+    docs
+      .select(docId.as("doc_id"), text.as("__text"), nChunks.as("__nc"))
+      .select(col("doc_id"), col("__text"),
+        explode(sequence(lit(0L), col("__nc") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("chunk_start"),
+        substr(col("__text"), col("chunk_idx") * stride + 1, lit(size))
+          .as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -798,4 +798,45 @@ class OpsSpec extends AnyFunSuite {
     val nHints = "ResolvedHint".r.findAllIn(logical).length
     assert(nHints == 1, s"expected only the n_docs broadcast hint, got $nHints\n$logical")
   }
+
+  // ---- chunking ----
+
+  test("chunkDocs: boundaries tile the doc with the exact overlap, nothing lost") {
+    val text = ('a' to 'z').mkString * 20 // 520 chars
+    val rows = TextOps.chunkDocs(docs(1L -> text), col("doc_id"), col("text"),
+        size = 200, overlap = 50)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_start", "chunk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // ceil((520-50)/150) = 4 chunks, starts every 150
+    assert(rows.map(_._2).toSeq == Seq(0L, 150L, 300L, 450L))
+    // each chunk is the literal substring; consecutive chunks share 50 chars
+    rows.foreach { case (_, start, chunk) =>
+      assert(chunk == text.substring(start.toInt,
+        math.min(start.toInt + 200, text.length)))
+    }
+    rows.sliding(2).foreach {
+      case Array((_, _, a), (_, _, b)) => assert(a.takeRight(50) == b.take(50))
+      case _ =>
+    }
+    // concatenating chunks minus overlaps reconstructs the doc exactly
+    val rebuilt = rows.head._3 + rows.tail.map(_._3.drop(50)).mkString
+    assert(rebuilt == text)
+  }
+
+  test("chunkDocs: short and empty docs still yield exactly one chunk") {
+    val rows = TextOps.chunkDocs(docs(1L -> "tiny", 2L -> ""),
+        col("doc_id"), col("text"), size = 200, overlap = 50)
+      .orderBy("doc_id").select("doc_id", "chunk", "chunk_len").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(1) == "tiny" && rows(0).getLong(2) == 4L)
+    assert(rows(1).getString(1) == "" && rows(1).getLong(2) == 0L)
+  }
+
+  test("chunkDocs plan is narrow: no exchange, no join") {
+    val plan = TextOps.chunkDocs(docs(1L -> "abc"), col("doc_id"), col("text"),
+        size = 10, overlap = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
+  }
 }
