@@ -33,6 +33,10 @@ object Multimodal {
   // ImageIO must not touch a display; set before any AWT class initializes.
   if (System.getProperty("java.awt.headless") == null)
     System.setProperty("java.awt.headless", "true")
+  // ImageIO's default stream cache is a TEMP FILE per read/write — for the
+  // small in-memory blobs this pipeline moves, that's one disk round-trip
+  // per frame. Heap-backed streams instead.
+  javax.imageio.ImageIO.setUseCache(false)
 
   case class MediaRow(media_id: Long, kind: String, content: Array[Byte])
   case class MediaFeatures(media_id: Long, kind: String, byte_len: Long,
