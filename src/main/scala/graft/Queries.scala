@@ -2358,6 +2358,132 @@ object Queries {
              CAST(sq AS DOUBLE) / CAST(z AS DOUBLE) AS w
       FROM scaled, z ORDER BY source"""))
 
+  /** FULL OUTER JOIN — the last member of the join family (inner q03, semi
+    * q07, anti q08, as-of q31/q73, interval q57, salted q67, bloom q91):
+    * even-keyed customers ⟗ per-customer order rollups, so both
+    * left-only rows (customers with no orders) and right-only rows (odd-key
+    * customers' orders) survive. One shuffle per side on the join key; the
+    * aggregate side arrives pre-shuffled on that key so AQE can elide its
+    * exchange.
+    */
+  private val q93 = Q("q93_full_outer",
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .where(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ords = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("spend"))
+      cust.join(ords, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_orders"), col("spend"),
+          when(col("c_custkey").isNull, "order_only")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("both").as("side"))
+        .orderBy(col("custkey"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 2 = 0),
+      ords AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey)
+      SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders,
+             spend,
+             CASE WHEN c_custkey IS NULL THEN 'order_only'
+                  WHEN o_custkey IS NULL THEN 'customer_only'
+                  ELSE 'both' END AS side
+      FROM cust FULL OUTER JOIN ords ON c_custkey = o_custkey
+      ORDER BY custkey"""))
+
+  /** WINDOW-FUNCTION FAMILY in one pass: lag, first/last/nth value over the
+    * full partition frame, and cume_dist, all per user in one (user_id, ts,
+    * event_id) ordering — ONE shuffle serves every function. The order is
+    * total (event_id tiebreak) so cume_dist and the positional values are
+    * deterministic.
+    */
+  private val q94 = Q("q94_window_funcs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .select(col("event_id"), col("user_id"), col("us"), col("value"),
+          lag(col("value"), 1).over(ord).as("prev_value"),
+          first(col("value")).over(full).as("first_value"),
+          last(col("value")).over(full).as("last_value"),
+          nth_value(col("value"), 2).over(full).as("second_value"),
+          cume_dist().over(ord).as("cd"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS us, value,
+             lag(value, 1) OVER w AS prev_value,
+             first_value(value) OVER wf AS first_value,
+             last_value(value) OVER wf AS last_value,
+             nth_value(value, 2) OVER wf AS second_value,
+             cume_dist() OVER w AS cd
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id),
+             wf AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id"""))
+
+  /** TRAILING EWMA (exponential smoothing, α = 1/2 over the last 8 points):
+    * every weight 2^-(j+1) is a power of two, so each product is EXACT in
+    * IEEE doubles and the two fixed-order sums (weighted values /
+    * present-weight normalizer) evaluate bit-identically in both engines —
+    * exponential smoothing without the cross-engine FP lottery. One window
+    * shuffle per user; O(1) state per row (8 lags).
+    */
+  private val q95 = Q("q95_ewma",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val wsum = (0 to 7).map { j =>
+        val w = math.pow(2, -(j + 1))
+        coalesce(lag(col("value"), j).over(ord) * w, lit(0.0))
+      }.reduce(_ + _)
+      val norm = (0 to 7).map { j =>
+        val w = math.pow(2, -(j + 1))
+        when(lag(col("value"), j).over(ord).isNotNull, lit(w)).otherwise(lit(0.0))
+      }.reduce(_ + _)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("ewma", wsum / norm)
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, us, value,
+             (COALESCE(lag(value, 0) OVER w * 0.5, 0)
+              + COALESCE(lag(value, 1) OVER w * 0.25, 0)
+              + COALESCE(lag(value, 2) OVER w * 0.125, 0)
+              + COALESCE(lag(value, 3) OVER w * 0.0625, 0)
+              + COALESCE(lag(value, 4) OVER w * 0.03125, 0)
+              + COALESCE(lag(value, 5) OVER w * 0.015625, 0)
+              + COALESCE(lag(value, 6) OVER w * 0.0078125, 0)
+              + COALESCE(lag(value, 7) OVER w * 0.00390625, 0))
+             /
+             ((CASE WHEN lag(value, 0) OVER w IS NOT NULL THEN 0.5 ELSE 0 END)
+              + (CASE WHEN lag(value, 1) OVER w IS NOT NULL THEN 0.25 ELSE 0 END)
+              + (CASE WHEN lag(value, 2) OVER w IS NOT NULL THEN 0.125 ELSE 0 END)
+              + (CASE WHEN lag(value, 3) OVER w IS NOT NULL THEN 0.0625 ELSE 0 END)
+              + (CASE WHEN lag(value, 4) OVER w IS NOT NULL THEN 0.03125 ELSE 0 END)
+              + (CASE WHEN lag(value, 5) OVER w IS NOT NULL THEN 0.015625 ELSE 0 END)
+              + (CASE WHEN lag(value, 6) OVER w IS NOT NULL THEN 0.0078125 ELSE 0 END)
+              + (CASE WHEN lag(value, 7) OVER w IS NOT NULL THEN 0.00390625 ELSE 0 END))
+               AS ewma
+      FROM (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+      ORDER BY event_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2366,5 +2492,5 @@ object Queries {
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
 }
