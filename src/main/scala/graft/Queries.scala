@@ -2484,6 +2484,56 @@ object Queries {
       WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
       ORDER BY event_id"""))
 
+  /** TRIANGLE COUNTING on the near-dup similarity graph — the clique-ness
+    * probe that separates "chain of borderline pairs" from "tight duplicate
+    * cluster" before committing to a transitive-closure dedup. Edges are
+    * q44's exact near-dup pairs, already oriented a<b, so the classic
+    * two-join enumeration (path a<b<c, then the closing edge) emits each
+    * triangle exactly once — the degree-ordered formulation whose join fan
+    * is O(E^1.5) worst case, all equi-joins, no cartesian. Oracle replays
+    * the pair predicate with DuckDB list ops and the same joins.
+    */
+  private val q96 = Q("q96_triangles",
+    (s, d) => {
+      val e = Dedup.exactNearDups(t(s, d, "documents"), threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      val path = e.as("e1")
+        .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
+        .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
+          col("e2.b_id").as("c"))
+      path.join(e.as("e3"),
+          col("a") === col("e3.a_id") && col("c") === col("e3.b_id"))
+        .select(col("a"), col("b"), col("c"))
+        .orderBy(col("a"), col("b"), col("c"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                 FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                    i -> array_to_string(l[i:least(i+2, len(l))], ' '))) AS s FROM t),
+      e AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.s, b.s)) >= 0.5 * len(list_distinct(a.s || b.s)))
+      SELECT e1.a_id AS a, e1.b_id AS b, e2.b_id AS c
+      FROM e e1 JOIN e e2 ON e1.b_id = e2.a_id
+                JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id
+      ORDER BY a, b, c"""))
+
+  /** APPROXIMATE DISTINCT (HyperLogLog++): unique users per event type via
+    * Spark's mergeable HLL sketch — the sketch that replaces q17's exact
+    * shuffle-every-key count at 100 TB with fixed KB of mergeable state per
+    * group. Sketch estimates are engine-specific, so there is no SQL
+    * oracle (rows-only); `OpsSpec` pins the estimate within 5% of the
+    * oracle-checked exact count on the same data.
+    */
+  private val q97 = Q("q97_approx_distinct",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"))
+      .orderBy(col("event_type")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2492,5 +2542,5 @@ object Queries {
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
 }

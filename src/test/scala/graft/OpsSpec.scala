@@ -799,6 +799,20 @@ class OpsSpec extends AnyFunSuite {
     assert(nHints == 1, s"expected only the n_docs broadcast hint, got $nHints\n$logical")
   }
 
+  // ---- sketches ----
+
+  test("approx_count_distinct lands within 5% of the exact per-group count") {
+    val ev = Tables(spark, "/root/testdata/sf0.01", "events")
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.02).as("a"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e"))
+    approx.join(exact, "event_type").collect().foreach { r =>
+      val (a, e) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(a - e) <= 0.05 * e, s"${r.getString(0)}: approx=$a exact=$e")
+    }
+  }
+
   // ---- chunking ----
 
   test("chunkDocs: boundaries tile the doc with the exact overlap, nothing lost") {
