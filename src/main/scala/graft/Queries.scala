@@ -2495,8 +2495,12 @@ object Queries {
     */
   private val q96 = Q("q96_triangles",
     (s, d) => {
+      // the edge frame feeds three join aliases; persist or the whole
+      // near-dup kernel runs three times (exchange reuse does not fire
+      // across aliased subtrees — the q77/q82 lesson)
       val e = Dedup.exactNearDups(t(s, d, "documents"), threshold = 0.5)
         .select(col("a_id"), col("b_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val path = e.as("e1")
         .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
         .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
@@ -2534,6 +2538,47 @@ object Queries {
       .orderBy(col("event_type")),
     None)
 
+  /** Z-ORDER LAYOUT (ops/Layout): orders clustered into 32 write-chunks by
+    * the Morton interleave of (customer, order-day), with each chunk's
+    * bounding box as the output — the min/max file statistics a lake scan
+    * would prune by. Z-ordering makes BOTH single-key predicates skippable
+    * from one sort where a plain sort clusters one key and scatters the
+    * other (quantified in `OpsSpec`). The code is narrow integer arithmetic;
+    * the global ntile here stands in for the range-partitioned write that
+    * gives the sort its shuffle at scale.
+    */
+  private val q98 = Q("q98_zorder_layout",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+      val day = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val z = graft.ops.Layout.zorder2(col("o_custkey"), day, bits = 20)
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), day.as("day"), z.as("zcode"))
+        .withColumn("chunk",
+          ntile(32).over(Window.orderBy(col("zcode"), col("o_orderkey"))))
+        .groupBy(col("chunk"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_custkey")).as("min_cust"), max(col("o_custkey")).as("max_cust"),
+          min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+        .orderBy(col("chunk"))
+    },
+    Some(s"""
+      WITH z AS (
+        SELECT o_orderkey, o_custkey,
+               epoch_us(o_orderdate) // 86400000000 AS day,
+               ${graft.ops.Layout.zorder2Sql("o_custkey",
+                 "(epoch_us(o_orderdate) // 86400000000)", bits = 20)} AS zcode
+        FROM orders),
+      c AS (
+        SELECT o_custkey, day,
+               ntile(32) OVER (ORDER BY zcode, o_orderkey) AS chunk
+        FROM z)
+      SELECT chunk, COUNT(*) AS n,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+             MIN(day) AS min_day, MAX(day) AS max_day
+      FROM c GROUP BY chunk ORDER BY chunk"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2542,5 +2587,5 @@ object Queries {
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
 }

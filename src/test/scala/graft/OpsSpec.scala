@@ -799,6 +799,51 @@ class OpsSpec extends AnyFunSuite {
     assert(nHints == 1, s"expected only the n_docs broadcast hint, got $nHints\n$logical")
   }
 
+  // ---- layout ----
+
+  test("zorder: both dimensions prunable from one sort; single-col sort scatters the other") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 4096
+    val grid = spark.range(n).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    def chunkBoxes(sortKey: org.apache.spark.sql.Column) = grid
+      .withColumn("chunk", ntile(16).over(Window.orderBy(sortKey, col("x"), col("y"))))
+      .groupBy("chunk")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    // how many of the 16 chunks a narrow predicate lo<=v<=hi must still read
+    def overlaps(boxes: Array[org.apache.spark.sql.Row], dim: String, lo: Long, hi: Long) =
+      boxes.count { r =>
+        val (a, b) = if (dim == "x") (r.getLong(1), r.getLong(2))
+                     else (r.getLong(3), r.getLong(4))
+        a <= hi && b >= lo
+      }
+    val zBoxes = chunkBoxes(graft.ops.Layout.zorder2(col("x"), col("y"), bits = 8))
+    val xBoxes = chunkBoxes(col("x"))
+    // x-sorted layout: an x predicate is perfectly prunable, a y predicate
+    // must read every chunk
+    assert(overlaps(xBoxes, "x", 10, 13) <= 2)
+    assert(overlaps(xBoxes, "y", 10, 13) == 16)
+    // z-ordered layout: BOTH predicates skip most chunks
+    assert(overlaps(zBoxes, "x", 10, 13) <= 8, s"x overlaps=${overlaps(zBoxes, "x", 10, 13)}")
+    assert(overlaps(zBoxes, "y", 10, 13) <= 8, s"y overlaps=${overlaps(zBoxes, "y", 10, 13)}")
+  }
+
+  test("zorder code matches its SQL replay and is monotone per dimension") {
+    val df = spark.range(100).select((col("id") * 7 % 50).as("x"), (col("id") % 37).as("y"))
+    val viaCol = df.select(graft.ops.Layout.zorder2(col("x"), col("y"), 10).as("z"))
+      .as[Long].collect().toSeq
+    val viaSql = df.selectExpr(graft.ops.Layout.zorder2Sql("x", "y", 10) + " AS z")
+      .as[Long].collect().toSeq
+    assert(viaCol == viaSql)
+    // fixing y, the code grows with x
+    val fixedY = spark.range(64).select(col("id").as("x"), lit(5L).as("y"))
+      .select(graft.ops.Layout.zorder2(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(fixedY == fixedY.sorted && fixedY.distinct.size == 64)
+  }
+
   // ---- sketches ----
 
   test("approx_count_distinct lands within 5% of the exact per-group count") {
