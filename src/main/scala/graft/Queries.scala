@@ -2579,6 +2579,34 @@ object Queries {
              MIN(day) AS min_day, MAX(day) AS max_day
       FROM c GROUP BY chunk ORDER BY chunk"""))
 
+  /** PARTITION PROFILING (ANALYZE-style stats): per write-partition (day)
+    * row counts, TWO exact distinct counts, value min/max and an exact
+    * DECIMAL sum — the stats sweep a lake runs before promoting a
+    * partition. Two distincts in one aggregate exercise Spark's
+    * Expand-based multi-distinct plan: each input row fans into one row
+    * per distinct clause, then a single hash aggregate tree handles both —
+    * no second scan, no join of separately-computed stats.
+    */
+  private val q99 = Q("q99_partition_stats",
+    (s, d) => t(s, d, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("day")),
+    Some("""
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+             MIN(value) AS min_value,
+             MAX(value) AS max_value,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2587,5 +2615,5 @@ object Queries {
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
 }

@@ -49,6 +49,12 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q99's two distincts plan as one Expand, not two scans") {
+    val p = plan("q99_partition_stats")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).length == 1, p)
+  }
+
   test("date predicates become partition pruning on a partitioned layout") {
     // SCALE.md claims q02-style date predicates turn into partition pruning
     // once events is laid out by month (the 100 TB layout); prove it: write
