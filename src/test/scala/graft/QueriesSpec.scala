@@ -81,4 +81,44 @@ class QueriesSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("a filtered dim join prunes fact partitions dynamically (DPP)") {
+    // The runtime face of the same claim: when the fact's partition key is
+    // a JOIN key and the dim side is filtered, Spark must inject a dynamic
+    // pruning subquery into the fact scan — at 100 TB that's the difference
+    // between scanning one day and scanning the lake.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("events_by_day").toString
+    try {
+      Tables(spark, sf, "events")
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.partitionBy("day").mode("overwrite").parquet(dir)
+      val fact = spark.read.parquet(dir)
+      // a real scanned calendar dim with a selective predicate — the DPP
+      // trigger shape (a LIMIT on a self-derived frame does not qualify)
+      val dimDir = java.nio.file.Files.createTempDirectory("calendar_dim").toString
+      // the partition column reads back as DATE (partition-value inference)
+      val allDays = fact.select(col("day").cast("string")).distinct()
+        .orderBy(col("day")).collect().map(_.getString(0))
+      try {
+        import spark.implicits._
+        allDays.zipWithIndex.map { case (d, i) => (d, if (i < 2) 1 else 0) }
+          .toSeq.toDF("day_s", "keep")
+          .select(to_date(col("day_s")).as("day"), col("keep"))
+          .write.mode("overwrite").parquet(dimDir)
+        // an explicit comparison — the shape DPP's selectivity check
+        // recognizes (a bare boolean attribute is not "likely selective")
+        val dim = spark.read.parquet(dimDir).filter(col("keep") === 1).select("day")
+        val joined = fact.join(dim, "day").groupBy(col("day")).count()
+        val p = joined.queryExecution.executedPlan.toString
+        assert(p.contains("dynamicpruning") || p.contains("DynamicPruning"),
+          s"no dynamic pruning subquery in:\n$p")
+        assert(joined.count() == 2)
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dimDir))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }
