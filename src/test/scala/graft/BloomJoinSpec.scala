@@ -47,6 +47,20 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(kept >= 103 && kept <= 1000, s"kept=$kept")
   }
 
+  test("null probe keys and string keys behave like the plain join") {
+    val probeN = Seq((1L, Some(3L)), (2L, None), (3L, Some(99L)))
+      .toDF("id", "pk")
+    val build = keys(3L, 99L)
+    val got = BloomJoin.join(probeN, col("pk"), build, col("k"))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L)) // the null row matches nothing, like SQL equality
+    val sProbe = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "s")
+    val sBuild = Seq("beta", "delta").toDF("bk")
+    val sGot = BloomJoin.join(sProbe, col("s"), sBuild, col("bk"))
+      .select("id").as[Long].collect().toSeq
+    assert(sGot == Seq(2L))
+  }
+
   test("empty build side prunes everything") {
     val bloom = BloomJoin.build(keys(), col("k"))
     assert(BloomJoin.prune(probe, col("pk"), bloom).count() == 0)
