@@ -2607,6 +2607,81 @@ object Queries {
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1 ORDER BY 1"""))
 
+  /** THE TRAINING-DATA PIPELINE, COMPOSED (capstone): quality gate →
+    * leakage-safe split (content-group gated, q84) → context-window chunk
+    * accounting (q86's arithmetic) → token-budget shard packing on the
+    * train split (q50) → per-(source, split) corpus manifest. One query
+    * proves the operators compose: every stage is the oracle-checked
+    * formulation reused verbatim, and the oracle replays the entire chain.
+    * Shuffle ledger: md5-group window + split-frame aggregate + one packing
+    * window + the tiny shard-count join — nothing quadratic, nothing
+    * collected.
+    */
+  private val q100 = Q("q100_training_mix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      val gated = docs.where(col("n_tokens") >= 25)
+      val grouped = gated.withColumn("gid",
+        min(col("doc_id")).over(
+          Window.partitionBy(md5(to_binary(col("text"), lit("utf-8"))))))
+      val split = graft.ops.Mix.leakageSafeSplit(grouped, col("gid"))
+        .withColumn("n_chunks",
+          greatest(lit(1L), floor((col("n_chars") - 50 + 149) / 150).cast("long")))
+      val train = split.where(col("split") === "train")
+      val shards = graft.ops.Mix.packShards(train, col("source"), col("doc_id"),
+          col("n_tokens"), budget = 2000L)
+        .groupBy(col("source"))
+        .agg(countDistinct(col("shard_id")).as("n_shards_train"))
+      split.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chunks")).as("n_chunks"))
+        .join(shards, Seq("source"), "left")
+        .withColumn("n_shards",
+          when(col("split") === "train", coalesce(col("n_shards_train"), lit(0L)))
+            .otherwise(lit(0L)))
+        .drop("n_shards_train")
+        .orderBy(col("source"), col("split"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, text, source, n_chars,
+               CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+        FROM documents),
+      gated AS (SELECT * FROM docs WHERE n_tokens >= 25),
+      grouped AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS gid FROM gated),
+      split AS (
+        SELECT *,
+          CASE WHEN (gid % 2147483648) * 2654435761 % 2147483648 % 1000 < 800
+               THEN 'train'
+               WHEN (gid % 2147483648) * 2654435761 % 2147483648 % 1000 < 900
+               THEN 'val'
+               ELSE 'test' END AS split,
+          greatest(1, (n_chars - 50 + 149) // 150) AS n_chunks
+        FROM grouped),
+      train AS (SELECT * FROM split WHERE split = 'train'),
+      packed AS (
+        SELECT source,
+               CAST(floor((SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+        FROM train),
+      shards AS (
+        SELECT source, CAST(COUNT(DISTINCT shard_id) AS BIGINT) AS n_shards_train
+        FROM packed GROUP BY source)
+      SELECT s.source, s.split, COUNT(*) AS n_docs,
+             CAST(SUM(s.n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(s.n_chunks) AS BIGINT) AS n_chunks,
+             CASE WHEN s.split = 'train'
+                  THEN COALESCE(MAX(sh.n_shards_train), 0) ELSE 0 END AS n_shards
+      FROM split s LEFT JOIN shards sh ON s.source = sh.source
+      GROUP BY s.source, s.split
+      ORDER BY s.source, s.split"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2615,5 +2690,6 @@ object Queries {
     q47, q48, q49, q50, q51, q52, q53, q54, q55, q56, q57, q58, q59,
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99)
+    q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
+    q100)
 }
