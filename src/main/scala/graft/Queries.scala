@@ -2682,6 +2682,57 @@ object Queries {
       GROUP BY s.source, s.split
       ORDER BY s.source, s.split"""))
 
+  /** RELATIONAL PIVOT (the real `.pivot()` API with a pinned value list —
+    * q38 is the conditional-agg formulation; this is the operator form):
+    * months × return flags of exact quantity sums. A pinned value list
+    * keeps the schema static (dynamic pivots need a pre-pass collect — an
+    * anti-pattern at scale) and plans as ONE aggregate with no extra
+    * shuffle versus the plain groupBy.
+    */
+  private val q101 = Q("q101_pivot",
+    (s, d) => t(s, d, "lineitem")
+      .withColumn("month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .groupBy(col("month"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(dec(col("l_quantity"))).cast("double"))
+      .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r"))
+      .orderBy(col("month")),
+    Some("""
+      SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (l_returnflag = 'A') AS DOUBLE) AS qty_a,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (l_returnflag = 'N') AS DOUBLE) AS qty_n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                  FILTER (l_returnflag = 'R') AS DOUBLE) AS qty_r
+      FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  /** ARRAY HIGHER-ORDER FUNCTIONS over the embedding column: per-vector
+    * stats via filter / transform / aggregate lambdas — the no-explode way
+    * to compute vector features (the exploded q69 shape shuffles |rows|·dim
+    * values; this shuffles nothing). The L1 fold uses the q26/q81 integer
+    * quantization (round(x·1000) as longs) so the arithmetic is exact and
+    * order-independent in both engines.
+    */
+  private val q102 = Q("q102_array_funcs",
+    (s, d) => t(s, d, "embeddings")
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"),
+        (aggregate(
+          transform(col("embedding"),
+            x => abs(round(x.cast("double") * 1000).cast("long"))),
+          lit(0L), (acc, x) => acc + x) / 1000.0).as("l1_norm"),
+        array_max(col("embedding")).cast("double").as("max_dim"))
+      .orderBy(col("vec_id")),
+    Some("""
+      SELECT vec_id,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos,
+             CAST(list_sum(list_transform(embedding,
+                    x -> abs(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))))
+                  AS BIGINT) / 1000.0 AS l1_norm,
+             CAST(list_max(embedding) AS DOUBLE) AS max_dim
+      FROM embeddings ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2691,5 +2742,5 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100)
+    q100, q101, q102)
 }

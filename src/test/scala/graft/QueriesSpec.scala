@@ -82,6 +82,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables sort-merge join with NO exchange and no sort (co-location)") {
+    // The bucketing claim in SCALE.md: pre-bucketing both sides of a
+    // recurring join on the join key makes the join exchange-free — the
+    // 100 TB technique for joins run every day on the same key.
+    import org.apache.spark.sql.functions._
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      Tables(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      Tables(spark, sf, "customer").select("c_custkey", "c_acctbal")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join still exchanges:\n$p")
+      assert(joined.count() ==
+        Tables(spark, sf, "orders").join(Tables(spark, sf, "customer"),
+          col("o_custkey") === col("c_custkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("a filtered dim join prunes fact partitions dynamically (DPP)") {
     // The runtime face of the same claim: when the fact's partition key is
     // a JOIN key and the dim side is filtered, Spark must inject a dynamic
