@@ -2733,6 +2733,66 @@ object Queries {
              CAST(list_max(embedding) AS DOUBLE) AS max_dim
       FROM embeddings ORDER BY vec_id"""))
 
+  /** MERGE / UPSERT (apply a CDC change set to a snapshot): deterministic
+    * derived changes — update every 7th customer's balance, delete every
+    * 11th, insert 50 new keys — applied with ONE full outer join on the
+    * primary key: matched+update → new value, matched+delete → dropped,
+    * unmatched change → insert, unmatched snapshot row → carried. The
+    * distributed shape of MERGE INTO: one co-partitioned shuffle join,
+    * change volume dominates cost, never snapshot volume. Completes the
+    * CDC family (q60 diffs two snapshots; this applies the diff).
+    */
+  private val q103 = Q("q103_merge_upsert",
+    (s, d) => {
+      val snap = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val maxKey = snap.agg(max(col("c_custkey")).as("mk"))
+      val updates = snap.where(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey").as("k"), lit("U").as("op"),
+          (col("c_acctbal") + 100.0).as("new_bal"))
+      val deletes = snap.where(pmod(col("c_custkey"), lit(11)) === 3)
+        .select(col("c_custkey").as("k"), lit("D").as("op"),
+          lit(null).cast("double").as("new_bal"))
+      val inserts = s.range(1, 51).toDF("i")
+        .crossJoin(broadcast(maxKey))
+        .select((col("mk") + col("i")).as("k"), lit("I").as("op"),
+          (col("i") * 10.0).as("new_bal"))
+      // deletes win over updates for keys matching both gates (7k+0 ∧ 11k+3)
+      val changes = deletes.unionByName(
+        updates.join(deletes.select(col("k")), Seq("k"), "left_anti"))
+        .unionByName(inserts)
+      snap.join(changes, col("c_custkey") === col("k"), "full_outer")
+        .where(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("c_custkey"), col("k")).as("custkey"),
+          when(col("op").isNotNull, col("new_bal"))
+            .otherwise(col("c_acctbal")).as("acctbal"),
+          coalesce(col("op"), lit("-")).as("op"))
+        .orderBy(col("custkey"))
+    },
+    Some("""
+      WITH snap AS (SELECT c_custkey, c_acctbal FROM customer),
+      mk AS (SELECT MAX(c_custkey) AS mk FROM snap),
+      updates AS (
+        SELECT c_custkey AS k, 'U' AS op, c_acctbal + 100.0 AS new_bal
+        FROM snap WHERE c_custkey % 7 = 0),
+      deletes AS (
+        SELECT c_custkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_bal
+        FROM snap WHERE c_custkey % 11 = 3),
+      inserts AS (
+        SELECT mk + i AS k, 'I' AS op, i * 10.0 AS new_bal
+        FROM mk, range(1, 51) t(i)),
+      changes AS (
+        SELECT * FROM deletes
+        UNION ALL
+        SELECT * FROM updates WHERE k NOT IN (SELECT k FROM deletes)
+        UNION ALL
+        SELECT * FROM inserts)
+      SELECT COALESCE(c_custkey, k) AS custkey,
+             CASE WHEN op IS NOT NULL THEN new_bal ELSE c_acctbal END AS acctbal,
+             COALESCE(op, '-') AS op
+      FROM snap FULL OUTER JOIN changes ON c_custkey = k
+      WHERE op IS NULL OR op <> 'D'
+      ORDER BY custkey"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2742,5 +2802,5 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102)
+    q100, q101, q102, q103)
 }
