@@ -2793,6 +2793,55 @@ object Queries {
       WHERE op IS NULL OR op <> 'D'
       ORDER BY custkey"""))
 
+  /** LINE-LEVEL (sub-document) EXACT DEDUP — the C4/RefinedWeb trick:
+    * boilerplate sentences repeat across documents even when no two DOCS
+    * are near-dups, so dedup the corpus at sentence granularity. A sentence
+    * instance survives iff it is the FIRST occurrence of its content
+    * corpus-wide (min (doc_id, pos) — encoded as one integer so both
+    * engines order identically). One shuffle keyed by sentence content;
+    * per-doc residual stats come back on the doc_id partitioning. At
+    * 100 TB sentences travel as 64-bit hashes (the Decontam recipe) and
+    * the window-min becomes a groupBy-min + join, same shape as q20.
+    */
+  private val q104 = Q("q104_line_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val sents = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), "\\. ")).as(Seq("pos", "sent")))
+        .where(length(trim(col("sent"))) > 0)
+        .withColumn("ord", col("doc_id") * 1000 + col("pos"))
+      sents
+        .withColumn("first_ord", min(col("ord")).over(
+          Window.partitionBy(col("sent"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sents"),
+          sum(when(col("ord") === col("first_ord"), 1L).otherwise(0L))
+            .as("n_kept"))
+        .withColumn("dup_ratio",
+          lit(1.0) - col("n_kept").cast("double") / col("n_sents").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               unnest(string_split(text, '. ')) AS sent,
+               generate_subscripts(string_split(text, '. '), 1) - 1 AS pos
+        FROM documents),
+      o AS (
+        SELECT doc_id, sent, doc_id * 1000 + pos AS ord
+        FROM s WHERE len(trim(sent)) > 0),
+      f AS (
+        SELECT doc_id, ord,
+               MIN(ord) OVER (PARTITION BY sent) AS first_ord
+        FROM o)
+      SELECT doc_id, COUNT(*) AS n_sents,
+             CAST(SUM(CASE WHEN ord = first_ord THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             1.0 - CAST(SUM(CASE WHEN ord = first_ord THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*) AS dup_ratio
+      FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2802,5 +2851,5 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103)
+    q100, q101, q102, q103, q104)
 }
