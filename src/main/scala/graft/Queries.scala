@@ -2712,7 +2712,9 @@ object Queries {
     * to compute vector features (the exploded q69 shape shuffles |rows|·dim
     * values; this shuffles nothing). The L1 fold uses the q26/q81 integer
     * quantization (round(x·1000) as longs) so the arithmetic is exact and
-    * order-independent in both engines.
+    * order-independent in both engines. Caveat: HOF lambdas evaluate
+    * interpreted, per element — fine for a profiling pass; hot scoring
+    * loops use the codegen'd VecKernel expressions instead (q26's lesson).
     */
   private val q102 = Q("q102_array_funcs",
     (s, d) => t(s, d, "embeddings")
