@@ -2686,8 +2686,9 @@ object Queries {
     * q38 is the conditional-agg formulation; this is the operator form):
     * months × return flags of exact quantity sums. A pinned value list
     * keeps the schema static (dynamic pivots need a pre-pass collect — an
-    * anti-pattern at scale) and plans as ONE aggregate with no extra
-    * shuffle versus the plain groupBy.
+    * anti-pattern at scale). Plans two-phase: a partial-agg shuffle on
+    * (month, flag), then the pivot aggregate over the GROUPED frame — the
+    * second shuffle moves group-count rows, never data rows.
     */
   private val q101 = Q("q101_pivot",
     (s, d) => t(s, d, "lineitem")
