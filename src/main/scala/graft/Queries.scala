@@ -2845,6 +2845,59 @@ object Queries {
                         AS DOUBLE) / COUNT(*) AS dup_ratio
       FROM f GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** VOCABULARY ENCODE (apply the tokenizer): build a 30-term frequency
+    * vocab with dense ids (rank by count DESC, term), map every token to
+    * its id via a vocab join (NOT broadcast-hinted — vocab scales with the
+    * corpus, the q53 rule), and account OOV per doc; ids_head materializes
+    * the first 10 ids in position order through the deterministic
+    * sorted-struct collect (q63's recipe). The tokenize → encode → pack
+    * chain's missing middle step.
+    */
+  private val q105 = Q("q105_vocab_encode",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docsSpread(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
+      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .withColumn("id", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
+        .where(col("id") <= 30)
+        .select(col("w"), col("id"))
+      toks.join(vocab, Seq("w"), "left")
+        .withColumn("id2", coalesce(col("id"), lit(-1L)))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_oov"),
+          array_join(transform(
+            slice(array_sort(collect_list(struct(col("pos"), col("id2")))), 1, 10),
+            x => x.getField("id2").cast("string")), ",").as("ids_head"))
+        .withColumn("oov_rate",
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) - 1 AS pos
+        FROM documents),
+      freq AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      vocab AS (
+        SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, w) AS BIGINT) AS id
+        FROM freq QUALIFY id <= 30),
+      enc AS (
+        SELECT doc_id, pos, id, COALESCE(id, -1) AS id2
+        FROM toks LEFT JOIN vocab USING (w))
+      SELECT doc_id, COUNT(*) AS n_tokens,
+             CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             array_to_string(list_slice(list(id2 ORDER BY pos), 1, 10), ',')
+               AS ids_head,
+             CAST(SUM(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS oov_rate
+      FROM enc GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2854,5 +2907,5 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104)
+    q100, q101, q102, q103, q104, q105)
 }
