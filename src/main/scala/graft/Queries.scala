@@ -2898,6 +2898,47 @@ object Queries {
                AS oov_rate
       FROM enc GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** EVENT-TRANSITION MATRIX (Markov path mining): counts and MLE
+    * probabilities of consecutive event-type transitions per user — the
+    * user-journey / next-action model behind funnel design. One window
+    * shuffle on user_id (lead), one hash aggregate on the 5×5 transition
+    * key, and the per-from normalizer is a window over the tiny aggregated
+    * frame. Probability = one FP division of exact counts.
+    */
+  private val q106 = Q("q106_transition_matrix",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val trans = t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(ord))
+        .where(col("to_type").isNotNull)
+      trans.groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us, event_type AS from_type
+        FROM events),
+      trans AS (
+        SELECT from_type,
+               lead(from_type) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS to_type
+        FROM e),
+      cnt AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+             CAST(n AS DOUBLE) /
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM cnt ORDER BY from_type, to_type"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2907,5 +2948,5 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105)
+    q100, q101, q102, q103, q104, q105, q106)
 }
