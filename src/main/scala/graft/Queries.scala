@@ -2939,6 +2939,58 @@ object Queries {
                CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
       FROM cnt ORDER BY from_type, to_type"""))
 
+  /** CHI-SQUARE INDEPENDENCE AUDIT (dataset bias detection): is event_type
+    * distributed independently of user cohort (user_id mod 5)? Observed
+    * counts are one hash aggregate; expected counts derive from the
+    * marginals of that same tiny frame (window sums — no second scan); each
+    * cell's (o−e)²/e is a fixed chain of IEEE ops rounded to 12 dp, and the
+    * statistic is their order-independent DECIMAL sum windowed back onto
+    * every cell.
+    */
+  private val q107 = Q("q107_chi_square",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = t(s, d, "events")
+        .select(col("event_type"), pmod(col("user_id"), lit(5)).as("cohort"))
+        .groupBy(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val rt = sum(col("o")).over(Window.partitionBy(col("event_type")))
+      val ct = sum(col("o")).over(Window.partitionBy(col("cohort")))
+      val n = sum(col("o")).over(Window.partitionBy())
+      val e = (rt * ct).cast("double") / n.cast("double")
+      val term = (((col("o").cast("double") - e) * (col("o").cast("double") - e)) / e)
+        .cast(DecimalType(28, 12))
+      cells
+        .withColumn("e", e)
+        .withColumn("term", term)
+        .withColumn("chi2", sum(col("term")).over(Window.partitionBy()).cast("double"))
+        .select(col("event_type"), col("cohort"), col("o"), col("e"),
+          col("term").cast("double").as("contrib"), col("chi2"))
+        .orderBy(col("event_type"), col("cohort"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT event_type, user_id % 5 AS cohort, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+      m AS (
+        SELECT event_type, cohort, o,
+               SUM(o) OVER (PARTITION BY event_type) AS rt,
+               SUM(o) OVER (PARTITION BY cohort) AS ct,
+               SUM(o) OVER () AS n
+        FROM cells),
+      terms AS (
+        SELECT event_type, cohort, o,
+               CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE) AS e,
+               CAST(((CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE)))
+                    / (CAST(rt * ct AS DOUBLE) / CAST(n AS DOUBLE))
+                    AS DECIMAL(28,12)) AS term
+        FROM m)
+      SELECT event_type, cohort, o, e,
+             CAST(term AS DOUBLE) AS contrib,
+             CAST(SUM(term) OVER () AS DOUBLE) AS chi2
+      FROM terms ORDER BY event_type, cohort"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -2948,5 +3000,5 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106)
+    q100, q101, q102, q103, q104, q105, q106, q107)
 }
