@@ -32,10 +32,31 @@ object Bench {
       try run(q) catch { case _: Throwable => () }
     }
 
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    def renderJson(results: Seq[(String, Double)]): String = {
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+      val failed = results.count(_._2 < 0)
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    }
+    // Persist to a file as well as stdout: the stdout line is long enough
+    // that log-tail capture has truncated it (round 3 lost q01-q12 and the
+    // total). Rewritten after EVERY query so a timeout/kill mid-run still
+    // leaves valid partial numbers on disk.
+    def writeJson(json: String): Unit =
+      try {
+        val p = java.nio.file.Paths.get(outPath)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+      }
+
     // min of two runs per query: the first run of a plan pays one-time
     // codegen/JIT compilation that a long-lived cluster job would amortize;
     // the min is the steady-state cost of the plan itself.
-    val results = ordered.map { q =>
+    var results = Vector.empty[(String, Double)]
+    for (q <- ordered) {
       def once(): Double = {
         val t0 = System.nanoTime()
         run(q)
@@ -44,24 +65,10 @@ object Bench {
       val secs = try math.min(once(), once())
                  catch { case e: Throwable =>
                    System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); -1.0 }
-      (q.name, secs)
+      results :+= (q.name, secs)
+      writeJson(renderJson(results))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val failed = results.count(_._2 < 0)
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    println(json)
-    // Also persist to a file: the stdout line is long enough that log-tail
-    // capture has truncated it (round 3 lost q01-q12 and the total).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    try {
-      val p = java.nio.file.Paths.get(outPath)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
-    }
+    println(renderJson(results))
     spark.stop()
   }
 }
