@@ -42,4 +42,18 @@ object Layout {
     (0 until bits).map { j =>
       s"((($x >> $j) & 1) * ${1L << (2 * j)} + (($y >> $j) & 1) * ${1L << (2 * j + 1)})"
     }.mkString(" + ")
+
+  /** Z-clustered parquet write: range-partition by the Morton code into
+    * `numFiles` tasks and sort within each, so every output file holds a
+    * contiguous code range and its min/max footer stats are tight in BOTH
+    * dimensions. This is the write whose cost the code claims to ride on —
+    * one range exchange + local sort, the same bill as any sorted write.
+    */
+  def clusteredWrite(df: DataFrame, x: Column, y: Column, outDir: String,
+                     numFiles: Int, bits: Int = 16): Unit =
+    df.withColumn("__z", zorder2(x, y, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
 }

@@ -830,6 +830,42 @@ class OpsSpec extends AnyFunSuite {
     assert(overlaps(zBoxes, "y", 10, 13) <= 8, s"y overlaps=${overlaps(zBoxes, "y", 10, 13)}")
   }
 
+  test("clusteredWrite: real parquet files carry tight per-file stats in both dims") {
+    import org.apache.spark.sql.expressions.Window
+    val n = 4096
+    val grid = spark.range(n).select(
+      (col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    def fileBoxes(dir: String) = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"))
+      .collect()
+    def mustRead(boxes: Array[org.apache.spark.sql.Row], dim: String, lo: Long, hi: Long) =
+      boxes.count { r =>
+        val (a, b) = if (dim == "x") (r.getLong(1), r.getLong(2))
+                     else (r.getLong(3), r.getLong(4))
+        a <= hi && b >= lo
+      }
+    val zDir = java.nio.file.Files.createTempDirectory("zwrite").toString
+    val xDir = java.nio.file.Files.createTempDirectory("xwrite").toString
+    try {
+      graft.ops.Layout.clusteredWrite(grid, col("x"), col("y"), zDir,
+        numFiles = 16, bits = 8)
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+        .write.mode("overwrite").parquet(xDir)
+      val (zb, xb) = (fileBoxes(zDir), fileBoxes(xDir))
+      assert(zb.length == 16 && xb.length == 16)
+      // the x-sorted layout must read every file for a y predicate; the
+      // z-clustered one skips most files for either predicate
+      assert(mustRead(xb, "y", 10, 13) == 16)
+      assert(mustRead(zb, "x", 10, 13) <= 8)
+      assert(mustRead(zb, "y", 10, 13) <= 8)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(xDir))
+    }
+  }
+
   test("zorder code matches its SQL replay and is monotone per dimension") {
     val df = spark.range(100).select((col("id") * 7 % 50).as("x"), (col("id") % 37).as("y"))
     val viaCol = df.select(graft.ops.Layout.zorder2(col("x"), col("y"), 10).as("z"))
