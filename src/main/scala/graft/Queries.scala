@@ -2991,6 +2991,150 @@ object Queries {
              CAST(SUM(term) OVER () AS DOUBLE) AS chi2
       FROM terms ORDER BY event_type, cohort"""))
 
+  /** DISTRIBUTION SHAPE (skewness + excess kurtosis) from exact DECIMAL
+    * power sums — the long-tail detector for quality filtering (a length
+    * distribution with high kurtosis means outlier docs dominate). Extends
+    * the q78/q90 recipe to third and fourth moments: partial aggregation
+    * ships five exact numbers per group, the closing FP chains are fixed,
+    * so the statistics hash-match where streaming moment updates would not.
+    */
+  private val q108 = Q("q108_dist_shape",
+    (s, d) => {
+      // all powers in exact integer cents (chained DECIMAL multiplies widen
+      // differently across engines — DuckDB falls back to double past
+      // precision 38); qc^4 <= 6.25e14 fits a long, sums go DECIMAL(38,0)
+      val qc = round(col("l_quantity") * 100).cast("long")
+      def dbl(c: Column): Column = c.cast("double")
+      val nD = dbl(col("n"))
+      val mean = dbl(col("sx")) / nD / 1e2
+      val exx = dbl(col("sxx")) / nD / 1e4
+      val exxx = dbl(col("sxxx")) / nD / 1e6
+      val exxxx = dbl(col("sxxxx")) / nD / 1e8
+      val m2 = exx - mean * mean
+      val m3 = exxx - lit(3.0) * mean * exx + lit(2.0) * mean * mean * mean
+      val m4 = exxxx - lit(4.0) * mean * exxx + lit(6.0) * mean * mean * exx -
+        lit(3.0) * mean * mean * mean * mean
+      t(s, d, "lineitem")
+        .select(qc.as("qc"), col("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("qc").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("qc") * col("qc")).cast(DecimalType(38, 0))).as("sxx"),
+          sum((col("qc") * col("qc") * col("qc")).cast(DecimalType(38, 0))).as("sxxx"),
+          sum((col("qc") * col("qc") * col("qc") * col("qc"))
+            .cast(DecimalType(38, 0))).as("sxxxx"))
+        .select(col("l_returnflag"), col("n"), mean.as("mean"),
+          (m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+          (m4 / (m2 * m2) - 3.0).as("kurtosis"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT l_returnflag,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        FROM lineitem),
+      sums AS (
+        SELECT l_returnflag, COUNT(*) AS n,
+               SUM(CAST(qc AS DECIMAL(38,0))) AS sx,
+               SUM(CAST(qc * qc AS DECIMAL(38,0))) AS sxx,
+               SUM(CAST(qc * qc * qc AS DECIMAL(38,0))) AS sxxx,
+               SUM(CAST(qc * qc * qc * qc AS DECIMAL(38,0))) AS sxxxx
+        FROM q GROUP BY l_returnflag),
+      m AS (
+        SELECT l_returnflag, n,
+               CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1e2 AS mean,
+               CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) / 1e4 AS exx,
+               CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 AS exxx,
+               CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE) / 1e8 AS exxxx
+        FROM sums),
+      c AS (
+        SELECT l_returnflag, n, mean,
+               exx - mean * mean AS m2,
+               exxx - 3.0 * mean * exx + 2.0 * mean * mean * mean AS m3,
+               exxxx - 4.0 * mean * exxx + 6.0 * mean * mean * exx
+                 - 3.0 * mean * mean * mean * mean AS m4
+        FROM m)
+      SELECT l_returnflag, n, mean,
+             m3 / sqrt(m2 * m2 * m2) AS skewness,
+             m4 / (m2 * m2) - 3.0 AS kurtosis
+      FROM c ORDER BY l_returnflag"""))
+
+  /** SEQUENCE-GAP AUDIT (completeness check): ranges of missing event_ids —
+    * the ingest-loss detector that row counts can't see. One global-order
+    * window over ids only (narrow besides the sort); at 100 TB the same
+    * lead runs per day-partition so the sort is per-partition. Emits
+    * (gap_start, gap_end, missing) per hole.
+    */
+  private val q109 = Q("q109_gap_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      t(s, d, "events")
+        // synthesize holes deterministically: drop ids divisible by 97
+        .where(pmod(col("event_id"), lit(97)) =!= 0)
+        .select(col("event_id"))
+        .withColumn("next_id", lead(col("event_id"), 1).over(
+          Window.orderBy(col("event_id"))))
+        .where(col("next_id") - col("event_id") > 1)
+        .select((col("event_id") + 1).as("gap_start"),
+          (col("next_id") - 1).as("gap_end"),
+          (col("next_id") - col("event_id") - 1).as("missing"))
+        .orderBy(col("gap_start"))
+    },
+    Some("""
+      WITH ids AS (
+        SELECT event_id FROM events WHERE event_id % 97 <> 0),
+      g AS (
+        SELECT event_id,
+               lead(event_id) OVER (ORDER BY event_id) AS next_id
+        FROM ids)
+      SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
+             next_id - event_id - 1 AS missing
+      FROM g WHERE next_id - event_id > 1
+      ORDER BY gap_start"""))
+
+  /** TIME-WEIGHTED AVERAGE (TWAP): per-user mean of `value` weighted by how
+    * long it was current (until the next event) — the metering/finance
+    * aggregate where arithmetic means lie under irregular sampling. Each
+    * weighted term is an exact integer (milli-units × micros) summed as
+    * DECIMAL(38,0); the close is a fixed division chain.
+    */
+  private val q110 = Q("q110_twap",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      // exact integer term: value in "milli-units" (3 dp — value carries
+      // sub-cent precision) × micros duration, summed as DECIMAL(38,0)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"),
+          round(col("value") * 1000).cast("long").as("vm"))
+        .withColumn("dur", lead(col("us"), 1).over(ord) - col("us"))
+        .where(col("dur").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dur")).as("total_us"),
+          (sum((col("vm") * col("dur")).cast(DecimalType(38, 0)))
+            .cast("double") / sum(col("dur")).cast("double") / 1e3).as("twap"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us,
+               CAST(round(value * 1000) AS BIGINT) AS vm
+        FROM events),
+      w AS (
+        SELECT user_id, vm,
+               lead(us) OVER (PARTITION BY user_id
+                              ORDER BY us, event_id) - us AS dur
+        FROM e)
+      SELECT user_id, COUNT(*) AS n_intervals,
+             CAST(SUM(dur) AS BIGINT) AS total_us,
+             CAST(SUM(CAST(vm * dur AS DECIMAL(38,0))) AS DOUBLE)
+               / CAST(SUM(dur) AS DOUBLE) / 1e3 AS twap
+      FROM w WHERE dur IS NOT NULL
+      GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3000,5 +3144,5 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
 }
