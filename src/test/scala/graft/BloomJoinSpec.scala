@@ -61,6 +61,23 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(sGot == Seq(2L))
   }
 
+  test("property: no false negatives over random key sets (3 seeds)") {
+    for (seed <- Seq(11, 222, 3333)) {
+      val rnd = new java.util.Random(seed)
+      val buildKeys = Set.fill(200)(rnd.nextLong() % 100000L)
+      val probeKeys = Seq.fill(2000)(rnd.nextLong() % 100000L)
+      val build = buildKeys.toSeq.toDF("k")
+      val probeDf = probeKeys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "pk")
+      val bloom = BloomJoin.build(build, col("k"))
+      val kept = BloomJoin.prune(probeDf, col("pk"), bloom)
+        .select("pk").as[Long].collect().toSet
+      val trueMatches = probeKeys.toSet.intersect(buildKeys)
+      assert(trueMatches.subsetOf(kept),
+        s"seed=$seed lost ${trueMatches.diff(kept)}")
+    }
+  }
+
   test("empty build side prunes everything") {
     val bloom = BloomJoin.build(keys(), col("k"))
     assert(BloomJoin.prune(probe, col("pk"), bloom).count() == 0)

@@ -866,6 +866,16 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("property: zorder is injective on 2000 seeded random pairs") {
+    val rnd = new java.util.Random(97531)
+    val pairs = Set.fill(2000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val codes = pairs.toSeq.toDF("x", "y")
+      .select(graft.ops.Layout.zorder2(col("x"), col("y"), bits = 10).as("z"))
+      .as[Long].collect()
+    assert(codes.distinct.length == pairs.size) // distinct pairs → distinct codes
+    assert(codes.forall(z => z >= 0 && z < (1L << 20)))
+  }
+
   test("zorder code matches its SQL replay and is monotone per dimension") {
     val df = spark.range(100).select((col("id") * 7 % 50).as("x"), (col("id") % 37).as("y"))
     val viaCol = df.select(graft.ops.Layout.zorder2(col("x"), col("y"), 10).as("z"))
