@@ -298,4 +298,42 @@ class StreamingSpec extends AnyFunSuite {
       assert(eRow._2 - eRow._3 <= trueCount, s"lower bound broken: $eRow")
     } finally q.stop()
   }
+
+  test("streaming transitions match the batch q106 lead() on an ordered replay") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = java.sql.Timestamp.valueOf("2026-08-12 03:00:00").getTime
+    def ev(id: Long, user: Long, m: Long, tpe: String) =
+      (id, new java.sql.Timestamp(base + m * 60000L), user, tpe)
+    // two users interleaved; batch split mid-user so a transition SPANS the
+    // batch boundary (the stored last-event state must supply the from-side)
+    val b1 = Seq(ev(1, 7, 0, "view"), ev(2, 8, 1, "view"), ev(3, 7, 2, "click"))
+    val b2 = Seq(ev(4, 8, 3, "purchase"), ev(5, 7, 4, "purchase"), ev(6, 7, 5, "view"))
+
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val out = graft.streaming.TransitionStream.transitions(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type"))
+    val q = out.writeStream.format("memory").queryName("trans_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("trans_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(x => x).view.mapValues(_.length).toMap
+      val batch = (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type")
+        .withColumn("to_type", org.apache.spark.sql.functions.lead(col("event_type"), 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+            .orderBy(unix_micros(col("ts")), col("event_id"))))
+        .where(col("to_type").isNotNull)
+        .select(col("user_id"), col("event_type"), col("to_type")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .groupBy(x => x).view.mapValues(_.length).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      // the cross-batch transition for user 7 (click@b1 -> purchase@b2) exists
+      assert(streamed.contains((7L, "click", "purchase")))
+    } finally q.stop()
+  }
 }
