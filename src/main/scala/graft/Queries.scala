@@ -3135,6 +3135,81 @@ object Queries {
       FROM w WHERE dur IS NOT NULL
       GROUP BY user_id ORDER BY user_id"""))
 
+  /** WINSORIZED MEAN (robust aggregation): per-group mean after clipping to
+    * [P5, P95] — the outlier-insensitive average data-QA reports want when
+    * MAD counting (q77) says the tail is fat. Exact percentiles join back
+    * on the group key (tiny stats frame); the clipped sum routes through
+    * DECIMAL(18,2) so it is order-independent; both engines interpolate
+    * (lo+hi)/2 identically.
+    */
+  private val q111 = Q("q111_winsorized",
+    (s, d) => {
+      val li = t(s, d, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+      val pct = li.groupBy(col("flag"))
+        .agg(expr("percentile(x, 0.05)").as("lo"), expr("percentile(x, 0.95)").as("hi"))
+      val clipped = when(col("x") < col("lo"), col("lo"))
+        .when(col("x") > col("hi"), col("hi")).otherwise(col("x"))
+      li.join(pct, "flag")
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          (sum(dec(clipped)).cast("double") / count(lit(1))).as("winsor_mean"),
+          (sum(dec(col("x"))).cast("double") / count(lit(1))).as("raw_mean"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH li AS (SELECT l_returnflag AS flag, l_extendedprice AS x FROM lineitem),
+      pct AS (
+        SELECT flag, quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.95) AS hi
+        FROM li GROUP BY 1)
+      SELECT flag, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN x < lo THEN lo
+                                WHEN x > hi THEN hi ELSE x END
+                           AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS winsor_mean,
+             CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS raw_mean
+      FROM li JOIN pct USING (flag)
+      GROUP BY flag ORDER BY flag"""))
+
+  /** NULL-SAFE EQUALITY JOIN (<=>): the join-predicate variant where NULL
+    * matches NULL — required when the key legitimately carries "unknown"
+    * and unknown-meets-unknown must pair (plain equality silently drops
+    * every NULL row). Nulls injected deterministically on both sides; the
+    * oracle uses IS NOT DISTINCT FROM. Planning note: <=> is still an
+    * equi-join to Spark (hash/sort-merge capable), NOT a theta join.
+    */
+  private val q112 = Q("q112_nullsafe_join",
+    (s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"),
+          when(pmod(col("c_custkey"), lit(10)) === 0, lit(null))
+            .otherwise(col("c_nationkey")).cast("long").as("ck"))
+      val supp = t(s, d, "supplier")
+        .select(col("s_suppkey"),
+          when(pmod(col("s_suppkey"), lit(7)) === 0, lit(null))
+            .otherwise(col("s_nationkey")).cast("long").as("sk"))
+      cust.join(supp, col("ck") <=> col("sk"))
+        .groupBy(coalesce(col("ck"), lit(-1L)).as("nation_or_null"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy(col("nation_or_null"))
+    },
+    Some("""
+      WITH cust AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_nationkey END AS ck
+        FROM customer),
+      supp AS (
+        SELECT s_suppkey,
+               CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS sk
+        FROM supplier)
+      SELECT COALESCE(ck, -1) AS nation_or_null, COUNT(*) AS n_pairs,
+             CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_cust,
+             CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_supp
+      FROM cust JOIN supp ON ck IS NOT DISTINCT FROM sk
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3144,5 +3219,6 @@ object Queries {
     q60, q61, q62, q63, q64, q65, q66, q67, q68, q69, q70, q71, q72,
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
-    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110)
+    q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
+    q111, q112)
 }
