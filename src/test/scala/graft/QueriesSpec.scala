@@ -49,6 +49,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("every oracle-checked query is partitioning-invariant (4 vs 7 shuffle partitions)") {
+    // The determinism contract behind the DuckDB hash gate: results may not
+    // depend on partition count or partition order (FP sums routed through
+    // DECIMAL, total ORDER BYs, no rand()). Shaking the partitioning is the
+    // cheapest way to catch a regression before the driver's gate does.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def canon(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).sorted.toSeq
+    try {
+      for (q <- Queries.all if q.oracle.isDefined) {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val a = canon(q.name)
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        val b = canon(q.name)
+        assert(a == b, s"${q.name} depends on partitioning: " +
+          a.zip(b).collectFirst { case (x, y) if x != y => s"$x != $y" }
+            .getOrElse(s"sizes ${a.size} vs ${b.size}"))
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("q99's two distincts plan as one Expand, not two scans") {
     val p = plan("q99_partition_stats")
     assert(p.contains("Expand"), p)
