@@ -43,6 +43,22 @@ object Layout {
       s"((($x >> $j) & 1) * ${1L << (2 * j)} + (($y >> $j) & 1) * ${1L << (2 * j + 1)})"
     }.mkString(" + ")
 
+  /** N-column Morton interleave: bit j of column i lands at position
+    * j·n + i (round-robin), so [[zorder2]] is exactly `zorderN(Seq(x, y),
+    * bits)`. Total code width n·bits must fit a long (≤ 62). Real lakes
+    * z-order 2–4 columns; more dims dilute every dimension's locality —
+    * past ~4, range-partition on the dominant filter column instead.
+    */
+  def zorderN(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, s"need >= 2 columns, got $n")
+    require(bits >= 1 && n * bits <= 62, s"n*bits must be <= 62, got ${n * bits}")
+    (for (j <- 0 until bits; i <- 0 until n) yield {
+      shiftright(cols(i).cast("long"), j).bitwiseAND(lit(1L)) *
+        lit(1L << (j * n + i))
+    }).reduce(_ + _)
+  }
+
   /** Z-clustered parquet write: range-partition by the Morton code into
     * `numFiles` tasks and sort within each, so every output file holds a
     * contiguous code range and its min/max footer stats are tight in BOTH

@@ -866,6 +866,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("zorderN generalizes zorder2 and stays injective in 3 dims") {
+    val rnd = new java.util.Random(8642)
+    val pairs = Seq.fill(500)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val two = pairs.toDF("x", "y")
+    val a = two.select(graft.ops.Layout.zorder2(col("x"), col("y"), 8).as("z"))
+      .as[Long].collect().toSeq
+    val b = two.select(graft.ops.Layout.zorderN(Seq(col("x"), col("y")), 8).as("z"))
+      .as[Long].collect().toSeq
+    assert(a == b) // zorderN(2 cols) == zorder2 bit for bit
+    val triples = Set.fill(1000)(
+      (rnd.nextInt(64).toLong, rnd.nextInt(64).toLong, rnd.nextInt(64).toLong))
+    val codes = triples.toSeq.toDF("x", "y", "w")
+      .select(graft.ops.Layout.zorderN(Seq(col("x"), col("y"), col("w")), 6).as("z"))
+      .as[Long].collect()
+    assert(codes.distinct.length == triples.size)
+    assert(codes.forall(z => z >= 0 && z < (1L << 18)))
+  }
+
   test("property: zorder is injective on 2000 seeded random pairs") {
     val rnd = new java.util.Random(97531)
     val pairs = Set.fill(2000)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
