@@ -2847,24 +2847,36 @@ object Queries {
 
   /** VOCABULARY ENCODE (apply the tokenizer): build a 30-term frequency
     * vocab with dense ids (rank by count DESC, term), map every token to
-    * its id via a vocab join (NOT broadcast-hinted — vocab scales with the
-    * corpus, the q53 rule), and account OOV per doc; ids_head materializes
-    * the first 10 ids in position order through the deterministic
-    * sorted-struct collect (q63's recipe). The tokenize → encode → pack
-    * chain's missing middle step.
+    * its id via a vocab join, and account OOV per doc; ids_head
+    * materializes the first 10 ids in position order through the
+    * deterministic sorted-struct collect (q63's recipe). The tokenize →
+    * encode → pack chain's missing middle step.
+    *
+    * Scale shape: the top-30 selection is `orderBy(...).limit(30)` —
+    * TakeOrderedAndProject, so only 30 rows per partition ever move; the
+    * full vocabulary is NEVER sorted globally (a row_number window with no
+    * partitionBy would funnel every distinct corpus term through one task —
+    * billions of rows at 100 TB). Dense ids are then assigned on the 30-row
+    * frame without any Window at all: collect the 30 (cnt, w) structs into
+    * one array, array_sort by (-cnt, w), posexplode → id = pos + 1. The
+    * encode join IS broadcast-hinted here, unlike q53's unbounded vocab:
+    * this vocab is capped at 30 rows by construction.
     */
   private val q105 = Q("q105_vocab_encode",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val toks = docsSpread(s, d)
         .select(col("doc_id"),
           posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
-      val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-        .withColumn("id", row_number().over(
-          Window.orderBy(col("cnt").desc, col("w"))).cast("long"))
-        .where(col("id") <= 30)
-        .select(col("w"), col("id"))
-      toks.join(vocab, Seq("w"), "left")
+      val top30 = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(30)
+      // rank the 30-row frame: negated count makes ascending array_sort
+      // yield (cnt DESC, w ASC); pos is 0-based → id = pos + 1
+      val vocab = top30
+        .agg(array_sort(collect_list(struct((-col("cnt")).as("nc"), col("w"))))
+          .as("vs"))
+        .select(posexplode(col("vs")).as(Seq("p", "s")))
+        .select(col("s.w").as("w"), (col("p") + 1).cast("long").as("id"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
         .withColumn("id2", coalesce(col("id"), lit(-1L)))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
@@ -2942,7 +2954,10 @@ object Queries {
   /** CHI-SQUARE INDEPENDENCE AUDIT (dataset bias detection): is event_type
     * distributed independently of user cohort (user_id mod 5)? Observed
     * counts are one hash aggregate; expected counts derive from the
-    * marginals of that same tiny frame (window sums — no second scan); each
+    * marginals of that same tiny frame (window sums — no second scan; the
+    * unpartitioned windows here run over |event_type| x 5 cells, bounded by
+    * the categorical domains, never over events — allowlisted in the
+    * QueriesSpec window audit); each
     * cell's (o−e)²/e is a fixed chain of IEEE ops rounded to 12 dp, and the
     * statistic is their order-independent DECIMAL sum windowed back onto
     * every cell.
@@ -3144,9 +3159,14 @@ object Queries {
     */
   private val q111 = Q("q111_winsorized",
     (s, d) => {
+      // li feeds both the percentile aggregate and the clipped-mean join;
+      // without persistence the scan AND the round-robin spread shuffle run
+      // twice (exchange reuse does not fire across the aliased subtrees —
+      // the q77 lesson, Queries.scala q77_mad_outliers)
       val li = t(s, d, "lineitem")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pct = li.groupBy(col("flag"))
         .agg(expr("percentile(x, 0.05)").as("lo"), expr("percentile(x, 0.95)").as("hi"))
       val clipped = when(col("x") < col("lo"), col("lo"))

@@ -45,6 +45,47 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("no catalog query plans an unpartitioned Window (single-task global funnel)") {
+    // A Window with an empty partition spec moves EVERY row through one
+    // task — the q105 scale-killer the round-5 verdict flagged. Allowlist
+    // (each carries an in-code justification at its definition):
+    //   q98_zorder_layout — ntile over the z-coded frame is the stand-in
+    //     for the range-partitioned chunk assignment the real writer uses;
+    //   q109_gap_audit    — lead over globally-ordered ids; at scale this
+    //     runs per id-range partition, documented at the query;
+    //   q56_resample_fill — the forward-fill window sorts the generated
+    //     GRID (time-range/step rows, ~526k/year at 1 min), not the events;
+    //     event-sized work ended at the per-bucket aggregate (ops/Resample
+    //     scaladoc);
+    //   q107_chi_square   — marginal/total window sums over the contingency
+    //     CELLS frame (|event_type| x 5 cohorts rows, bounded by the
+    //     categorical domains), after the event-sized hash aggregate
+    //     (scaladoc at the query).
+    // q105_vocab_encode is deliberately NOT here: its vocab rank is now
+    // orderBy+limit(30) + an array_sort of the 30-row frame — no Window.
+    val allow = Set("q98_zorder_layout", "q109_gap_audit", "q56_resample_fill",
+      "q107_chi_square")
+    import org.apache.spark.sql.execution.window.WindowExec
+    val offenders = for {
+      q <- Queries.all if !allow(q.name)
+      w <- q.build(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    } yield s"${q.name}: $w"
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in:\n${offenders.mkString("\n")}")
+  }
+
+  test("q111 scans lineitem once: both percentile and clipped-mean branches hit the cache") {
+    // The q77 lesson applied to q111: li is persisted, so the executed plan
+    // must show BOTH consumers reading InMemoryTableScan over one
+    // InMemoryRelation rather than two FileScan+round-robin-Exchange trees.
+    // (The plan STRING still prints the cache-builder FileScan under each
+    // InMemoryRelation node, so we count InMemoryTableScan, not scans.)
+    val p = plan("q111_winsorized")
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
+  }
+
   test("entry returns routed rows (driver t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
