@@ -33,11 +33,18 @@ object Bench {
     }
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    def renderJson(results: Seq[(String, Double)]): String = {
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // (name, median, min, max) per query; median < 0 marks a failure
+    def renderJson(results: Seq[(String, Double, Double, Double)]): String = {
+      val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+        .mkString("{", ",", "}")
+      val spread = results
+        .map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
+        .mkString("{", ",", "}")
+      val total = results.collect { case (_, med, _, _) if med >= 0 => med }.sum
       val failed = results.count(_._2 < 0)
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""spread_min_max":$spread,"runs_per_query":3,"stat":"median",""" +
+        s""""failed":$failed,"sf":"$sfDir"}"""
     }
     // Persist to a file as well as stdout: the stdout line is long enough
     // that log-tail capture has truncated it (round 3 lost q01-q12 and the
@@ -52,20 +59,27 @@ object Bench {
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
       }
 
-    // min of two runs per query: the first run of a plan pays one-time
-    // codegen/JIT compilation that a long-lived cluster job would amortize;
-    // the min is the steady-state cost of the plan itself.
-    var results = Vector.empty[(String, Double)]
+    // median of three runs per query: single-shot sub-second timings at
+    // sf0.1 on local[32] swing up to 5x run-to-run (r4 vs r5 on identical
+    // bytecode: q88 0.83<->3.06 s, q89 0.22<->1.20 s), so one sample is not
+    // a finding. The median discards both the one-time codegen/JIT first
+    // touch AND a single GC/scheduler hiccup; min/max are recorded alongside
+    // so the spread itself is visible in BENCH_r{N}.json.
+    var results = Vector.empty[(String, Double, Double, Double)]
     for (q <- ordered) {
       def once(): Double = {
         val t0 = System.nanoTime()
         run(q)
         (System.nanoTime() - t0) / 1e9
       }
-      val secs = try math.min(once(), once())
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}"); -1.0 }
-      results :+= (q.name, secs)
+      val entry = try {
+        val samples = Vector(once(), once(), once()).sorted
+        (q.name, samples(1), samples.head, samples.last)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+        (q.name, -1.0, -1.0, -1.0)
+      }
+      results :+= entry
       writeJson(renderJson(results))
     }
     println(renderJson(results))

@@ -3241,4 +3241,44 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112)
+
+  /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
+    * weaker rows-only check), the named ScalaTest(s) that pin its values —
+    * recall/precision floors against an exact in-suite truth, sketch error
+    * bounds, or real-decoder assertions. Kept next to the catalog so
+    * CatalogSpec can enforce: no-oracle query <=> has a pin here. Dumped by
+    * Verify as rows_only.json so the driver/judge can machine-check it.
+    * Titles are exact `test("...")` strings — greppable, unlike line
+    * numbers, they survive edits elsewhere in the file.
+    */
+  val rowsOnlyPins: Map[String, Seq[String]] = Map(
+    "q25_minhash_neardup" -> Seq(
+      "OpsSpec: minhash near-dup recall >= 0.9 and precision 1.0 vs exact all-pairs truth",
+      "OpsSpec: minhash near-dup plan contains no cartesian product"),
+    "q27_knn_cosine" -> Seq(
+      "OpsSpec: cosine top-k ranks the query itself first with similarity 1.0"),
+    "q28_ann_lsh" -> Seq(
+      "OpsSpec: ANN recall@10 vs brute force: LSH and IVF each avg >= 0.5 over 5 queries",
+      "OpsSpec: ANN LSH returns the query itself and its plan has no cartesian product"),
+    "q29_simhash" -> Seq(
+      "OpsSpec: simhash: identical texts agree, close texts are within small hamming distance"),
+    "q30_multimodal_stats" -> Seq(
+      "OpsSpec: multimodal decode: schema, determinism, per-kind stats",
+      "OpsSpec: image decode is real: javax.imageio dims + pixel-derived features",
+      "OpsSpec: audio decode is real: javax.sound sample counts + RMS envelope",
+      "OpsSpec: video decode is real: MJPEG frame split + per-frame luminance, deterministic"),
+    "q34_simhash_neardup" -> Seq(
+      "OpsSpec: simhash near-dup covers >= 0.6 of the exact-Jaccard truth",
+      "OpsSpec: simhash near-dup pairs identical docs with hamming 0"),
+    "q35_cosine_neardup" -> Seq(
+      "OpsSpec: cosine near-dup (multi-table LSH) recall >= 0.75 vs brute-force truth"),
+    "q36_ann_ivf" -> Seq(
+      "OpsSpec: ANN recall@10 vs brute force: LSH and IVF each avg >= 0.5 over 5 queries",
+      "OpsSpec: IVF ANN: query ranks first in its probed cells, recall vs brute force is sane"),
+    "q66_heavy_hitters" -> Seq(
+      "OpsSpec: heavy hitters: q66 sketch top-10 matches q75 exact top-10 per source",
+      "OpsSpec: heavy hitters: recovers true top terms with bounded overestimate"),
+    "q97_approx_distinct" -> Seq(
+      "OpsSpec: approx_count_distinct within 5% of exact on lineitem keys (HLL++ path)",
+      "OpsSpec: approx_count_distinct lands within 5% of the exact per-group count"))
 }

@@ -43,6 +43,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // sidecar: every rows-only (no-oracle) query -> the named ScalaTests
+    // that pin its values, so a non-oracle check is never "unverified"
+    val pins = Queries.rowsOnlyPins.toSeq.sortBy(_._1)
+      .map { case (k, ts) => s"${q(k)}: ${ts.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/rows_only.json"), pins)
+    Files.writeString(Paths.get("target/rows_only.json"), pins)
     spark.stop()
   }
 }

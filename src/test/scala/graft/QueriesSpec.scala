@@ -86,6 +86,25 @@ class QueriesSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
   }
 
+  test("every no-oracle query has a rows-only pin, and pins name real tests") {
+    // The driver's DuckDB gate only does a rows-count check on no-oracle
+    // queries; rowsOnlyPins must name the suite test(s) carrying the real
+    // value check — exactly the no-oracle set (no gaps, no stale entries),
+    // and every named title must literally exist in the spec it cites.
+    val noOracle = Queries.all.filter(_.oracle.isEmpty).map(_.name).toSet
+    assert(Queries.rowsOnlyPins.keySet == noOracle,
+      s"missing pins: ${(noOracle -- Queries.rowsOnlyPins.keySet).toSeq.sorted}; " +
+        s"stale pins: ${(Queries.rowsOnlyPins.keySet -- noOracle).toSeq.sorted}")
+    val specSrc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/scala/graft/OpsSpec.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    for ((q, titles) <- Queries.rowsOnlyPins; t <- titles) {
+      val Array(spec, title) = t.split(": ", 2)
+      assert(spec == "OpsSpec" && specSrc.contains(title),
+        s"$q pin does not match a test title: $t")
+    }
+  }
+
   test("entry returns routed rows (driver t1 contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
