@@ -136,6 +136,28 @@ object Dedup {
     MinHashIndex(staged, lshBands(staged, k, bands), k, bands)
   }
 
+  /** Fold a batch of NEW documents into an existing index — the daily-ingest
+    * companion to [[minhashProbe]]: probe the increment first, then merge it
+    * so tomorrow's increment sees today's docs. Only the increment is
+    * shingled/banded (and persisted); the corpus frames are reused as-is —
+    * union is a metadata-only plan node, so an index that has absorbed N
+    * daily batches has paid exactly N+1 shingle passes, never N passes over
+    * a growing corpus. The permutations are deterministic (fixed seed), so
+    * increment band keys live in the same key space as the corpus keys, and
+    * a merged index is plan-equivalent to one rebuilt from the concatenated
+    * corpus. New doc_ids must be disjoint from corpus ids (the
+    * [[minhashProbe]] contract, enforced by the caller's id scheme).
+    */
+  def minhashIndexMerge(index: MinHashIndex, newDocs: DataFrame): MinHashIndex = {
+    val parallelism = newDocs.sparkSession.sparkContext.defaultParallelism
+    val newStaged = shingled(newDocs.select(col("doc_id"), col("text"))
+        .repartition(parallelism, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    MinHashIndex(index.staged.unionByName(newStaged),
+      index.bands.unionByName(lshBands(newStaged, index.k, index.nBands)),
+      index.k, index.nBands)
+  }
+
   /** INCREMENTAL near-dup detection — probe NEW documents against an
     * existing corpus index without touching the corpus text again: the
     * daily-ingest shape at 100 TB, where the corpus index amortizes across

@@ -44,4 +44,39 @@ object IncrementalDedupJob {
       }
       .start()
   }
+
+  /** Rolling variant: after probing, each micro-batch is FOLDED into the
+    * index (`Dedup.minhashIndexMerge`), so later batches dedup against
+    * earlier arrivals too — the ingest-window guard with no blind spot
+    * between nightly rebuilds. Cost model is unchanged: each batch is
+    * shingled exactly once (for both its probe and its merge), the corpus is
+    * never re-shingled, and the index grows by metadata-only unions.
+    *
+    * The batch is persisted and materialized BEFORE it enters the index: a
+    * foreachBatch frame is only guaranteed valid inside its own trigger, and
+    * the merged index outlives it.
+    */
+  def startRolling(docs: DataFrame,
+                   initialIndex: Dedup.MinHashIndex,
+                   outSink: DataFrame => Unit,
+                   checkpointDir: String,
+                   threshold: Double = 0.5,
+                   trigger: Trigger = Trigger.AvailableNow())
+                  (implicit spark: SparkSession): StreamingQuery = {
+    // foreachBatch triggers run sequentially, so a plain ref is race-free
+    val indexRef = new java.util.concurrent.atomic.AtomicReference(initialIndex)
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val snap = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        snap.count()
+        val index = indexRef.get()
+        val hits = Dedup.minhashProbe(index, snap, threshold)
+        outSink(snap.join(hits, snap("doc_id") === hits("new_id"), "left")
+          .select(snap("doc_id"), snap("text"), hits("dup_of"), hits("jaccard")))
+        indexRef.set(Dedup.minhashIndexMerge(index, snap))
+      }
+      .start()
+  }
 }

@@ -448,6 +448,33 @@ class OpsSpec extends AnyFunSuite {
     assert(full == hits, s"batch $full != incremental $hits")
   }
 
+  test("minhash index merge: merge-then-probe == rebuild-then-probe, corpus stays cached") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = docs(
+      1L -> base,
+      2L -> "entirely different content with many other words present here now")
+    val index = Dedup.minhashIndex(corpus)
+    val day1 = docs(
+      100L -> base.replace("today", "tonight"), // near-dup of corpus doc 1
+      101L -> "fresh unseen content sharing nothing at all with the corpus docs")
+    val merged = Dedup.minhashIndexMerge(index, day1)
+    val day2 = docs(
+      200L -> "fresh unseen content sharing nothing at all with corpus documents", // ~ 101
+      201L -> "yet another entirely unrelated brand new document body")
+    def probe(ix: Dedup.MinHashIndex) =
+      Dedup.minhashProbe(ix, day2, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaMerge = probe(merged)
+    val viaRebuild = probe(Dedup.minhashIndex(corpus.unionByName(day1)))
+    assert(viaMerge == viaRebuild, s"merge $viaMerge != rebuild $viaRebuild")
+    // the whole point of merging: a day-2 doc near-dups a DAY-1 doc
+    assert(viaMerge.contains((200L, 101L)), s"got $viaMerge")
+    // corpus staged hashes are reused from cache, not re-shingled: the
+    // merged index's staged plan reads two cached frames (corpus + day1)
+    val p = merged.staged.queryExecution.sparkPlan.toString
+    assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
+  }
+
   test("ANN knn join: avg recall@10 >= 0.5 vs the exact knn join, self-match first") {
     val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val queries = emb.filter(col("vec_id") < 10)

@@ -236,6 +236,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rolling incremental dedup: later batches flag near-dups of earlier batches") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "entirely different content with many other words present here now"))
+      .toDF("doc_id", "text")
+    val index = graft.ops.Dedup.minhashIndex(corpus)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Option[Long]]
+    val ckpt = java.nio.file.Files.createTempDirectory("roll_dedup_ckpt").toString
+    val q = graft.streaming.IncrementalDedupJob.startRolling(
+      mem.toDF().toDF("doc_id", "text"), index,
+      out => got.synchronized {
+        out.collect().foreach(r =>
+          got(r.getLong(0)) = if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      },
+      ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      val day1Fresh = "fresh unseen content sharing nothing at all with the corpus docs"
+      mem.addData(
+        (100L, base.replace("today", "tonight")), // near-dup of corpus doc 1
+        (101L, day1Fresh))                        // fresh in batch 1...
+      q.processAllAvailable()
+      assert(got.get(100L).flatten.contains(1L), s"got $got")
+      assert(got.get(101L).contains(None), s"got $got")
+      // ...but batch 2's near-copy of it IS flagged — the static-index job
+      // would miss this (101 is not in the nightly corpus)
+      mem.addData(
+        (200L, day1Fresh.replace("docs", "documents")),
+        (201L, "yet another entirely unrelated brand new document body"))
+      q.processAllAvailable()
+      assert(got.get(200L).flatten.contains(101L), s"got $got")
+      assert(got.get(201L).contains(None), s"got $got")
+    } finally q.stop()
+  }
+
   test("trending terms match the batch heavy_hitters aggregate on a fixed corpus") {
     import spark.implicits._
     implicit val s = spark
