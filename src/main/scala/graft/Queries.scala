@@ -478,10 +478,22 @@ object Queries {
       ORDER BY dot DESC, e.vec_id
       LIMIT 20"""))
 
-  /** Brute-force cosine top-k (ANN correctness baseline; rows-only check). */
+  /** Brute-force cosine top-k (ANN correctness baseline). Oracle-checked:
+    * both engines accumulate dot/norms in DOUBLE in array order and the
+    * score rounds to 6 dp with a vec_id tiebreak, so the float-kernel
+    * results hash-match (DuckDB's list_cosine_similarity upcasts FLOAT[]
+    * the same way; verified at sf0.01).
+    */
   private val q27 = Q("q27_knn_cosine",
     (s, d) => Similarity.topKCosine(t(s, d, "embeddings"), queryId = 0, k = 10),
-    None)
+    Some("""
+      WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id, e.label,
+             round(CAST(list_cosine_similarity(e.embedding, q.q_emb) AS DOUBLE), 6)
+               AS cos_sim
+      FROM embeddings e, q
+      ORDER BY cos_sim DESC, e.vec_id
+      LIMIT 10"""))
 
   /** Hyperplane-LSH bucketed ANN (the scale path; rows-only check). */
   private val q28 = Q("q28_ann_lsh",
@@ -3255,8 +3267,6 @@ object Queries {
     "q25_minhash_neardup" -> Seq(
       "OpsSpec: minhash near-dup recall >= 0.9 and precision 1.0 vs exact all-pairs truth",
       "OpsSpec: minhash near-dup plan contains no cartesian product"),
-    "q27_knn_cosine" -> Seq(
-      "OpsSpec: cosine top-k ranks the query itself first with similarity 1.0"),
     "q28_ann_lsh" -> Seq(
       "OpsSpec: ANN recall@10 vs brute force: LSH and IVF each avg >= 0.5 over 5 queries",
       "OpsSpec: ANN LSH returns the query itself and its plan has no cartesian product"),

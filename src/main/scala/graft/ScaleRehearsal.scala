@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measurement tooling (not part of the engine): the 10x scale rehearsal the
+  * round-4/5 briefs asked for. Synthesizes a "sf1" corpus = 10 replicas of
+  * sf0.1 `documents`, each replica in a DISJOINT token namespace (every
+  * token of replica r > 0 is suffixed `_r<r>`), so:
+  *   - corpus size, vocabulary, and near-dup PAIR COUNT all scale exactly
+  *     10x (each replica reproduces sf0.1's internal duplicate structure;
+  *     no cross-replica shingle overlap, so no synthetic quadratic pair
+  *     blow-up that would mask or fake a plan problem);
+  *   - the expensive family (q25/q44/q47/q85/q100/q104/q105) then measures
+  *     the sf0.1 -> sf1 wall-time ratio: ~10x (linear) means the plan's
+  *     scaling argument holds; markedly super-linear is a finding.
+  * Other tables are symlinked from sf0.1 (the family only reads documents).
+  * Results append to target/scale_rehearsal.json and are summarized by hand
+  * in SCALE.md.
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = "/root/testdata/sf0.1"
+    val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val docsOut = s"$sf1/documents.parquet"
+    if (!new java.io.File(docsOut).exists()) {
+      new java.io.File(sf1).mkdirs()
+      Tables(spark, src, "documents")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("doc_id") * 10L + col("rep")).as("doc_id"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(array_join(transform(split(col("text"), "\\s+"),
+              t => concat(t, lit("_r"), col("rep"))), " ")).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(docsOut)
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "embeddings")) {
+        val link = java.nio.file.Paths.get(s"$sf1/$t.parquet")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(
+            link, java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
+      println(s"[scale] built $docsOut")
+    }
+
+    val family =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q25_minhash_neardup", "q44_neardup_exact", "q47_dedup_clusters",
+        "q85_cluster_safe_split", "q100_training_mix", "q104_line_dedup",
+        "q105_vocab_encode")
+    def time(name: String, dir: String): Double = {
+      val q = Queries.all.find(_.name == name).get
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        q.build(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once()) // min-of-2: drop the codegen/JIT first touch
+    }
+    val rows = family.map { name =>
+      val base = time(name, src)
+      val big = time(name, sf1)
+      val r = f"""{"query":"$name","sf01_sec":$base%.2f,"sf1_sec":$big%.2f,"ratio":${big / base}%.2f}"""
+      println(s"[scale] $r")
+      r
+    }
+    val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, rows.mkString("[", ",\n", "]\n"))
+    spark.stop()
+  }
+}
