@@ -158,6 +158,33 @@ object Dedup {
       index.k, index.nBands)
   }
 
+  /** Persist an index across pipeline RUNS (the in-memory `persist` only
+    * lives for one application): staged hashes and banded keys land as two
+    * parquet tables under `path`. A daily job then does
+    * load -> probe -> merge -> save, paying one shingle pass per day while
+    * the corpus-sized frames move as columnar bytes, never re-derived from
+    * text. k/bands ride along in a tiny JSON sidecar so a loaded index
+    * can't silently probe with mismatched banding.
+    */
+  def saveIndex(index: MinHashIndex, path: String): Unit = {
+    index.staged.write.mode("overwrite").parquet(s"$path/staged.parquet")
+    index.bands.write.mode("overwrite").parquet(s"$path/bands.parquet")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"),
+      s"""{"k":${index.k},"bands":${index.nBands}}""")
+  }
+
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinHashIndex = {
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
+    def field(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(sys.error(s"bad index meta at $path: $meta")).group(1).toInt
+    MinHashIndex(
+      spark.read.parquet(s"$path/staged.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      spark.read.parquet(s"$path/bands.parquet"),
+      field("k"), field("bands"))
+  }
+
   /** INCREMENTAL near-dup detection — probe NEW documents against an
     * existing corpus index without touching the corpus text again: the
     * daily-ingest shape at 100 TB, where the corpus index amortizes across

@@ -475,6 +475,30 @@ class OpsSpec extends AnyFunSuite {
     assert("InMemoryTableScan".r.findAllIn(p).length == 2, p)
   }
 
+  test("minhash index save/load roundtrip: loaded index probes identically, bands not re-derived") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = docs(
+      1L -> base,
+      2L -> "entirely different content with many other words present here now")
+    val index = Dedup.minhashIndex(corpus, k = 16, bands = 4)
+    val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    try {
+      Dedup.saveIndex(index, dir)
+      val loaded = Dedup.loadIndex(corpus.sparkSession, dir)
+      assert((loaded.k, loaded.nBands) == (16, 4))
+      val probe = docs(100L -> base.replace("today", "tonight"))
+      def hits(ix: Dedup.MinHashIndex) =
+        Dedup.minhashProbe(ix, probe, threshold = 0.5)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(hits(loaded) == hits(index) && hits(loaded).map(h => (h._1, h._2)) == Set((100L, 1L)))
+      // the loaded bands frame is a parquet scan, not a re-derivation from text
+      val p = loaded.bands.queryExecution.sparkPlan.toString
+      assert(p.contains("bands.parquet") && !p.toLowerCase.contains("generate"), p)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ANN knn join: avg recall@10 >= 0.5 vs the exact knn join, self-match first") {
     val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
     val queries = emb.filter(col("vec_id") < 10)
