@@ -161,6 +161,76 @@ object Similarity {
       .limit(k)
   }
 
+  /** A reusable IVF index: the cell-assigned corpus plus its trained
+    * centroids. At 100 TB the ASSIGNMENT is the expensive artifact (one full
+    * corpus pass through the nearest-centroid kernel) — build it once,
+    * probe it with every query batch, persist it across runs
+    * ([[saveIvfIndex]]/[[loadIvfIndex]]); the centroids themselves are a
+    * nList×dim array that rides in a JSON sidecar.
+    */
+  final case class IvfIndex(assigned: DataFrame, centroids: Array[Double],
+                            nList: Int, dim: Int)
+
+  def ivfIndexBuild(emb: DataFrame, nList: Int = 16, dim: Int = 64): IvfIndex = {
+    import graft.functions.gfn
+    val cents = ivfCentroids(emb, nList, dim)
+    val assigned = emb
+      .withColumn("cell", gfn.nearest_centroid(col("embedding"), cents, nList, dim))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    IvfIndex(assigned, cents, nList, dim)
+  }
+
+  /** Batched IVF probe: for EVERY row of `queries` (query_id, q_emb), the
+    * top-k corpus rows by cosine among the query's nProbe best cells — the
+    * many-query companion to [[ivfTopK]], shaped like [[knnJoin]] but
+    * scanning only nProbe/nList of the corpus per query: queries broadcast
+    * (eval/probe sets are small by construction), candidates come from the
+    * `cell` equi-join, and the bounded-heap TopKByScore aggregate reduces
+    * map-side so the shuffle carries k rows per query per partition.
+    * Output: (query_id, rank, vec_id, score).
+    */
+  def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int,
+               nProbe: Int = 4): DataFrame = {
+    import graft.functions.gfn
+    val q = queries.select(col("query_id"), col("q_emb"),
+      explode(gfn.top_cells(col("q_emb"), index.centroids,
+        index.nList, index.dim, nProbe)).as("cell"))
+    index.assigned.join(broadcast(q), "cell")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("embedding"), col("q_emb")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(gfn.topk_by_score(col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), round(col("col.score"), 6).as("score"))
+  }
+
+  /** Parquet persistence for [[IvfIndex]] — the assigned corpus as a table,
+    * centroids + nList/dim in a JSON sidecar (same contract as
+    * `Dedup.saveIndex`: a loaded index cannot silently probe with the wrong
+    * geometry).
+    */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite").parquet(s"$path/assigned.parquet")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"),
+      s"""{"nList":${index.nList},"dim":${index.dim},""" +
+        s""""centroids":[${index.centroids.mkString(",")}]}""")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
+    def intField(name: String): Int =
+      s""""$name":(\\d+)""".r.findFirstMatchIn(meta)
+        .getOrElse(sys.error(s"bad IVF meta at $path: ${meta.take(80)}")).group(1).toInt
+    val cents = """"centroids":\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"bad IVF meta at $path")).group(1)
+      .split(",").map(_.toDouble)
+    IvfIndex(
+      spark.read.parquet(s"$path/assigned.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      cents, intField("nList"), intField("dim"))
+  }
+
   // ---- Hyperplane-LSH ANN ----
 
   /** Deterministic pseudo-random hyperplanes (seeded), as literal arrays. */

@@ -426,6 +426,38 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfHits.sum >= ivfAvgFloor, s"avg IVF recall@10 ${ivfHits.sum / 50.0} < ${ivfAvgFloor / 50.0}")
   }
 
+  test("IVF index: batched probe agrees with single-query ivfTopK; save/load probes identically") {
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val qids = Seq(0L, 7L, 123L)
+    val index = Similarity.ivfIndexBuild(emb)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def ranked(ix: Similarity.IvfIndex) =
+      Similarity.ivfProbe(ix, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batched = ranked(index)
+    // same cells, same scoring, same tiebreak => identical per-query lists
+    for (q <- qids) {
+      val single = Similarity.ivfTopK(emb, q, 10)
+        .collect().zipWithIndex.map { case (r, i) => (q, i + 1L, r.getLong(0)) }.toSet
+      assert(batched.filter(_._1 == q) == single, s"query $q disagrees with ivfTopK")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("ivf_index").toString
+    try {
+      Similarity.saveIvfIndex(index, dir)
+      val loaded = Similarity.loadIvfIndex(spark, dir)
+      assert((loaded.nList, loaded.dim) == (index.nList, index.dim))
+      assert(loaded.centroids.sameElements(index.centroids))
+      assert(ranked(loaded) == batched)
+      // the loaded assignment is a parquet scan — the corpus-sized
+      // nearest-centroid pass is NOT re-run
+      val p = loaded.assigned.queryExecution.sparkPlan.toString
+      assert(p.contains("assigned.parquet") && !p.contains("nearest_centroid"), p)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("incremental minhash probe finds new-vs-corpus dups without re-banding the corpus") {
     val corpusBase = "the quick brown fox jumps over the lazy dog near the river bank today"
     val corpus = docs(
