@@ -3242,6 +3242,23 @@ object Queries {
       FROM cust JOIN supp ON ck IS NOT DISTINCT FROM sk
       GROUP BY 1 ORDER BY 1"""))
 
+  /** BPE VOCABULARY INDUCTION (learn the subword merge table — Sennrich et
+    * al. 2016): the missing first step of the tokenize → encode → pack
+    * chain. One corpus pass reduces to the weighted word-vocabulary frame;
+    * each of the 12 training iterations runs on that vocab frame only
+    * (native init/merge kernels + one partial-aggregated pair count + a
+    * 1-row TakeOrdered argmax — the bounded train-step collect). Rows-only:
+    * the iterative argmax is not expressible as one SQL query; pinned by
+    * the OpsSpec reference-implementation equivalence (exact merge-table
+    * match) and the encode roundtrip test. Output (rank, left, right,
+    * pair_count) is fully deterministic — exact long counts,
+    * (count DESC, left, right) tiebreak.
+    */
+  private val q113 = Q("q113_bpe_learn",
+    (s, d) => graft.ops.TextOps.learnBpe(
+      docsSpread(s, d), col("text"), numMerges = 12),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3252,7 +3269,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112)
+    q111, q112, q113)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -3288,6 +3305,9 @@ object Queries {
     "q66_heavy_hitters" -> Seq(
       "OpsSpec: heavy hitters: q66 sketch top-10 matches q75 exact top-10 per source",
       "OpsSpec: heavy hitters: recovers true top terms with bounded overestimate"),
+    "q113_bpe_learn" -> Seq(
+      "OpsSpec: BPE learn matches a plain-Scala reference implementation, merge by merge",
+      "OpsSpec: BPE encode applies learned merges: frequent word collapses to one token"),
     "q97_approx_distinct" -> Seq(
       "OpsSpec: approx_count_distinct within 5% of exact on lineitem keys (HLL++ path)",
       "OpsSpec: approx_count_distinct lands within 5% of the exact per-group count"))

@@ -240,6 +240,67 @@ case class TopCells(child: Expression, cents: Array[Double], nList: Int, dim: In
   * whitespace-collapse + trim, one pass (see TextKernel for the exact spec
   * and the cross-engine ordering rationale).
   */
+/** BPE train-step kernels (BpeKernel): initial word→symbols split, one
+  * merge application, and the rank-priority encode loop. a/b/merges enter
+  * codegen as reference objects, never spliced into source.
+  */
+case class BpeInitSymbols(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_init_symbols"
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.initSymbols(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeKernel.initSymbols($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeInitSymbols =
+    copy(child = newChild)
+}
+
+case class BpeMergePair(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_pair"
+
+  @transient private lazy val aU = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+  @transient private lazy val bU = org.apache.spark.unsafe.types.UTF8String.fromString(b)
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.mergePair(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], aU, bU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ar = ctx.addReferenceObj("bpeA", aU, "org.apache.spark.unsafe.types.UTF8String")
+      val br = ctx.addReferenceObj("bpeB", bU, "org.apache.spark.unsafe.types.UTF8String")
+      s"${ev.value} = graft.functions.BpeKernel.mergePair($c, $ar, $br);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergePair =
+    copy(child = newChild)
+}
+
+case class BpeEncode(child: Expression, merges: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  @transient private lazy val ranks = BpeKernel.buildRanks(merges)
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.encode(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], ranks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+      s"${ev.value} = graft.functions.BpeKernel.encode($c, $r);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
 case class NormalizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "normalize_text"
@@ -326,6 +387,11 @@ object gfn {
     col(HyperplaneSig(ex(c), planes, nBits, dim))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def bpe_init_symbols(c: Column): Column = col(BpeInitSymbols(ex(c)))
+  def bpe_merge_pair(c: Column, a: String, b: String): Column =
+    col(BpeMergePair(ex(c), a, b))
+  def bpe_encode(c: Column, merges: Array[String]): Column =
+    col(BpeEncode(ex(c), merges))
   def redact_pii(c: Column): Column = col(RedactPii(ex(c)))
   def pii_count(c: Column): Column = col(PiiCount(ex(c)))
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =

@@ -37,6 +37,78 @@ object TextOps {
     (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(word), "")))
       .cast("long")
 
+  /** Distributed BPE vocabulary induction (Sennrich et al. 2016) — the
+    * missing first step of the tokenize → encode → pack chain: LEARN the
+    * subword merge table from the corpus (q105 encodes against a word
+    * vocab; this induces the subword units a real tokenizer ships).
+    *
+    * Scale shape: the corpus is touched ONCE (token explode + groupBy into
+    * the weighted word-vocabulary frame — the classic BPE reduction: merge
+    * statistics depend only on (distinct word, count)). Every training
+    * iteration then runs on the VOCAB frame, whose cardinality is distinct
+    * words, not corpus tokens — at 100 TB that is millions vs trillions.
+    * Per iteration: adjacent-pair explode (native init/merge kernels, ~2
+    * small rows per symbol), one partial-aggregated pair count, and a
+    * 1-row TakeOrdered argmax — the only driver traffic (numMerges single
+    * rows; the same bounded train-step collect contract as
+    * `Similarity.ivfCentroids`). `localCheckpoint` per round truncates
+    * lineage exactly as `Components` does.
+    *
+    * Determinism: counts are exact longs; the argmax tiebreaks on
+    * (count DESC, left, right); merges apply left-to-right non-overlapping
+    * — byte-identical merge tables on every run and partitioning.
+    *
+    * Output: (rank, left, right, pair_count), rank 1..numMerges (fewer if
+    * the corpus exhausts below `minPairCount`).
+    */
+  def learnBpe(docs: DataFrame, text: Column, numMerges: Int,
+               minPairCount: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    val adjacentPairs = expr(
+      "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))")
+    var vocab = docs
+      .select(explode(split(lower(trim(text)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(graft.functions.gfn.bpe_init_symbols(col("word")).as("syms"), col("cnt"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val top = vocab
+        // fully-merged words (one symbol) carry no pairs; without the guard
+        // sequence(0, -1) runs DESCENDING under ANSI and indexes out of range
+        .where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(adjacentPairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1)
+        .collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) exhausted = true
+      else {
+        val (l, r, pc) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.length + 1L, l, r, pc))
+        vocab = vocab
+          .withColumn("syms", graft.functions.gfn.bpe_merge_pair(col("syms"), l, r))
+          .localCheckpoint()
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** Tokenize `text` into subword units with a learned merge table (the
+    * output pairs of [[learnBpe]], tiny by construction — they ride into
+    * codegen as a reference object). Lowercased whitespace pre-tokenization
+    * mirrors [[learnBpe]]; each word ends in the `</w>` marker symbol.
+    */
+  def bpeEncodeTokens(text: Column, merges: Seq[(String, String)]): Column = {
+    val flat = merges.iterator.flatMap { case (l, r) => Iterator(l, r) }.toArray
+    flatten(transform(
+      filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0),
+      w => graft.functions.gfn.bpe_encode(w, flat)))
+  }
+
   /** n-gram-heuristic language ID: stopword-evidence scores per language,
     * argmax with a deterministic tiebreak (en > es > de > fr). The score for
     * a language is the total matched length of its marker words.

@@ -604,6 +604,74 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- text ops ----
 
+  test("BPE learn matches a plain-Scala reference implementation, merge by merge") {
+    // reference: obviously-correct quadratic word-level BPE with the same
+    // contract (lowercase whitespace words + </w>, count desc / (l, r) asc
+    // tiebreak, left-to-right non-overlapping merge application)
+    def refBpe(corpus: Seq[String], numMerges: Int, minPc: Long): Seq[(String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] = corpus
+        .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      var done = false
+      while (out.length < numMerges && !done) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, cnt) <- vocab; i <- 0 until syms.length - 1)
+          pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+        val best = pairs.toSeq.sortBy { case ((l, r), pc) => (-pc, l, r) }.headOption
+        best match {
+          case Some(((l, r), pc)) if pc >= minPc =>
+            out += ((l, r, pc))
+            vocab = vocab.map { case (syms, cnt) =>
+              val b = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                  b += (l + r); i += 2
+                } else { b += syms(i); i += 1 }
+              }
+              b.result() -> cnt
+            }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+          case _ => done = true
+        }
+      }
+      out.toSeq
+    }
+    val corpus = Seq(
+      "low low low low low", "lower lower", "newest newest newest newest newest newest",
+      "widest widest widest", "new new")
+    val expected = refBpe(corpus, numMerges = 12, minPc = 2L)
+    import spark.implicits._
+    val got = TextOps.learnBpe(corpus.toDF("text"), col("text"), numMerges = 12)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+    // ranks are dense 1..n
+    val ranks = TextOps.learnBpe(corpus.toDF("text"), col("text"), numMerges = 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(ranks == (1L to expected.length).toSeq)
+  }
+
+  test("BPE encode applies learned merges: frequent word collapses to one token") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low", "lower lower", "newest newest newest newest newest newest",
+      "widest widest widest", "new new")
+    val merges = TextOps.learnBpe(corpus.toDF("text"), col("text"), numMerges = 20)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val enc = Seq("low", "lowest xyz").toDF("text")
+      .select(TextOps.bpeEncodeTokens(col("text"), merges).as("toks"))
+      .collect().map(_.getSeq[String](0).toList)
+    // "low" appears 7 times (low x5 + lower x2 prefix): its full-word merge
+    // must be learned, so it encodes to the single symbol low</w>
+    assert(enc(0) == List("low</w>"), s"got ${enc(0)}")
+    // unseen word: decomposes into learned subwords + char fallbacks, and
+    // every word still terminates with a </w>-suffixed symbol
+    assert(enc(1).nonEmpty && enc(1).count(_.endsWith("</w>")) == 2, s"got ${enc(1)}")
+    // lossless: concatenating subwords reconstructs the words
+    assert(enc(1).mkString.replace("</w>", " ").trim == "lowest xyz")
+  }
+
   test("token counting on edge cases") {
     val df = Seq("a b  c", "  lead trail  ", "one").toDF("text")
       .select(TextOps.tokenCount(col("text")).as("n")).collect().map(_.getLong(0))
