@@ -47,7 +47,7 @@ object ScaleRehearsal {
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(docsOut)
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
-                    "orders", "lineitem", "events", "embeddings")) {
+                    "orders", "lineitem", "events")) {
         val link = java.nio.file.Paths.get(s"$sf1/$t.parquet")
         if (!java.nio.file.Files.exists(link))
           java.nio.file.Files.createSymbolicLink(
@@ -55,17 +55,57 @@ object ScaleRehearsal {
       }
       println(s"[scale] built $docsOut")
     }
+    val embOut = s"$sf1/embeddings.parquet"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(embOut)) ||
+        java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(embOut))) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(embOut))
+      // embeddings scale the same way: 10 replicas with fresh vec_ids.
+      // The disjoint-namespace analogue for vectors is a per-replica
+      // DIMENSION PERMUTATION (i -> i*(2*rep+1)+rep mod 64; odd multiplier
+      // = bijection mod 2^6): within a replica every pairwise cosine equals
+      // the original corpus's (structure preserved exactly), while
+      // cross-replica cosine collapses to noise — so near-dup PAIRS scale
+      // 10x, not quadratically. (A small additive nudge fails here the same
+      // way plain doc copies fail for text: every replica stays a near-dup
+      // of its original and pair count explodes 100x — that variant OOMed
+      // the first rehearsal attempt, which is the generator's bug, not the
+      // plan's.) Replica 0 is the identity, so probe query ids resolve.
+      Tables(spark, src, "embeddings")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .select(
+          (col("vec_id") * 10L + col("rep")).as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            i => element_at(col("embedding"),
+              pmod(i * (col("rep") * 2 + 1) + col("rep"), lit(64)) + 1))
+            .as("embedding"),
+          col("label"))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(embOut)
+      println(s"[scale] built $embOut")
+    }
 
     val family =
       if (args.nonEmpty) args.toSeq
       else Seq("q25_minhash_neardup", "q44_neardup_exact", "q47_dedup_clusters",
         "q85_cluster_safe_split", "q100_training_mix", "q104_line_dedup",
-        "q105_vocab_encode")
+        "q105_vocab_encode",
+        // embeddings family (10x vectors): brute-force top-k, both ANN
+        // paths, LSH cosine near-dup, batched knn join, BPE learn
+        "q27_knn_cosine", "q28_ann_lsh", "q36_ann_ivf", "q35_cosine_neardup",
+        "q81_knn_join", "q113_bpe_learn")
+    def build(name: String, dir: String) = name match {
+      // q35 with corpus-sized nBits — the SCALE.md log(corpus) knob; the
+      // fixed-nBits catalog q35 is the deliberate super-linear counterpoint
+      case "q35_auto" =>
+        graft.ops.Similarity.cosineNearDupsAuto(
+            Tables(spark, dir, "embeddings"), threshold = 0.4)
+          .orderBy(col("a_id"), col("b_id"))
+      case _ => Queries.all.find(_.name == name).get.build(spark, dir)
+    }
     def time(name: String, dir: String): Double = {
-      val q = Queries.all.find(_.name == name).get
       def once(): Double = {
         val t0 = System.nanoTime()
-        q.build(spark, dir).write.format("noop").mode("overwrite").save()
+        build(name, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       math.min(once(), once()) // min-of-2: drop the codegen/JIT first touch

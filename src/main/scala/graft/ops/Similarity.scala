@@ -258,6 +258,28 @@ object Similarity {
     * trade verify fan-out (more tables) against recall, exactly like
     * MinHash bands.
     */
+  /** [[cosineNearDups]] with nBits sized FROM THE CORPUS: hyperplane-LSH
+    * bucket count is 2^nBits per table, so at fixed nBits bucket DENSITY —
+    * and with it the in-bucket pair expansion — grows linearly with corpus
+    * size and the candidate set grows quadratically. Measured in the 10×
+    * rehearsal: q35's fixed nBits=4 went super-linear (>600 s at 10×, vs
+    * ~2 s at 1×); auto-sizing restored ~linear scaling. nBits =
+    * max(floor, log2(n / targetBucketSize)) keeps expected bucket
+    * occupancy ≈ targetBucketSize at ANY corpus size — the log(corpus)
+    * growth SCALE.md prescribes, paid as one cheap count().
+    */
+  def cosineNearDupsAuto(emb: DataFrame, threshold: Double = 0.95,
+                         targetBucketSize: Int = 128, dim: Int = 64,
+                         nTables: Int = 8,
+                         maxBucketSize: Option[Int] = None): DataFrame =
+    cosineNearDups(emb, threshold, autoBits(emb.count(), targetBucketSize),
+      dim, nTables, maxBucketSize)
+
+  /** nBits so that expected bucket occupancy n / 2^nBits ≈ target. */
+  def autoBits(n: Long, targetBucketSize: Int): Int = math.max(4,
+    math.ceil(math.log(math.max(1.0, n.toDouble / targetBucketSize)) /
+      math.log(2.0)).toInt)
+
   def cosineNearDups(emb: DataFrame, threshold: Double = 0.95,
                      nBits: Int = 8, dim: Int = 64, nTables: Int = 8,
                      maxBucketSize: Option[Int] = None): DataFrame = {

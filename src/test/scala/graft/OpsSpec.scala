@@ -116,6 +116,22 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("auto-sized cosine near-dup: nBits grows log2 with corpus, still finds the planted pair") {
+    // the formula: expected occupancy n/2^bits ~ target, floored at 4 bits
+    assert(Similarity.autoBits(1000, 128) == 4)       // 1k/128 < 16 -> floor
+    assert(Similarity.autoBits(2000, 128) == 4)
+    assert(Similarity.autoBits(20000, 128) == 8)      // 10x corpus -> +log2(10)
+    assert(Similarity.autoBits(200000, 128) == 11)
+    assert(Similarity.autoBits(0, 128) == 4)
+    val base = Seq.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val far = Seq.tabulate(64)(i => math.cos(i * 2.3).toFloat)
+    val df = vecs((1L, base, 0), (2L, near, 0), (3L, far, 0))
+    val pairs = Similarity.cosineNearDupsAuto(df, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
   test("giant-bucket cap drops degenerate buckets, keeps real pairs, logs drops") {
     // degenerate corpus: 40 identical boilerplate docs land in one bucket
     // (40·39/2 = 780 pair fan-out) + one genuine near-dup pair of distinct
@@ -604,40 +620,43 @@ class OpsSpec extends AnyFunSuite {
 
   // ---- text ops ----
 
-  test("BPE learn matches a plain-Scala reference implementation, merge by merge") {
-    // reference: obviously-correct quadratic word-level BPE with the same
-    // contract (lowercase whitespace words + </w>, count desc / (l, r) asc
-    // tiebreak, left-to-right non-overlapping merge application)
-    def refBpe(corpus: Seq[String], numMerges: Int, minPc: Long): Seq[(String, String, Long)] = {
-      var vocab: Map[Vector[String], Long] = corpus
-        .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
-        .groupBy(identity).map { case (w, ws) =>
-          (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-      var done = false
-      while (out.length < numMerges && !done) {
-        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
-        for ((syms, cnt) <- vocab; i <- 0 until syms.length - 1)
-          pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
-        val best = pairs.toSeq.sortBy { case ((l, r), pc) => (-pc, l, r) }.headOption
-        best match {
-          case Some(((l, r), pc)) if pc >= minPc =>
-            out += ((l, r, pc))
-            vocab = vocab.map { case (syms, cnt) =>
-              val b = Vector.newBuilder[String]
-              var i = 0
-              while (i < syms.length) {
-                if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
-                  b += (l + r); i += 2
-                } else { b += syms(i); i += 1 }
-              }
-              b.result() -> cnt
-            }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
-          case _ => done = true
-        }
+  // Obviously-correct quadratic word-level BPE with the same contract as
+  // TextOps.learnBpe (lowercase whitespace words + </w>, count desc /
+  // (l, r) asc tiebreak, left-to-right non-overlapping merge application) —
+  // the truth both the example test and the random-corpus property compare
+  // against.
+  private def refBpe(corpus: Seq[String], numMerges: Int, minPc: Long): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] = corpus
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) =>
+        (w.map(_.toString).toVector :+ "</w>") -> ws.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.length < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, cnt) <- vocab; i <- 0 until syms.length - 1)
+        pairs((syms(i), syms(i + 1))) = pairs.getOrElse((syms(i), syms(i + 1)), 0L) + cnt
+      val best = pairs.toSeq.sortBy { case ((l, r), pc) => (-pc, l, r) }.headOption
+      best match {
+        case Some(((l, r), pc)) if pc >= minPc =>
+          out += ((l, r, pc))
+          vocab = vocab.map { case (syms, cnt) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result() -> cnt
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        case _ => done = true
       }
-      out.toSeq
     }
+    out.toSeq
+  }
+
+  test("BPE learn matches a plain-Scala reference implementation, merge by merge") {
     val corpus = Seq(
       "low low low low low", "lower lower", "newest newest newest newest newest newest",
       "widest widest widest", "new new")
@@ -650,6 +669,22 @@ class OpsSpec extends AnyFunSuite {
     val ranks = TextOps.learnBpe(corpus.toDF("text"), col("text"), numMerges = 12)
       .collect().map(_.getLong(0)).toSeq
     assert(ranks == (1L to expected.length).toSeq)
+  }
+
+  test("property: BPE learn matches the reference on 4 seeded random corpora") {
+    import spark.implicits._
+    val rnd = new java.util.Random(8642)
+    for (trial <- 1 to 4) {
+      val words = Seq.fill(6)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+      val corpus = Seq.fill(30)(words(rnd.nextInt(words.length)))
+        .grouped(6).map(_.mkString(" ")).toSeq
+      val expected = refBpe(corpus, numMerges = 5, minPc = 2L)
+      val got = TextOps.learnBpe(corpus.toDF("text"), col("text"), numMerges = 5)
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == expected,
+        s"trial $trial corpus=$corpus\ngot      $got\nexpected $expected")
+    }
   }
 
   test("BPE encode applies learned merges: frequent word collapses to one token") {
