@@ -277,6 +277,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN probe answers each query batch from the static IVF index") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val index = graft.ops.Similarity.ivfIndexBuild(emb)
+    // expected: the batch probe for the same query ids
+    def expected(qids: Seq[Long]) = {
+      val qdf = emb.filter(org.apache.spark.sql.functions.col("vec_id").isin(qids: _*))
+        .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+          org.apache.spark.sql.functions.col("embedding").as("q_emb"))
+      graft.ops.Similarity.ivfProbe(index, qdf, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val queryVecs = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ann_probe_ckpt").toString
+    val q = graft.streaming.AnnProbeJob.start(
+      mem.toDF().toDF("query_id", "q_emb"), index,
+      out => got.synchronized {
+        out.collect().foreach(r => got += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+      },
+      ckpt, k = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData((0L, queryVecs(0L)), (7L, queryVecs(7L)))
+      q.processAllAvailable()
+      assert(got.toSet == expected(Seq(0L, 7L)), s"batch1 got $got")
+      // a later batch probes the SAME index; earlier results untouched
+      mem.addData((11L, queryVecs(11L)))
+      q.processAllAvailable()
+      assert(got.toSet == expected(Seq(0L, 7L, 11L)), s"batch2 got $got")
+      // every answered query returns exactly k=5 ranked rows, self first
+      for (qid <- Seq(0L, 7L, 11L)) {
+        val rows = got.filter(_._1 == qid)
+        assert(rows.size == 5 && rows.exists(r => r._2 == 1L && r._3 == qid), s"$qid: $rows")
+      }
+    } finally q.stop()
+  }
+
   test("trending terms match the batch heavy_hitters aggregate on a fixed corpus") {
     import spark.implicits._
     implicit val s = spark
