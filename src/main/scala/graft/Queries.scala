@@ -3087,24 +3087,29 @@ object Queries {
       FROM c ORDER BY l_returnflag"""))
 
   /** SEQUENCE-GAP AUDIT (completeness check): ranges of missing event_ids —
-    * the ingest-loss detector that row counts can't see. One global-order
-    * window over ids only (narrow besides the sort); at 100 TB the same
-    * lead runs per day-partition so the sort is per-partition. Emits
-    * (gap_start, gap_end, missing) per hole.
+    * the ingest-loss detector that row counts can't see. Built on
+    * `Adjacent.globalAdjacent`: range-partition by id, lead within each
+    * partition (parallel, streaming), stitch partition seams from the
+    * one-row-per-partition (min, max) summary via collect-sort-zip — every
+    * consecutive id pair in GLOBAL order, with no single-task window
+    * anywhere in the plan. Emits (gap_start, gap_end, missing) per hole.
     */
   private val q109 = Q("q109_gap_audit",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      t(s, d, "events")
-        // synthesize holes deterministically: drop ids divisible by 97
-        .where(pmod(col("event_id"), lit(97)) =!= 0)
-        .select(col("event_id"))
-        .withColumn("next_id", lead(col("event_id"), 1).over(
-          Window.orderBy(col("event_id"))))
-        .where(col("next_id") - col("event_id") > 1)
-        .select((col("event_id") + 1).as("gap_start"),
+      // global adjacency WITHOUT the single-task lead-over-everything
+      // window: range-partitioned per-partition lead + seam zip
+      // (ops/Adjacent scaladoc) — the plan contains no unpartitioned
+      // WindowExec, so this query needs no audit allowlist entry
+      graft.ops.Adjacent.globalAdjacent(
+          t(s, d, "events")
+            // synthesize holes deterministically: drop ids divisible by 97
+            .where(pmod(col("event_id"), lit(97)) =!= 0)
+            .select(col("event_id")),
+          "event_id")
+        .where(col("next_id") - col("id") > 1)
+        .select((col("id") + 1).as("gap_start"),
           (col("next_id") - 1).as("gap_end"),
-          (col("next_id") - col("event_id") - 1).as("missing"))
+          (col("next_id") - col("id") - 1).as("missing"))
         .orderBy(col("gap_start"))
     },
     Some("""

@@ -707,6 +707,34 @@ class OpsSpec extends AnyFunSuite {
     assert(enc(1).mkString.replace("</w>", " ").trim == "lowest xyz")
   }
 
+  test("globalAdjacent == the global-window lead, across partitionings and edge sizes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new java.util.Random(314159)
+    def truth(ids: Seq[Long]): Set[(Long, Long)] =
+      ids.sorted.sliding(2).collect { case Seq(a, b) => (a, b) }.toSet
+    val cases = Seq(
+      Seq.empty[Long],                               // empty frame
+      Seq(42L),                                      // single id (no pairs)
+      Seq(5L, 3L),                                   // two ids, unsorted input
+      Seq.fill(500)(rnd.nextInt(100000).toLong).distinct, // random
+      (1L to 200L).filter(_ % 7 != 0)                // regular holes
+    )
+    for (ids <- cases) {
+      val got = graft.ops.Adjacent.globalAdjacent(ids.toDF("event_id"), "event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth(ids), s"ids=${ids.take(20)}... got=$got")
+    }
+    // no unpartitioned window in the plan — the point of the recipe
+    val plan = graft.ops.Adjacent
+      .globalAdjacent((1L to 100L).toDF("event_id"), "event_id")
+      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
+    // and the per-partition window really partitions by pid
+    assert(plan.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("token counting on edge cases") {
     val df = Seq("a b  c", "  lead trail  ", "one").toDF("text")
       .select(TextOps.tokenCount(col("text")).as("n")).collect().map(_.getLong(0))

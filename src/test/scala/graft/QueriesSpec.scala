@@ -51,8 +51,6 @@ class QueriesSpec extends AnyFunSuite {
     // (each carries an in-code justification at its definition):
     //   q98_zorder_layout — ntile over the z-coded frame is the stand-in
     //     for the range-partitioned chunk assignment the real writer uses;
-    //   q109_gap_audit    — lead over globally-ordered ids; at scale this
-    //     runs per id-range partition, documented at the query;
     //   q56_resample_fill — the forward-fill window sorts the generated
     //     GRID (time-range/step rows, ~526k/year at 1 min), not the events;
     //     event-sized work ended at the per-bucket aggregate (ops/Resample
@@ -63,7 +61,10 @@ class QueriesSpec extends AnyFunSuite {
     //     (scaladoc at the query).
     // q105_vocab_encode is deliberately NOT here: its vocab rank is now
     // orderBy+limit(30) + an array_sort of the 30-row frame — no Window.
-    val allow = Set("q98_zorder_layout", "q109_gap_audit", "q56_resample_fill",
+    // q109_gap_audit is deliberately NOT here: its former global lead now
+    // routes through Adjacent.globalAdjacent (range-partitioned lead +
+    // seam zip — no unpartitioned window in the plan).
+    val allow = Set("q98_zorder_layout", "q56_resample_fill",
       "q107_chi_square")
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = for {
