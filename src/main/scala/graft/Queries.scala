@@ -3264,6 +3264,60 @@ object Queries {
       docsSpread(s, d), col("text"), numMerges = 12),
     None)
 
+  /** CORPUS-DERIVED BOILERPLATE STRIP (the CCNet/RefinedWeb cleaning move):
+    * tokens whose per-source document frequency reaches 85% are removed and
+    * each document is rebuilt in original token order. Scale shape is in
+    * `TextOps.stripBoilerplate`'s scaladoc: the strip list is bounded by
+    * avg-distinct-tokens/dfRatio per source regardless of corpus size, so
+    * both the group-size and strip-list joins broadcast; the only data-sized
+    * exchanges are the df count and the per-doc rebuild (elided here — the
+    * docsSpread hash partitioning by doc_id survives posexplode + broadcast
+    * join, so the rebuild groupBy needs no new shuffle).
+    */
+  private val q114 = Q("q114_boilerplate_strip",
+    (s, d) => graft.ops.TextOps.stripBoilerplate(
+        docsSpread(s, d), col("doc_id"), col("source"), col("text"),
+        dfRatio = 0.85)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH d AS (SELECT doc_id, source, text FROM documents),
+      tok AS (
+        SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS w,
+               generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        FROM d),
+      tok2 AS (SELECT * FROM tok WHERE len(w) > 0),
+      nd AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM d GROUP BY 1),
+      dfq AS (SELECT source, w, COUNT(DISTINCT doc_id) AS df
+              FROM tok2 GROUP BY 1, 2),
+      boiler AS (
+        SELECT dfq.source AS source, w, TRUE AS boiler
+        FROM dfq JOIN nd USING (source) WHERE df >= n_docs * 0.85)
+      SELECT t.doc_id AS doc_id,
+             COUNT(*) AS n_tokens,
+             COUNT(CASE WHEN b.boiler IS NULL THEN 1 END) AS n_kept,
+             string_agg(CASE WHEN b.boiler IS NULL THEN t.w END, ' '
+                        ORDER BY t.pos) AS clean_text
+      FROM tok2 t LEFT JOIN boiler b ON t.source = b.source AND t.w = b.w
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
+  /** APPROXIMATE QUANTILE SKETCH (Greenwald–Khanna, `approx_percentile`):
+    * the mergeable-sketch answer to q41's exact quantiles — rank error
+    * bounded by n/accuracy, state bounded by the sketch (not the data), so
+    * per-partition partials merge map-side exactly like HLL (q97) and
+    * SpaceSaving (q66). Rows-only by design: the sketch's picked elements
+    * depend on merge order, so no cross-engine hash can match; pinned by
+    * the OpsSpec rank-error-bound test against the exact sort.
+    */
+  private val q115 = Q("q115_approx_quantiles",
+    (s, d) => t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
+          .as("approx_q"))
+      .orderBy(col("l_returnflag")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3274,7 +3328,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113)
+    q111, q112, q113, q114, q115)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -3315,5 +3369,8 @@ object Queries {
       "OpsSpec: BPE encode applies learned merges: frequent word collapses to one token"),
     "q97_approx_distinct" -> Seq(
       "OpsSpec: approx_count_distinct within 5% of exact on lineitem keys (HLL++ path)",
-      "OpsSpec: approx_count_distinct lands within 5% of the exact per-group count"))
+      "OpsSpec: approx_count_distinct lands within 5% of the exact per-group count"),
+    "q115_approx_quantiles" -> Seq(
+      "OpsSpec: approx percentile within one st.dev-ish band of exact median",
+      "OpsSpec: approx quantile sketch honors the GK rank-error bound per group"))
 }

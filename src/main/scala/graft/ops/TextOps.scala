@@ -198,6 +198,53 @@ object TextOps {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** Corpus-derived boilerplate stripping (the CCNet/RefinedWeb move at
+    * word granularity): a token is boilerplate for a group (source/domain)
+    * when its document frequency within the group reaches `dfRatio` of the
+    * group's documents; such tokens are removed and every document is
+    * rebuilt in original token order. Returns one row per document:
+    * (doc_id, n_tokens, n_kept, clean_text), clean_text NULL when nothing
+    * survives (matches SQL string_agg-over-no-rows).
+    *
+    * Scale shape: the boilerplate set is SMALL at any corpus size — a word
+    * needs df ≥ dfRatio·n_docs, and total (doc, distinct-word) pairs are
+    * n_docs·avgDistinctTokens, so at most avgDistinctTokens/dfRatio words
+    * per group qualify — a broadcast, never a shuffle, on the marking join.
+    * The group-count frame is one row per group (also broadcast). The two
+    * real exchanges are the df count (grp, word keys) and the per-doc
+    * rebuild; callers that pre-hash-partition by doc id (docsSpread) get
+    * the rebuild exchange elided since posexplode and the broadcast join
+    * both preserve partitioning. The rebuild's collect_list holds one doc's
+    * surviving tokens — bounded by max doc size, same envelope as the scan.
+    */
+  def stripBoilerplate(docs: DataFrame, docId: Column, group: Column,
+                       text: Column, dfRatio: Double): DataFrame = {
+    val d = docs.select(docId.as("doc_id"), group.as("grp"), text.as("text"))
+    val toks = d
+      .select(col("doc_id"), col("grp"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+    val nDocs = d.groupBy(col("grp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val boiler = toks.groupBy(col("grp"), col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(broadcast(nDocs), "grp")
+      .where(col("df") >= col("n_docs") * lit(dfRatio))
+      .select(col("grp"), col("w"), lit(true).as("boiler"))
+    toks.join(broadcast(boiler), Seq("grp", "w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("boiler").isNull, 1)).as("n_kept"),
+        // struct sorts by pos (unique per doc) → original order; nulls
+        // (boilerplate tokens) are skipped by collect_list
+        array_sort(collect_list(when(col("boiler").isNull,
+          struct(col("pos"), col("w"))))).as("ks"))
+      .select(col("doc_id"), col("n_tokens"), col("n_kept"),
+        when(size(col("ks")) === 0, lit(null).cast("string"))
+          .otherwise(array_join(expr("transform(ks, x -> x.w)"), " "))
+          .as("clean_text"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

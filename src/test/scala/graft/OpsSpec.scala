@@ -735,6 +735,55 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("stripBoilerplate removes high-df tokens, keeps order, nulls empty docs") {
+    // grp g: "the" in 3/3 docs (df 1.0 → stripped at 0.6), "cat"/"dog"/"x"
+    // rarer (kept); doc 4 is all-boilerplate → clean_text NULL
+    val d = Seq(
+      (1L, "g", "the cat sat the mat"),
+      (2L, "g", "the dog ran the yard"),
+      (3L, "g", "the x the the y"),
+      (4L, "g", "the the"),
+      (5L, "h", "alpha beta alpha")).toDF("doc_id", "source", "text")
+    val r = TextOps.stripBoilerplate(d, col("doc_id"), col("source"),
+        col("text"), dfRatio = 0.9)
+      .orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        if (x.isNullAt(3)) null else x.getString(3)))
+    assert(r(0) == ((1L, 5L, 3L, "cat sat mat")))  // order preserved
+    assert(r(1) == ((2L, 5L, 3L, "dog ran yard")))
+    assert(r(2) == ((3L, 5L, 2L, "x y")))
+    assert(r(3) == ((4L, 2L, 0L, null)))           // nothing survives
+    // grp h has one doc: every token has df ratio 1.0 → all stripped
+    assert(r(4) == ((5L, 3L, 0L, null)))
+    // the marking join broadcasts (strip list is bounded, never shuffled)
+    val plan = TextOps.stripBoilerplate(d, col("doc_id"), col("source"),
+      col("text"), 0.9).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("approx quantile sketch honors the GK rank-error bound per group") {
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+    val acc = 1000
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_extendedprice").cast("double"))).as("xs"),
+        expr(s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), $acc)")
+          .as("approx_q"))
+      .collect()
+    for (r <- rows) {
+      val xs = r.getSeq[Double](1)
+      val qs = r.getSeq[Double](2)
+      val n = xs.length
+      for ((p, v) <- Seq(0.25, 0.5, 0.75, 0.95).zip(qs)) {
+        // GK guarantee: the returned value's rank is within n/accuracy of
+        // the target rank (plus 1 for the floor discretization)
+        val rank = xs.count(_ <= v)
+        val err = math.abs(rank - p * n)
+        assert(err <= n.toDouble / acc + 1,
+          s"flag=${r.getString(0)} p=$p v=$v rank=$rank n=$n err=$err")
+      }
+    }
+  }
+
   test("token counting on edge cases") {
     val df = Seq("a b  c", "  lead trail  ", "one").toDF("text")
       .select(TextOps.tokenCount(col("text")).as("n")).collect().map(_.getLong(0))
