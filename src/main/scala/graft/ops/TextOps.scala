@@ -216,6 +216,13 @@ object TextOps {
     * the rebuild exchange elided since posexplode and the broadcast join
     * both preserve partitioning. The rebuild's collect_list holds one doc's
     * surviving tokens — bounded by max doc size, same envelope as the scan.
+    *
+    * The corpus IS read twice (df pass, then strip pass) plus a
+    * column-pruned (docId, group) scan for the group sizes — deliberate,
+    * NOT the q111 double-scan defect: df-then-strip is inherently two
+    * passes (a token's fate depends on corpus-wide statistics), and
+    * persisting the exploded token frame to avoid the second scan would
+    * cache MORE bytes than the input it saves re-reading.
     */
   def stripBoilerplate(docs: DataFrame, docId: Column, group: Column,
                        text: Column, dfRatio: Double): DataFrame = {
