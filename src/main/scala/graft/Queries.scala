@@ -3318,6 +3318,49 @@ object Queries {
       .orderBy(col("l_returnflag")),
     None)
 
+  /** EXACT SUBSTRING-DUPLICATION COVERAGE (Lee et al. 2022, k-token
+    * granularity): per-doc count of tokens inside a k-gram that already
+    * occurred earlier in the corpus — the copied-SPAN detector that
+    * whole-doc/sentence/set-similarity dedup all miss. Plan shape in
+    * `Dedup.substringCopyStats`'s scaladoc: k-gram transform (narrow) →
+    * gram-keyed first-occurrence window → per-doc interval-union sweep
+    * (two partitioned windows, no self-join, nothing quadratic).
+    */
+  private val q116 = Q("q116_substring_dedup",
+    (s, d) => graft.ops.Dedup.substringCopyStats(docsSpread(s, d), k = 8)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      nt AS (SELECT doc_id, len(toks) AS n_tokens FROM d),
+      g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) - 8 + 2), i -> i - 1))
+                 AS pos,
+               unnest(list_transform(range(1, len(toks) - 8 + 2),
+                 i -> array_to_string(toks[i:i+7], ' '))) AS gram
+        FROM d WHERE len(toks) >= 8),
+      r AS (
+        SELECT doc_id, pos,
+               doc_id * 1000000 + pos AS ord,
+               MIN(doc_id * 1000000 + pos) OVER (PARTITION BY gram) AS first_ord
+        FROM g),
+      rep AS (SELECT doc_id, pos FROM r WHERE ord <> first_ord),
+      sw AS (
+        SELECT doc_id, pos,
+               MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        FROM rep),
+      cov AS (
+        SELECT doc_id,
+               SUM(GREATEST(0, pos + 8 - GREATEST(COALESCE(prev_end, -1), pos)))
+                 AS n_copied
+        FROM sw GROUP BY doc_id)
+      SELECT nt.doc_id AS doc_id, n_tokens,
+             CAST(COALESCE(n_copied, 0) AS BIGINT) AS n_copied,
+             CAST(COALESCE(n_copied, 0) AS DOUBLE) / n_tokens AS copy_ratio
+      FROM nt LEFT JOIN cov USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3328,7 +3371,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115)
+    q111, q112, q113, q114, q115, q116)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

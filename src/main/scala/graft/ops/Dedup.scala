@@ -419,4 +419,53 @@ object Dedup {
     */
   def ngramJaccard(a: Column, b: Column, w: Int = 3): Column =
     graft.functions.gfn.ngram_jaccard(a, b, w)
+
+  /** Exact substring-duplication coverage (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" metric at
+    * k-TOKEN granularity): for each document, how many of its tokens sit
+    * inside some k-token window whose content already occurred EARLIER in
+    * the corpus (first occurrence in (doc_id, pos) order wins — the
+    * suffix-array pass's keep-first policy). Catches the copied SPANS that
+    * whole-doc (q20), sentence (q104), and set-similarity (q25/q44) dedup
+    * all miss. Returns (doc_id, n_tokens, n_copied, copy_ratio) per doc —
+    * the filter/strip decision is the caller's threshold.
+    *
+    * Shape: one k-gram pass (narrow transform over the token array), one
+    * gram-keyed window for first-occurrence (grams travel as strings here
+    * for oracle 1:1; hash them 64-bit at 100 TB — the q104/Decontam
+    * recipe), then a per-doc ordered sweep that unions the repeated-window
+    * intervals ([pos, pos+k) minus whatever the running max end already
+    * covered) — the textbook O(n log n) interval-union as two partitioned
+    * windows, no self-join, nothing quadratic anywhere. Docs shorter than
+    * k tokens surface with n_copied = 0 via the left join.
+    */
+  def substringCopyStats(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val nTok = d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val grams = d.where(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as(Seq("pos", "gram")))
+    val repeated = grams
+      // unique global order: pos < 1e6 ≪ any doc's token count ceiling
+      .withColumn("ord", col("doc_id") * lit(1000000L) + col("pos"))
+      .withColumn("first_ord", min(col("ord")).over(Window.partitionBy(col("gram"))))
+      .where(col("ord") =!= col("first_ord"))
+      .select(col("doc_id"), col("pos"))
+    val covered = repeated
+      .withColumn("prev_end", max(col("pos") + k).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("doc_id"),
+        greatest(lit(0L),
+          col("pos") + k - greatest(coalesce(col("prev_end"), lit(-1L)), col("pos")))
+          .cast("long").as("cover"))
+      .groupBy(col("doc_id")).agg(sum(col("cover")).as("n_copied"))
+    nTok.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_copied"), lit(0L)).as("n_copied"),
+        (coalesce(col("n_copied"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("copy_ratio"))
+  }
 }

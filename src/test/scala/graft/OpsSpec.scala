@@ -735,6 +735,37 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.collect { case w: WindowExec => w }.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("substringCopyStats: first occurrence free, spans union, short docs zero") {
+    // k=3. doc 1 is original; doc 2 copies doc 1's "a b c d e" (3 repeated
+    // 3-grams at pos 0,1,2 → union covers [0,5) = 5 tokens of 6); doc 3 is
+    // fresh; doc 4 too short for any 3-gram; doc 5 copies a 3-gram TWICE,
+    // non-overlapping (pos 0 and 4 → 3+3=6 of 7).
+    val d = Seq(
+      (1L, "a b c d e x"),
+      (2L, "a b c d e y"),
+      (3L, "p q r s t"),
+      (4L, "a b"),
+      (5L, "a b c z a b c")).toDF("doc_id", "text")
+    val r = Dedup.substringCopyStats(d, k = 3).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    // doc 5: "a b c" at pos 0 is the corpus's... doc 1 owns "a b c" (ord
+    // smallest), so doc 5's pos 0 AND pos 4 are both repeats → 6 copied.
+    assert(r == Seq((1L, 6L, 0L), (2L, 6L, 5L), (3L, 5L, 0L),
+      (4L, 2L, 0L), (5L, 7L, 6L)))
+    // overlapping repeats within one doc union, not double-count:
+    // "a b a b a b" k=3 grams: pos0 "a b a", pos1 "b a b", pos2 "a b a"
+    // (repeats 0), pos3 "b a b" (repeats 1) → [2,5) ∪ [3,6) = [2,6) = 4
+    val r2 = Dedup.substringCopyStats(
+      Seq((1L, "a b a b a b")).toDF("doc_id", "text"), k = 3)
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSeq
+    assert(r2 == Seq((6L, 4L)))
+    // no unpartitioned window, no cartesian anywhere in the plan
+    val plan = Dedup.substringCopyStats(d, k = 3).queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
+    assert(plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.isEmpty)
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("stripBoilerplate removes high-df tokens, keeps order, nulls empty docs") {
     // grp g: "the" in 3/3 docs (df 1.0 → stripped at 0.6), "cat"/"dog"/"x"
     // rarer (kept); doc 4 is all-boilerplate → clean_text NULL
