@@ -38,6 +38,19 @@ class QueriesSpec extends AnyFunSuite {
     assert(plan("q04_topk_orders").contains("TakeOrderedAndProject"))
   }
 
+  test("q80 rank filter plans two-phase WindowGroupLimit (bounded heap, not full sort-shuffle)") {
+    // row_number <= k must trigger SPARK-37099's group-limit: a PARTIAL
+    // WindowGroupLimit before the stratum exchange (only ~k rows per
+    // stratum per map partition shuffle) and a FINAL one after. Without it,
+    // every row of every stratum moves and sorts — the q105 lesson in
+    // per-group form.
+    val p = plan("q80_weighted_sample")
+    assert(p.contains("WindowGroupLimit"),
+      "rank-filter group-limit optimization did not fire")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "expected partial+final WindowGroupLimit pair")
+  }
+
   test("no catalog query plans a cartesian product") {
     for (q <- Queries.all) {
       val p = q.build(spark, sf).queryExecution.executedPlan.toString
