@@ -453,6 +453,17 @@ object Dedup {
       .withColumn("first_ord", min(col("ord")).over(Window.partitionBy(col("gram"))))
       .where(col("ord") =!= col("first_ord"))
       .select(col("doc_id"), col("pos"))
+    spanStats(repeated, nTok, k)
+  }
+
+  /** Per-doc interval-union of the repeated k-windows [pos, pos+k): the
+    * ordered running-max sweep shared by [[substringCopyStats]] and
+    * [[substringProbe]]. `repeated` = (doc_id, pos) of repeat windows,
+    * `nTok` = (doc_id, n_tokens) for EVERY doc (short/clean docs surface
+    * with n_copied = 0 via the left join).
+    */
+  private def spanStats(repeated: DataFrame, nTok: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val covered = repeated
       .withColumn("prev_end", max(col("pos") + k).over(
         Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -467,5 +478,76 @@ object Dedup {
         coalesce(col("n_copied"), lit(0L)).as("n_copied"),
         (coalesce(col("n_copied"), lit(0L)).cast("double") / col("n_tokens"))
           .as("copy_ratio"))
+  }
+
+  /** 64-bit-hashed k-gram windows of a doc frame — the scale-path gram
+    * representation (the q104/Decontam recipe: grams never travel as
+    * strings). (doc_id, pos, gram_hash, ord). */
+  private def gramFrame(docs: DataFrame, k: Int): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .repartition(parallelism, col("doc_id"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as(Seq("pos", "gram_hash")))
+      .withColumn("ord", col("doc_id") * lit(1000000L) + col("pos"))
+  }
+
+  /** A reusable substring-dedup index: the DISTINCT hashed k-gram set of
+    * the corpus — what "already seen" means for every future increment.
+    * Persisted like [[MinHashIndex]]: the daily pipeline keeps it hot and
+    * grows it by [[substringIndexMerge]], paying one gram pass per batch,
+    * never a rescan of history.
+    */
+  final case class GramIndex(grams: DataFrame, k: Int)
+
+  def substringIndex(corpus: DataFrame, k: Int = 8): GramIndex = {
+    val g = gramFrame(corpus, k).select(col("gram_hash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    GramIndex(g, k)
+  }
+
+  /** INCREMENTAL substring-copy detection — the [[substringCopyStats]]
+    * metric for NEW documents against an indexed corpus, without touching
+    * corpus text again. A window of an incoming doc is "copied" when its
+    * gram is in the index OR occurred earlier within the same batch (so
+    * batch-internal duplication is caught exactly as the full-batch path
+    * catches it). Same output schema as [[substringCopyStats]]. Contract:
+    * incoming doc_ids are greater than indexed ones (the daily-ingest
+    * monotonic-id scheme, as for [[minhashProbe]]) — then
+    * probe(index(A), B) == copyStats(A ∪ B) restricted to B, modulo the
+    * 64-bit gram hashing (collision odds ~n²/2^64).
+    *
+    * Shape: one gram pass over the increment, one gram_hash-keyed window
+    * (in-batch firsts), one equi-join against the index (shuffle sized by
+    * the INCREMENT on the probe side — the corpus side is the persisted
+    * hash set, no text), then the per-doc sweep.
+    */
+  def substringProbe(index: GramIndex, incoming: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = index.k
+    val d = incoming.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val nTok = d.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    val repeated = gramFrame(incoming, k)
+      .withColumn("first_ord",
+        min(col("ord")).over(Window.partitionBy(col("gram_hash"))))
+      .join(index.grams.withColumn("seen", lit(true)), Seq("gram_hash"), "left")
+      .where(col("seen").isNotNull || col("ord") =!= col("first_ord"))
+      .select(col("doc_id"), col("pos"))
+    spanStats(repeated, nTok, k)
+  }
+
+  /** Fold a probed batch into the index so tomorrow's increment sees
+    * today's docs: only the increment's NOVEL grams append (anti-join keeps
+    * the seen-set minimal and the probe's left join key-unique); union is
+    * metadata-only, so N merged batches cost N gram passes, never a rescan.
+    */
+  def substringIndexMerge(index: GramIndex, newDocs: DataFrame): GramIndex = {
+    val novel = gramFrame(newDocs, index.k).select(col("gram_hash")).distinct()
+      .join(index.grams, Seq("gram_hash"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    GramIndex(index.grams.unionByName(novel), index.k)
   }
 }

@@ -766,6 +766,46 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("substring index/probe: increment vs indexed corpus == full-batch stats on the union") {
+    // corpus (ids < increment ids, the monotonic daily-ingest contract)
+    val corpus = docs(
+      1L -> "a b c d e f g h i j",
+      2L -> "q r s t u v w x y z")
+    // doc 10 copies corpus span, doc 11 is fresh, doc 12 copies doc 10's
+    // fresh tail (in-batch repeat), doc 13 too short
+    val incoming = docs(
+      10L -> "a b c d e f g h i j k l m",
+      11L -> "n1 n2 n3 n4 n5 n6 n7 n8 n9",
+      12L -> "n1 n2 n3 n4 n5 n6 n7 n8 n9 extra",
+      13L -> "a b")
+    val idx = Dedup.substringIndex(corpus, k = 8)
+    val probed = Dedup.substringProbe(idx, incoming)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val full = Dedup.substringCopyStats(corpus.unionByName(incoming), k = 8)
+      .where(col("doc_id") >= 10).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(probed == full, s"probe=$probed full=$full")
+    assert(probed.find(_._1 == 10L).get._3 == 10L) // the copied corpus span
+    assert(probed.find(_._1 == 11L).get._3 == 0L)  // fresh doc clean
+    assert(probed.find(_._1 == 12L).get._3 == 9L)  // in-batch repeat caught
+    assert(probed.find(_._1 == 13L).get._3 == 0L)  // short doc present, zero
+  }
+
+  test("substring index merge-then-probe == rebuild-then-probe") {
+    val b1 = docs(1L -> "a b c d e f g h i j", 2L -> "k l m n o p q r s t")
+    val b2 = docs(10L -> "a b c d e f g h zz yy", 11L -> "f1 f2 f3 f4 f5 f6 f7 f8")
+    val b3 = docs(20L -> "f1 f2 f3 f4 f5 f6 f7 f8 tail", 21L -> "g1 g2 g3 g4 g5 g6 g7 g8")
+    val merged = Dedup.substringIndexMerge(Dedup.substringIndex(b1, k = 8), b2)
+    val rebuilt = Dedup.substringIndex(b1.unionByName(b2), k = 8)
+    def probe(ix: Dedup.GramIndex) = Dedup.substringProbe(ix, b3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val (m, r) = (probe(merged), probe(rebuilt))
+    assert(m == r, s"merged=$m rebuilt=$r")
+    assert(m == Seq(20L -> 8L, 21L -> 0L)) // b2's fresh octet flags b3's copy
+  }
+
   test("stripBoilerplate removes high-df tokens, keeps order, nulls empty docs") {
     // grp g: "the" in 3/3 docs (df 1.0 → stripped at 0.6), "cat"/"dog"/"x"
     // rarer (kept); doc 4 is all-boilerplate → clean_text NULL
