@@ -550,4 +550,22 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     GramIndex(index.grams.unionByName(novel), index.k)
   }
+
+  /** Persist the gram index across RUNS (the [[saveIndex]] contract for
+    * substrings): the hash set lands as one parquet table, k in a JSON
+    * sidecar so a loaded index can't probe with a mismatched window. */
+  def saveGramIndex(index: GramIndex, path: String): Unit = {
+    index.grams.write.mode("overwrite").parquet(s"$path/grams.parquet")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$path/meta.json"),
+      s"""{"k":${index.k}}""")
+  }
+
+  def loadGramIndex(spark: org.apache.spark.sql.SparkSession, path: String): GramIndex = {
+    val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
+    val k = """"k":(\d+)""".r.findFirstMatchIn(meta)
+      .getOrElse(sys.error(s"bad gram-index meta at $path: $meta")).group(1).toInt
+    GramIndex(
+      spark.read.parquet(s"$path/grams.parquet")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), k)
+  }
 }

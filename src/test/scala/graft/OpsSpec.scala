@@ -792,6 +792,20 @@ class OpsSpec extends AnyFunSuite {
     assert(probed.find(_._1 == 13L).get._3 == 0L)  // short doc present, zero
   }
 
+  test("substring index save/load probes identically") {
+    val corpus = docs(1L -> "a b c d e f g h i j", 2L -> "k l m n o p q r s t")
+    val probeDocs = docs(10L -> "a b c d e f g h zz yy", 11L -> "f1 f2 f3 f4 f5 f6 f7 f8")
+    val idx = Dedup.substringIndex(corpus, k = 8)
+    val dir = java.nio.file.Files.createTempDirectory("gram_idx").toString
+    Dedup.saveGramIndex(idx, dir)
+    val loaded = Dedup.loadGramIndex(spark, dir)
+    assert(loaded.k == 8)
+    def run(ix: Dedup.GramIndex) = Dedup.substringProbe(ix, probeDocs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(run(loaded) == run(idx))
+    assert(run(loaded) == Seq(10L -> 8L, 11L -> 0L))
+  }
+
   test("substring index merge-then-probe == rebuild-then-probe") {
     val b1 = docs(1L -> "a b c d e f g h i j", 2L -> "k l m n o p q r s t")
     val b2 = docs(10L -> "a b c d e f g h zz yy", 11L -> "f1 f2 f3 f4 f5 f6 f7 f8")

@@ -277,6 +277,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rolling substring dedup: later batches' copied spans of earlier batches are scored") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "k l m n o p q r s t")).toDF("doc_id", "text")
+    val index = graft.ops.Dedup.substringIndex(corpus, k = 8)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, Long] // doc_id -> n_copied
+    val ckpt = java.nio.file.Files.createTempDirectory("roll_substr_ckpt").toString
+    val q = graft.streaming.SubstringDedupJob.startRolling(
+      mem.toDF().toDF("doc_id", "text"), index,
+      out => got.synchronized {
+        out.collect().foreach(r => got(r.getLong(0)) =
+          r.getLong(out.columns.indexOf("n_copied")))
+      },
+      ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(
+        (100L, "a b c d e f g h tail1 tail2"),   // copies a corpus octet
+        (101L, "f1 f2 f3 f4 f5 f6 f7 f8 f9"))    // fresh in batch 1...
+      q.processAllAvailable()
+      assert(got.get(100L).contains(8L), s"got $got")
+      assert(got.get(101L).contains(0L), s"got $got")
+      // ...but batch 2's copy of it IS scored — the index rolled forward
+      mem.addData(
+        (200L, "f1 f2 f3 f4 f5 f6 f7 f8 other"),
+        (201L, "g1 g2 g3 g4 g5 g6 g7 g8 g9"))
+      q.processAllAvailable()
+      assert(got.get(200L).contains(8L), s"got $got")
+      assert(got.get(201L).contains(0L), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming ANN probe answers each query batch from the static IVF index") {
     import spark.implicits._
     implicit val s = spark
