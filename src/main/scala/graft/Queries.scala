@@ -3361,6 +3361,44 @@ object Queries {
       FROM nt LEFT JOIN cov USING (doc_id)
       ORDER BY doc_id"""))
 
+  /** MAP-TYPED COLUMNS (the data-model surface: MapType + the map function
+    * family): per-user event-type count MAPS built with map_from_entries,
+    * then interrogated in place — element_at lookup, map_filter predicate,
+    * aggregate() fold over map_values — with a FLAT deterministic output so
+    * the oracle (plain conditional aggregation; maps are Spark-side
+    * representation, not semantics) hash-matches. sort_array before
+    * map_from_entries pins entry order, keeping any future map-valued
+    * output byte-stable too. Scale: the map is per-user, bounded by the
+    * event-type vocabulary — one (user, type) aggregate then one per-user
+    * reduce, both partial-then-final.
+    */
+  private val q117 = Q("q117_map_funcs",
+    (s, d) => t(s, d, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("tm"))
+      .select(col("user_id"),
+        size(col("tm")).cast("long").as("n_types"),
+        coalesce(element_at(col("tm"), lit("click")), lit(0L)).as("clicks"),
+        expr("aggregate(map_values(tm), 0L, (a, x) -> a + x)").as("total"),
+        size(expr("map_filter(tm, (k, v) -> v >= 15)")).cast("long")
+          .as("heavy_types"))
+      .orderBy(col("user_id")),
+    Some("""
+      WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT user_id,
+             COUNT(*) AS n_types,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN cnt END), 0)
+               AS BIGINT) AS clicks,
+             CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN cnt >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS heavy_types
+      FROM c GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3371,7 +3409,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116)
+    q111, q112, q113, q114, q115, q116, q117)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
