@@ -3399,6 +3399,31 @@ object Queries {
                AS heavy_types
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
+  /** EDIT-DISTANCE FUZZY JOIN (approximate string matching): every customer
+    * pair whose names are within one Levenshtein edit, via the q-gram
+    * prefix-filter candidate join in [[graft.ops.FuzzyJoin]] — rarest-gram
+    * equi-join buckets, never all-pairs — with a threshold-bounded verify.
+    * Exact by construction (the filters are lossless), so the oracle is the
+    * brute-force DuckDB definition. The zero-padded "Customer#000000042"
+    * names give the join dense true structure: every pair of ids differing
+    * in one digit is a hit. Scale: candidates track rare-gram df, the
+    * verify early-exits past the threshold, and the only corpus-sized
+    * shuffles are gram-keyed equi-joins and one distinct.
+    */
+  private val q118 = Q("q118_fuzzy_join",
+    (s, d) => graft.ops.FuzzyJoin.editDistancePairs(
+        t(s, d, "customer").select(col("c_custkey"), col("c_name")),
+        "c_custkey", "c_name", maxDist = 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+        AND levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3409,7 +3434,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117)
+    q111, q112, q113, q114, q115, q116, q117, q118)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
