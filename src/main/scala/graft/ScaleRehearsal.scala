@@ -84,6 +84,24 @@ object ScaleRehearsal {
       println(s"[scale] built $embOut")
     }
 
+    val custOut = s"$sf1/customer.parquet"
+    if (java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(custOut))) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(custOut))
+      // 10x customers for the fuzzy-join rehearsal: fresh keys get fresh
+      // zero-padded names, so the edit-distance pair structure grows like a
+      // real 10x id space (more significant digits, denser digit-gram
+      // buckets) — NOT like replicated text, which would add spurious
+      // cross-replica duplicates.
+      Tables(spark, src, "customer")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .withColumn("c_custkey", col("c_custkey") * 10L + col("rep"))
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(custOut)
+      println(s"[scale] built $custOut")
+    }
+
     val family =
       if (args.nonEmpty) args.toSeq
       else Seq("q25_minhash_neardup", "q44_neardup_exact", "q47_dedup_clusters",

@@ -314,6 +314,92 @@ object Multimodal {
       .mapPartitions(_.map(decodeOne))
   }
 
+  case class ResizedImage(media_id: Long, src_w: Int, src_h: Int,
+                          width: Int, height: Int, thumb: Array[Byte])
+
+  /** Resize stage: decode each image row, nearest-neighbor resample to
+    * `w`x`h`, re-encode as PNG. The resample is a hand-rolled pixel map
+    * (`src(x*srcW/w, y*srcH/h)`) rather than Graphics2D scaling so the
+    * output pixels are bit-deterministic across JVMs/platforms — PNG
+    * re-encoded BYTES may still differ by encoder, so tests pin decoded
+    * pixels, not bytes. Non-image or undecodable rows are dropped (the
+    * decode stage is where corrupt bytes are accounted). Scale: same
+    * mapPartitions shape as decode — embarrassingly parallel, one blob in
+    * memory per task at a time, output volume ~ n_images * w * h.
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int)
+                  (implicit spark: SparkSession): Dataset[ResizedImage] = {
+    import spark.implicits._
+    require(w > 0 && h > 0)
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        if (m.kind != "image" || !looksLikeImage(m.content)) None
+        else Option(javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(m.content))).map { img =>
+          val sw = img.getWidth
+          val sh = img.getHeight
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out.setRGB(x, y,
+                img.getRGB((x.toLong * sw / w).toInt, (y.toLong * sh / h).toInt))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          ResizedImage(m.media_id, sw, sh, w, h, bos.toByteArray)
+        }
+      })
+  }
+
+  case class SampledFrame(media_id: Long, frame_idx: Int, n_frames: Int,
+                          width: Int, height: Int, frame: Array[Byte])
+
+  /** Frame-sample stage: split each video row's MJPEG byte stream on JPEG
+    * EOI markers and keep every `every`-th frame (idx 0, every, 2*every, …)
+    * as its own standalone-decodable JPEG row. The split is byte-level —
+    * frames are NOT transcoded, so the emitted bytes are exactly the
+    * source frame bytes (pinned by tests decoding them against a full
+    * decode). Rows explode ~n_frames/every per video; non-video rows drop.
+    */
+  def sampleFrames(media: DataFrame, every: Int)
+                  (implicit spark: SparkSession): Dataset[SampledFrame] = {
+    import spark.implicits._
+    require(every >= 1)
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        if (m.kind != "video" || !looksLikeMjpeg(m.content)) Iterator.empty
+        else {
+          val b = m.content
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var start = 0
+          var i = 1
+          while (i < b.length) {
+            if (b(i - 1) == 0xff.toByte && b(i) == 0xd9.toByte) {
+              bounds += ((start, i + 1)); start = i + 1; i += 1
+            }
+            i += 1
+          }
+          val total = bounds.length
+          bounds.iterator.zipWithIndex
+            .filter { case (_, idx) => idx % every == 0 }
+            .flatMap { case ((s, e), idx) =>
+              val bytes = java.util.Arrays.copyOfRange(b, s, e)
+              Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes)))
+                .map(img => SampledFrame(m.media_id, idx, total,
+                  img.getWidth, img.getHeight, bytes))
+            }
+        }
+      })
+  }
+
   /** Per-kind feature aggregate used by the q30 smoke query. */
   def kindStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     decode(mediaTable(docs)).toDF()

@@ -7,7 +7,7 @@ import graft.ops.FuzzyJoin
 
 /** Edit-distance join: exact parity with the brute-force definition on a
   * corpus that exercises substitutions, insertions, deletions, repeated
-  * grams, and the short-string path; plan stays equi-join shaped.
+  * characters, empty and near-empty strings; plan stays equi-join shaped.
   */
 class FuzzyJoinSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -44,22 +44,25 @@ class FuzzyJoinSpec extends AnyFunSuite {
     } yield (ia, ib, lev(sa, sb))).toSet
   }
 
-  private def got(d: Int, q: Int): Set[(Long, Long, Int)] =
-    FuzzyJoin.editDistancePairs(corpus.toDF("id", "s"), "id", "s", d, q)
+  private def got(d: Int): Set[(Long, Long, Int)] =
+    FuzzyJoin.editDistancePairs(corpus.toDF("id", "s"), "id", "s", d)
       .select("id_a", "id_b", "dist")
       .as[(Long, Long, Int)].collect().toSet
 
-  test("exact parity with brute force at d=1 (q=2 and q=3)") {
+  test("exact parity with brute force at d=1") {
     val want = brute(1)
     assert(want.nonEmpty)
-    assert(got(1, 2) == want)
-    assert(got(1, 3) == want)
+    assert(got(1) == want)
   }
 
   test("exact parity with brute force at d=2") {
     val want = brute(2)
     assert(want.nonEmpty)
-    assert(got(2, 2) == want)
+    assert(got(2) == want)
+  }
+
+  test("exact parity with brute force at d=3 (deep deletion neighborhood)") {
+    assert(got(3) == brute(3))
   }
 
   test("all-identical strings produce the full clique with dist 0") {

@@ -989,6 +989,58 @@ class OpsSpec extends AnyFunSuite {
       again.map(f => (f.media_id, f.checksum)).toSet)
   }
 
+  test("image resize: exact nearest-neighbor pixels at the target dims") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaTable(d)
+    val thumbs = Multimodal.resizeImages(media, 8, 6).collect()
+    val srcById = media.filter(col("kind") === "image")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(thumbs.nonEmpty && thumbs.length == srcById.size)
+    thumbs.foreach { t =>
+      val thumb = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(t.thumb))
+      assert(thumb.getWidth == 8 && thumb.getHeight == 6)
+      val src = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(srcById(t.media_id)))
+      assert(t.src_w == src.getWidth && t.src_h == src.getHeight)
+      // every thumb pixel IS the nearest-neighbor source pixel — the
+      // resample is a deterministic pixel map, not an interpolation
+      for (y <- 0 until 6; x <- 0 until 8)
+        assert((thumb.getRGB(x, y) & 0xffffff) ==
+          (src.getRGB(x * src.getWidth / 8, y * src.getHeight / 6) & 0xffffff))
+    }
+  }
+
+  test("frame sampling: every k-th MJPEG frame, byte-exact, standalone decodable") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaTable(d)
+    val sampled = Multimodal.sampleFrames(media, every = 2).collect()
+      .groupBy(_.media_id)
+    val vids = media.filter(col("kind") === "video")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(sampled.nonEmpty && sampled.keySet == vids.keySet)
+    sampled.foreach { case (id, frames) =>
+      val total = frames.head.n_frames
+      assert(total == 2 + (id % 6).toInt) // matches what the encoder wrote
+      assert(frames.map(_.frame_idx).sorted.toSeq ==
+        (0 until total by 2).toSeq) // exactly every 2nd frame
+      frames.foreach { f =>
+        // sampled bytes are the source frame bytes verbatim: they start at
+        // SOI, end at EOI, and appear in the source stream
+        assert(f.frame.take(2).toSeq == Seq(0xff.toByte, 0xd8.toByte))
+        assert(f.frame.takeRight(2).toSeq == Seq(0xff.toByte, 0xd9.toByte))
+        assert(f.width == 8 + (id % 24).toInt &&
+          f.height == 8 + ((id * 7) % 24).toInt)
+        val src = vids(id)
+        assert(src.indexOfSlice(f.frame) >= 0)
+      }
+    }
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("heavy hitters: recovers true top terms with bounded overestimate") {
