@@ -3400,15 +3400,17 @@ object Queries {
       FROM c GROUP BY user_id ORDER BY user_id"""))
 
   /** EDIT-DISTANCE FUZZY JOIN (approximate string matching): every customer
-    * pair whose names are within one Levenshtein edit, via the q-gram
-    * prefix-filter candidate join in [[graft.ops.FuzzyJoin]] — rarest-gram
-    * equi-join buckets, never all-pairs — with a threshold-bounded verify.
-    * Exact by construction (the filters are lossless), so the oracle is the
-    * brute-force DuckDB definition. The zero-padded "Customer#000000042"
-    * names give the join dense true structure: every pair of ids differing
-    * in one digit is a hit. Scale: candidates track rare-gram df, the
-    * verify early-exits past the threshold, and the only corpus-sized
-    * shuffles are gram-keyed equi-joins and one distinct.
+    * pair whose names are within one Levenshtein edit, via the
+    * deletion-neighborhood signature join in [[graft.ops.FuzzyJoin]]
+    * (FastSS) — variant-hash equi-join buckets, never all-pairs — with a
+    * threshold-bounded verify. Exact by construction (the candidate scheme
+    * is lossless), so the oracle is the brute-force DuckDB definition. The
+    * zero-padded "Customer#000000042" names give the join dense true
+    * structure: every pair of ids differing in one digit is a hit. Scale:
+    * candidate volume tracks the true output (a shared deletion variant
+    * implies genuine edit proximity), the verify early-exits past the
+    * threshold, and the only corpus-sized shuffles are the variant-hash
+    * equi-join and one id-pair distinct.
     */
   private val q118 = Q("q118_fuzzy_join",
     (s, d) => graft.ops.FuzzyJoin.editDistancePairs(
@@ -3424,6 +3426,62 @@ object Queries {
         AND levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY id_a, id_b"""))
 
+  /** DISTRIBUTED K-MEANS (ops/Cluster): Lloyd's algorithm on the integer
+    * lattice — the clustering stage of semantic dedup (cluster, then near-dup
+    * within clusters) and of coverage-balanced mixture design. Two full
+    * assign+update iterations from smallest-id seeds, then the final
+    * assignment with exact squared lattice distances. Everything is 64-bit
+    * integer arithmetic (quantize, sum, floor-divide), so the oracle can
+    * replay the SAME iterations in SQL and hash-match — the one clustering
+    * formulation where "approximately similar clusters" becomes "identical
+    * bits". Scale: assignment is a narrow literal-centroid pass (k*dim
+    * integers in codegen, no join); each update is one partial-aggregated
+    * groupBy(cluster, dim) whose exchange carries k*dim rows per partition;
+    * centroids are the bounded ivfCentroids-style driver state.
+    */
+  private val q119 = Q("q119_kmeans",
+    (s, d) => graft.ops.Cluster.kmeansLattice(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 4, iters = 2)(s)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id")),
+    Some("""
+      WITH
+      q AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS qv
+            FROM embeddings),
+      qe AS (SELECT vec_id, i, qv[i] AS v FROM q, range(1, 65) t(i)),
+      init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl
+               FROM q ORDER BY vec_id LIMIT 4),
+      c0 AS (SELECT init.cl, qe.i, qe.v FROM qe JOIN init USING (vec_id)),
+      d1 AS (SELECT qe.vec_id, c0.cl, SUM((qe.v - c0.v) * (qe.v - c0.v)) AS d2
+             FROM qe JOIN c0 USING (i) GROUP BY qe.vec_id, c0.cl),
+      a1 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+               FROM d1) WHERE rn = 1),
+      s1 AS (SELECT a1.cl, qe.i, SUM(qe.v) // COUNT(*) AS v
+             FROM qe JOIN a1 USING (vec_id) GROUP BY a1.cl, qe.i),
+      c1 AS (SELECT c0.cl, c0.i, COALESCE(s1.v, c0.v) AS v
+             FROM c0 LEFT JOIN s1 ON s1.cl = c0.cl AND s1.i = c0.i),
+      d2 AS (SELECT qe.vec_id, c1.cl, SUM((qe.v - c1.v) * (qe.v - c1.v)) AS d2
+             FROM qe JOIN c1 USING (i) GROUP BY qe.vec_id, c1.cl),
+      a2 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+               FROM d2) WHERE rn = 1),
+      s2 AS (SELECT a2.cl, qe.i, SUM(qe.v) // COUNT(*) AS v
+             FROM qe JOIN a2 USING (vec_id) GROUP BY a2.cl, qe.i),
+      c2 AS (SELECT c1.cl, c1.i, COALESCE(s2.v, c1.v) AS v
+             FROM c1 LEFT JOIN s2 ON s2.cl = c1.cl AND s2.i = c1.i),
+      d3 AS (SELECT qe.vec_id, c2.cl, SUM((qe.v - c2.v) * (qe.v - c2.v)) AS d2
+             FROM qe JOIN c2 USING (i) GROUP BY qe.vec_id, c2.cl)
+      SELECT vec_id, CAST(cl AS BIGINT) AS cluster, CAST(d2 AS BIGINT) AS dist2
+      FROM (SELECT vec_id, cl, d2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+            FROM d3) WHERE rn = 1
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3434,7 +3492,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Cluster
+
+/** Integer-lattice k-means: exact parity with a plain-Scala reference
+  * Lloyd implementation, monotone inertia, the empty-cluster rule, the
+  * assign-only probe face, and the narrow-assignment plan shape.
+  */
+class ClusterSpec extends AnyFunSuite {
+  private implicit lazy val spark: org.apache.spark.sql.SparkSession =
+    SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    Tables(spark, "/root/testdata/sf0.001", "embeddings")
+
+  /** Plain single-threaded Lloyd on the same lattice: quantize, k smallest
+    * ids seed, argmin with low-cluster ties, floor-div update, empty
+    * cluster keeps its centroid. The distributed result must match this
+    * EXACTLY — that is the whole point of the integer formulation.
+    */
+  private def reference(vecs: Seq[(Long, Array[Double])], k: Int, iters: Int,
+                        scale: Int): (Map[Long, (Int, Long)], Array[Array[Long]]) = {
+    val q = vecs.sortBy(_._1).map { case (id, v) =>
+      id -> v.map(x => math.round(x * scale) + scale)
+    }
+    var cent = q.take(k).map(_._2.map(identity)).toArray
+    def near(x: Array[Long]): (Int, Long) = {
+      var bj = 0; var bd = Long.MaxValue
+      cent.indices.foreach { j =>
+        var d = 0L
+        x.indices.foreach { i => val t = x(i) - cent(j)(i); d += t * t }
+        if (d < bd) { bd = d; bj = j }
+      }
+      (bj, bd)
+    }
+    for (_ <- 1 to iters) {
+      val byCl = q.groupBy { case (_, x) => near(x)._1 }
+      cent = cent.zipWithIndex.map { case (old, j) =>
+        byCl.get(j) match {
+          case None => old.clone()
+          case Some(members) =>
+            val n = members.size
+            old.indices.map(i => members.map(_._2(i)).sum / n).toArray
+        }
+      }
+    }
+    (q.map { case (id, x) => id -> near(x) }.toMap, cent)
+  }
+
+  private lazy val vecs: Seq[(Long, Array[Double])] =
+    emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+  test("kmeans matches the plain-Scala reference bit-for-bit (k=4, 3 iters)") {
+    val (want, _) = reference(vecs, k = 4, iters = 3, scale = 1000)
+    val got = Cluster.kmeansLattice(emb, "vec_id", "embedding", k = 4, iters = 3)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == vecs.length)
+    got.foreach { case (id, cl, d2) =>
+      assert(want(id) == ((cl.toInt, d2)), s"vec $id")
+    }
+  }
+
+  test("inertia is non-increasing across iterations") {
+    val inertias = (0 to 3).map { it =>
+      Cluster.kmeansLattice(emb, "vec_id", "embedding", k = 4, iters = it)
+        .agg(sum(col("dist2"))).as[Long].head()
+    }
+    inertias.sliding(2).foreach { case Seq(a, b) => assert(b <= a) }
+    assert(inertias.last < inertias.head) // it actually moved
+  }
+
+  test("a cluster that loses all members keeps its centroid; ties go low") {
+    // seeds are ids 0 and 1, both at the origin; the far point is
+    // equidistant-from-neither trap: after one update both centroids would
+    // collapse identically, and cluster 1 empties (ties assign to 0).
+    val pts = Seq(
+      (0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)),
+      (2L, Array(0.0, 0.0)), (3L, Array(0.1, 0.1))).toDF("vec_id", "embedding")
+    val out = Cluster.kmeansLattice(pts, "vec_id", "embedding",
+      k = 2, iters = 2, scale = 10)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // everything lands in cluster 0 (ties to the lower id), cluster 1 kept
+    // its (identical) centroid so nothing crashed or drifted
+    assert(out.keySet == Set(0L, 1L, 2L, 3L))
+    assert(out.values.forall(_._1 == 0L))
+    val (want, _) = reference(
+      Seq((0L, Array(0.0, 0.0)), (1L, Array(0.0, 0.0)),
+        (2L, Array(0.0, 0.0)), (3L, Array(0.1, 0.1))), 2, 2, 10)
+    out.foreach { case (id, (cl, d2)) => assert(want(id) == ((cl.toInt, d2))) }
+  }
+
+  test("assign() with trained centroids reproduces the final assignment") {
+    val cent = Cluster.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val probe = Cluster.assign(emb, "vec_id", "embedding", cent)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val full = Cluster.kmeansLattice(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(probe == full)
+  }
+
+  test("assignment pass is narrow: no join, no exchange in the probe plan") {
+    val cent = Cluster.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val plan = Cluster.assign(emb, "vec_id", "embedding", cent)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+    assert(!plan.contains("Exchange"))
+  }
+}
