@@ -3482,6 +3482,61 @@ object Queries {
             FROM d3) WHERE rn = 1
       ORDER BY vec_id"""))
 
+  /** PAGERANK (ops/Graph) on the symmetrized customer–supplier trade graph
+    * — "which nodes matter", the canonical-record picker / curation-weight
+    * companion to connected components. Integer-unit formulation: damped
+    * mass moves by exact floor divisions, remainders drop, teleport base
+    * returns each round — so three iterations are a deterministic integer
+    * procedure the oracle replays verbatim in SQL (same design rule as
+    * q119: exactness comes from staying on the integers). Top-25 by rank =
+    * TakeOrderedAndProject, not a global sort. Scale: per iteration one
+    * co-partitioned rank⋈degree join, one fan-out onto src-partitioned
+    * edges, one partial-aggregated groupBy(dst); edges/degrees persisted
+    * across iterations, nothing driver-side.
+    */
+  private val q120 = Q("q120_pagerank",
+    (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      // node encoding keeps the bipartite sides disjoint: customer 2c,
+      // supplier 2s+1; both directions so no node is dangling
+      val e = pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      graft.ops.Graph.pageRankInt(e, iters = 3)
+        .orderBy(col("rank_units").desc, col("node"))
+        .limit(25)
+    },
+    Some("""
+      WITH
+      pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+            UNION ALL SELECT sk * 2 + 1, c * 2 FROM pairs),
+      d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      n AS (SELECT src AS node FROM d),
+      r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM n),
+      i1 AS (SELECT e.dst AS node, SUM(((r0.r * 85) // 100) // d.deg) AS x
+             FROM r0 JOIN d ON d.src = r0.node JOIN e ON e.src = r0.node
+             GROUP BY e.dst),
+      r1 AS (SELECT n.node, 150000000 + COALESCE(i1.x, 0) AS r
+             FROM n LEFT JOIN i1 USING (node)),
+      i2 AS (SELECT e.dst AS node, SUM(((r1.r * 85) // 100) // d.deg) AS x
+             FROM r1 JOIN d ON d.src = r1.node JOIN e ON e.src = r1.node
+             GROUP BY e.dst),
+      r2 AS (SELECT n.node, 150000000 + COALESCE(i2.x, 0) AS r
+             FROM n LEFT JOIN i2 USING (node)),
+      i3 AS (SELECT e.dst AS node, SUM(((r2.r * 85) // 100) // d.deg) AS x
+             FROM r2 JOIN d ON d.src = r2.node JOIN e ON e.src = r2.node
+             GROUP BY e.dst),
+      r3 AS (SELECT n.node, 150000000 + COALESCE(i3.x, 0) AS r
+             FROM n LEFT JOIN i3 USING (node))
+      SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_units
+      FROM r3 ORDER BY rank_units DESC, node LIMIT 25"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3492,7 +3547,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph analytics on edge frames — the companion to
+  * [[Components]] (which answers "which rows are the same thing"); PageRank
+  * answers "which nodes matter", the canonical-record picker for entity
+  * resolution and the influence score for curation weighting (e.g. rank
+  * domains in a link graph before sampling by domain quality).
+  *
+  * INTEGER formulation (same design rule as [[Cluster]]): rank mass is
+  * carried in integer units. Each node starts with `unit` units; one
+  * iteration sends each node's damped mass `(r * dampNum) div dampDen`,
+  * split `div outDegree` per out-edge (both floor divisions on non-negative
+  * longs — truncation == floor == DuckDB's `//`), and every node restarts
+  * from the teleport base `unit * (dampDen - dampNum) / dampDen`. Rounding
+  * remainders are simply dropped — mass is NOT renormalized — which is fine
+  * because the result is defined BY this exact procedure: every engine
+  * replaying it gets identical bits (q120's oracle replays it in SQL).
+  * With `unit = 1e9` the drop per node per iteration is < outDeg units =
+  * relative error ~1e-9·outDeg — far below any ranking-relevant difference.
+  *
+  * Scale shape: per iteration, one equi-join of ranks with the static
+  * out-degree frame (both hash-partitioned on the node key — AQE keeps
+  * them co-partitioned after the first exchange), one fan-out equi-join
+  * onto edges partitioned by `src`, and one `groupBy(dst)` whose partial
+  * aggregation combines contributions map-side. Edges and degrees are
+  * computed once and persisted across iterations; nothing is ever collected
+  * to the driver. Lineage grows one join-agg layer per iteration — fine for
+  * the typical 5-20 iterations; at hundreds, checkpoint every ~10 rounds
+  * exactly as [[Components]] does.
+  *
+  * ANSI-overflow dial: intermediate products are bounded by
+  * `totalMass * dampNum` ~ `nNodes * unit * 100`; keep `nNodes * unit`
+  * under ~9e16 (e.g. drop `unit` to 1e6 beyond ~1e10 nodes).
+  */
+object Graph {
+
+  /** PageRank in integer units over a directed edge list `(src, dst)`.
+    * Returns `(node, rank_units)` for every node that appears as a source
+    * (callers wanting sink-only nodes should symmetrize the edge list, as
+    * q120 does — that also removes dangling-mass concerns). Duplicate edges
+    * are collapsed first.
+    */
+  def pageRankInt(edges: DataFrame, iters: Int, unit: Long = 1000000000L,
+                  dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
+    require(iters >= 1 && unit >= 1 && dampNum >= 0 && dampDen >= dampNum)
+    val base = unit * (dampDen - dampNum) / dampDen
+
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("node"))
+
+    var r = nodes.select(col("node"), lit(unit).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = r
+        .join(deg, r("node") === deg("src"))
+        .select(col("src"), expr(s"r * $dampNum div $dampDen div deg").as("share"))
+        .join(e, "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share")).as("inflow"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+    }
+    r.select(col("node"), col("r").as("rank_units"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ops.Graph
+
+/** Integer PageRank: bit-parity with a plain-Scala replay of the exact
+  * procedure, ranking sanity on known topologies, and equi-join plan shape.
+  */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Single-threaded replay of pageRankInt's exact integer procedure. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        unit: Long = 1000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val nodes = deg.keySet
+    val base = unit * 15 / 100
+    var r: Map[Long, Long] = nodes.map(_ -> unit).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.filter(p => r.contains(p._1))
+        .groupBy(_._2)
+        .map { case (dst, in) =>
+          dst -> in.map { case (src, _) => r(src) * 85 / 100 / deg(src) }.sum
+        }
+      r = nodes.map(n => n -> (base + inflow.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  // a hub-and-spoke with a side chain: 0 <-> {1,2,3}, 3 <-> 4 <-> 5
+  private val g: Seq[(Long, Long)] =
+    Seq((0L, 1L), (0L, 2L), (0L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+
+  test("pageRankInt matches the plain-Scala integer replay bit-for-bit") {
+    val want = reference(g, iters = 5)
+    val got = Graph.pageRankInt(g.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("the hub outranks the spokes; total mass never exceeds the start") {
+    val r = Graph.pageRankInt(g.toDF("src", "dst"), iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(r(0L) > r(1L) && r(0L) > r(2L))
+    assert(r(3L) > r(4L)) // bridge node beats chain tail
+    assert(r.values.sum <= 6L * 1000000000L) // remainders only ever drop mass
+  }
+
+  test("isolated duplicate edges collapse: parallel edges don't double mass") {
+    val dup = g ++ g // every edge twice
+    val a = Graph.pageRankInt(g.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankInt(dup.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("plan is equi-join shaped: no cartesian or nested-loop join") {
+    val plan = Graph.pageRankInt(g.toDF("src", "dst"), iters = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"))
+    assert(!plan.contains("BroadcastNestedLoop"))
+  }
+}
