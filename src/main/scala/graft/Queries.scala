@@ -3537,6 +3537,21 @@ object Queries {
       SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_units
       FROM r3 ORDER BY rank_units DESC, node LIMIT 25"""))
 
+  /** AUDIO FEATURE EXTRACTION (ops/Multimodal.audioFrames): windowed
+    * per-frame energy / zero-crossing / silence detection over decoded PCM
+    * — the audio analogue of q30's decode stage. Features are integer-exact
+    * (energy = raw sample square sums; silence = an integer cross-multiply
+    * threshold), so the suite pins them against a direct PCM replay; no SQL
+    * oracle can decode WAV, hence rows-only. Scale: narrow mapPartitions,
+    * rows explode ~n_samples/frameLen per clip.
+    */
+  private val q121 = Q("q121_audio_frames",
+    (s, d) => Multimodal.audioFrames(
+        Multimodal.mediaTable(t(s, d, "documents"))(s), frameLen = 1024)(s)
+      .toDF()
+      .orderBy(col("media_id"), col("frame_idx")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3547,7 +3562,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -3591,5 +3606,7 @@ object Queries {
       "OpsSpec: approx_count_distinct lands within 5% of the exact per-group count"),
     "q115_approx_quantiles" -> Seq(
       "OpsSpec: approx percentile within one st.dev-ish band of exact median",
-      "OpsSpec: approx quantile sketch honors the GK rank-error bound per group"))
+      "OpsSpec: approx quantile sketch honors the GK rank-error bound per group"),
+    "q121_audio_frames" -> Seq(
+      "OpsSpec: audio frames: integer energy/ZCR/silence match a direct PCM replay"))
 }

@@ -400,6 +400,58 @@ object Multimodal {
       })
   }
 
+  case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
+                        energy: Long, zero_crossings: Int, is_silence: Boolean)
+
+  /** Audio feature-extract stage: decoded 16-bit mono PCM split into
+    * `frameLen`-sample windows, each emitting INTEGER-EXACT features —
+    * `energy` = sum of squared raw sample values (no float anywhere, so
+    * the output is bit-deterministic and directly assertable), sign-change
+    * `zero_crossings` within the frame, and `is_silence` =
+    * `energy < silenceMeanSq * n_samples` (a mean-square threshold phrased
+    * as an integer cross-multiply — the q108 integer-power-sum rule). The
+    * last frame is partial and keeps its true `n_samples`. RMS/dBFS are
+    * one float op away for callers: `sqrt(energy / n)/32768`.
+    * Non-audio/undecodable rows drop (decode is where corruption is
+    * accounted). Scale: same narrow mapPartitions shape as decode; rows
+    * explode ~n_samples/frameLen per clip. ANSI-safe: energy per frame is
+    * `<= frameLen * 2^30` (~1.1e12 at the default 1024).
+    */
+  def audioFrames(media: DataFrame, frameLen: Int = 1024,
+                  silenceMeanSq: Long = 1048576L)
+                 (implicit spark: SparkSession): Dataset[AudioFrame] = {
+    import spark.implicits._
+    require(frameLen >= 2)
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        if (m.kind != "audio" || !looksLikeWav(m.content)) Iterator.empty
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.content))
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          (0 until n by frameLen).iterator.map { start =>
+            val end = math.min(start + frameLen, n)
+            var energy = 0L
+            var zc = 0
+            var i = start
+            var prevNeg = false
+            while (i < end) {
+              val v = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+              energy += v.toLong * v
+              if (i > start && (v < 0) != prevNeg) zc += 1
+              prevNeg = v < 0
+              i += 1
+            }
+            val len = end - start
+            AudioFrame(m.media_id, start / frameLen, len, energy, zc,
+              energy < silenceMeanSq * len)
+          }
+        } catch { case _: Exception => Iterator.empty }
+      })
+  }
+
   /** Per-kind feature aggregate used by the q30 smoke query. */
   def kindStats(docs: DataFrame)(implicit spark: SparkSession): DataFrame =
     decode(mediaTable(docs)).toDF()

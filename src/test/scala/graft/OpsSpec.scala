@@ -1041,6 +1041,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audio frames: integer energy/ZCR/silence match a direct PCM replay") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaTable(d)
+    val frameLen = 256
+    val got = Multimodal.audioFrames(media, frameLen = frameLen,
+        silenceMeanSq = 1048576L).collect()
+      .groupBy(_.media_id)
+    val clips = media.filter(col("kind") === "audio")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.nonEmpty && got.keySet == clips.keySet)
+    got.foreach { case (id, frames) =>
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(clips(id))).readAllBytes()
+      val samples = Array.tabulate(pcm.length / 2)(i =>
+        (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+      // frames tile the clip: indices 0..ceil(n/len)-1, sizes sum to n
+      assert(frames.map(_.frame_idx).sorted.toSeq ==
+        (0 until (samples.length + frameLen - 1) / frameLen).toSeq)
+      assert(frames.map(_.n_samples.toLong).sum == samples.length)
+      frames.foreach { f =>
+        val w = samples.slice(f.frame_idx * frameLen,
+          f.frame_idx * frameLen + f.n_samples)
+        assert(f.energy == w.map(v => v.toLong * v).sum)
+        assert(f.zero_crossings ==
+          w.sliding(2).count(p => p.length == 2 && (p(0) < 0) != (p(1) < 0)))
+        assert(f.is_silence == (f.energy < 1048576L * f.n_samples))
+      }
+    }
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("heavy hitters: recovers true top terms with bounded overestimate") {
