@@ -3552,6 +3552,61 @@ object Queries {
       .orderBy(col("media_id"), col("frame_idx")),
     None)
 
+  /** ENTITY RESOLUTION end-to-end: blocking + match (q118's exact
+    * edit-distance join) → transitive closure (q47's connected components)
+    * → entity table with canonical-record flags, singletons kept as their
+    * own entities via the left join. The full record-linkage composition a
+    * curation pipeline runs on author/source/domain names — each stage is
+    * the already-audited operator, stitched. entity_size comes from a
+    * groupBy + equi-join, NOT a window over entity_id: a mega-entity (all
+    * zero-padded names here connect into few giant components) would make
+    * a per-entity window partition the skew hotspot at scale, while the
+    * aggregate partial-combines. Oracle: brute-force levenshtein pairs +
+    * recursive-CTE closure, the q47 pattern on the q118 predicate.
+    */
+  private val q122 = Q("q122_entity_resolution",
+    (s, d) => {
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_name"))
+      val pairs = graft.ops.FuzzyJoin
+        .editDistancePairs(cust, "c_custkey", "c_name", maxDist = 1)
+        .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+      val labels = Components.connectedComponents(pairs)
+        .select(col("id").as("c_custkey"), col("cluster_id"))
+      val ents = cust.select(col("c_custkey"))
+        .join(labels, Seq("c_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("cluster_id"), col("c_custkey")).cast("long").as("entity_id"))
+      val sizes = ents.groupBy(col("entity_id")).agg(count(lit(1)).as("entity_size"))
+      ents.join(sizes, "entity_id")
+        .select(col("c_custkey"), col("entity_id"), col("entity_size"),
+          (col("c_custkey") === col("entity_id")).cast("int").as("is_canonical"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      WITH RECURSIVE
+      pairs AS (
+        SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+        FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+          AND levenshtein(a.c_name, b.c_name) <= 1),
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      walk AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u),
+      labels AS (SELECT u AS c_custkey, least(u, min(v)) AS entity_id
+                 FROM walk GROUP BY u),
+      ents AS (SELECT c.c_custkey,
+                      CAST(COALESCE(l.entity_id, c.c_custkey) AS BIGINT) AS entity_id
+               FROM customer c LEFT JOIN labels l USING (c_custkey)),
+      sizes AS (SELECT entity_id, COUNT(*) AS entity_size FROM ents GROUP BY entity_id)
+      SELECT e.c_custkey, e.entity_id,
+             CAST(s.entity_size AS BIGINT) AS entity_size,
+             CAST(e.c_custkey = e.entity_id AS INT) AS is_canonical
+      FROM ents e JOIN sizes s USING (entity_id)
+      ORDER BY e.c_custkey"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3562,7 +3617,7 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
