@@ -102,6 +102,35 @@ object ScaleRehearsal {
       println(s"[scale] built $custOut")
     }
 
+    // 10x trade graph for the PageRank/entity rehearsals: disjoint key
+    // namespaces per replica -> 10 independent copies of the
+    // customer-supplier graph (nodes AND edges scale 10x; no synthetic
+    // densification that would fake a quadratic blow-up).
+    val ordOut = s"$sf1/orders.parquet"
+    if (java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(ordOut))) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(ordOut))
+      Tables(spark, src, "orders")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .withColumn("o_orderkey", col("o_orderkey") * 10L + col("rep"))
+        .withColumn("o_custkey", col("o_custkey") * 10L + col("rep"))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(ordOut)
+      println(s"[scale] built $ordOut")
+    }
+    val liOut = s"$sf1/lineitem.parquet"
+    if (java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(liOut))) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(liOut))
+      Tables(spark, src, "lineitem")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .withColumn("l_orderkey", col("l_orderkey") * 10L + col("rep"))
+        .withColumn("l_suppkey", col("l_suppkey") * 10L + col("rep"))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(liOut)
+      println(s"[scale] built $liOut")
+    }
+
     val family =
       if (args.nonEmpty) args.toSeq
       else Seq("q25_minhash_neardup", "q44_neardup_exact", "q47_dedup_clusters",
@@ -110,7 +139,10 @@ object ScaleRehearsal {
         // embeddings family (10x vectors): brute-force top-k, both ANN
         // paths, LSH cosine near-dup, batched knn join, BPE learn
         "q27_knn_cosine", "q28_ann_lsh", "q36_ann_ivf", "q35_cosine_neardup",
-        "q81_knn_join", "q113_bpe_learn")
+        "q81_knn_join", "q113_bpe_learn",
+        // round-6 additions: clustering, graph, audio, entity resolution
+        "q119_kmeans", "q120_pagerank", "q121_audio_frames",
+        "q122_entity_resolution")
     def build(name: String, dir: String) = name match {
       // q35 with corpus-sized nBits — the SCALE.md log(corpus) knob; the
       // fixed-nBits catalog q35 is the deliberate super-linear counterpoint
