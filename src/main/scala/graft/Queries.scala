@@ -3607,6 +3607,77 @@ object Queries {
       FROM ents e JOIN sizes s USING (entity_id)
       ORDER BY e.c_custkey"""))
 
+  /** SEMANTIC DEDUP (SemDeDup): q119's k-means clusters restrict the
+    * pairwise cosine check to within-cluster candidates — `(n/k)^2 * k`
+    * work instead of `n^2`, with k as the scale dial. The cosine test is an
+    * integer cross-multiply over unshifted quantized vectors (cos >= 1/2
+    * <=> dot > 0 and 4*dot^2 >= |a|^2*|b|^2), so the whole composition —
+    * clustering AND pair predicate — is bit-exact and the oracle replays
+    * it: the q119 CTE chain for the assignment, then a range-join dot
+    * product per within-cluster pair. The catalog k=4 makes clusters
+    * gate-sized (~125 vectors); production k is tens of thousands, which
+    * is what keeps the within-cluster quadratic honest at 100 TB. The 0.3
+    * threshold is tuned to this corpus's similarity mass (cos >= 0.5 keeps
+    * 1 pair, >= 0.3 keeps ~1k — a dense hash check).
+    */
+  private val q123 = Q("q123_semantic_dedup",
+    (s, d) => graft.ops.Cluster.semanticDupPairs(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, thrNum = 3, thrDen = 10)(s)
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""
+      WITH
+      q AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS qv
+            FROM embeddings),
+      qe AS (SELECT vec_id, i, qv[i] AS v FROM q, range(1, 65) t(i)),
+      init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl
+               FROM q ORDER BY vec_id LIMIT 4),
+      c0 AS (SELECT init.cl, qe.i, qe.v FROM qe JOIN init USING (vec_id)),
+      d1 AS (SELECT qe.vec_id, c0.cl, SUM((qe.v - c0.v) * (qe.v - c0.v)) AS d2
+             FROM qe JOIN c0 USING (i) GROUP BY qe.vec_id, c0.cl),
+      a1 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+               FROM d1) WHERE rn = 1),
+      s1 AS (SELECT a1.cl, qe.i, SUM(qe.v) // COUNT(*) AS v
+             FROM qe JOIN a1 USING (vec_id) GROUP BY a1.cl, qe.i),
+      c1 AS (SELECT c0.cl, c0.i, COALESCE(s1.v, c0.v) AS v
+             FROM c0 LEFT JOIN s1 ON s1.cl = c0.cl AND s1.i = c0.i),
+      d2 AS (SELECT qe.vec_id, c1.cl, SUM((qe.v - c1.v) * (qe.v - c1.v)) AS d2
+             FROM qe JOIN c1 USING (i) GROUP BY qe.vec_id, c1.cl),
+      a2 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+               FROM d2) WHERE rn = 1),
+      s2 AS (SELECT a2.cl, qe.i, SUM(qe.v) // COUNT(*) AS v
+             FROM qe JOIN a2 USING (vec_id) GROUP BY a2.cl, qe.i),
+      c2 AS (SELECT c1.cl, c1.i, COALESCE(s2.v, c1.v) AS v
+             FROM c1 LEFT JOIN s2 ON s2.cl = c1.cl AND s2.i = c1.i),
+      d3 AS (SELECT qe.vec_id, c2.cl, SUM((qe.v - c2.v) * (qe.v - c2.v)) AS d2
+             FROM qe JOIN c2 USING (i) GROUP BY qe.vec_id, c2.cl),
+      asg AS (SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d3) WHERE rn = 1),
+      uq AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS uqv
+             FROM embeddings),
+      j AS (SELECT uq.vec_id, asg.cl, uq.uqv,
+                   CAST(list_sum(list_transform(uq.uqv, x -> x * x)) AS BIGINT) AS n2
+            FROM uq JOIN asg USING (vec_id)),
+      pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cl, a.n2 AS na2,
+                    b.n2 AS nb2, SUM(a.uqv[t.i] * b.uqv[t.i]) AS dot
+             FROM j a JOIN j b ON a.cl = b.cl AND a.vec_id < b.vec_id,
+                  range(1, 65) t(i)
+             GROUP BY a.vec_id, b.vec_id, a.cl, a.n2, b.n2)
+      SELECT a_id, b_id, CAST(cl AS BIGINT) AS cluster, CAST(dot AS BIGINT) AS dot
+      FROM pr
+      WHERE dot > 0 AND 100 * dot * dot >= 9 * na2 * nb2
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3617,7 +3688,8 @@ object Queries {
     q73, q74, q75, q76, q77, q78, q79, q80, q81, q82, q83, q84, q85,
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
-    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122)
+    q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
+    q123)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

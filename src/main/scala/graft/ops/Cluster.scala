@@ -134,4 +134,46 @@ object Cluster {
       best.getField("cluster").cast("long").as("cluster"),
       best.getField("dist2").as("dist2"))
   }
+
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embeddings, then emit every WITHIN-CLUSTER pair with cosine similarity
+    * `>= thrNum/thrDen` — the candidate restriction that makes
+    * embedding-space dedup tractable: pairwise work is `~(n/k)^2 * k`
+    * instead of `n^2`, and `k` is the dial (production SemDeDup runs k in
+    * the tens of thousands so clusters hold ~1e4 docs; recall loss is
+    * exactly the probability that two near-dups straddle a centroid
+    * boundary, which shrinks as duplicates are by definition close).
+    *
+    * Exactness (the reason this composes with the lattice k-means): the
+    * cosine test is evaluated on UNSHIFTED quantized vectors with an
+    * integer cross-multiply — `cos(a,b) >= t  <=>  dot >= 0  AND
+    * thrDen^2*dot^2 >= thrNum^2*|a|^2*|b|^2` — so pairs, like the clusters,
+    * are bit-deterministic and SQL-replayable (q123's oracle). ANSI bound:
+    * `thrDen^2*dot^2 <= thrDen^2*(dim*scale^2)^2` ~ 1.6e16 at the defaults.
+    * Returns `(a_id, b_id, cluster, dot)` with `a_id < b_id`.
+    */
+  def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iters: Int, thrNum: Int = 1, thrDen: Int = 2,
+                       scale: Int = 1000)
+                      (implicit spark: SparkSession): DataFrame = {
+    require(thrDen >= 1 && thrNum >= 0 && thrNum <= thrDen)
+    val asg = kmeansLattice(emb, idCol, vecCol, k, iters, scale)
+      .select(col("id"), col("cluster"))
+    val qv = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint))")
+        .as("q"))
+      .withColumn("n2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
+    val f = asg.join(qv, "id")
+    val a = f.select(col("id").as("a_id"), col("cluster"),
+      col("q").as("qa"), col("n2").as("na2"))
+    val b = f.select(col("id").as("b_id"), col("cluster"),
+      col("q").as("qb"), col("n2").as("nb2"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .filter(col("dot") > 0 &&
+        lit(thrDen.toLong * thrDen) * col("dot") * col("dot") >=
+          lit(thrNum.toLong * thrNum) * col("na2") * col("nb2"))
+      .select(col("a_id"), col("b_id"), col("cluster"), col("dot"))
+  }
 }

@@ -104,6 +104,29 @@ class ClusterSpec extends AnyFunSuite {
     assert(probe == full)
   }
 
+  test("semantic dedup emits exactly the co-clustered brute-force pairs") {
+    val got = Cluster.semanticDupPairs(emb, "vec_id", "embedding",
+        k = 4, iters = 2, thrNum = 3, thrDen = 10)
+      .select("a_id", "b_id", "dot")
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force truth on the same integer predicate, restricted to pairs
+    // the clustering co-locates — within clusters the op must be EXACT
+    val (asg, _) = reference(vecs, k = 4, iters = 2, scale = 1000)
+    val q = vecs.map { case (id, v) =>
+      (id, v.map(x => math.round(x * 1000)))
+    }.sortBy(_._1)
+    val want = (for {
+      (ia, va) <- q; (ib, vb) <- q if ia < ib
+      if asg(ia)._1 == asg(ib)._1
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na2 = va.map(x => x * x).sum
+      nb2 = vb.map(x => x * x).sum
+      if dot > 0 && 100 * dot * dot >= 9 * na2 * nb2
+    } yield (ia, ib, dot)).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("assignment pass is narrow: no join, no exchange in the probe plan") {
     val cent = Cluster.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
     val plan = Cluster.assign(emb, "vec_id", "embedding", cent)
