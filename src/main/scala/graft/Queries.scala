@@ -3678,6 +3678,33 @@ object Queries {
       WHERE dot > 0 AND 100 * dot * dot >= 9 * na2 * nb2
       ORDER BY a_id, b_id"""))
 
+  /** SCENE-CUT DETECTION over decoded video frames: per-frame integer
+    * luminance sums (Multimodal.frameLuminance), then a per-video lag
+    * window marks frames whose mean luminance jumps by more than 16/255
+    * levels vs the previous frame — phrased as the integer cross-multiply
+    * `|lum_sum - prev| > 16 * width * height` (frames within a clip share
+    * dims). One media_id-keyed shuffle for the window; decode is narrow.
+    * Rows-only (no SQL engine decodes JPEG); the OpsSpec pin replays the
+    * decode and the lag logic directly.
+    */
+  private val q124 = Q("q124_scene_cuts",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      Multimodal.frameLuminance(
+          Multimodal.mediaTable(t(s, d, "documents"))(s))(s)
+        .toDF()
+        .withColumn("prev_lum", lag(col("lum_sum"), 1).over(w))
+        .withColumn("is_cut",
+          (col("prev_lum").isNotNull &&
+            abs(col("lum_sum") - col("prev_lum")) >
+              lit(16L) * col("width") * col("height")).cast("int"))
+        .select(col("media_id"), col("frame_idx"), col("lum_sum"),
+          col("prev_lum"), col("is_cut"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3689,7 +3716,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123)
+    q123, q124)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -3735,5 +3762,7 @@ object Queries {
       "OpsSpec: approx percentile within one st.dev-ish band of exact median",
       "OpsSpec: approx quantile sketch honors the GK rank-error bound per group"),
     "q121_audio_frames" -> Seq(
-      "OpsSpec: audio frames: integer energy/ZCR/silence match a direct PCM replay"))
+      "OpsSpec: audio frames: integer energy/ZCR/silence match a direct PCM replay"),
+    "q124_scene_cuts" -> Seq(
+      "OpsSpec: frame luminance + scene cuts match a direct frame-decode replay"))
 }

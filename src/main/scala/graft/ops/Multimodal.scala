@@ -400,6 +400,59 @@ object Multimodal {
       })
   }
 
+  case class FrameLum(media_id: Long, frame_idx: Int, n_frames: Int,
+                      width: Int, height: Int, lum_sum: Long)
+
+  /** Per-frame integer luminance extraction over MJPEG videos: each frame's
+    * `lum_sum` is the exact sum of per-pixel integer luminance
+    * (`(299r + 587g + 114b) / 1000`, the same kernel videoDecode bins into
+    * its temporal envelope) — so downstream temporal analytics (scene-cut
+    * detection, q124) stay in integer arithmetic and are directly
+    * assertable. Mean luminance = `lum_sum / (width*height)`, one float op
+    * away. Narrow mapPartitions; one frame decoded at a time per task.
+    */
+  def frameLuminance(media: DataFrame)
+                    (implicit spark: SparkSession): Dataset[FrameLum] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        if (m.kind != "video" || !looksLikeMjpeg(m.content)) Iterator.empty
+        else {
+          val b = m.content
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var start = 0
+          var i = 1
+          while (i < b.length) {
+            if (b(i - 1) == 0xff.toByte && b(i) == 0xd9.toByte) {
+              bounds += ((start, i + 1)); start = i + 1; i += 1
+            }
+            i += 1
+          }
+          val imgs = bounds.flatMap { case (s, e) =>
+            Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(b, s, e))))
+          }
+          imgs.iterator.zipWithIndex.map { case (img, idx) =>
+            var lumSum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y) & 0xffffff
+                lumSum += (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+                  (rgb & 0xff) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            FrameLum(m.media_id, idx, imgs.length, img.getWidth, img.getHeight,
+              lumSum)
+          }
+        }
+      })
+  }
+
   case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
                         energy: Long, zero_crossings: Int, is_silence: Boolean)
 

@@ -1073,6 +1073,56 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("frame luminance + scene cuts match a direct frame-decode replay") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaTable(d)
+    val got = Multimodal.frameLuminance(media).collect().groupBy(_.media_id)
+    val vids = media.filter(col("kind") === "video")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.nonEmpty && got.keySet == vids.keySet)
+    got.foreach { case (id, frames) =>
+      // replay: split on EOI, decode, integer luminance sum per frame
+      val b = vids(id)
+      val want = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var start = 0
+      var i = 1
+      while (i < b.length) {
+        if (b(i - 1) == 0xff.toByte && b(i) == 0xd9.toByte) {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            java.util.Arrays.copyOfRange(b, start, i + 1)))
+          if (img != null) {
+            var lum = 0L
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+              val rgb = img.getRGB(x, y) & 0xffffff
+              lum += (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+            }
+            want += lum
+          }
+          start = i + 1; i += 1
+        }
+        i += 1
+      }
+      val sorted = frames.sortBy(_.frame_idx)
+      assert(sorted.map(_.frame_idx).toSeq == want.indices.toSeq)
+      assert(sorted.map(_.lum_sum).toSeq == want.toSeq)
+      assert(sorted.forall(_.n_frames == want.length))
+      // and the q124 cut flag replays the lag comparison
+      val q = SparkEntry.queries("q124_scene_cuts")(spark, "/root/testdata/sf0.001")
+        .filter(col("media_id") === id)
+        .select("frame_idx", "is_cut").as[(Int, Int)].collect().toMap
+      want.indices.foreach { idx =>
+        val expect =
+          if (idx == 0) 0
+          else if (math.abs(want(idx) - want(idx - 1)) >
+            16L * sorted.head.width * sorted.head.height) 1 else 0
+        assert(q(idx) == expect, s"media $id frame $idx")
+      }
+    }
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("heavy hitters: recovers true top terms with bounded overestimate") {

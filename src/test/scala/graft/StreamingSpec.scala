@@ -314,6 +314,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cluster assignment matches the batch assign bit-for-bit") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = graft.ops.Cluster.kmeansCentroids(
+      emb, "vec_id", "embedding", k = 4, iters = 2)
+    val want = graft.ops.Cluster.assign(emb, "vec_id", "embedding", cent)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val vecs = emb.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cluster_assign_ckpt").toString
+    val q = graft.streaming.ClusterAssignJob.start(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", cent,
+      out => got.synchronized {
+        out.collect().foreach(r => got(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+      },
+      ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(vecs.take(5).toSeq)
+      q.processAllAvailable()
+      assert(got.keySet == vecs.take(5).map(_._1).toSet)
+      // a second batch appends; nothing about earlier answers changes
+      mem.addData(vecs.slice(5, 12).toSeq)
+      q.processAllAvailable()
+      got.foreach { case (id, (cl, d2)) =>
+        assert(want(id) == ((cl, d2)), s"vec $id")
+      }
+      assert(got.size == 12)
+    } finally q.stop()
+  }
+
   test("streaming ANN probe answers each query batch from the static IVF index") {
     import spark.implicits._
     implicit val s = spark
