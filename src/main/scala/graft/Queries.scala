@@ -3705,6 +3705,62 @@ object Queries {
     },
     None)
 
+  /** RANDOM PROJECTION (Johnson–Lindenstrauss, ±1 signs): 64-dim embeddings
+    * down to 16 exact integer components — the bandwidth dial applied
+    * before shipping vectors through shuffles or ANN indexes. The sign
+    * matrix is a portable popcount-parity function, so both engines compute
+    * the identical projection and the result hash-matches. Purely narrow:
+    * 16 codegen'd aggregates per row, no join, no shuffle.
+    */
+  private val q125 = Q("q125_random_projection",
+    (s, d) => Similarity.randomProject(
+        t(s, d, "embeddings"), "vec_id", "embedding", outDim = 16)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id"), col("j")),
+    Some("""
+      WITH
+      uq AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+             FROM embeddings),
+      qe AS (SELECT vec_id, i, qv[i] AS v FROM uq, range(1, 65) t(i)),
+      proj AS (SELECT vec_id, s.j,
+                      SUM(v * (1 - 2 * (bit_count((i - 1) * 73856093
+                                                 + s.j * 19349663) % 2))) AS comp
+               FROM qe, range(0, 16) s(j)
+               GROUP BY vec_id, s.j)
+      SELECT vec_id, CAST(j AS INT) AS j, CAST(comp AS BIGINT) AS comp
+      FROM proj ORDER BY vec_id, j"""))
+
+  /** EXACT ROC AUC (ops/Eval.aucExact): Mann–Whitney U with tie credit,
+    * all-integer until the single final division — the eval loop for any
+    * learned curation filter ("does doc length separate English from the
+    * rest" here; swap in any integer score). The corpus-sized step is one
+    * groupBy(score) partial aggregate; the prefix sum runs over the score
+    * HISTOGRAM (distinct n_chars values — score resolution, not corpus
+    * rows), which is the documented justification for its unpartitioned
+    * window (catalog allowlist, the q107 contingency-cells precedent).
+    */
+  private val q126 = Q("q126_exact_auc",
+    (s, d) => graft.ops.Eval.aucExact(t(s, d, "documents"),
+      col("n_chars"), when(col("lang") === "en", 1L).otherwise(0L)),
+    Some("""
+      WITH d AS (SELECT n_chars AS score,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+                 FROM documents),
+      g AS (SELECT score, SUM(lab) AS pos, SUM(1 - lab) AS neg
+            FROM d GROUP BY score),
+      w AS (SELECT score, pos, neg,
+                   COALESCE(SUM(neg) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+            FROM g)
+      SELECT CAST(SUM(pos * (2 * nb + neg)) AS BIGINT) AS u2,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * nb + neg)) AS DOUBLE)
+               / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE) AS auc
+      FROM w"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3716,7 +3772,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124)
+    q123, q124, q125, q126)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -36,6 +36,39 @@ object Similarity {
     */
   def quantizedDot(a: Column, b: Column): Column = graft.functions.gfn.quantized_dot(a, b)
 
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas 2001: database-friendly random projections — ±1 entries
+    * preserve pairwise distances in expectation, `E‖Px‖² = outDim·‖x‖²`,
+    * with JL concentration). The "randomness" is a DETERMINISTIC portable
+    * sign function — `s(i,j) = 1 - 2·(bit_count(i·73856093 + j·19349663)
+    * mod 2)`, popcount parity of an integer mix both Spark and DuckDB
+    * compute identically — and the input is the same unshifted integer
+    * lattice as [[Cluster]], so projected components are EXACT integers:
+    * bit-deterministic, SQL-replayable (q125), directly hashable.
+    *
+    * This is the embedding-side bandwidth dial: 64 dims → `outDim` longs
+    * (16 by default = 4× smaller candidate vectors) before brute-force
+    * scoring, ANN bucketing, or shipping embeddings through a shuffle.
+    * Purely narrow — per row it is `outDim` codegen'd aggregates over the
+    * vector; no join, no shuffle, no state. Output is long-form
+    * `(id, j, comp)` (j in [0, outDim)) ready for per-dimension analytics;
+    * pivot back to arrays with collect_list over a per-id sort if needed.
+    * ANSI bound: |comp| <= dim·scale·1 = 6.4e4 at the defaults.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int = 16, scale: Int = 1000): DataFrame = {
+    require(outDim >= 1 && scale >= 1)
+    val qv = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint))")
+        .as("qv"))
+    val comps = (0 until outDim).map { j =>
+      expr(s"aggregate(transform(qv, (x, i) -> x * (1L - 2L * " +
+        s"(bit_count(cast(i as bigint) * 73856093L + ${j}L * 19349663L) % 2))), " +
+        s"0L, (a, v) -> a + v)")
+    }
+    qv.select(col("id"), posexplode(array(comps: _*)).as(Seq("j", "comp")))
+  }
+
   private def queryVector(emb: DataFrame, queryId: Long): DataFrame =
     emb.filter(col("vec_id") === queryId).select(col("embedding").as("q_emb"))
 

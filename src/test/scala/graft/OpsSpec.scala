@@ -1123,6 +1123,61 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("random projection: JL distance preservation, determinism, narrow plan") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val proj = Similarity.randomProject(emb, "vec_id", "embedding", outDim = 16)
+    val p = proj.collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
+      }
+    val q = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // E||Pa - Pb||^2 = outDim * ||a - b||^2 for +-1 sign matrices
+    // (Achlioptas 2001); with outDim=16 the per-pair ratio concentrates
+    // near 1 and the mean over 100 pairs is tight.
+    val ids = q.keys.toSeq.sorted
+    val ratios = (0 until 100).map { t =>
+      val a = ids(t); val b = ids(ids.size - 1 - t)
+      val dOrig = q(a).zip(q(b)).map { case (x, y) => val d = x - y; d * d }.sum
+      val dProj = p(a).zip(p(b)).map { case (x, y) => val d = x - y; d * d }.sum
+      dProj.toDouble / (16.0 * dOrig)
+    }
+    assert(ratios.forall(r => r > 0.1 && r < 4.0), s"outlier ratio in $ratios")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.25, s"mean ratio $mean")
+    // determinism and narrowness: same bits on re-run, no exchange/join
+    assert(proj.collect().toSeq == proj.collect().toSeq)
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"))
+  }
+
+  test("exact AUC matches brute-force pairwise Mann-Whitney, ties included") {
+    import spark.implicits._
+    // scores with heavy ties and partial separation
+    val rows = Seq(
+      (10L, 1L), (10L, 0L), (12L, 1L), (12L, 1L), (12L, 0L),
+      (15L, 1L), (15L, 0L), (8L, 0L), (8L, 0L), (20L, 1L), (5L, 0L), (20L, 0L))
+    val got = graft.ops.Eval.aucExact(rows.toDF("score", "lab"),
+      col("score"), col("lab")).as[(Long, Long, Long, Double)].head()
+    val pos = rows.filter(_._2 == 1L).map(_._1)
+    val neg = rows.filter(_._2 == 0L).map(_._1)
+    val u2 = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    assert(got._1 == u2 && got._2 == pos.size && got._3 == neg.size)
+    assert(got._4 == u2.toDouble / (2.0 * pos.size * neg.size))
+    // degenerate ends: perfect separation -> 1.0, inverted -> 0.0
+    val perfect = graft.ops.Eval.aucExact(
+      Seq((9L, 1L), (10L, 1L), (1L, 0L), (2L, 0L)).toDF("score", "lab"),
+      col("score"), col("lab")).as[(Long, Long, Long, Double)].head()
+    assert(perfect._4 == 1.0)
+    val inverted = graft.ops.Eval.aucExact(
+      Seq((1L, 1L), (2L, 1L), (9L, 0L), (10L, 0L)).toDF("score", "lab"),
+      col("score"), col("lab")).as[(Long, Long, Long, Double)].head()
+    assert(inverted._4 == 0.0)
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("heavy hitters: recovers true top terms with bounded overestimate") {
