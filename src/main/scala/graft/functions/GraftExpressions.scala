@@ -216,6 +216,29 @@ case class NearestCentroid(child: Expression, cents: Array[Double], nList: Int, 
     copy(child = newChild)
 }
 
+/** Native exact-lattice k-means assignment (ops/Cluster): packed
+  * `dist2*65536 + cluster` of the nearest centroid over a long-quantized
+  * vector — see VecKernel.latticeNearest for the packing/tie contract.
+  */
+case class LatticeNearest(child: Expression, cents: Array[Long], k: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lattice_nearest"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.latticeNearest(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cents, k, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("latticeCents", cents, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.latticeNearest($c, $cRef, $k, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LatticeNearest =
+    copy(child = newChild)
+}
+
 /** Native IVF probe list: the nProbe nearest cells for a query vector. */
 case class TopCells(child: Expression, cents: Array[Double], nList: Int, dim: Int,
                     nProbe: Int) extends UnaryExpression {
@@ -396,6 +419,8 @@ object gfn {
   def pii_count(c: Column): Column = col(PiiCount(ex(c)))
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =
     col(NearestCentroid(ex(c), cents, nList, dim))
+  def lattice_nearest(c: Column, cents: Array[Long], k: Int, dim: Int): Column =
+    col(LatticeNearest(ex(c), cents, k, dim))
   def heavy_hitters(term: Column, m: Int): Column =
     col(HeavyHitters(ex(term), m).toAggregateExpression())
   def topk_by_score(score: Column, id: Column, k: Int): Column =

@@ -49,6 +49,35 @@ object VecKernel {
     acc
   }
 
+  /** Nearest centroid on the integer LATTICE (exact k-means assignment,
+    * ops/Cluster): input is the pre-quantized long array, centroids are
+    * flattened row-major (k × dim) longs. Returns `dist2 * 65536 + j` —
+    * the packed lexicographic (dist2, cluster) minimum, so ties go to the
+    * lower cluster id and callers unpack with div/pmod. One tight JVM loop
+    * replaces the k×dim-literal HOF expression whose per-job analysis cost
+    * dominated the driver loop (measured ~1.5 s/job at k=4, dim=64).
+    * Bound: needs `dist2 < 2^47` i.e. `dim*(2*scale)^2 < 1.4e14` — holds to
+    * scale ~2.3e5 at dim 64; k <= 65536.
+    */
+  def latticeNearest(qv: ArrayData, cents: Array[Long], k: Int, dim: Int): Long = {
+    var best = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      var d = 0L
+      var i = 0
+      val off = j * dim
+      while (i < dim) {
+        val t = qv.getLong(i) - cents(off + i)
+        d += t * t
+        i += 1
+      }
+      val packed = d * 65536L + j
+      if (packed < best) best = packed
+      j += 1
+    }
+    best
+  }
+
   /** Hyperplane LSH signature: bit i = sign(dot(v, plane_i)); planes are
     * flattened row-major (nBits × dim).
     */

@@ -50,18 +50,17 @@ object Cluster {
       expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint) + ${scale}L)")
         .as("qv"))
 
-  /** `(dist2, cluster)` of the nearest centroid as a struct Column — argmin
-    * over literal centroids; LEAST on structs is the lexicographic min, so
-    * ties go to the lower cluster id. Pure codegen, no join.
+  /** Packed `dist2*65536 + cluster` of the nearest centroid — the native
+    * codegen kernel (VecKernel.latticeNearest; centroids ride along as a
+    * codegen reference object, the NearestCentroid/IVF pattern). Packing
+    * IS the argmin tie rule: lexicographic (dist2, cluster) minimum, ties
+    * to the lower cluster id. The earlier k×dim-literal HOF formulation
+    * computed the same thing but paid ~1.5 s of expression analysis per
+    * job, which dominated the iterative driver loop.
     */
-  private def nearest(centroids: Array[Array[Long]]): Column = {
-    val cands = centroids.zipWithIndex.map { case (c, j) =>
-      val arr = c.mkString("array(", "L,", "L)")
-      expr(s"named_struct('dist2', aggregate(zip_with(qv, $arr, " +
-        s"(x, c) -> (x - c) * (x - c)), 0L, (a, v) -> a + v), 'cluster', $j)")
-    }
-    if (cands.length == 1) cands.head else least(cands.toIndexedSeq: _*)
-  }
+  private def nearestPacked(centroids: Array[Array[Long]]): Column =
+    graft.functions.gfn.lattice_nearest(col("qv"), centroids.flatten,
+      centroids.length, centroids(0).length)
 
   /** Lloyd loop over a persisted quantized frame; returns final centroids. */
   private def train(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
@@ -72,7 +71,8 @@ object Cluster {
       // update: per-(cluster, dim) exact sums — partial agg shrinks every
       // partition to k*dim rows pre-shuffle; k*dim aggregated rows come
       // back to the driver (the bounded train step, see scaladoc).
-      val sums = q.select(nearest(centroids).getField("cluster").as("cluster"),
+      val sums = q.select(
+          pmod(nearestPacked(centroids), lit(65536L)).cast("int").as("cluster"),
           posexplode(col("qv")).as(Seq("i", "v")))
         .groupBy(col("cluster"), col("i"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -96,14 +96,15 @@ object Cluster {
   def kmeansLattice(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, scale: Int = 1000)
                    (implicit spark: SparkSession): DataFrame = {
-    require(k >= 1 && iters >= 0 && scale >= 1)
+    require(k >= 1 && k <= 65536 && iters >= 0 && scale >= 1 && scale <= 200000,
+      "packing bound: k <= 65536 and dim*(2*scale)^2 < 2^47")
     val q = quantized(emb, idCol, vecCol, scale)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val centroids = train(q, k, iters)
-    val best = nearest(centroids)
-    val out = q.select(col("id"),
-      best.getField("cluster").cast("long").as("cluster"),
-      best.getField("dist2").as("dist2"))
+    val out = q.withColumn("packed", nearestPacked(centroids))
+      .select(col("id"),
+        pmod(col("packed"), lit(65536L)).as("cluster"),
+        expr("packed div 65536").as("dist2"))
     out.count() // materialize before unpersist (q77 staged-frame lesson)
     q.unpersist()
     out
@@ -127,13 +128,12 @@ object Cluster {
     * `(id, cluster, dist2)` with zero shuffles — the probe face.
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-             centroids: Array[Array[Long]], scale: Int = 1000): DataFrame = {
-    val q = quantized(emb, idCol, vecCol, scale)
-    val best = nearest(centroids)
-    q.select(col("id"),
-      best.getField("cluster").cast("long").as("cluster"),
-      best.getField("dist2").as("dist2"))
-  }
+             centroids: Array[Array[Long]], scale: Int = 1000): DataFrame =
+    quantized(emb, idCol, vecCol, scale)
+      .withColumn("packed", nearestPacked(centroids))
+      .select(col("id"),
+        pmod(col("packed"), lit(65536L)).as("cluster"),
+        expr("packed div 65536").as("dist2"))
 
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embeddings, then emit every WITHIN-CLUSTER pair with cosine similarity
@@ -157,20 +157,24 @@ object Cluster {
                        scale: Int = 1000)
                       (implicit spark: SparkSession): DataFrame = {
     require(thrDen >= 1 && thrNum >= 0 && thrNum <= thrDen)
+    import graft.functions.gfn
     val asg = kmeansLattice(emb, idCol, vecCol, k, iters, scale)
       .select(col("id"), col("cluster"))
-    val qv = emb.select(col(idCol).cast("long").as("id"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint))")
-        .as("q"))
-      .withColumn("n2", expr("aggregate(q, 0L, (a, x) -> a + x * x)"))
-    val f = asg.join(qv, "id")
+    // the pair predicate runs on the NATIVE quantized-dot kernel
+    // (VecKernel.quantizedDot, fixed 1000-scale — the q26-proven codegen
+    // path; the interpreted HOF formulation measured ~10x slower on the
+    // 780k-pair q123 hot loop). `scale` tunes the CLUSTERING lattice only;
+    // cosine is scale-invariant up to quantization granularity.
+    val f = asg
+      .join(emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "id")
+      .withColumn("n2", gfn.quantized_dot(col("v"), col("v")))
     val a = f.select(col("id").as("a_id"), col("cluster"),
-      col("q").as("qa"), col("n2").as("na2"))
+      col("v").as("va"), col("n2").as("na2"))
     val b = f.select(col("id").as("b_id"), col("cluster"),
-      col("q").as("qb"), col("n2").as("nb2"))
+      col("v").as("vb"), col("n2").as("nb2"))
     a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("dot", gfn.quantized_dot(col("va"), col("vb")))
       .filter(col("dot") > 0 &&
         lit(thrDen.toLong * thrDen) * col("dot") * col("dot") >=
           lit(thrNum.toLong * thrNum) * col("na2") * col("nb2"))
