@@ -3761,6 +3761,32 @@ object Queries {
                / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE) AS auc
       FROM w"""))
 
+  /** ROC CURVE POINTS (ops/Eval.rocPoints): exact integer confusion counts
+    * at every distinct threshold — the operating-point companion to q126's
+    * scalar AUC, same histogram scale shape and the same allowlisted
+    * tiny-frame window justification.
+    */
+  private val q127 = Q("q127_roc_curve",
+    (s, d) => graft.ops.Eval.rocPoints(t(s, d, "documents"),
+      col("n_chars"), when(col("lang") === "en", 1L).otherwise(0L)),
+    Some("""
+      WITH d AS (SELECT n_chars AS score,
+                        CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+                 FROM documents),
+      g AS (SELECT score, SUM(lab) AS pos, SUM(1 - lab) AS neg
+            FROM d GROUP BY score)
+      SELECT score AS threshold,
+             CAST(SUM(pos) OVER above AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER above AS BIGINT) AS fp,
+             CAST(SUM(pos) OVER total - SUM(pos) OVER above AS BIGINT) AS fn,
+             CAST(SUM(neg) OVER total - SUM(neg) OVER above AS BIGINT) AS tn
+      FROM g
+      WINDOW above AS (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             total AS (ORDER BY score DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY threshold"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3772,7 +3798,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124, q125, q126)
+    q123, q124, q125, q126, q127)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

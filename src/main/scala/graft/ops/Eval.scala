@@ -31,6 +31,32 @@ object Eval {
     *
     * Returns one row: `(u2, n_pos, n_neg, auc)`.
     */
+  /** The full ROC curve as exact integer confusion counts, one row per
+    * distinct score: thresholding at `score >= s` gives
+    * `(threshold, tp, fp, fn, tn)` — TPR/FPR are one division away, and
+    * picking the operating threshold is a filter on this frame. Same scale
+    * shape as [[aucExact]]: corpus → score histogram in one partial-agg
+    * shuffle, then prefix sums over distinct scores only (the allowlisted
+    * tiny-frame window).
+    */
+  def rocPoints(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
+    val d = df.select(scoreCol.cast("long").as("score"),
+      labelCol.cast("long").as("lab"))
+    val g = d.groupBy(col("score"))
+      .agg(sum(col("lab")).as("pos"), sum(lit(1L) - col("lab")).as("neg"))
+    // cumulative from the TOP of the score order = counts at `score >= s`
+    val above = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("score").as("threshold"),
+        sum(col("pos")).over(above).as("tp"),
+        sum(col("neg")).over(above).as("fp"),
+        (sum(col("pos")).over(total) - sum(col("pos")).over(above)).as("fn"),
+        (sum(col("neg")).over(total) - sum(col("neg")).over(above)).as("tn"))
+      .orderBy(col("threshold"))
+  }
+
   def aucExact(df: DataFrame, scoreCol: Column, labelCol: Column): DataFrame = {
     val d = df.select(scoreCol.cast("long").as("score"),
       labelCol.cast("long").as("lab"))

@@ -1178,6 +1178,26 @@ class OpsSpec extends AnyFunSuite {
     assert(inverted._4 == 0.0)
   }
 
+  test("ROC points match per-threshold brute force; ends are degenerate") {
+    import spark.implicits._
+    val rows = Seq(
+      (10L, 1L), (10L, 0L), (12L, 1L), (12L, 1L), (12L, 0L),
+      (15L, 1L), (15L, 0L), (8L, 0L), (8L, 0L), (20L, 1L), (5L, 0L), (20L, 0L))
+    val got = graft.ops.Eval.rocPoints(rows.toDF("score", "lab"),
+        col("score"), col("lab"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val thresholds = rows.map(_._1).distinct.sorted
+    assert(got.map(_._1).toSeq == thresholds)
+    got.foreach { case (thr, tp, fp, fn, tn) =>
+      assert(tp == rows.count(r => r._1 >= thr && r._2 == 1L), s"tp@$thr")
+      assert(fp == rows.count(r => r._1 >= thr && r._2 == 0L), s"fp@$thr")
+      assert(fn == rows.count(r => r._1 < thr && r._2 == 1L), s"fn@$thr")
+      assert(tn == rows.count(r => r._1 < thr && r._2 == 0L), s"tn@$thr")
+    }
+    // lowest threshold predicts everything positive: fn = tn = 0
+    assert(got.head._4 == 0 && got.head._5 == 0)
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("heavy hitters: recovers true top terms with bounded overestimate") {

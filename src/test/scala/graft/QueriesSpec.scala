@@ -77,11 +77,12 @@ class QueriesSpec extends AnyFunSuite {
     // q109_gap_audit is deliberately NOT here: its former global lead now
     // routes through Adjacent.globalAdjacent (range-partitioned lead +
     // seam zip — no unpartitioned window in the plan).
-    //   q126_exact_auc    — the prefix sum runs over the score HISTOGRAM
-    //     (rows = distinct integer scores, the score resolution), after the
-    //     corpus-sized groupBy(score) aggregate (ops/Eval scaladoc).
+    //   q126_exact_auc / q127_roc_curve — the prefix sums run over the
+    //     score HISTOGRAM (rows = distinct integer scores, the score
+    //     resolution), after the corpus-sized groupBy(score) aggregate
+    //     (ops/Eval scaladoc).
     val allow = Set("q98_zorder_layout", "q56_resample_fill",
-      "q107_chi_square", "q126_exact_auc")
+      "q107_chi_square", "q126_exact_auc", "q127_roc_curve")
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = for {
       q <- Queries.all if !allow(q.name)
