@@ -142,10 +142,20 @@ object ScaleRehearsal {
         "q81_knn_join", "q113_bpe_learn",
         // round-6 additions: clustering, graph, audio, entity resolution
         "q119_kmeans", "q120_pagerank", "q121_audio_frames",
-        "q122_entity_resolution")
+        "q122_entity_resolution", "q123_semantic_dedup",
+        "q125_random_projection", "q126_exact_auc")
     def build(name: String, dir: String) = name match {
       // q35 with corpus-sized nBits — the SCALE.md log(corpus) knob; the
       // fixed-nBits catalog q35 is the deliberate super-linear counterpoint
+      // q123 with corpus-sized k — the SCALE.md constant-cluster-SIZE knob;
+      // the fixed-k catalog q123 is the deliberate super-linear counterpoint
+      // (measured 36x at 10x rows), exactly the q35/q35_auto pairing one
+      // level up.
+      case "q123_auto" =>
+        graft.ops.Cluster.semanticDupPairsAuto(
+            Tables(spark, dir, "embeddings"), "vec_id", "embedding",
+            iters = 2, targetClusterSize = 150, thrNum = 3, thrDen = 10)(spark)
+          .orderBy(col("a_id"), col("b_id"))
       case "q35_auto" =>
         graft.ops.Similarity.cosineNearDupsAuto(
             Tables(spark, dir, "embeddings"), threshold = 0.4)

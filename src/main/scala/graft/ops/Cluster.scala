@@ -152,6 +152,28 @@ object Cluster {
     * `thrDen^2*dot^2 <= thrDen^2*(dim*scale^2)^2` ~ 1.6e16 at the defaults.
     * Returns `(a_id, b_id, cluster, dot)` with `a_id < b_id`.
     */
+  /** [[semanticDupPairs]] with k sized from the corpus: `k = n /
+    * targetClusterSize`, so cluster SIZE stays constant as the corpus
+    * grows and within-cluster pairwise work stays `~n·targetClusterSize`
+    * — LINEAR in n. This is the same lesson as `cosineNearDupsAuto`'s
+    * log-sized nBits, one level up: the 10× rehearsal measured fixed k=4
+    * going 36× super-linear at 10× rows (cluster size grew 10×, pairs
+    * 100×), while auto-k restores ~linear. The residual cost that grows
+    * with k is the assignment pass (O(n·k·dim) against literal
+    * centroids); past k ~ thousands, route assignment through a
+    * coarse-quantizer prune (the IVF two-level pattern) — at the
+    * rehearsal's k ≤ ~400 the flat pass is still the cheaper plan.
+    */
+  def semanticDupPairsAuto(emb: DataFrame, idCol: String, vecCol: String,
+                           iters: Int = 2, targetClusterSize: Int = 150,
+                           thrNum: Int = 1, thrDen: Int = 2,
+                           scale: Int = 1000)
+                          (implicit spark: SparkSession): DataFrame = {
+    val n = emb.count()
+    val k = math.max(1L, n / math.max(1, targetClusterSize)).toInt
+    semanticDupPairs(emb, idCol, vecCol, k, iters, thrNum, thrDen, scale)
+  }
+
   def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                        k: Int, iters: Int, thrNum: Int = 1, thrDen: Int = 2,
                        scale: Int = 1000)

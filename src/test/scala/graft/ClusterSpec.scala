@@ -127,6 +127,24 @@ class ClusterSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("auto-k semantic dedup with one giant cluster equals global brute force") {
+    // targetClusterSize >= n forces k=1: every pair is co-clustered, so the
+    // result must be the GLOBAL exact pair set — the recall anchor that
+    // pins what smaller clusters trade away.
+    val got = Cluster.semanticDupPairsAuto(emb, "vec_id", "embedding",
+        iters = 2, targetClusterSize = 1000000, thrNum = 3, thrDen = 10)
+      .select("a_id", "b_id", "dot")
+      .as[(Long, Long, Long)].collect().toSet
+    val q = vecs.map { case (id, v) => (id, v.map(x => math.round(x * 1000))) }
+    val want = (for {
+      (ia, va) <- q; (ib, vb) <- q if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      if dot > 0 && 100 * dot * dot >=
+        9 * va.map(x => x * x).sum * vb.map(x => x * x).sum
+    } yield (ia, ib, dot)).toSet
+    assert(want.nonEmpty && got == want)
+  }
+
   test("assignment pass is narrow: no join, no exchange in the probe plan") {
     val cent = Cluster.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
     val plan = Cluster.assign(emb, "vec_id", "embedding", cent)
