@@ -3787,6 +3787,90 @@ object Queries {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY threshold"""))
 
+  /** SEMANTIC DEDUP END-TO-END (q123 + closure + prototype pick): the
+    * actual drop decision — one keeper per duplicate group, chosen as the
+    * member closest to its centroid (SemDeDup's density-peak rule, ties by
+    * id), singletons keeping themselves. Keeper pick is groupBy-min(struct)
+    * + equi-join, not a per-entity window (q122's mega-entity lesson).
+    * Fully bit-exact, so the oracle replays clustering, pairing, recursive
+    * closure, AND the keeper rule.
+    */
+  private val q128 = Q("q128_semantic_keepers",
+    (s, d) => graft.ops.Cluster.semanticDedupKeepers(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        k = 4, iters = 2, thrNum = 3, thrDen = 10)(s)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("vec_id")),
+    Some("""
+      WITH RECURSIVE
+      q AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS qv
+            FROM embeddings),
+      qe AS (SELECT vec_id, i, qv[i] AS v FROM q, range(1, 65) t(i)),
+      init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cl
+               FROM q ORDER BY vec_id LIMIT 4),
+      c0 AS (SELECT init.cl, qe.i, qe.v FROM qe JOIN init USING (vec_id)),
+      d1 AS (SELECT qe.vec_id, c0.cl, SUM((qe.v - c0.v) * (qe.v - c0.v)) AS d2
+             FROM qe JOIN c0 USING (i) GROUP BY qe.vec_id, c0.cl),
+      a1 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+               FROM d1) WHERE rn = 1),
+      s1 AS (SELECT a1.cl, qe.i, SUM(qe.v) // COUNT(*) AS v
+             FROM qe JOIN a1 USING (vec_id) GROUP BY a1.cl, qe.i),
+      c1 AS (SELECT c0.cl, c0.i, COALESCE(s1.v, c0.v) AS v
+             FROM c0 LEFT JOIN s1 ON s1.cl = c0.cl AND s1.i = c0.i),
+      d2 AS (SELECT qe.vec_id, c1.cl, SUM((qe.v - c1.v) * (qe.v - c1.v)) AS d2
+             FROM qe JOIN c1 USING (i) GROUP BY qe.vec_id, c1.cl),
+      a2 AS (SELECT vec_id, cl FROM (
+               SELECT vec_id, cl,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+               FROM d2) WHERE rn = 1),
+      s2 AS (SELECT a2.cl, qe.i, SUM(qe.v) // COUNT(*) AS v
+             FROM qe JOIN a2 USING (vec_id) GROUP BY a2.cl, qe.i),
+      c2 AS (SELECT c1.cl, c1.i, COALESCE(s2.v, c1.v) AS v
+             FROM c1 LEFT JOIN s2 ON s2.cl = c1.cl AND s2.i = c1.i),
+      d3 AS (SELECT qe.vec_id, c2.cl, SUM((qe.v - c2.v) * (qe.v - c2.v)) AS d2
+             FROM qe JOIN c2 USING (i) GROUP BY qe.vec_id, c2.cl),
+      fin AS (SELECT vec_id, cl, d2 FROM (
+                SELECT vec_id, cl, d2,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+                FROM d3) WHERE rn = 1),
+      uq AS (SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS uqv
+             FROM embeddings),
+      j AS (SELECT uq.vec_id, fin.cl, uq.uqv,
+                   CAST(list_sum(list_transform(uq.uqv, x -> x * x)) AS BIGINT) AS n2
+            FROM uq JOIN fin USING (vec_id)),
+      pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.n2 AS na2,
+                    b.n2 AS nb2, SUM(a.uqv[t.i] * b.uqv[t.i]) AS dot
+             FROM j a JOIN j b ON a.cl = b.cl AND a.vec_id < b.vec_id,
+                  range(1, 65) t(i)
+             GROUP BY a.vec_id, b.vec_id, a.n2, b.n2),
+      dup AS (SELECT a_id, b_id FROM pr
+              WHERE dot > 0 AND 100 * dot * dot >= 9 * na2 * nb2),
+      edges AS (SELECT a_id AS u, b_id AS v FROM dup
+                UNION SELECT b_id, a_id FROM dup),
+      walk AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u WHERE e.v <> w.u),
+      labels AS (SELECT u AS vec_id, least(u, min(v)) AS entity_id
+                 FROM walk GROUP BY u),
+      ful AS (SELECT f.vec_id,
+                     CAST(COALESCE(l.entity_id, f.vec_id) AS BIGINT) AS entity_id,
+                     CAST(f.d2 AS BIGINT) AS d2
+              FROM fin f LEFT JOIN labels l ON l.vec_id = f.vec_id)
+      SELECT vec_id, entity_id, d2 AS dist2,
+             CAST(rn = 1 AS INT) AS is_keeper
+      FROM (SELECT vec_id, entity_id, d2,
+                   row_number() OVER (PARTITION BY entity_id
+                                      ORDER BY d2, vec_id) AS rn
+            FROM ful)
+      ORDER BY vec_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3798,7 +3882,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124, q125, q126, q127)
+    q123, q124, q125, q126, q127, q128)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

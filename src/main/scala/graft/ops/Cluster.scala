@@ -177,11 +177,22 @@ object Cluster {
   def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                        k: Int, iters: Int, thrNum: Int = 1, thrDen: Int = 2,
                        scale: Int = 1000)
-                      (implicit spark: SparkSession): DataFrame = {
+                      (implicit spark: SparkSession): DataFrame =
+    pairsFromAssignment(
+      kmeansLattice(emb, idCol, vecCol, k, iters, scale),
+      emb, idCol, vecCol, thrNum, thrDen)
+
+  /** The within-cluster pair scan of [[semanticDupPairs]] against an
+    * existing `(id, cluster, ...)` assignment — lets [[semanticDedupKeepers]]
+    * train once and reuse the assignment for both pairing and prototype
+    * selection.
+    */
+  private def pairsFromAssignment(asgFull: DataFrame, emb: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  thrNum: Int, thrDen: Int): DataFrame = {
     require(thrDen >= 1 && thrNum >= 0 && thrNum <= thrDen)
     import graft.functions.gfn
-    val asg = kmeansLattice(emb, idCol, vecCol, k, iters, scale)
-      .select(col("id"), col("cluster"))
+    val asg = asgFull.select(col("id"), col("cluster"))
     // the pair predicate runs on the NATIVE quantized-dot kernel
     // (VecKernel.quantizedDot, fixed 1000-scale — the q26-proven codegen
     // path; the interpreted HOF formulation measured ~10x slower on the
@@ -201,5 +212,45 @@ object Cluster {
         lit(thrDen.toLong * thrDen) * col("dot") * col("dot") >=
           lit(thrNum.toLong * thrNum) * col("na2") * col("nb2"))
       .select(col("a_id"), col("b_id"), col("cluster"), col("dot"))
+  }
+
+  /** SemDeDup END-TO-END: cluster → within-cluster near-dup pairs →
+    * transitive closure → keep one PROTOTYPE per duplicate group — the
+    * row-level drop decision a curation pipeline actually executes. The
+    * prototype is the group member closest to its centroid (ties by id):
+    * SemDeDup's "keep the most central example" rule, which preserves the
+    * cluster's density peak rather than an arbitrary survivor. Returns
+    * `(id, entity_id, dist2, is_keeper)` for EVERY input vector —
+    * singletons are their own entity and keep themselves; downstream drops
+    * `is_keeper = 0`.
+    *
+    * Scale: trains once (the assignment is shared by pairing and prototype
+    * pick), closure is [[Components]]' O(log n) rounds, and the keeper
+    * pick is a groupBy-min(struct) + equi-join — NOT a per-entity window,
+    * for the q122 mega-entity reason. Every stage is bit-exact, so the
+    * whole pipeline is SQL-replayable (q128).
+    */
+  def semanticDedupKeepers(emb: DataFrame, idCol: String, vecCol: String,
+                           k: Int, iters: Int, thrNum: Int = 1, thrDen: Int = 2,
+                           scale: Int = 1000)
+                          (implicit spark: SparkSession): DataFrame = {
+    val asg = kmeansLattice(emb, idCol, vecCol, k, iters, scale)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = pairsFromAssignment(asg, emb, idCol, vecCol, thrNum, thrDen)
+      .select(col("a_id"), col("b_id"))
+    val labels = Components.connectedComponents(pairs)
+      .select(col("id"), col("cluster_id"))
+    val ents = asg.join(labels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("entity_id"), col("dist2"))
+    val proto = ents.groupBy(col("entity_id"))
+      .agg(min(struct(col("dist2"), col("id"))).as("m"))
+    val out = ents.join(proto, "entity_id")
+      .select(col("id"), col("entity_id"), col("dist2"),
+        (col("dist2") === col("m.dist2") && col("id") === col("m.id"))
+          .cast("int").as("is_keeper"))
+    out.count() // materialize before unpersisting the shared assignment
+    asg.unpersist()
+    out
   }
 }

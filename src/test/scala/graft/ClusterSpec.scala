@@ -145,6 +145,25 @@ class ClusterSpec extends AnyFunSuite {
     assert(want.nonEmpty && got == want)
   }
 
+  test("semantic keepers: one prototype per entity, the centroid-closest one") {
+    val out = Cluster.semanticDedupKeepers(emb, "vec_id", "embedding",
+        k = 4, iters = 2, thrNum = 3, thrDen = 10)
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.length == 500) // every vector accounted for
+    val byEnt = out.groupBy(_._2)
+    byEnt.foreach { case (ent, members) =>
+      val keepers = members.filter(_._4 == 1)
+      assert(keepers.length == 1, s"entity $ent")
+      // the keeper is the lexicographic (dist2, id) minimum of its group
+      assert(keepers.head._1 == members.map(m => (m._3, m._1)).min._2)
+      // the entity label is the smallest member id (Components contract)
+      assert(ent == members.map(_._1).min)
+    }
+    // dups exist on this corpus, so keepers < rows; and every non-keeper
+    // shares its entity with its keeper by construction
+    assert(byEnt.size < 500 && byEnt.size == out.count(_._4 == 1))
+  }
+
   test("assignment pass is narrow: no join, no exchange in the probe plan") {
     val cent = Cluster.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
     val plan = Cluster.assign(emb, "vec_id", "embedding", cent)
