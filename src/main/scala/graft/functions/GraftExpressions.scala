@@ -239,6 +239,34 @@ case class LatticeNearest(child: Expression, cents: Array[Long], k: Int, dim: In
     copy(child = newChild)
 }
 
+/** Two-level pruned lattice assignment (VecKernel.latticeNearestPruned):
+  * the large-k escape for LatticeNearest's flat scan.
+  */
+case class LatticeNearestPruned(child: Expression, cents: Array[Long], k: Int,
+                                dim: Int, superOf: Array[Int],
+                                superCents: Array[Long], nSuper: Int, nProbe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lattice_nearest_pruned"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.latticeNearestPruned(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      cents, k, dim, superOf, superCents, nSuper, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("latticeCents", cents, "long[]")
+    val soRef = ctx.addReferenceObj("latticeSuperOf", superOf, "int[]")
+    val scRef = ctx.addReferenceObj("latticeSuperCents", superCents, "long[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.latticeNearestPruned(" +
+        s"$c, $cRef, $k, $dim, $soRef, $scRef, $nSuper, $nProbe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LatticeNearestPruned =
+    copy(child = newChild)
+}
+
 /** Native IVF probe list: the nProbe nearest cells for a query vector. */
 case class TopCells(child: Expression, cents: Array[Double], nList: Int, dim: Int,
                     nProbe: Int) extends UnaryExpression {
@@ -421,6 +449,10 @@ object gfn {
     col(NearestCentroid(ex(c), cents, nList, dim))
   def lattice_nearest(c: Column, cents: Array[Long], k: Int, dim: Int): Column =
     col(LatticeNearest(ex(c), cents, k, dim))
+  def lattice_nearest_pruned(c: Column, cents: Array[Long], k: Int, dim: Int,
+                             superOf: Array[Int], superCents: Array[Long],
+                             nSuper: Int, nProbe: Int): Column =
+    col(LatticeNearestPruned(ex(c), cents, k, dim, superOf, superCents, nSuper, nProbe))
   def heavy_hitters(term: Column, m: Int): Column =
     col(HeavyHitters(ex(term), m).toAggregateExpression())
   def topk_by_score(score: Column, id: Column, k: Int): Column =

@@ -78,6 +78,60 @@ object VecKernel {
     best
   }
 
+  /** Two-level pruned lattice assignment (the large-k escape for
+    * [[latticeNearest]]'s O(k·dim) flat scan): rank the `nSuper`
+    * super-centroids, then scan only centroids whose super is among the
+    * `nProbe` nearest supers. Same packing/tie contract as latticeNearest.
+    * Deterministic (fixed probe order, exact integer distances); exact
+    * when `nProbe == nSuper`, approximate-with-recall-test otherwise —
+    * the IVF coarse-quantizer pattern applied to k-means itself.
+    */
+  def latticeNearestPruned(qv: ArrayData, cents: Array[Long], k: Int, dim: Int,
+                           superOf: Array[Int], superCents: Array[Long],
+                           nSuper: Int, nProbe: Int): Long = {
+    // rank supers by packed (dist2, id): selection of nProbe best
+    val superPacked = new Array[Long](nSuper)
+    var s = 0
+    while (s < nSuper) {
+      var d = 0L
+      var i = 0
+      val off = s * dim
+      while (i < dim) {
+        val t = qv.getLong(i) - superCents(off + i)
+        d += t * t
+        i += 1
+      }
+      superPacked(s) = d * 65536L + s
+      s += 1
+    }
+    java.util.Arrays.sort(superPacked)
+    val probed = new Array[Boolean](nSuper)
+    var p = 0
+    val np = if (nProbe < nSuper) nProbe else nSuper
+    while (p < np) {
+      probed((superPacked(p) % 65536L).toInt) = true
+      p += 1
+    }
+    var best = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      if (probed(superOf(j))) {
+        var d = 0L
+        var i = 0
+        val off = j * dim
+        while (i < dim) {
+          val t = qv.getLong(i) - cents(off + i)
+          d += t * t
+          i += 1
+        }
+        val packed = d * 65536L + j
+        if (packed < best) best = packed
+      }
+      j += 1
+    }
+    best
+  }
+
   /** Hyperplane LSH signature: bit i = sign(dot(v, plane_i)); planes are
     * flattened row-major (nBits × dim).
     */

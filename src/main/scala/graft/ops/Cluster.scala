@@ -135,6 +135,66 @@ object Cluster {
         pmod(col("packed"), lit(65536L)).as("cluster"),
         expr("packed div 65536").as("dist2"))
 
+  /** Two-level assignment index: centroids grouped under `nSuper`
+    * super-centroids (a driver-side Lloyd over the k×dim centroid matrix —
+    * same lattice rules: smallest-index seeds, ties low, floor-div update,
+    * empty keeps old).
+    */
+  final case class PrunedIndex(cents: Array[Array[Long]], superOf: Array[Int],
+                               superCents: Array[Array[Long]])
+
+  /** Build the [[PrunedIndex]] for [[assignPruned]] — the large-k escape
+    * documented on [[semanticDupPairsAuto]]: flat assignment is O(k·dim)
+    * per row; probing `nProbe` of `~sqrt(k)` super-groups cuts it to
+    * O((nSuper + k·nProbe/nSuper)·dim). Pure driver arithmetic over the
+    * k×dim matrix (k ≤ 65536 — trivial), deterministic.
+    */
+  def buildPrunedIndex(centroids: Array[Array[Long]], nSuper: Int,
+                       superIters: Int = 3): PrunedIndex = {
+    require(nSuper >= 1 && nSuper <= centroids.length)
+    val dim = centroids(0).length
+    var sc = centroids.take(nSuper).map(_.clone())
+    def nearestSuper(v: Array[Long]): Int = {
+      var bj = 0
+      var bd = Long.MaxValue
+      sc.indices.foreach { j =>
+        var d = 0L
+        var i = 0
+        while (i < dim) { val t = v(i) - sc(j)(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; bj = j }
+      }
+      bj
+    }
+    for (_ <- 1 to superIters) {
+      val asg = centroids.map(nearestSuper)
+      sc = sc.zipWithIndex.map { case (old, s) =>
+        val members = centroids.indices.filter(asg(_) == s)
+        if (members.isEmpty) old.clone()
+        else Array.tabulate(dim)(i => members.map(centroids(_)(i)).sum / members.size)
+      }
+    }
+    PrunedIndex(centroids, centroids.map(nearestSuper), sc)
+  }
+
+  /** Assign-only pass through the two-level index: exact when
+    * `nProbe == nSuper`, otherwise approximate with the same output shape
+    * as [[assign]] — a vector only ever misses its true centroid when that
+    * centroid's super-group isn't among the query's `nProbe` closest
+    * supers (the IVF recall story; pinned by a recall floor in
+    * ClusterSpec). Narrow codegen kernel, no join, no shuffle.
+    */
+  def assignPruned(emb: DataFrame, idCol: String, vecCol: String,
+                   idx: PrunedIndex, nProbe: Int, scale: Int = 1000): DataFrame = {
+    val dim = idx.cents(0).length
+    quantized(emb, idCol, vecCol, scale)
+      .withColumn("packed", graft.functions.gfn.lattice_nearest_pruned(
+        col("qv"), idx.cents.flatten, idx.cents.length, dim,
+        idx.superOf, idx.superCents.flatten, idx.superCents.length, nProbe))
+      .select(col("id"),
+        pmod(col("packed"), lit(65536L)).as("cluster"),
+        expr("packed div 65536").as("dist2"))
+  }
+
   /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023): k-means-cluster the
     * embeddings, then emit every WITHIN-CLUSTER pair with cosine similarity
     * `>= thrNum/thrDen` — the candidate restriction that makes

@@ -164,6 +164,30 @@ class ClusterSpec extends AnyFunSuite {
     assert(byEnt.size < 500 && byEnt.size == out.count(_._4 == 1))
   }
 
+  test("pruned two-level assignment: exact at full probe, high recall pruned") {
+    // k=32 clusters so the super-structure is meaningful
+    val cent = Cluster.kmeansCentroids(emb, "vec_id", "embedding", k = 32, iters = 2)
+    val idx = Cluster.buildPrunedIndex(cent, nSuper = 6)
+    assert(idx.superOf.length == 32 && idx.superOf.forall(s => s >= 0 && s < 6))
+    val exact = Cluster.assign(emb, "vec_id", "embedding", cent)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // full probe scans every group -> identical bits to the flat kernel
+    val full = Cluster.assignPruned(emb, "vec_id", "embedding", idx, nProbe = 6)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(full == exact)
+    // pruned to 2 of 6 supers: large recall, and dist2 never improves on
+    // exact (pruning can only miss the true centroid, not beat it)
+    val pruned = Cluster.assignPruned(emb, "vec_id", "embedding", idx, nProbe = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val agree = pruned.zip(exact).count { case (p, e) => p._2 == e._2 }
+    assert(agree >= (0.7 * exact.size).toInt, s"recall ${agree}/${exact.size}")
+    pruned.zip(exact).foreach { case (p, e) => assert(p._3 >= e._3) }
+    // plan stays narrow
+    val plan = Cluster.assignPruned(emb, "vec_id", "embedding", idx, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"))
+  }
+
   test("assignment pass is narrow: no join, no exchange in the probe plan") {
     val cent = Cluster.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1)
     val plan = Cluster.assign(emb, "vec_id", "embedding", cent)
