@@ -156,6 +156,21 @@ object ScaleRehearsal {
             Tables(spark, dir, "embeddings"), "vec_id", "embedding",
             iters = 2, targetClusterSize = 150, thrNum = 3, thrDen = 10)(spark)
           .orderBy(col("a_id"), col("b_id"))
+      // q123 auto-k with the TWO-LEVEL pruned assignment for the pairing
+      // pass — measures the large-k assignment escape end-to-end
+      case "q123_pruned" =>
+        val emb = Tables(spark, dir, "embeddings")
+        val n = emb.count()
+        val k = math.max(1L, n / 150).toInt
+        val cents = graft.ops.Cluster.kmeansCentroids(
+          emb, "vec_id", "embedding", k = k, iters = 2)(spark)
+        val idx = graft.ops.Cluster.buildPrunedIndex(
+          cents, nSuper = math.max(1, math.sqrt(k.toDouble).toInt))
+        graft.ops.Cluster.pairsFromAssignment(
+            graft.ops.Cluster.assignPruned(emb, "vec_id", "embedding", idx,
+              nProbe = 2),
+            emb, "vec_id", "embedding", thrNum = 3, thrDen = 10)
+          .orderBy(col("a_id"), col("b_id"))
       case "q35_auto" =>
         graft.ops.Similarity.cosineNearDupsAuto(
             Tables(spark, dir, "embeddings"), threshold = 0.4)

@@ -245,11 +245,12 @@ object Cluster {
   /** The within-cluster pair scan of [[semanticDupPairs]] against an
     * existing `(id, cluster, ...)` assignment — lets [[semanticDedupKeepers]]
     * train once and reuse the assignment for both pairing and prototype
-    * selection.
+    * selection, and lets callers swap the assignment strategy (e.g.
+    * [[assignPruned]]'s two-level kernel at large k).
     */
-  private def pairsFromAssignment(asgFull: DataFrame, emb: DataFrame,
-                                  idCol: String, vecCol: String,
-                                  thrNum: Int, thrDen: Int): DataFrame = {
+  def pairsFromAssignment(asgFull: DataFrame, emb: DataFrame,
+                          idCol: String, vecCol: String,
+                          thrNum: Int, thrDen: Int): DataFrame = {
     require(thrDen >= 1 && thrNum >= 0 && thrNum <= thrDen)
     import graft.functions.gfn
     val asg = asgFull.select(col("id"), col("cluster"))
