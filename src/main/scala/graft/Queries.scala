@@ -3871,6 +3871,47 @@ object Queries {
             FROM ful)
       ORDER BY vec_id"""))
 
+  /** IMAGE PERCEPTUAL FINGERPRINT (Multimodal.imageAHash): 64-bit aHash per
+    * image — 8x8 integer-luminance downsample, bit = above-mean — the image
+    * analogue of q29's text SimHash. Pair discovery reuses the SAME banded
+    * hamming join ([[graft.ops.Dedup.hammingNearDupsFromSigs]]); the
+    * planted-re-encode OpsSpec test pins that the pipeline finds a
+    * perturbed duplicate and nothing else (the synthetic corpus's images
+    * are all-distinct random pixels, so the signature frame is the
+    * deterministic checkable surface here). Rows-only: the PNG decode is
+    * not expressible in SQL.
+    */
+  private val q129 = Q("q129_image_ahash",
+    (s, d) => Multimodal.imageAHash(Multimodal.mediaTable(
+        t(s, d, "documents"))(s))(s)
+      .toDF().orderBy(col("media_id")),
+    None)
+
+  /** AUDIO PERCEPTUAL FINGERPRINT (Multimodal.audioFingerprint): 64-bit
+    * energy-delta-sign signature per clip — 65 equal-duration segments,
+    * bit = (next segment's integer energy exceeds this one's). Delta signs
+    * are invariant under positive amplitude scaling, so volume-changed
+    * re-encodes collide — pinned by the planted half-volume OpsSpec test.
+    * Pair discovery shares the banded hamming join with q129/q34.
+    */
+  private val q130 = Q("q130_audio_fingerprint",
+    (s, d) => Multimodal.audioFingerprint(Multimodal.mediaTable(
+        t(s, d, "documents"))(s))(s)
+      .toDF().orderBy(col("media_id")),
+    None)
+
+  /** VIDEO PERCEPTUAL FINGERPRINT (Multimodal.videoFingerprint): temporal
+    * MAJORITY of per-frame 8x8 aHashes — robust to per-frame re-encode
+    * noise (outvoted) and frame-rate duplication (majorities preserved),
+    * pinned by the planted JPEG-re-encode OpsSpec test. Same shared
+    * banded-hamming pair discovery.
+    */
+  private val q131 = Q("q131_video_fingerprint",
+    (s, d) => Multimodal.videoFingerprint(Multimodal.mediaTable(
+        t(s, d, "documents"))(s))(s)
+      .toDF().orderBy(col("media_id")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3882,7 +3923,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124, q125, q126, q127, q128)
+    q123, q124, q125, q126, q127, q128, q129, q130, q131)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -3930,5 +3971,11 @@ object Queries {
     "q121_audio_frames" -> Seq(
       "OpsSpec: audio frames: integer energy/ZCR/silence match a direct PCM replay"),
     "q124_scene_cuts" -> Seq(
-      "OpsSpec: frame luminance + scene cuts match a direct frame-decode replay"))
+      "OpsSpec: frame luminance + scene cuts match a direct frame-decode replay"),
+    "q129_image_ahash" -> Seq(
+      "OpsSpec: image aHash matches a direct replay; re-encoded near-dup is found"),
+    "q130_audio_fingerprint" -> Seq(
+      "OpsSpec: audio fingerprint matches a direct PCM replay; half-volume re-encode is found"),
+    "q131_video_fingerprint" -> Seq(
+      "OpsSpec: video fingerprint matches a direct frame replay; JPEG re-encode dup is found"))
 }

@@ -386,9 +386,31 @@ object Dedup {
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     val text = docs.select(col("doc_id"), col("text"))
       .repartition(parallelism, col("doc_id"))
-    // consumed by the chunk explode AND both verify-join sides: persist so
-    // the simhash kernel hashes each doc once (8 bytes + id per row cached)
-    val sigs = text.select(col("doc_id"), simhash(col("text")).as("sig"))
+    hammingNearDupsFromSigs(
+      text.select(col("doc_id").as("id"), simhash(col("text")).as("sig")),
+      maxHamming, maxBucketSize, capMetric = "simhash_lsh_cap")
+  }
+
+  /** Banded hamming near-dup over ANY 64-bit signature frame `(id, sig)` —
+    * the generic core of [[simhashNearDups]], also driving image aHash
+    * dedup ([[Multimodal.imageAHash]]) and any other fingerprint the
+    * pipeline produces. Pigeonhole: hamming <= 3 forces at least one of the
+    * four 16-bit chunks to match exactly, so the chunk equi-join is a
+    * LOSSLESS candidate filter at maxHamming <= 3; the exact popcount
+    * verify then removes false positives.
+    *
+    * The signature frame is persisted: the chunk explode and BOTH verify
+    * sides consume it, and re-deriving signatures post-join would hash
+    * ~|candidates|x2 payloads (measured 2x the whole query at sf0.1 for
+    * simhash) where the cached frame is 8 bytes + id per row. No broadcast
+    * hint on the verify joins — AQE decides, see minhashNearDups.
+    */
+  def hammingNearDupsFromSigs(sigs0: DataFrame, maxHamming: Int = 3,
+                              maxBucketSize: Option[Int] = None,
+                              capMetric: String = "hamming_lsh_cap"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x16-bit banding is lossless only for maxHamming <= 3")
+    val sigs = sigs0.select(col("id").as("doc_id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("doc_id"), explode(array((0 until 4).map { c =>
       struct(lit(c).as("chunk"),
@@ -396,12 +418,7 @@ object Dedup {
     }: _*)).as("ck"))
       .select(col("doc_id"), col("ck.chunk"), col("ck.chunk_val"))
     val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"),
-      maxBucketSize = maxBucketSize, capMetric = "simhash_lsh_cap")
-    // Verify joins the PRECOMPUTED signature frame (8 bytes/doc), not the raw
-    // text: recomputing simhash post-join would hash ~|candidates|×2 full
-    // texts (the dominant cost when LSH fans out — measured 2× the whole
-    // query at sf0.1) where joining sigs hashes each doc once per side. No
-    // broadcast hint — AQE decides, see minhashNearDups.
+      maxBucketSize = maxBucketSize, capMetric = capMetric)
     val withSig = sigs.join(cand, col("doc_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), col("sig").as("a_sig"))
       .join(sigs, col("doc_id") === col("b_id"))

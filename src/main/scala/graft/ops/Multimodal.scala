@@ -453,6 +453,196 @@ object Multimodal {
       })
   }
 
+  case class ImageHash(media_id: Long, ahash: Long)
+
+  /** Average-hash perceptual fingerprint (aHash): nearest-neighbor
+    * downsample to 8x8 integer luminance, then bit i = (luminance_i * 64 >
+    * total) — an integer cross-multiply against the mean, no float, no
+    * division. Robust to re-encoding and small pixel edits (the downsample
+    * + mean threshold absorb them), which is exactly the image near-dup a
+    * training corpus needs to catch: same picture, different bytes. Narrow
+    * mapPartitions decode; 8 bytes out per image. Pair discovery is
+    * [[Dedup.hammingNearDupsFromSigs]] on this frame — the identical
+    * banded-LSH shape as text SimHash, shared code path.
+    */
+  /** The 8x8 aHash kernel on a decoded frame: nearest-neighbor sample 64
+    * pixels, integer luminance, bit p = (lum_p * 64 > total). Shared by
+    * [[imageAHash]] (one frame per image) and [[videoFingerprint]]
+    * (temporal majority over per-frame hashes).
+    */
+  private[graft] def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val sw = img.getWidth
+    val sh = img.getHeight
+    val lum = new Array[Long](64)
+    var total = 0L
+    var p = 0
+    while (p < 64) {
+      val rgb = img.getRGB(((p % 8).toLong * sw / 8).toInt,
+        ((p / 8).toLong * sh / 8).toInt) & 0xffffff
+      lum(p) = (((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+        (rgb & 0xff) * 114) / 1000
+      total += lum(p)
+      p += 1
+    }
+    var h = 0L
+    p = 0
+    while (p < 64) {
+      if (lum(p) * 64 > total) h |= (1L << p)
+      p += 1
+    }
+    h
+  }
+
+  def imageAHash(media: DataFrame)
+                (implicit spark: SparkSession): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        if (m.kind != "image" || !looksLikeImage(m.content)) None
+        else Option(javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(m.content))).map { img =>
+          ImageHash(m.media_id, aHash64(img))
+        }
+      })
+  }
+
+  /** Image near-duplicates: aHash signatures through the shared banded
+    * hamming join. Exact popcount verify; lossless for `maxHamming <= 3`.
+    */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3)
+                   (implicit spark: SparkSession): DataFrame =
+    Dedup.hammingNearDupsFromSigs(
+      imageAHash(media).toDF().select(col("media_id").as("id"),
+        col("ahash").as("sig")),
+      maxHamming, capMetric = "ahash_lsh_cap")
+
+  case class AudioSig(media_id: Long, n_samples: Int, sig: Long)
+
+  /** Audio perceptual fingerprint: the PCM stream is cut into 65
+    * equal-duration segments, each reduced to its integer energy (sum of
+    * squared samples, the q121 kernel), and bit k = (energy_{k+1} >
+    * energy_k) — a 64-bit energy-delta-sign signature. Delta SIGNS are
+    * invariant under any positive amplitude scaling (energies scale by a
+    * common a^2), so a volume-changed or re-encoded copy of a clip maps to
+    * (nearly) the same signature — the audio analogue of "same picture,
+    * different bytes". Segmenting by POSITION (k*n/65) rather than fixed
+    * frame length makes the signature length-normalized: a resampled copy
+    * keeps its temporal energy shape. Integer-exact, so directly
+    * assertable; per-segment energy <= n * 2^30 fits comfortably in Long.
+    * Pair discovery is [[Dedup.hammingNearDupsFromSigs]] — the same banded
+    * hamming join as text SimHash and image aHash.
+    */
+  def audioFingerprint(media: DataFrame)
+                      (implicit spark: SparkSession): Dataset[AudioSig] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        if (m.kind != "audio" || !looksLikeWav(m.content)) None
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new ByteArrayInputStream(m.content))
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2 // 16-bit mono PCM
+          if (n < 65) None
+          else {
+            val e = new Array[Long](65)
+            var k = 0
+            while (k < 65) {
+              var i = (k.toLong * n / 65).toInt
+              val end = ((k + 1).toLong * n / 65).toInt
+              while (i < end) {
+                val v = (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)
+                e(k) += v.toLong * v
+                i += 1
+              }
+              k += 1
+            }
+            var h = 0L
+            k = 0
+            while (k < 64) {
+              if (e(k + 1) > e(k)) h |= (1L << k)
+              k += 1
+            }
+            Some(AudioSig(m.media_id, n, h))
+          }
+        } catch { case _: Exception => None }
+      })
+  }
+
+  /** Audio near-duplicates: energy-delta signatures through the shared
+    * banded hamming join. Catches volume-changed / re-encoded copies.
+    */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 3)
+                   (implicit spark: SparkSession): DataFrame =
+    Dedup.hammingNearDupsFromSigs(
+      audioFingerprint(media).toDF().select(col("media_id").as("id"),
+        col("sig")),
+      maxHamming, capMetric = "audiohash_lsh_cap")
+
+  case class VideoSig(media_id: Long, n_frames: Int, sig: Long)
+
+  /** Video perceptual fingerprint: per-frame [[aHash64]], combined by
+    * TEMPORAL MAJORITY — bit p is set iff it is set in more than half the
+    * frames. Majority voting makes the signature robust both to per-frame
+    * re-encode noise (a flipped bit in one frame is outvoted) and to
+    * frame-rate resampling (duplicating every frame preserves every
+    * majority). NOT robust to re-cutting — that changes which content the
+    * majority sees, which is the correct semantics for "same clip,
+    * different bytes" dedup. Short clips (2-3 frames) carry genuine spatial
+    * entropy per bit (unlike a temporal-delta hash, which would collapse to
+    * a handful of transition bits and false-bucket every short clip
+    * together — why this is a majority-of-spatial-hashes design).
+    */
+  def videoFingerprint(media: DataFrame)
+                      (implicit spark: SparkSession): Dataset[VideoSig] = {
+    import spark.implicits._
+    media.select("media_id", "kind", "content").as[MediaRow]
+      .repartition(col("media_id"))
+      .mapPartitions(_.flatMap { m =>
+        if (m.kind != "video" || !looksLikeMjpeg(m.content)) None
+        else {
+          val b = m.content
+          val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+          var start = 0
+          var i = 1
+          while (i < b.length) {
+            if (b(i - 1) == 0xff.toByte && b(i) == 0xd9.toByte) {
+              bounds += ((start, i + 1)); start = i + 1; i += 1
+            }
+            i += 1
+          }
+          val hashes = bounds.flatMap { case (s, e) =>
+            Option(javax.imageio.ImageIO.read(new ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(b, s, e)))).map(aHash64)
+          }
+          if (hashes.isEmpty) None
+          else {
+            var h = 0L
+            var p = 0
+            while (p < 64) {
+              var c = 0
+              hashes.foreach { fh => if (((fh >>> p) & 1L) == 1L) c += 1 }
+              if (2 * c > hashes.length) h |= (1L << p)
+              p += 1
+            }
+            Some(VideoSig(m.media_id, hashes.length, h))
+          }
+        }
+      })
+  }
+
+  /** Video near-duplicates: temporal-majority aHash signatures through the
+    * shared banded hamming join.
+    */
+  def videoNearDups(media: DataFrame, maxHamming: Int = 3)
+                   (implicit spark: SparkSession): DataFrame =
+    Dedup.hammingNearDupsFromSigs(
+      videoFingerprint(media).toDF().select(col("media_id").as("id"),
+        col("sig")),
+      maxHamming, capMetric = "videohash_lsh_cap")
+
   case class AudioFrame(media_id: Long, frame_idx: Int, n_samples: Int,
                         energy: Long, zero_crossings: Int, is_silence: Boolean)
 

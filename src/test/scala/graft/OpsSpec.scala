@@ -1198,6 +1198,153 @@ class OpsSpec extends AnyFunSuite {
     assert(got.head._4 == 0 && got.head._5 == 0)
   }
 
+  test("image aHash matches a direct replay; re-encoded near-dup is found") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaTable(d)
+    val hashes = Multimodal.imageAHash(media).collect()
+      .map(h => h.media_id -> h.ahash).toMap
+    val imgs = media.filter(col("kind") === "image")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(hashes.nonEmpty && hashes.keySet == imgs.keySet)
+    imgs.foreach { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val lum = Array.tabulate(64) { p =>
+        val rgb = img.getRGB(((p % 8).toLong * img.getWidth / 8).toInt,
+          ((p / 8).toLong * img.getHeight / 8).toInt) & 0xffffff
+        ((((rgb >>> 16) & 0xff) * 299 + ((rgb >>> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000).toLong
+      }
+      val total = lum.sum
+      val want = lum.zipWithIndex.foldLeft(0L) { case (h, (l, p)) =>
+        if (l * 64 > total) h | (1L << p) else h
+      }
+      assert(hashes(id) == want, s"media $id")
+    }
+    // plant a perturbed re-encode of one image: a handful of pixel edits
+    // survive the downsample+threshold, so the pair MUST surface
+    val (srcId, srcBytes) = imgs.head
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(srcBytes))
+    for (i <- 0 until 5) img.setRGB(i, 0, (img.getRGB(i, 0) & 0xffffff) ^ 0x000007)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    import spark.implicits._
+    val planted = media.select("media_id", "kind", "content")
+      .unionByName(Seq((999999L, "image", bos.toByteArray))
+        .toDF("media_id", "kind", "content"))
+    val pairs = Multimodal.imageNearDups(planted, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => (p._1 == srcId && p._2 == 999999L) ||
+      (p._1 == 999999L && p._2 == srcId)), s"planted pair missing in ${pairs.toSeq}")
+    // random-pixel originals do not near-dup each other
+    assert(pairs.forall(p => p._1 == 999999L || p._2 == 999999L ||
+      p._1 == srcId || p._2 == srcId), s"spurious pair in ${pairs.toSeq}")
+  }
+
+  test("audio fingerprint matches a direct PCM replay; half-volume re-encode is found") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaTable(d)
+    val sigs = Multimodal.audioFingerprint(media).collect()
+      .map(a => a.media_id -> a).toMap
+    val wavs = media.filter(col("kind") === "audio")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(sigs.nonEmpty && sigs.keySet == wavs.keySet)
+    def pcmOf(bytes: Array[Byte]): Array[Int] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val pcm = ais.readAllBytes()
+      Array.tabulate(pcm.length / 2)(i => (pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+    }
+    def sigOf(samples: Array[Int]): Long = {
+      val n = samples.length
+      val e = Array.tabulate(65) { k =>
+        ((k.toLong * n / 65).toInt until ((k + 1).toLong * n / 65).toInt)
+          .map(i => samples(i).toLong * samples(i)).sum
+      }
+      (0 until 64).foldLeft(0L)((h, k) => if (e(k + 1) > e(k)) h | (1L << k) else h)
+    }
+    wavs.foreach { case (id, bytes) =>
+      val samples = pcmOf(bytes)
+      assert(sigs(id).n_samples == samples.length && sigs(id).sig == sigOf(samples),
+        s"media $id")
+    }
+    // plant a HALF-VOLUME re-encode: delta signs survive positive scaling
+    // (energies scale by ~1/4 uniformly), so the pair MUST surface
+    val (srcId, srcBytes) = wavs.head
+    val halved = pcmOf(srcBytes).map(_ / 2)
+    val pcm2 = new Array[Byte](halved.length * 2)
+    halved.zipWithIndex.foreach { case (v, i) =>
+      pcm2(2 * i) = (v & 0xff).toByte; pcm2(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm2), fmt, halved.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    import spark.implicits._
+    val planted = media.select("media_id", "kind", "content")
+      .unionByName(Seq((999999L, "audio", bos.toByteArray))
+        .toDF("media_id", "kind", "content"))
+    val pairs = Multimodal.audioNearDups(planted, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => (p._1 == srcId && p._2 == 999999L) ||
+      (p._1 == 999999L && p._2 == srcId)), s"planted pair missing in ${pairs.toSeq}")
+  }
+
+  test("video fingerprint matches a direct frame replay; JPEG re-encode dup is found") {
+    implicit val s = spark
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaTable(d)
+    val sigs = Multimodal.videoFingerprint(media).collect()
+      .map(v => v.media_id -> v).toMap
+    val vids = media.filter(col("kind") === "video")
+      .select("media_id", "content").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(sigs.nonEmpty && sigs.keySet == vids.keySet)
+    def framesOf(b: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var start = 0
+      var i = 1
+      while (i < b.length) {
+        if (b(i - 1) == 0xff.toByte && b(i) == 0xd9.toByte) {
+          bounds += ((start, i + 1)); start = i + 1; i += 1
+        }
+        i += 1
+      }
+      bounds.toSeq.flatMap { case (s0, e) =>
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          java.util.Arrays.copyOfRange(b, s0, e))))
+      }
+    }
+    vids.foreach { case (id, bytes) =>
+      val hs = framesOf(bytes).map(Multimodal.aHash64)
+      val want = (0 until 64).foldLeft(0L) { (h, p) =>
+        if (2 * hs.count(fh => ((fh >>> p) & 1L) == 1L) > hs.length) h | (1L << p) else h
+      }
+      assert(sigs(id).n_frames == hs.length && sigs(id).sig == want, s"media $id")
+    }
+    // plant a JPEG RE-ENCODE (decode every frame, re-compress): lossy drift
+    // flips at most a couple of majority bits, so the pair MUST surface
+    val (srcId, srcBytes) = vids.head
+    val bos = new java.io.ByteArrayOutputStream()
+    framesOf(srcBytes).foreach(img => javax.imageio.ImageIO.write(img, "jpg", bos))
+    import spark.implicits._
+    val planted = media.select("media_id", "kind", "content")
+      .unionByName(Seq((999999L, "video", bos.toByteArray))
+        .toDF("media_id", "kind", "content"))
+    val pairs = Multimodal.videoNearDups(planted, maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => (p._1 == srcId && p._2 == 999999L) ||
+      (p._1 == 999999L && p._2 == srcId)), s"planted pair missing in ${pairs.toSeq}")
+    // distinct random clips do not near-dup each other
+    assert(pairs.forall(p => p._1 == 999999L || p._2 == 999999L ||
+      p._1 == srcId || p._2 == srcId), s"spurious pair in ${pairs.toSeq}")
+  }
+
   // ---- approximate sketches (the exact-too-expensive-at-100TB path) ----
 
   test("heavy hitters: recovers true top terms with bounded overestimate") {
