@@ -175,6 +175,19 @@ object ScaleRehearsal {
         graft.ops.Similarity.cosineNearDupsAuto(
             Tables(spark, dir, "embeddings"), threshold = 0.4)
           .orderBy(col("a_id"), col("b_id"))
+      // full perceptual near-dup paths (signature extraction + banded
+      // hamming join), not just the q129-q131 signature queries: the 10x
+      // docs table yields 10x media rows, all content-distinct, so this
+      // measures the codec+join cost curve with a ~constant pair count
+      case "q129_pairs" =>
+        graft.ops.Multimodal.imageNearDups(
+          graft.ops.Multimodal.mediaTable(Tables(spark, dir, "documents"))(spark))(spark)
+      case "q130_pairs" =>
+        graft.ops.Multimodal.audioNearDups(
+          graft.ops.Multimodal.mediaTable(Tables(spark, dir, "documents"))(spark))(spark)
+      case "q131_pairs" =>
+        graft.ops.Multimodal.videoNearDups(
+          graft.ops.Multimodal.mediaTable(Tables(spark, dir, "documents"))(spark))(spark)
       case _ => Queries.all.find(_.name == name).get.build(spark, dir)
     }
     def time(name: String, dir: String): Double = {
