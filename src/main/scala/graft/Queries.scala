@@ -3912,6 +3912,56 @@ object Queries {
       .toDF().orderBy(col("media_id")),
     None)
 
+  /** DSIR IMPORTANCE RESAMPLING WEIGHTS (Mix.importanceWeights, Xie et al.
+    * 2023): per-doc log importance weight of the raw corpus against the
+    * English subset as the target — Laplace-smoothed hashed-unigram
+    * multinomials, Σ c_b·(ln p_tgt − ln p_raw). The ln values are snapped
+    * to integer 1e-12-nat units (the q68 DECIMAL recipe), so every
+    * downstream product/sum is Long arithmetic and the oracle replays the
+    * whole computation bit-exactly, including the final double division.
+    * The bucket function here is a position-weighted codepoint polynomial
+    * (Σ ascii(c_i)·i mod 64) both engines express identically; production
+    * callers default to xxhash64.
+    */
+  private val q132 = Q("q132_importance_weights",
+    (s, d) => graft.ops.Mix.importanceWeights(
+        t(s, d, "documents"), col("text"), col("doc_id"),
+        isTarget = col("lang") === "en", buckets = 64,
+        bucketOf = Some(w => pmod(aggregate(
+          zip_with(split(w, ""), sequence(lit(1), length(w)),
+            (c, i) => ascii(c).cast("long") * i),
+          lit(0L), (a, x) => a + x), lit(64L))))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                      x -> len(x) > 0)) AS w
+        FROM documents),
+      tb AS (
+        SELECT doc_id, tgt,
+               CAST(list_sum(list_transform(string_split(w, ''),
+                    (c, i) -> ascii(c) * i)) % 64 AS BIGINT) AS b
+        FROM toks),
+      pd AS (SELECT doc_id, tgt, b, COUNT(*) AS c FROM tb GROUP BY 1, 2, 3),
+      raw AS (SELECT b, SUM(c) AS rc FROM pd GROUP BY b),
+      tg  AS (SELECT b, SUM(c) AS tc FROM pd WHERE tgt GROUP BY b),
+      tot AS (SELECT SUM(c) AS rtot, SUM(CASE WHEN tgt THEN c ELSE 0 END) AS ttot
+              FROM pd),
+      dist AS (
+        SELECT raw.b,
+               CAST(CAST(ln(CAST(COALESCE(tg.tc, 0) + 1 AS DOUBLE) / (tot.ttot + 64))
+                         AS DECIMAL(18,12)) * 1000000000000 AS BIGINT) -
+               CAST(CAST(ln(CAST(raw.rc + 1 AS DOUBLE) / (tot.rtot + 64))
+                         AS DECIMAL(18,12)) * 1000000000000 AS BIGINT) AS lr12
+        FROM raw LEFT JOIN tg ON raw.b = tg.b, tot)
+      SELECT pd.doc_id,
+             CAST(SUM(pd.c * dist.lr12) AS BIGINT) AS logw12,
+             CAST(SUM(pd.c * dist.lr12) AS DOUBLE) / 1e12 AS log_weight
+      FROM pd JOIN dist ON pd.b = dist.b
+      GROUP BY pd.doc_id ORDER BY pd.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3923,7 +3973,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124, q125, q126, q127, q128, q129, q130, q131)
+    q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

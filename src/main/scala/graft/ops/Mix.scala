@@ -102,4 +102,73 @@ object Mix {
     df.withColumn("shard_id",
       floor((sum(tokens).over(w) - tokens) / lit(budget)))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw doc by
+    * how target-like its hashed-token-bucket distribution is. Both
+    * distributions are Laplace-smoothed multinomials over `buckets` hashed
+    * unigram features; a doc's log-weight is
+    *   Σ_b c_b · (ln p_target(b) − ln p_raw(b)),
+    * where c_b is the doc's count in bucket b. Downstream selection is a
+    * weighted gate over `log_weight` (e.g. [[weightedSample]] /
+    * top-fraction), kept out of this op so the weights stay reusable.
+    *
+    * Exactness recipe: each ln is snapped to DECIMAL(18,12) and scaled to
+    * an INTEGER `lr12` (units of 1e-12 nats); all downstream math — the
+    * c_b·lr12 products and their per-doc sum — is Long arithmetic, so the
+    * result is bit-deterministic and an oracle replays it exactly.
+    * |lr12| < 2^45 and c_b·lr12 sums stay far under 2^63 (ANSI-safe).
+    *
+    * Scale shape: ONE tokenize+count pass over the corpus (the groupBy
+    * (id, bucket) shuffle is the only corpus-sized exchange — partial
+    * aggregation collapses each map task to its distinct doc-buckets);
+    * the two distributions are `buckets`-row aggregates off the persisted
+    * count frame; scoring is a BROADCAST join of that tiny distribution
+    * table back onto the counts. Nothing scales worse than the token scan.
+    *
+    * `bucketOf` maps a token to its bucket; default is xxhash64 mod
+    * `buckets` (production). The catalog query passes a cross-engine
+    * polynomial so DuckDB can replay it.
+    */
+  def importanceWeights(df: DataFrame, text: Column, id: Column,
+                        isTarget: Column, buckets: Int = 64,
+                        bucketOf: Option[Column => Column] = None)
+                       : DataFrame = {
+    require(buckets > 0)
+    val bucket: Column => Column =
+      bucketOf.getOrElse(w => pmod(xxhash64(w), lit(buckets.toLong)))
+    def ln12(x: Column): Column =
+      (log(x).cast(DecimalType1812) * lit(1000000000000L).cast(Decimal130))
+        .cast("long")
+    val toks = df
+      .select(id.as("id"), isTarget.cast("boolean").as("tgt"),
+        explode(split(lower(trim(text)), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+      .select(col("id"), col("tgt"), bucket(col("w")).as("b"))
+    // feeds the raw distribution, the target distribution, the totals AND
+    // the scoring join: persist or the corpus tokenizes four times
+    val perDoc = toks.groupBy(col("id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
+    val tgt = perDoc.where(col("tgt")).groupBy(col("b"))
+      .agg(sum(col("c")).as("tc"))
+    val tot = perDoc.agg(sum(col("c")).as("rtot"),
+      sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("ttot"))
+    val dist = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(tot)) // single-row totals frame
+      .select(col("b"),
+        (ln12((col("tc") + 1).cast("double") / (col("ttot") + buckets)) -
+         ln12((col("rc") + 1).cast("double") / (col("rtot") + buckets)))
+          .as("lr12"))
+    perDoc.join(broadcast(dist), "b")
+      .groupBy(col("id"))
+      .agg(sum(col("c") * col("lr12")).as("logw12"))
+      .select(col("id"), col("logw12"),
+        (col("logw12").cast("double") / lit(1e12)).as("log_weight"))
+  }
+
+  private val DecimalType1812 = org.apache.spark.sql.types.DecimalType(18, 12)
+  private val Decimal130 = org.apache.spark.sql.types.DecimalType(13, 0)
 }

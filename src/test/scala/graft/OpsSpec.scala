@@ -351,6 +351,48 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(bN / 2000.0 - 0.1) < 0.05, s"rate(b)=$bN/2000")
   }
 
+  test("importance weights: target-like docs outrank raw-like docs; Scala replay matches") {
+    import graft.ops.Mix
+    // target vocabulary {apple banana cherry}, background {xray yankee zulu}:
+    // a held-out doc written in target words must outweigh a background one
+    val docs = Seq(
+      (0L, "apple banana cherry apple banana", true),
+      (1L, "apple cherry banana cherry", true),
+      (2L, "xray yankee zulu zulu xray", false),
+      (3L, "yankee xray zulu yankee", false),
+      (4L, "apple banana apple cherry banana", false), // target-like holdout
+      (5L, "zulu xray yankee zulu", false))            // raw-like holdout
+      .toDF("doc_id", "text", "is_tgt")
+    val got = Mix.importanceWeights(docs, $"text", $"doc_id", $"is_tgt",
+        buckets = 16)
+      .select($"id", $"logw12").as[(Long, Long)].collect().toMap
+    assert(got.keySet == (0L to 5L).toSet)
+    assert(got(4L) > got(5L), s"target-like ${got(4L)} !> raw-like ${got(5L)}")
+    // integer replay of doc 4: same buckets, same snapped-ln ratio table
+    def bucket(w: String): Int =
+      (math.floorMod(org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(w),
+          org.apache.spark.sql.types.StringType, 42L), 16L)).toInt
+    val all = Seq(0L -> "apple banana cherry apple banana",
+      1L -> "apple cherry banana cherry", 2L -> "xray yankee zulu zulu xray",
+      3L -> "yankee xray zulu yankee", 4L -> "apple banana apple cherry banana",
+      5L -> "zulu xray yankee zulu")
+    val cnt = all.flatMap { case (id, t) =>
+      t.split("\\s+").map(w => (id, bucket(w))) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rawB = cnt.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val tgtB = cnt.filter(e => e._1._1 <= 1L).groupBy(_._1._2)
+      .view.mapValues(_.values.sum).toMap
+    val (rtot, ttot) = (rawB.values.sum, tgtB.values.sum)
+    def ln12(x: Double): Long =
+      BigDecimal(math.log(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000000000L)).toLongExact
+    val want4 = cnt.collect { case ((4L, b), c) =>
+      c * (ln12((tgtB.getOrElse(b, 0L) + 1).toDouble / (ttot + 16)) -
+           ln12((rawB(b) + 1).toDouble / (rtot + 16))) }.sum
+    assert(got(4L) == want4, s"${got(4L)} != replay $want4")
+  }
+
   test("shard packing: budget respected at shard starts, ids dense, oversize doc isolated") {
     import graft.ops.Mix
     val df = Seq((1L, "s", 900L), (2L, "s", 900L), (3L, "s", 5000L),
