@@ -556,12 +556,18 @@ object Queries {
 
   /** Embedding-cosine near-dup pairs via LSH buckets (rows-only). The
     * corpus is random gaussians (max pairwise cosine ≈ 0.51), so the
-    * threshold/bits are set where candidate pairs exist; recall scales with
-    * probe count like any LSH.
+    * threshold is set where candidate pairs exist; recall scales with
+    * probe count like any LSH. nBits is sized FROM THE CORPUS
+    * (log2(n / targetBucketSize)) — the 10× rehearsal measured a fixed
+    * nBits=4 config >300× super-linear (bucket density, and with it the
+    * in-bucket pair expansion, grows with corpus size); the auto sizing
+    * keeps expected bucket occupancy constant and restores ~linear
+    * scaling (SCALE.md). The fixed-nBits counterpoint lives only in
+    * `ScaleRehearsal` (`q35_fixed`).
     */
   private val q35 = Q("q35_cosine_neardup",
-    (s, d) => Similarity.cosineNearDups(t(s, d, "embeddings"),
-        threshold = 0.4, nBits = 4)
+    (s, d) => Similarity.cosineNearDupsAuto(t(s, d, "embeddings"),
+        threshold = 0.4)
       .orderBy(col("a_id"), col("b_id")),
     None)
 
@@ -3315,6 +3321,13 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)")
           .as("approx_q"))
+      // scalar columns, not array<double>: the external harness
+      // canonicalizes by sort+hash and cannot handle array cells
+      .select(col("l_returnflag"), col("n"),
+        col("approx_q").getItem(0).as("p25"),
+        col("approx_q").getItem(1).as("p50"),
+        col("approx_q").getItem(2).as("p75"),
+        col("approx_q").getItem(3).as("p95"))
       .orderBy(col("l_returnflag")),
     None)
 

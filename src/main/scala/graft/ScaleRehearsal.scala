@@ -175,6 +175,13 @@ object ScaleRehearsal {
         graft.ops.Similarity.cosineNearDupsAuto(
             Tables(spark, dir, "embeddings"), threshold = 0.4)
           .orderBy(col("a_id"), col("b_id"))
+      // the fixed-nBits config the catalog used through r6 — kept here as
+      // the measured super-linear counterpoint (>300x at 10x, SCALE.md);
+      // catalog q35 now runs the auto sizing
+      case "q35_fixed" =>
+        graft.ops.Similarity.cosineNearDups(
+            Tables(spark, dir, "embeddings"), threshold = 0.4, nBits = 4)
+          .orderBy(col("a_id"), col("b_id"))
       // full perceptual near-dup paths (signature extraction + banded
       // hamming join), not just the q129-q131 signature queries: the 10x
       // docs table yields 10x media rows, all content-distinct, so this

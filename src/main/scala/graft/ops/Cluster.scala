@@ -62,11 +62,22 @@ object Cluster {
     graft.functions.gfn.lattice_nearest(col("qv"), centroids.flatten,
       centroids.length, centroids(0).length)
 
+  /** The packed `dist2*65536 + cluster` encoding needs dist2 to fit in
+    * the 47 bits above the 16-bit cluster id; worst-case dist2 is
+    * dim*(2*scale)^2, so the bound is on dim AND scale together. Checked
+    * wherever dim first becomes known — silent overflow here would corrupt
+    * every assignment with no error.
+    */
+  private def requirePackable(dim: Int, scale: Int): Unit =
+    require(dim.toLong * 4L * scale.toLong * scale.toLong < (1L << 47),
+      s"packing bound: dim*(2*scale)^2 < 2^47 violated (dim=$dim, scale=$scale)")
+
   /** Lloyd loop over a persisted quantized frame; returns final centroids. */
-  private def train(q: DataFrame, k: Int, iters: Int): Array[Array[Long]] = {
+  private def train(q: DataFrame, k: Int, iters: Int, scale: Int): Array[Array[Long]] = {
     var centroids: Array[Array[Long]] = q.orderBy(col("id")).limit(k)
       .select(col("qv")).collect().map(_.getSeq[Long](0).toArray)
     require(centroids.length == k, s"need >= $k input vectors")
+    requirePackable(centroids(0).length, scale)
     for (_ <- 1 to iters) {
       // update: per-(cluster, dim) exact sums — partial agg shrinks every
       // partition to k*dim rows pre-shuffle; k*dim aggregated rows come
@@ -100,7 +111,7 @@ object Cluster {
       "packing bound: k <= 65536 and dim*(2*scale)^2 < 2^47")
     val q = quantized(emb, idCol, vecCol, scale)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val centroids = train(q, k, iters)
+    val centroids = train(q, k, iters, scale)
     val out = q.withColumn("packed", nearestPacked(centroids))
       .select(col("id"),
         pmod(col("packed"), lit(65536L)).as("cluster"),
@@ -119,7 +130,7 @@ object Cluster {
                      (implicit spark: SparkSession): Array[Array[Long]] = {
     val q = quantized(emb, idCol, vecCol, scale)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val c = train(q, k, iters)
+    val c = train(q, k, iters, scale)
     q.unpersist()
     c
   }
@@ -128,12 +139,14 @@ object Cluster {
     * `(id, cluster, dist2)` with zero shuffles — the probe face.
     */
   def assign(emb: DataFrame, idCol: String, vecCol: String,
-             centroids: Array[Array[Long]], scale: Int = 1000): DataFrame =
+             centroids: Array[Array[Long]], scale: Int = 1000): DataFrame = {
+    requirePackable(centroids(0).length, scale)
     quantized(emb, idCol, vecCol, scale)
       .withColumn("packed", nearestPacked(centroids))
       .select(col("id"),
         pmod(col("packed"), lit(65536L)).as("cluster"),
         expr("packed div 65536").as("dist2"))
+  }
 
   /** Two-level assignment index: centroids grouped under `nSuper`
     * super-centroids (a driver-side Lloyd over the k×dim centroid matrix —
@@ -186,6 +199,7 @@ object Cluster {
   def assignPruned(emb: DataFrame, idCol: String, vecCol: String,
                    idx: PrunedIndex, nProbe: Int, scale: Int = 1000): DataFrame = {
     val dim = idx.cents(0).length
+    requirePackable(dim, scale)
     quantized(emb, idCol, vecCol, scale)
       .withColumn("packed", graft.functions.gfn.lattice_nearest_pruned(
         col("qv"), idx.cents.flatten, idx.cents.length, dim,

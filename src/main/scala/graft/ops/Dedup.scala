@@ -465,8 +465,10 @@ object Dedup {
         s"transform(sequence(0, size(toks) - $k), " +
           s"i -> concat_ws(' ', slice(toks, i + 1, $k)))")).as(Seq("pos", "gram")))
     val repeated = grams
-      // unique global order: pos < 1e6 ≪ any doc's token count ceiling
-      .withColumn("ord", col("doc_id") * lit(1000000L) + col("pos"))
+      // global first-occurrence order as a struct min — lexicographic
+      // (doc_id, pos), exact for ANY doc length (the earlier packed-long
+      // doc_id*1e6+pos silently collided past 1e6 tokens per doc)
+      .withColumn("ord", struct(col("doc_id"), col("pos")))
       .withColumn("first_ord", min(col("ord")).over(Window.partitionBy(col("gram"))))
       .where(col("ord") =!= col("first_ord"))
       .select(col("doc_id"), col("pos"))
@@ -509,7 +511,8 @@ object Dedup {
         s"transform(sequence(0, size(toks) - $k), " +
           s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
         .as(Seq("pos", "gram_hash")))
-      .withColumn("ord", col("doc_id") * lit(1000000L) + col("pos"))
+      // struct min = lexicographic (doc_id, pos): exact for any doc length
+      .withColumn("ord", struct(col("doc_id"), col("pos")))
   }
 
   /** A reusable substring-dedup index: the DISTINCT hashed k-gram set of

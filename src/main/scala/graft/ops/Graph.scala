@@ -28,9 +28,12 @@ import org.apache.spark.storage.StorageLevel
   * onto edges partitioned by `src`, and one `groupBy(dst)` whose partial
   * aggregation combines contributions map-side. Edges and degrees are
   * computed once and persisted across iterations; nothing is ever collected
-  * to the driver. Lineage grows one join-agg layer per iteration — fine for
-  * the typical 5-20 iterations; at hundreds, checkpoint every ~10 rounds
-  * exactly as [[Components]] does.
+  * to the driver. Lineage is truncated with `localCheckpoint` every
+  * `checkpointEvery` iterations (default 10), exactly as [[Components]]
+  * does per round — without it the plan grows one join-agg layer per
+  * iteration and analysis/codegen time eventually dominates (and a lost
+  * executor would replay the whole chain). GraphSpec pins bounded plan
+  * depth at 30+ iterations.
   *
   * ANSI-overflow dial: intermediate products are bounded by
   * `totalMass * dampNum` ~ `nNodes * unit * 100`; keep `nNodes * unit`
@@ -45,8 +48,10 @@ object Graph {
     * are collapsed first.
     */
   def pageRankInt(edges: DataFrame, iters: Int, unit: Long = 1000000000L,
-                  dampNum: Int = 85, dampDen: Int = 100): DataFrame = {
-    require(iters >= 1 && unit >= 1 && dampNum >= 0 && dampDen >= dampNum)
+                  dampNum: Int = 85, dampDen: Int = 100,
+                  checkpointEvery: Int = 10): DataFrame = {
+    require(iters >= 1 && unit >= 1 && dampNum >= 0 && dampDen >= dampNum &&
+      checkpointEvery >= 1)
     val base = unit * (dampDen - dampNum) / dampDen
 
     val e = edges
@@ -58,7 +63,7 @@ object Graph {
     val nodes = deg.select(col("src").as("node"))
 
     var r = nodes.select(col("node"), lit(unit).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = r
         .join(deg, r("node") === deg("src"))
         .select(col("src"), expr(s"r * $dampNum div $dampDen div deg").as("share"))
@@ -67,6 +72,9 @@ object Graph {
         .agg(sum(col("share")).as("inflow"))
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+      // truncate lineage: rank values are identical (checkpoint is a
+      // materialization, not a recomputation), plan depth stays bounded
+      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
     }
     r.select(col("node"), col("r").as("rank_units"))
   }

@@ -30,10 +30,13 @@ object TextOps {
   def spaceCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, " ", ""))).cast("long")
 
-  /** Occurrences of `word` in `text` via the length-difference trick —
-    * identical semantics in Spark and DuckDB (`replace` replaces all).
+  /** TOTAL MATCHED CHARACTER LENGTH of `word` in `text` (occurrences ×
+    * word length) via the length-difference trick — identical semantics in
+    * Spark and DuckDB (`replace` replaces all). NOT an occurrence count:
+    * [[langScore]] wants matched-length weighting (longer markers carry
+    * more evidence); divide by `word.length` if you need a count.
     */
-  def wordScore(text: Column, word: String): Column =
+  def matchedLen(text: Column, word: String): Column =
     (length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(word), "")))
       .cast("long")
 
@@ -121,7 +124,7 @@ object TextOps {
 
   def langScore(text: Column, lang: String): Column =
     langMarkers.toMap.apply(lang)
-      .map(w => wordScore(text, w))
+      .map(w => matchedLen(text, w))
       .reduce(_ + _)
 
   def langPred(text: Column): Column = {

@@ -60,6 +60,22 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("checkpointing keeps plan depth bounded at 30+ iterations, same bits") {
+    // 32 iterations with checkpointEvery=10: the final plan holds at most
+    // ~2 un-truncated iteration layers; without checkpointing it would
+    // hold all 32. Values must be identical either way (localCheckpoint
+    // materializes, it does not recompute).
+    val ckpt = Graph.pageRankInt(g.toDF("src", "dst"), iters = 32)
+    val depth = ckpt.queryExecution.optimizedPlan.collect { case p => p }.size
+    val noCkptDepth = Graph.pageRankInt(g.toDF("src", "dst"), iters = 32,
+        checkpointEvery = Int.MaxValue)
+      .queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(depth < noCkptDepth / 3,
+      s"checkpointed plan has $depth nodes vs $noCkptDepth uncheckpointed")
+    val want = reference(g, iters = 32)
+    assert(ckpt.as[(Long, Long)].collect().toMap == want)
+  }
+
   test("plan is equi-join shaped: no cartesian or nested-loop join") {
     val plan = Graph.pageRankInt(g.toDF("src", "dst"), iters = 3)
       .queryExecution.executedPlan.toString
