@@ -3,8 +3,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every catalog query on SPARK_GRAFT_SF_DIR, prints
-  * one JSON line. Queries run in stable (name) order; a failed query is
-  * recorded as -1 so it can never inflate the total while looking healthy.
+  * one JSON line. A failed query is recorded as -1 so it can never inflate
+  * the total while looking healthy.
+  *
+  * Isolation (r7): repetitions are INTERLEAVED, not back-to-back — the run
+  * is 3 full passes over the catalog, each pass in a different
+  * deterministically-seeded shuffle order, with a System.gc() between
+  * queries. Rationale: r6 ran 132 queries x3 back-to-back in lexicographic
+  * order, which put the heavy q113-q131 family early and made mid-catalog
+  * queries measure GC/heap pressure from their fixed neighbors — untouched
+  * queries "regressed" up to 6x vs r5 on identical bytecode. Shuffling
+  * per-pass gives each query three different neighborhoods, so the median
+  * reflects the query, not its lexicographic neighbor; the explicit GC
+  * drains the previous query's garbage before the clock starts. Seeds are
+  * fixed (pass index) so runs stay reproducible.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -33,18 +45,31 @@ object Bench {
     }
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    // (name, median, min, max) per query; median < 0 marks a failure
-    def renderJson(results: Seq[(String, Double, Double, Double)]): String = {
-      val qs = results.map { case (k, med, _, _) => "\"" + k + "\":" + med }
+    val passes = 3
+    // samples so far per query; an empty vector after a pass means FAILED
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    val failed = scala.collection.mutable.Set.empty[String]
+
+    // median of the samples collected so far (lower-middle for even counts)
+    // — partial JSON stays valid if the run is killed between passes
+    def stats(name: String): (Double, Double, Double) =
+      if (failed(name) || !samples.get(name).exists(_.nonEmpty)) (-1.0, -1.0, -1.0)
+      else {
+        val s = samples(name).sorted
+        (s((s.length - 1) / 2), s.head, s.last)
+      }
+    def renderJson(): String = {
+      val done = ordered.map(_.name).filter(n => failed(n) || samples.contains(n))
+      val rows = done.map(n => n -> stats(n))
+      val qs = rows.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
         .mkString("{", ",", "}")
-      val spread = results
-        .map { case (k, _, lo, hi) => "\"" + k + "\":[" + lo + "," + hi + "]" }
+      val spread = rows
+        .map { case (k, (_, lo, hi)) => "\"" + k + "\":[" + lo + "," + hi + "]" }
         .mkString("{", ",", "}")
-      val total = results.collect { case (_, med, _, _) if med >= 0 => med }.sum
-      val failed = results.count(_._2 < 0)
+      val total = rows.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""spread_min_max":$spread,"runs_per_query":3,"stat":"median",""" +
-        s""""failed":$failed,"sf":"$sfDir"}"""
+        s""""spread_min_max":$spread,"runs_per_query":$passes,"stat":"median",""" +
+        s""""order":"shuffled_per_pass","failed":${failed.size},"sf":"$sfDir"}"""
     }
     // Persist to a file as well as stdout: the stdout line is long enough
     // that log-tail capture has truncated it (round 3 lost q01-q12 and the
@@ -59,30 +84,32 @@ object Bench {
         System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
       }
 
-    // median of three runs per query: single-shot sub-second timings at
-    // sf0.1 on local[32] swing up to 5x run-to-run (r4 vs r5 on identical
-    // bytecode: q88 0.83<->3.06 s, q89 0.22<->1.20 s), so one sample is not
-    // a finding. The median discards both the one-time codegen/JIT first
-    // touch AND a single GC/scheduler hiccup; min/max are recorded alongside
-    // so the spread itself is visible in BENCH_r{N}.json.
-    var results = Vector.empty[(String, Double, Double, Double)]
-    for (q <- ordered) {
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        run(q)
-        (System.nanoTime() - t0) / 1e9
+    // median of three interleaved runs per query: single-shot sub-second
+    // timings at sf0.1 on local[32] swing up to 5x run-to-run (r4 vs r5 on
+    // identical bytecode: q88 0.83<->3.06 s), so one sample is not a
+    // finding. The median discards both the one-time codegen/JIT first
+    // touch AND a single GC/scheduler hiccup; min/max are recorded
+    // alongside so the spread itself is visible in BENCH_r{N}.json.
+    for (pass <- 0 until passes) {
+      val order = new scala.util.Random(pass).shuffle(ordered)
+      for (q <- order if !failed(q.name)) {
+        // drain the previous query's garbage before the clock starts —
+        // otherwise this query pays its neighbor's collection
+        System.gc()
+        try {
+          val t0 = System.nanoTime()
+          run(q)
+          val sec = (System.nanoTime() - t0) / 1e9
+          samples(q.name) = samples.getOrElse(q.name, Vector.empty) :+ sec
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
+          failed += q.name
+          samples.remove(q.name)
+        }
+        writeJson(renderJson())
       }
-      val entry = try {
-        val samples = Vector(once(), once(), once()).sorted
-        (q.name, samples(1), samples.head, samples.last)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
-        (q.name, -1.0, -1.0, -1.0)
-      }
-      results :+= entry
-      writeJson(renderJson(results))
     }
-    println(renderJson(results))
+    println(renderJson())
     spark.stop()
   }
 }

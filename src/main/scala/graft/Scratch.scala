@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Similarity}
+import graft.ops.TextOps
 
 /** Throwaway profiling main (not part of the engine). */
 object Scratch {
@@ -21,40 +21,42 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val sf = "/root/testdata/sf0.01"
+    val sf = "/root/testdata/sf0.001"
     val docs = Tables(spark, sf, "documents")
-    val emb = Tables(spark, sf, "embeddings")
 
-    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-
-    val exact = pairSet(Dedup.exactNearDups(docs, 0.5))
-    val mh = pairSet(Dedup.minhashNearDups(docs, 0.5))
-    val sh = pairSet(Dedup.simhashNearDups(docs, 3))
-    println(s"RECALL exact=${exact.size} minhash=${mh.size} (recall ${mh.intersect(exact).size.toDouble / exact.size}) " +
-      s"precision=${mh.subsetOf(exact)}")
-    println(s"RECALL simhash=${sh.size} vs exact: overlap ${sh.intersect(exact).size}")
-
-    // cosine near-dup recall vs brute force (threshold 0.4 like q35)
-    val vecsA = emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-    val vecsB = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
-    val brute = vecsA.crossJoin(vecsB).filter(col("a_id") < col("b_id"))
-      .withColumn("cs", Similarity.cosine(col("a_emb"), col("b_emb")))
-      .filter(col("cs") >= 0.4)
-    val bruteSet = pairSet(brute)
-    val lsh = pairSet(Similarity.cosineNearDups(emb, 0.4, nBits = 4))
-    println(s"RECALL cosine exact=${bruteSet.size} lsh=${lsh.size} " +
-      s"recall=${lsh.intersect(bruteSet).size.toDouble / bruteSet.size}")
-
-    // ANN recall@10 vs brute force, several query ids
-    val qids = Seq(0L, 7L, 123L, 250L, 444L)
-    val annR = qids.map { q =>
-      val b = Similarity.topKCosine(emb, q, 10).collect().map(_.getLong(0)).toSet
-      val a = Similarity.annTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
-      val i = Similarity.ivfTopK(emb, q, 10).collect().map(_.getLong(0)).toSet
-      (q, a.intersect(b).size, i.intersect(b).size)
+    // realized BPE batch sizes on real text: job counts at batch 1 vs 64
+    def jobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { body; Thread.sleep(500) } finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
     }
-    annR.foreach { case (q, al, iv) => println(s"RECALL@10 q=$q lsh=$al ivf=$iv") }
+    val nm = 100
+    val j64 = jobs {
+      val t = TextOps.learnBpe(docs, col("text"), numMerges = nm, batchMerges = 64).collect()
+      println(s"batched merges: ${t.length}")
+    }
+    val j1 = jobs {
+      val t = TextOps.learnBpe(docs, col("text"), numMerges = nm, batchMerges = 1).collect()
+      println(s"sequential merges: ${t.length}")
+    }
+    println(s"JOBS batched=$j64 sequential=$j1 ratio=${j1.toDouble / j64}")
+
+    // driver path: equality on real text + wall time at vocab-scale merges
+    val drv = time("learnBpeDriver nm=100 sf0.001") {
+      TextOps.learnBpeDriver(docs, col("text"), numMerges = nm).collect()
+    }
+    val dst = TextOps.learnBpe(docs, col("text"), numMerges = nm).collect()
+    println(s"DRIVER==DISTRIBUTED: ${drv.toSeq == dst.toSeq} (${drv.length} merges)")
+    val docs01 = Tables(spark, "/root/testdata/sf0.01", "documents")
+    time("learnBpeDriver nm=2000 sf0.01") {
+      val t = TextOps.learnBpeDriver(docs01, col("text"), numMerges = 2000).collect()
+      println(s"driver merges at sf0.01: ${t.length}")
+    }
     spark.stop()
   }
 }

@@ -58,6 +58,44 @@ object BpeKernel {
     new GenericArrayData(out.toArray)
   }
 
+  /** Apply a BATCH of merges in rank order — one pass per pair over a
+    * primitive array, no ArrayData round-trip between pairs. Semantically
+    * identical to applying the pairs one [[mergePair]] at a time in the
+    * given order (TextOps.learnBpe's acceptance rule proves that order
+    * equals the sequential argmax order).
+    */
+  def mergeBatch(syms: ArrayData, flat: Array[UTF8String]): ArrayData = {
+    var n = syms.numElements()
+    var cur = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { cur(i) = syms.getUTF8String(i); i += 1 }
+    var p = 0
+    while (p + 1 < flat.length) {
+      val a = flat(p)
+      val b = flat(p + 1)
+      val out = new Array[UTF8String](n)
+      var k = 0
+      i = 0
+      while (i < n) {
+        if (i + 1 < n && cur(i).equals(a) && cur(i + 1).equals(b)) {
+          out(k) = UTF8String.concat(a, b)
+          i += 2
+        } else {
+          out(k) = cur(i)
+          i += 1
+        }
+        k += 1
+      }
+      cur = out
+      n = k
+      p += 2
+    }
+    val res = new Array[AnyRef](n)
+    i = 0
+    while (i < n) { res(i) = cur(i); i += 1 }
+    new GenericArrayData(res)
+  }
+
   /** Rank lookup for [[encode]]: merges flattened [l0, r0, l1, r1, ...] in
     * learned order → map "l<NUL>r" -> rank (separator is the escaped
     * "\u0000" char: it cannot occur inside a UTF8String symbol). Built once per expression

@@ -332,6 +332,34 @@ case class BpeMergePair(child: Expression, a: String, b: String)
     copy(child = newChild)
 }
 
+/** Batched variant of [[BpeMergePair]]: applies a whole symbol-disjoint
+  * merge batch (flattened [l0, r0, l1, r1, ...], rank order) in one kernel
+  * call — one reference object and one virtual call per row instead of a
+  * batch-deep expression chain.
+  */
+case class BpeMergeBatch(child: Expression, flatPairs: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_merge_batch"
+
+  @transient private lazy val flatU: Array[org.apache.spark.unsafe.types.UTF8String] =
+    flatPairs.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+
+  override def nullSafeEval(v: Any): Any =
+    BpeKernel.mergeBatch(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], flatU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val fr = ctx.addReferenceObj("bpeBatch", flatU,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      s"${ev.value} = graft.functions.BpeKernel.mergeBatch($c, $fr);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeBatch =
+    copy(child = newChild)
+}
+
 case class BpeEncode(child: Expression, merges: Array[String])
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -439,6 +467,8 @@ object gfn {
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
   def bpe_init_symbols(c: Column): Column = col(BpeInitSymbols(ex(c)))
+  def bpe_merge_batch(c: Column, flatPairs: Array[String]): Column =
+    col(BpeMergeBatch(ex(c), flatPairs))
   def bpe_merge_pair(c: Column, a: String, b: String): Column =
     col(BpeMergePair(ex(c), a, b))
   def bpe_encode(c: Column, merges: Array[String]): Column =

@@ -391,15 +391,45 @@ object Dedup {
       maxHamming, maxBucketSize, capMetric = "simhash_lsh_cap")
   }
 
+  /** [[simhashNearDups]] with the banding auto-sized from the corpus (one
+    * cheap count() before signatures are computed): past corpus ≈ 65,536 x
+    * occupancy the fixed 4x16-bit scheme's buckets densify and the
+    * candidate set grows quadratically — [[autoHammingBlocks]] widens the
+    * keys (more tables, constant occupancy) instead, exactly the q35
+    * cosine-LSH lesson. Identical output set to any other lossless
+    * banding: banding only selects candidates, the exact hamming verify
+    * decides membership.
+    */
+  def simhashNearDupsAuto(docs: DataFrame, maxHamming: Int = 3,
+                          targetBucketSize: Int = 64,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val text = docs.select(col("doc_id"), col("text"))
+      .repartition(parallelism, col("doc_id"))
+    hammingNearDupsFromSigs(
+      text.select(col("doc_id").as("id"), simhash(col("text")).as("sig")),
+      maxHamming, maxBucketSize, capMetric = "simhash_lsh_cap",
+      nBlocks = autoHammingBlocks(docs.count(), maxHamming, targetBucketSize))
+  }
+
   /** Banded hamming near-dup over ANY 64-bit signature frame `(id, sig)` —
     * the generic core of [[simhashNearDups]], also driving image aHash
     * dedup ([[Multimodal.imageAHash]]) and any other fingerprint the
-    * pipeline produces. Pigeonhole: hamming <= 3 forces at least one of the
-    * four 16-bit chunks to match exactly, so the chunk equi-join is a
-    * LOSSLESS candidate filter at maxHamming <= 3; the exact popcount
-    * verify then removes false positives.
+    * pipeline produces.
     *
-    * The signature frame is persisted: the chunk explode and BOTH verify
+    * Generalized block-combination banding (Manku et al., WWW'07 — the
+    * Google simhash-dedup table scheme): the 64-bit signature is split
+    * into `nBlocks` blocks; a pair at hamming <= h differs in at most h
+    * blocks, so at least `nBlocks - h` blocks are IDENTICAL — band on
+    * every (nBlocks - h)-subset of blocks (C(nBlocks, h) tables, key =
+    * the subset's concatenated bits) and the bucket equi-join is a
+    * LOSSLESS candidate filter; the exact popcount verify then removes
+    * false positives. nBlocks = 4 with h <= 3 is the classic 4x16-bit
+    * chunk scheme (4 tables, 16-bit keys); nBlocks = 6 gives 20 tables
+    * with ~31-bit keys — 2^15 x more buckets for 5x the explode — the
+    * dial [[hammingNearDupsFromSigsAuto]] turns as the corpus grows.
+    *
+    * The signature frame is persisted: the block explode and BOTH verify
     * sides consume it, and re-deriving signatures post-join would hash
     * ~|candidates|x2 payloads (measured 2x the whole query at sf0.1 for
     * simhash) where the cached frame is 8 bytes + id per row. No broadcast
@@ -407,17 +437,34 @@ object Dedup {
     */
   def hammingNearDupsFromSigs(sigs0: DataFrame, maxHamming: Int = 3,
                               maxBucketSize: Option[Int] = None,
-                              capMetric: String = "hamming_lsh_cap"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      "4x16-bit banding is lossless only for maxHamming <= 3")
+                              capMetric: String = "hamming_lsh_cap",
+                              nBlocks: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < nBlocks,
+      s"need nBlocks > maxHamming for lossless banding (got $nBlocks <= $maxHamming)")
+    require(nBlocks >= 2 && nBlocks <= 10,
+      "nBlocks in 2..10: C(nBlocks, maxHamming) tables must stay bounded")
+    // block layout: first (nBlocks - r) blocks get floor(64/nBlocks) bits,
+    // the last r get one more — widths/offsets fixed by nBlocks alone
+    val floorW = 64 / nBlocks
+    val r = 64 % nBlocks
+    val widths = Array.tabulate(nBlocks)(i => if (i < nBlocks - r) floorW else floorW + 1)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(j: Int): Column =
+      shiftrightunsigned(col("sig"), offsets(j))
+        .bitwiseAND(lit((1L << widths(j)) - 1L))
+    val combos = (0 until nBlocks).combinations(nBlocks - maxHamming).toSeq
+    val tables = combos.zipWithIndex.map { case (js, t) =>
+      // concatenate the selected blocks' bits into one long key
+      val (key, _) = js.foldLeft((lit(0L), 0)) { case ((acc, shift), j) =>
+        (acc.bitwiseOR(shiftleft(blockVal(j), shift)), shift + widths(j))
+      }
+      struct(lit(t).as("tbl"), key.as("key"))
+    }
     val sigs = sigs0.select(col("id").as("doc_id"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val chunked = sigs.select(col("doc_id"), explode(array((0 until 4).map { c =>
-      struct(lit(c).as("chunk"),
-        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))
-    }: _*)).as("ck"))
-      .select(col("doc_id"), col("ck.chunk"), col("ck.chunk_val"))
-    val cand = pairsFromBuckets(chunked, Seq("chunk", "chunk_val"),
+    val banded = sigs.select(col("doc_id"), explode(array(tables: _*)).as("tk"))
+      .select(col("doc_id"), col("tk.tbl"), col("tk.key"))
+    val cand = pairsFromBuckets(banded, Seq("tbl", "key"),
       maxBucketSize = maxBucketSize, capMetric = capMetric)
     val withSig = sigs.join(cand, col("doc_id") === col("a_id"))
       .select(col("a_id"), col("b_id"), col("sig").as("a_sig"))
@@ -428,6 +475,45 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
   }
+
+  /** Key width (bits) of the block-combination banding at `nBlocks`: the
+    * conservative minimum over combos — the sum of the (nBlocks - h)
+    * SMALLEST block widths.
+    */
+  def hammingKeyBits(nBlocks: Int, maxHamming: Int): Int = {
+    val floorW = 64 / nBlocks
+    val r = 64 % nBlocks
+    val numFloor = nBlocks - r
+    val take = nBlocks - maxHamming
+    math.min(take, numFloor) * floorW + math.max(0, take - numFloor) * (floorW + 1)
+  }
+
+  /** Smallest nBlocks in (h+1)..8 whose key width keeps expected bucket
+    * occupancy n / 2^keyBits at or below `targetBucketSize` — the q35
+    * lesson applied to hamming banding: at FIXED nBlocks = 4 the 16-bit
+    * keys give 65,536 buckets per table, so bucket density (and the
+    * in-bucket pair expansion) grows linearly with the corpus and the
+    * candidate set quadratically; the knee sits at corpus ≈ 65,536 x
+    * occupancy. Growing key bits ~log(corpus) — paid as C(nBlocks, h)
+    * tables instead of 4 — keeps occupancy constant. 8 blocks / 40-bit
+    * keys / 56 tables covers corpora to ~10^13 docs at occupancy 64.
+    */
+  def autoHammingBlocks(n: Long, maxHamming: Int = 3,
+                        targetBucketSize: Int = 64): Int =
+    (maxHamming + 1 to 8).find { b =>
+      n.toDouble / math.pow(2.0, hammingKeyBits(b, maxHamming).toDouble) <=
+        targetBucketSize
+    }.getOrElse(8)
+
+  /** [[hammingNearDupsFromSigs]] with nBlocks sized FROM THE CORPUS (one
+    * cheap count), mirroring [[Similarity.cosineNearDupsAuto]].
+    */
+  def hammingNearDupsFromSigsAuto(sigs0: DataFrame, maxHamming: Int = 3,
+                                  targetBucketSize: Int = 64,
+                                  maxBucketSize: Option[Int] = None,
+                                  capMetric: String = "hamming_lsh_cap"): DataFrame =
+    hammingNearDupsFromSigs(sigs0, maxHamming, maxBucketSize, capMetric,
+      nBlocks = autoHammingBlocks(sigs0.count(), maxHamming, targetBucketSize))
 
   /** n-gram Jaccard similarity between two text columns (exact string-set
     * semantics, for candidate verification or small-side joins). Native

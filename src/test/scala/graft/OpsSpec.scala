@@ -638,6 +638,60 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Seq((1L, 2L, 0)))
   }
 
+  test("block-combination banding is lossless at every nBlocks: pair set == brute force") {
+    import spark.implicits._
+    // synthetic signatures with planted near-dups: random base sigs plus
+    // 1-3 bit perturbations (hamming 1-3 of their base) and decoys at
+    // hamming >= 8
+    val rnd = new java.util.Random(99173)
+    val base = Seq.fill(60)(rnd.nextLong())
+    val sigs = base.zipWithIndex.flatMap { case (s, i) =>
+      val flips = 1 + rnd.nextInt(3)
+      val near = (1 to flips).foldLeft(s)((v, _) => v ^ (1L << rnd.nextInt(64)))
+      val far = (1 to 8 + rnd.nextInt(8)).foldLeft(s)((v, k) => v ^ (1L << ((k * 7 + i) % 64)))
+      Seq((i * 3L, s), (i * 3L + 1, near), (i * 3L + 2, far))
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val truth = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && hamming(sa, sb) <= 3
+    } yield (ia, ib)).toSet
+    val df = sigs.toDF("id", "sig")
+    for (b <- Seq(4, 5, 6, 8)) {
+      val got = Dedup.hammingNearDupsFromSigs(df, maxHamming = 3, nBlocks = b)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == truth, s"nBlocks=$b: ${got.size} pairs vs truth ${truth.size}")
+    }
+    // and the auto face picks a valid config and returns the same set
+    val auto = Dedup.hammingNearDupsFromSigsAuto(df, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == truth)
+  }
+
+  test("autoHammingBlocks: 4 blocks at gate scale, wider keys past the 65k-bucket knee") {
+    // occupancy target 64 with 16-bit keys covers ~4.2M sigs; beyond that
+    // the block count must grow, monotonically, and stay lossless (> h)
+    assert(Dedup.autoHammingBlocks(500000L) == 4)
+    assert(Dedup.autoHammingBlocks(4L << 20) == 4)
+    val big = Dedup.autoHammingBlocks(100L << 20) // ~100M sigs
+    assert(big > 4 && big <= 8, s"got $big")
+    val bigger = Dedup.autoHammingBlocks(10L * 1000 * 1000 * 1000)
+    assert(bigger >= big && bigger <= 8)
+    // key widths: 4 -> 16 bits (the classic chunk scheme), 6 -> 31, 8 -> 40
+    assert(Dedup.hammingKeyBits(4, 3) == 16)
+    assert(Dedup.hammingKeyBits(6, 3) == 31)
+    assert(Dedup.hammingKeyBits(8, 3) == 40)
+  }
+
+  test("simhashNearDupsAuto == simhashNearDups pair set on a real corpus slice") {
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fixed = pairs(Dedup.simhashNearDups(d, maxHamming = 3))
+    val auto = pairs(Dedup.simhashNearDupsAuto(d, maxHamming = 3))
+    assert(auto == fixed, s"auto ${auto.size} vs fixed ${fixed.size}")
+  }
+
   test("TopKByScore aggregate matches the window formulation and plans " +
        "with partial (map-side) aggregation") {
     import org.apache.spark.sql.expressions.Window
@@ -747,6 +801,65 @@ class OpsSpec extends AnyFunSuite {
     assert(enc(1).nonEmpty && enc(1).count(_.endsWith("</w>")) == 2, s"got ${enc(1)}")
     // lossless: concatenating subwords reconstructs the words
     assert(enc(1).mkString.replace("</w>", " ").trim == "lowest xyz")
+  }
+
+  test("batched BPE == one-argmax-per-round BPE, with far fewer Spark jobs") {
+    import spark.implicits._
+    // richer corpus than the example test: enough distinct words that
+    // batches actually contain several disjoint pairs per round
+    val rnd = new java.util.Random(20240813)
+    val words = Seq.fill(40)(
+      (1 to (2 + rnd.nextInt(6))).map(_ => "abcdefgh".charAt(rnd.nextInt(8))).mkString)
+    val corpus = Seq.fill(400)(words(rnd.nextInt(words.length)))
+      .grouped(8).map(_.mkString(" ")).toSeq
+    val df = corpus.toDF("text")
+
+    def jobsOf(body: => Seq[(Long, String, String, Long)]): (Seq[(Long, String, String, Long)], Int) = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { val r = body; Thread.sleep(300); (r, counter.get()) }
+      finally spark.sparkContext.removeSparkListener(l)
+    }
+    def learn(batch: Int) =
+      TextOps.learnBpe(df, col("text"), numMerges = 40, batchMerges = batch)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    val (seq1, jobs1) = jobsOf(learn(1))
+    val (seq64, jobs64) = jobsOf(learn(64))
+    assert(seq64 == seq1,
+      s"batched merge table diverged\nbatched    $seq64\nsequential $seq1")
+    // provably-exact batches measure small (~1.6 pairs) because the stop
+    // rule fires on chained top pairs — the batcher must still strictly
+    // beat sequential, and the driver path below is the big win
+    assert(jobs64 < jobs1, s"batched ran $jobs64 jobs vs sequential $jobs1")
+
+    val (drv, jobsDrv) = jobsOf(
+      TextOps.learnBpeDriver(df, col("text"), numMerges = 40)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq)
+    assert(drv == seq1,
+      s"driver merge table diverged\ndriver     $drv\nsequential $seq1")
+    // one vocab aggregation, zero jobs per merge
+    assert(jobsDrv <= 4, s"driver path ran $jobsDrv jobs")
+  }
+
+  test("property: learnBpeDriver matches the reference on 6 seeded random corpora") {
+    import spark.implicits._
+    val rnd = new java.util.Random(55511)
+    for (trial <- 1 to 6) {
+      val words = Seq.fill(8)(
+        (1 to (1 + rnd.nextInt(5))).map(_ => "abcd".charAt(rnd.nextInt(4))).mkString)
+      val corpus = Seq.fill(40)(words(rnd.nextInt(words.length)))
+        .grouped(8).map(_.mkString(" ")).toSeq
+      val expected = refBpe(corpus, numMerges = 8, minPc = 2L)
+      val got = TextOps.learnBpeDriver(corpus.toDF("text"), col("text"), numMerges = 8)
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == expected,
+        s"trial $trial corpus=$corpus\ngot      $got\nexpected $expected")
+    }
   }
 
   test("globalAdjacent == the global-window lead, across partitionings and edge sizes") {
