@@ -93,8 +93,12 @@ object Bench {
     for (pass <- 0 until passes) {
       val order = new scala.util.Random(pass).shuffle(ordered)
       for (q <- order if !failed(q.name)) {
-        // drain the previous query's garbage before the clock starts —
-        // otherwise this query pays its neighbor's collection
+        // drain the previous query's caches (tracked op intermediates,
+        // checkpoint blocks, index persists) and THEN its garbage before
+        // the clock starts — r7 showed a multi-pass bench hauling every
+        // prior query's unreleased MEMORY_AND_DISK blocks through the
+        // heap, inflating untouched queries ~1.8x
+        graft.ops.Caches.drainAll(spark)
         System.gc()
         try {
           val t0 = System.nanoTime()

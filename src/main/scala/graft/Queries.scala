@@ -1768,8 +1768,8 @@ object Queries {
       // its lineage holds the med percentile: without persistence the scan
       // runs 4x and the median twice (exchange reuse does not fire across
       // the aliased subtrees — verified in the executed plan)
-      val dev = li.join(med, "flag").withColumn("adev", abs(col("x") - col("med")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dev = graft.ops.Caches.track(
+        li.join(med, "flag").withColumn("adev", abs(col("x") - col("med"))))
       val mad = dev.groupBy(col("flag")).agg(expr("percentile(adev, 0.5)").as("mad"))
       dev.join(mad, "flag")
         .groupBy(col("flag"))
@@ -1947,9 +1947,8 @@ object Queries {
     (s, d) => {
       // both the df aggregate and the join consume the exploded grams;
       // persist so the shingle pass runs once (the q25/q44 lesson)
-      val grams = docsSpread(s, d)
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val grams = graft.ops.Caches.track(docsSpread(s, d)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("g")))
       val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
       grams.join(dfreq, "g")
         .groupBy(col("doc_id"))
@@ -2516,9 +2515,9 @@ object Queries {
       // the edge frame feeds three join aliases; persist or the whole
       // near-dup kernel runs three times (exchange reuse does not fire
       // across aliased subtrees — the q77/q82 lesson)
-      val e = Dedup.exactNearDups(t(s, d, "documents"), threshold = 0.5)
-        .select(col("a_id"), col("b_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = graft.ops.Caches.track(
+        Dedup.exactNearDups(t(s, d, "documents"), threshold = 0.5)
+          .select(col("a_id"), col("b_id")))
       val path = e.as("e1")
         .join(e.as("e2"), col("e1.b_id") === col("e2.a_id"))
         .select(col("e1.a_id").as("a"), col("e1.b_id").as("b"),
@@ -3186,10 +3185,9 @@ object Queries {
       // without persistence the scan AND the round-robin spread shuffle run
       // twice (exchange reuse does not fire across the aliased subtrees —
       // the q77 lesson, Queries.scala q77_mad_outliers)
-      val li = t(s, d, "lineitem")
+      val li = graft.ops.Caches.track(t(s, d, "lineitem")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x")))
       val pct = li.groupBy(col("flag"))
         .agg(expr("percentile(x, 0.05)").as("lo"), expr("percentile(x, 0.95)").as("hi"))
       val clipped = when(col("x") < col("lo"), col("lo"))
@@ -3255,18 +3253,23 @@ object Queries {
 
   /** BPE VOCABULARY INDUCTION (learn the subword merge table — Sennrich et
     * al. 2016): the missing first step of the tokenize → encode → pack
-    * chain. One corpus pass reduces to the weighted word-vocabulary frame;
-    * each of the 12 training iterations runs on that vocab frame only
-    * (native init/merge kernels + one partial-aggregated pair count + a
-    * 1-row TakeOrdered argmax — the bounded train-step collect). Rows-only:
-    * the iterative argmax is not expressible as one SQL query; pinned by
-    * the OpsSpec reference-implementation equivalence (exact merge-table
-    * match) and the encode roundtrip test. Output (rank, left, right,
-    * pair_count) is fully deterministic — exact long counts,
-    * (count DESC, left, right) tiebreak.
+    * chain. Runs the production dispatcher `TextOps.learnBpeAuto`: one
+    * approx-distinct-words count picks the locus — vocabularies within the
+    * driver budget (this corpus, and ~any real one: merge statistics
+    * depend only on the weighted distinct-word vocab, 5 orders of
+    * magnitude smaller than the corpus) train driver-side with zero Spark
+    * jobs per merge; wilder vocabs fall back to the batched distributed
+    * `TextOps.learnBpe` (per batch: a partial-aggregated pair count and a
+    * bounded `scanLimit`-row ranked-prefix collect, the only driver
+    * traffic). Rows-only: the iterative argmax is not expressible as one
+    * SQL query; pinned by the OpsSpec reference-implementation
+    * equivalence (exact merge-table match, both paths) and the encode
+    * roundtrip test. Output (rank, left, right, pair_count) is fully
+    * deterministic — exact long counts, (count DESC, left, right)
+    * tiebreak.
     */
   private val q113 = Q("q113_bpe_learn",
-    (s, d) => graft.ops.TextOps.learnBpe(
+    (s, d) => graft.ops.TextOps.learnBpeAuto(
       docsSpread(s, d), col("text"), numMerges = 12),
     None)
 

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measurement tooling (not part of the engine): the three targeted scale
+  * probes the round-7 verdict asked for, complementing [[ScaleRehearsal]]'s
+  * 10x query-family sweep. Each probe appends a JSON row to
+  * `target/scale_probes.json` and is summarized by hand in SCALE.md.
+  *
+  *  1. `simhash_knee` — the generalized hamming banding past its knee.
+  *     `Dedup.autoHammingBlocks` keeps per-table bucket occupancy constant
+  *     by widening keys ~log(corpus); the knee for the classic 4x16-bit
+  *     scheme sits at corpus ≈ 65,536 x occupancy ≈ 4.2M signatures. The
+  *     documents tables top out at 50k docs even at sf1, so the probe runs
+  *     the banding core on SYNTHETIC signature corpora (uniform xxhash64
+  *     sigs + planted ≤3-bit-flip near-dup partners — uniform is the
+  *     worst case for bucket densification, and the banding core never
+  *     looks at text): 500k (below the knee: auto must pick 4 = fixed)
+  *     and 6M (past it: auto picks 5). Both bandings are lossless, so the
+  *     pair COUNTS must agree exactly while the fixed-4 candidate set
+  *     grows ~quadratically — the q35 fixed-vs-auto table one level down.
+  *  2. `stream_increment` — the daily-ingest claim: probing a fixed batch
+  *     against a WARM [[graft.ops.Dedup.minhashIndex]] costs ~the batch,
+  *     not the corpus. Measured against the 1x (sf0.1, 5k docs) and 10x
+  *     (sf1, 50k docs) indexes: cold probe #1 pays the index's one-off
+  *     shingle materialization (corpus-sized, amortized across all
+  *     arrivals), warm probe #2 is the steady state and must scale far
+  *     below 10x.
+  *  3. `bpe_driver` — `TextOps.learnBpeDriver` vs the batched distributed
+  *     `TextOps.learnBpe` at a realistic merge count (1024) on the sf0.1
+  *     corpus: byte-identical merge tables required, wall-times recorded.
+  *     This is the datapoint behind the driver path's job-count claim
+  *     (zero Spark jobs per merge vs ~2.3/merge batched-distributed).
+  */
+object ScaleProbes {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val which = if (args.isEmpty) Seq("simhash_knee", "stream_increment", "bpe_driver")
+                else args.toSeq
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def timed[A](body: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = body
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    if (which.contains("simhash_knee")) {
+      // uniform 64-bit sigs + planted partners (3 bit flips derived from a
+      // second hash; coincident positions just mean hamming < 3, still a dup)
+      def sigs(n: Long): DataFrame = {
+        val base = spark.range(n).select(col("id"), xxhash64(col("id")).as("sig"))
+        val partners = spark.range(n / 1000)
+          .select((col("id") * 1000L).as("src_id"))
+          .select((col("src_id") + n).as("id"),
+            xxhash64(col("src_id")).as("s0"),
+            xxhash64(col("src_id"), lit(1)).as("h"))
+          .select(col("id"), expr(
+            "s0 ^ shiftleft(1L, int(pmod(h, 64))) " +
+              "^ shiftleft(1L, int(pmod(shiftrightunsigned(h, 6), 64))) " +
+              "^ shiftleft(1L, int(pmod(shiftrightunsigned(h, 12), 64)))")
+            .as("sig"))
+        base.unionByName(partners).repartition(cpus.toInt)
+      }
+      for (n <- Seq(500000L, 6000000L)) {
+        val s = sigs(n).persist()
+        s.count()
+        val auto = graft.ops.Dedup.autoHammingBlocks(s.count())
+        val (fixedPairs, tFixed) = timed {
+          graft.ops.Dedup.hammingNearDupsFromSigs(s, maxHamming = 3, nBlocks = 4).count()
+        }
+        graft.ops.Caches.drainAll(spark); s.persist(); s.count()
+        val (autoPairs, tAuto) = timed {
+          graft.ops.Dedup.hammingNearDupsFromSigsAuto(s, maxHamming = 3).count()
+        }
+        graft.ops.Caches.drainAll(spark)
+        s.unpersist()
+        val r = f"""{"probe":"simhash_knee","n":$n,"auto_blocks":$auto,"fixed4_sec":$tFixed%.2f,"auto_sec":$tAuto%.2f,"fixed_pairs":$fixedPairs,"auto_pairs":$autoPairs}"""
+        println(s"[probe] $r")
+        require(fixedPairs == autoPairs,
+          s"lossless banding violated: fixed=$fixedPairs auto=$autoPairs")
+        rows += r
+      }
+    }
+
+    if (which.contains("stream_increment")) {
+      val src = "/root/testdata/sf0.1"
+      val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      ScaleRehearsal.ensureSf1(spark, src, sf1, cpus.toInt)
+      // fixed probe batch: sf0.01 documents, ids offset out of every corpus
+      // id space (sf1 ids reach 5000*10+9; the probe contract needs
+      // disjoint ids)
+      val batch = Tables(spark, "/root/testdata/sf0.01", "documents")
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      for ((dir, tag) <- Seq((src, "1x"), (sf1, "10x"))) {
+        batch.persist()
+        batch.count()
+        val idx = graft.ops.Dedup.minhashIndex(Tables(spark, dir, "documents"))
+        val (hits1, tCold) = timed {
+          graft.ops.Dedup.minhashProbe(idx, batch).count()
+        }
+        val (hits2, tWarm) = timed {
+          graft.ops.Dedup.minhashProbe(idx, batch).count()
+        }
+        idx.release()
+        graft.ops.Caches.drainAll(spark)
+        val r = f"""{"probe":"stream_increment","corpus":"$tag","cold_sec":$tCold%.2f,"warm_sec":$tWarm%.2f,"hits":$hits2}"""
+        println(s"[probe] $r")
+        require(hits1 == hits2, s"probe not deterministic: $hits1 vs $hits2")
+        rows += r
+      }
+      batch.unpersist()
+    }
+
+    if (which.contains("bpe_driver")) {
+      val docs = Tables(spark, "/root/testdata/sf0.1", "documents").persist()
+      docs.count()
+      val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "1024").toInt
+      val (drv, tDrv) = timed {
+        graft.ops.TextOps.learnBpeDriver(docs, col("text"), nMerges).collect()
+      }
+      graft.ops.Caches.drainAll(spark); docs.persist(); docs.count()
+      val (dist, tDist) = timed {
+        graft.ops.TextOps.learnBpe(docs, col("text"), nMerges).collect()
+      }
+      graft.ops.Caches.drainAll(spark)
+      docs.unpersist()
+      val same = drv.map(_.toString).sameElements(dist.map(_.toString))
+      require(same, "learnBpeDriver != learnBpe merge table at " +
+        s"$nMerges merges (driver ${drv.length} rows, dist ${dist.length})")
+      val r = f"""{"probe":"bpe_driver","merges":$nMerges,"learned":${drv.length},"driver_sec":$tDrv%.2f,"distributed_sec":$tDist%.2f,"identical":$same}"""
+      println(s"[probe] $r")
+      rows += r
+    }
+
+    val out = java.nio.file.Paths.get("target/scale_probes.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, rows.mkString("[", ",\n", "]\n"))
+    spark.stop()
+  }
+}

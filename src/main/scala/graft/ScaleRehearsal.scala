@@ -32,6 +32,17 @@ object ScaleRehearsal {
 
     val src = "/root/testdata/sf0.1"
     val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    ensureSf1(spark, src, sf1, cpus.toInt)
+    runFamily(spark, src, sf1, args.toSeq)
+    spark.stop()
+  }
+
+  /** Build the disjoint-namespace 10x corpus if absent — shared with
+    * [[ScaleProbes]], which measures index/probe behavior on the same sf1.
+    */
+  private[graft] def ensureSf1(spark: SparkSession, src: String, sf1: String,
+                               cpusN: Int): Unit = {
+    val cpus = cpusN.toString
     val docsOut = s"$sf1/documents.parquet"
     if (!new java.io.File(docsOut).exists()) {
       new java.io.File(sf1).mkdirs()
@@ -130,9 +141,12 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(liOut)
       println(s"[scale] built $liOut")
     }
+  }
 
+  private def runFamily(spark: SparkSession, src: String, sf1: String,
+                        args: Seq[String]): Unit = {
     val family =
-      if (args.nonEmpty) args.toSeq
+      if (args.nonEmpty) args
       else Seq("q25_minhash_neardup", "q44_neardup_exact", "q47_dedup_clusters",
         "q85_cluster_safe_split", "q100_training_mix", "q104_line_dedup",
         "q105_vocab_encode",
@@ -215,6 +229,5 @@ object ScaleRehearsal {
     val out = java.nio.file.Paths.get("target/scale_rehearsal.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, rows.mkString("[", ",\n", "]\n"))
-    spark.stop()
   }
 }

@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * tables they need through here, so filter/column pushdown reaches the
   * parquet scan untouched.
   *
-  * `events.ts` is written as TIMESTAMP(NANOS), which Spark 4 refuses to map
-  * to TimestampType; we read nanos as long (legacy conf) and truncate to
-  * micros — exactly what DuckDB's reader does, so oracle comparisons agree.
+  * `events.ts` has shipped as both TIMESTAMP(NANOS) (older corpora — Spark 4
+  * refuses to map nanos to TimestampType, so we read nanos as long via the
+  * legacy conf and truncate to micros, exactly what DuckDB's reader does)
+  * and native TIMESTAMP(MICROS)/NTZ (current corpora — already a timestamp,
+  * normalized to session-TZ TimestampType so downstream window/extract
+  * semantics match the oracle). The branch is on the LOADED type, so either
+  * corpus generation works unchanged.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -20,8 +24,14 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      df.schema("ts").dataType match {
+        case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
+    } else df
   }
 }

@@ -27,6 +27,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // 132 queries share this JVM: drop the query's tracked op caches and
+      // checkpoint blocks so later queries never run heap-squeezed
+      graft.ops.Caches.drainAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -45,16 +45,16 @@ object Classify {
     val base = df.select(id.as("id"), label.as("label"),
       trainGate.cast("boolean").as("is_train"), text.as("text"))
     // ONE tokenize pass; the (id, bucket) count frame feeds training and
-    // scoring both — persist or the corpus tokenizes twice
-    val perDoc = base
+    // scoring both — persist or the corpus tokenizes twice (Caches-tracked:
+    // feeds the lazy result, released by the session owner)
+    val perDoc = Caches.track(base
       .select(col("id"), col("label"), col("is_train"),
         explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
       .where(length(col("w")) > 0)
       .select(col("id"), col("label"), col("is_train"),
         bucket(col("w")).as("b"))
       .groupBy(col("id"), col("label"), col("is_train"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("c")))
     // class stats: token count per (class, bucket) and per class; doc
     // counts for the prior — all tiny aggregates off the persisted frame
     val classBucket = perDoc.where(col("is_train"))

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
   *     OOMs on the mega-component every dirty corpus has. Here neighborhoods
   *     are never materialized — the per-node minimum joins back against the
   *     edge list, and AQE's skew-join splits the star center's join side.
-  *   - `localCheckpoint` per round truncates lineage — iterative DataFrame
-  *     plans otherwise grow exponentially and re-execute prior rounds.
+  *   - A [[Caches.checkpoint]] per round truncates lineage — iterative
+  *     DataFrame plans otherwise grow exponentially and re-execute prior
+  *     rounds — and releases the superseded round's blocks immediately, so
+  *     in-flight cache is one edge frame regardless of round count (the old
+  *     `localCheckpoint` pinned EVERY round's blocks until context death).
   *   - Convergence is detected structurally (the edge set IS a star forest —
   *     see [[isStarForest]]): exact, one limit-1 action per round, and no
   *     compare-with-previous extra round. `maxIter` bounds the loop
@@ -40,12 +43,14 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     // Materialize the input ONCE: both the node inventory and the contraction
     // read it, and upstream `edges` is typically an expensive near-dup join
-    // that must not be re-executed per consumer.
-    val e0 = edges.localCheckpoint(true)
-    val nodes = e0
+    // that must not be re-executed per consumer. The blocks feed the lazy
+    // result, so they are registered for the session owner's drain.
+    val e0 = Caches.checkpoint(edges)
+    Caches.trackRdd(e0.rdd)
+    val nodes = e0.df
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
     val stars = starContraction(
-      e0.filter(col("a_id") =!= col("b_id"))
+      e0.df.filter(col("a_id") =!= col("b_id"))
         .select(greatest(col("a_id"), col("b_id")).as("u"),
           least(col("a_id"), col("b_id")).as("v"))
         .distinct(),
@@ -63,16 +68,20 @@ object Components {
     * smaller `v` (v < u), de-duplicated.
     */
   private def starContraction(edges0: DataFrame, maxIter: Int): DataFrame = {
-    var e = edges0.localCheckpoint(true)
-    var star = isStarForest(e)
+    var ck = Caches.checkpoint(edges0)
+    var star = isStarForest(ck.df)
     var i = 0
     while (!star && i < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
-      star = isStarForest(e)
+      val next = Caches.checkpoint(smallStar(largeStar(ck.df)))
+      ck.release()
+      ck = next
+      star = isStarForest(ck.df)
       i += 1
     }
     require(star, s"connectedComponents did not converge in $maxIter rounds")
-    e
+    // the fixpoint feeds the caller's lazy labeling join — drain-owned
+    Caches.trackRdd(ck.rdd)
+    ck.df
   }
 
   /** The alternating contraction's fixpoint is EXACTLY a star forest rooted

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, over `documents`.
@@ -95,9 +95,10 @@ object Dedup {
     // Without persistence each consumer re-runs the shingle kernel over the
     // full corpus (ReuseExchange only dedupes the repartition shuffle, not
     // the post-shuffle compute). MEMORY_AND_DISK: hash arrays are ~100×
-    // smaller than the text and spill rather than OOM at scale.
-    val staged = shingled(text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // smaller than the text and spill rather than OOM at scale. Tracked
+    // (not bare-persisted): it feeds the LAZY result, so the session owner
+    // releases it via Caches once the pairs are consumed.
+    val staged = Caches.track(shingled(text))
     val b = lshBands(staged, k, bands)
     val cand = pairsFromBuckets(b, Seq("band", "band_key"),
       maxBucketSize = maxBucketSize, capMetric = "minhash_lsh_cap")
@@ -124,16 +125,24 @@ object Dedup {
     * frame plus its banded keys, built ONCE and probed by every increment —
     * see [[minhashProbe]]. `staged` is persisted (MEMORY_AND_DISK): the
     * index is the thing a daily-ingest pipeline keeps hot between runs.
+    * The index OWNS its persisted components (`retained` — the base frame
+    * plus one increment per merge, since unpersisting a union does not
+    * cascade): when the pipeline retires it, `release()` frees every block
+    * it ever pinned — without this a long-lived ingest service leaks one
+    * corpus cache per index generation.
     */
   final case class MinHashIndex(staged: DataFrame, bands: DataFrame,
-                                k: Int, nBands: Int)
+                                k: Int, nBands: Int,
+                                retained: Seq[Dataset[_]] = Nil) {
+    def release(): Unit = retained.foreach(_.unpersist(blocking = false))
+  }
 
   def minhashIndex(corpus: DataFrame, k: Int = 32, bands: Int = 8): MinHashIndex = {
     val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     val staged = shingled(corpus.select(col("doc_id"), col("text"))
         .repartition(parallelism, col("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    MinHashIndex(staged, lshBands(staged, k, bands), k, bands)
+    MinHashIndex(staged, lshBands(staged, k, bands), k, bands, Seq(staged))
   }
 
   /** Fold a batch of NEW documents into an existing index — the daily-ingest
@@ -153,9 +162,14 @@ object Dedup {
     val newStaged = shingled(newDocs.select(col("doc_id"), col("text"))
         .repartition(parallelism, col("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EAGER: the increment's shingle pass runs now, while `newDocs` is still
+    // valid — a foreachBatch frame dies with its trigger, and the merged
+    // index must outlive it. This is also where "N batches = N shingle
+    // passes" is actually paid, so eager changes cost shape not cost.
+    newStaged.count()
     MinHashIndex(index.staged.unionByName(newStaged),
       index.bands.unionByName(lshBands(newStaged, index.k, index.nBands)),
-      index.k, index.nBands)
+      index.k, index.nBands, index.retained :+ newStaged)
   }
 
   /** Persist an index across pipeline RUNS (the in-memory `persist` only
@@ -178,11 +192,10 @@ object Dedup {
     def field(name: String): Int =
       s""""$name":(\\d+)""".r.findFirstMatchIn(meta)
         .getOrElse(sys.error(s"bad index meta at $path: $meta")).group(1).toInt
-    MinHashIndex(
-      spark.read.parquet(s"$path/staged.parquet")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-      spark.read.parquet(s"$path/bands.parquet"),
-      field("k"), field("bands"))
+    val staged = spark.read.parquet(s"$path/staged.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    MinHashIndex(staged, spark.read.parquet(s"$path/bands.parquet"),
+      field("k"), field("bands"), Seq(staged))
   }
 
   /** INCREMENTAL near-dup detection — probe NEW documents against an
@@ -267,10 +280,10 @@ object Dedup {
     if (strategy == "count") {
       // consumed by the posting explode AND both per-doc size joins — persist
       // so the shingle kernel runs once (ReuseExchange only dedupes the
-      // repartition shuffle, not the post-shuffle hashing; see minhash path)
-      val staged = src.repartition(parallelism, col("doc_id"))
-        .select(col("doc_id"), graft.functions.gfn.shingle_hashes64(col("text"), w).as("hashes"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // repartition shuffle, not the post-shuffle hashing; see minhash path).
+      // Caches-tracked: feeds the lazy result, released by the session owner.
+      val staged = Caches.track(src.repartition(parallelism, col("doc_id"))
+        .select(col("doc_id"), graft.functions.gfn.shingle_hashes64(col("text"), w).as("hashes")))
       val sizes = staged.select(col("doc_id"), size(col("hashes")).as("sz"))
       val posting = staged.select(col("doc_id"), explode(col("hashes")).as("h"))
       val ids = array_sort(col("ids"))
@@ -460,8 +473,7 @@ object Dedup {
       }
       struct(lit(t).as("tbl"), key.as("key"))
     }
-    val sigs = sigs0.select(col("id").as("doc_id"), col("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = Caches.track(sigs0.select(col("id").as("doc_id"), col("sig")))
     val banded = sigs.select(col("doc_id"), explode(array(tables: _*)).as("tk"))
       .select(col("doc_id"), col("tk.tbl"), col("tk.key"))
     val cand = pairsFromBuckets(banded, Seq("tbl", "key"),
@@ -607,12 +619,17 @@ object Dedup {
     * grows it by [[substringIndexMerge]], paying one gram pass per batch,
     * never a rescan of history.
     */
-  final case class GramIndex(grams: DataFrame, k: Int)
+  final case class GramIndex(grams: DataFrame, k: Int,
+                             retained: Seq[Dataset[_]] = Nil) {
+    /** Free every block this index pinned (base + one per merged batch) —
+      * the retirement hook for long-lived ingest, as [[MinHashIndex]]. */
+    def release(): Unit = retained.foreach(_.unpersist(blocking = false))
+  }
 
   def substringIndex(corpus: DataFrame, k: Int = 8): GramIndex = {
     val g = gramFrame(corpus, k).select(col("gram_hash")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    GramIndex(g, k)
+    GramIndex(g, k, Seq(g))
   }
 
   /** INCREMENTAL substring-copy detection — the [[substringCopyStats]]
@@ -654,7 +671,10 @@ object Dedup {
     val novel = gramFrame(newDocs, index.k).select(col("gram_hash")).distinct()
       .join(index.grams, Seq("gram_hash"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    GramIndex(index.grams.unionByName(novel), index.k)
+    // EAGER (see minhashIndexMerge): materialize while `newDocs` is valid —
+    // foreachBatch callers release their batch snapshot right after merging
+    novel.count()
+    GramIndex(index.grams.unionByName(novel), index.k, index.retained :+ novel)
   }
 
   /** Persist the gram index across RUNS (the [[saveIndex]] contract for
@@ -670,8 +690,8 @@ object Dedup {
     val meta = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$path/meta.json"))
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta)
       .getOrElse(sys.error(s"bad gram-index meta at $path: $meta")).group(1).toInt
-    GramIndex(
-      spark.read.parquet(s"$path/grams.parquet")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK), k)
+    val grams = spark.read.parquet(s"$path/grams.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    GramIndex(grams, k, Seq(grams))
   }
 }

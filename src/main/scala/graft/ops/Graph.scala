@@ -27,13 +27,16 @@ import org.apache.spark.storage.StorageLevel
   * them co-partitioned after the first exchange), one fan-out equi-join
   * onto edges partitioned by `src`, and one `groupBy(dst)` whose partial
   * aggregation combines contributions map-side. Edges and degrees are
-  * computed once and persisted across iterations; nothing is ever collected
-  * to the driver. Lineage is truncated with `localCheckpoint` every
-  * `checkpointEvery` iterations (default 10), exactly as [[Components]]
-  * does per round — without it the plan grows one join-agg layer per
-  * iteration and analysis/codegen time eventually dominates (and a lost
-  * executor would replay the whole chain). GraphSpec pins bounded plan
-  * depth at 30+ iterations.
+  * computed once, persisted across iterations, and RELEASED before return —
+  * the result is materialized in-op (the loop is inherently eager), so no
+  * corpus-sized cache outlives the call. Lineage is truncated with a
+  * [[Caches.checkpoint]] every `checkpointEvery` iterations (default 10),
+  * exactly as [[Components]] does per round — without it the plan grows one
+  * join-agg layer per iteration and analysis/codegen time eventually
+  * dominates (and a lost executor would replay the whole chain). Each
+  * checkpoint releases its predecessor, so in-flight cache is one
+  * node-sized frame regardless of iteration count. GraphSpec pins bounded
+  * plan depth at 30+ iterations.
   *
   * ANSI-overflow dial: intermediate products are bounded by
   * `totalMass * dampNum` ~ `nNodes * unit * 100`; keep `nNodes * unit`
@@ -50,6 +53,27 @@ object Graph {
   def pageRankInt(edges: DataFrame, iters: Int, unit: Long = 1000000000L,
                   dampNum: Int = 85, dampDen: Int = 100,
                   checkpointEvery: Int = 10): DataFrame = {
+    val (r, cleanup) = pageRankLoop(edges, iters, unit, dampNum, dampDen,
+      checkpointEvery)
+    // materialize the (node-sized) result, then release the edge/degree
+    // caches — they must not outlive the call into a long-lived session.
+    // The result's own blocks are registered for the session owner's drain.
+    val out = Caches.checkpoint(r)
+    cleanup()
+    Caches.trackRdd(out.rdd)
+    out.df
+  }
+
+  /** The iterative core, UN-materialized: returns the lazy rank frame plus
+    * a cleanup that releases the loop's persisted edge/degree/checkpoint
+    * blocks. Package-private so GraphSpec can audit the pre-materialization
+    * plan depth (the public surface always returns a depth-1 LogicalRDD,
+    * which would make the checkpoint pin vacuous).
+    */
+  private[graft] def pageRankLoop(edges: DataFrame, iters: Int,
+                  unit: Long = 1000000000L,
+                  dampNum: Int = 85, dampDen: Int = 100,
+                  checkpointEvery: Int = 10): (DataFrame, () => Unit) = {
     require(iters >= 1 && unit >= 1 && dampNum >= 0 && dampDen >= dampNum &&
       checkpointEvery >= 1)
     val base = unit * (dampDen - dampNum) / dampDen
@@ -63,6 +87,7 @@ object Graph {
     val nodes = deg.select(col("src").as("node"))
 
     var r = nodes.select(col("node"), lit(unit).as("r"))
+    var ck: Option[Caches.Checkpointed] = None
     for (i <- 1 to iters) {
       val contrib = r
         .join(deg, r("node") === deg("src"))
@@ -73,9 +98,22 @@ object Graph {
       r = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"), (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
       // truncate lineage: rank values are identical (checkpoint is a
-      // materialization, not a recomputation), plan depth stays bounded
-      if (i % checkpointEvery == 0 && i < iters) r = r.localCheckpoint(true)
+      // materialization, not a recomputation), plan depth stays bounded;
+      // the superseded round's blocks are dropped immediately
+      if (i % checkpointEvery == 0 && i < iters) {
+        val next = Caches.checkpoint(r)
+        ck.foreach(_.release())
+        ck = Some(next)
+        r = next.df
+      }
     }
-    r.select(col("node"), col("r").as("rank_units"))
+    val result = r.select(col("node"), col("r").as("rank_units"))
+    val cleanup: () => Unit = { () =>
+      ck.foreach(_.release())
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+      ()
+    }
+    (result, cleanup)
   }
 }

@@ -147,9 +147,9 @@ object Mix {
       .select(col("id"), col("tgt"), bucket(col("w")).as("b"))
     // feeds the raw distribution, the target distribution, the totals AND
     // the scoring join: persist or the corpus tokenizes four times
-    val perDoc = toks.groupBy(col("id"), col("tgt"), col("b"))
-      .agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (Caches-tracked: feeds the lazy result, released by the session owner)
+    val perDoc = Caches.track(toks.groupBy(col("id"), col("tgt"), col("b"))
+      .agg(count(lit(1)).as("c")))
     val raw = perDoc.groupBy(col("b")).agg(sum(col("c")).as("rc"))
     val tgt = perDoc.where(col("tgt")).groupBy(col("b"))
       .agg(sum(col("c")).as("tc"))

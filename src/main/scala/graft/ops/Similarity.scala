@@ -202,7 +202,11 @@ object Similarity {
     * nList×dim array that rides in a JSON sidecar.
     */
   final case class IvfIndex(assigned: DataFrame, centroids: Array[Double],
-                            nList: Int, dim: Int)
+                            nList: Int, dim: Int) {
+    /** Free the persisted assignment — the retirement hook for a long-lived
+      * serving session (same contract as `Dedup.MinHashIndex.release`). */
+    def release(): Unit = assigned.unpersist(blocking = false)
+  }
 
   def ivfIndexBuild(emb: DataFrame, nList: Int = 16, dim: Int = 64): IvfIndex = {
     import graft.functions.gfn

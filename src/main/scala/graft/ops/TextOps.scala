@@ -52,10 +52,12 @@ object TextOps {
     * words, not corpus tokens — at 100 TB that is millions vs trillions.
     * Per iteration: adjacent-pair explode (native init/merge kernels, ~2
     * small rows per symbol), one partial-aggregated pair count, and a
-    * 1-row TakeOrdered argmax — the only driver traffic (numMerges single
-    * rows; the same bounded train-step collect contract as
-    * `Similarity.ivfCentroids`). `localCheckpoint` per round truncates
-    * lineage exactly as `Components` does.
+    * bounded `scanLimit`-row ranked-prefix collect — the only driver
+    * traffic (the same bounded train-step collect contract as
+    * `Similarity.ivfCentroids`). A [[Caches.checkpoint]] per round
+    * truncates lineage exactly as `Components` does, releasing the
+    * superseded round's vocab blocks as it goes; the final round's blocks
+    * are freed before return (the merge table itself is driver-side).
     *
     * Determinism: counts are exact longs; the argmax tiebreaks on
     * (count DESC, left, right); merges apply left-to-right non-overlapping
@@ -113,12 +115,12 @@ object TextOps {
     val spark = docs.sparkSession
     val adjacentPairs = expr(
       "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS l, syms[i + 1] AS r))")
-    var vocab = docs
+    var vocabCk = Caches.checkpoint(docs
       .select(explode(split(lower(trim(text)), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .select(graft.functions.gfn.bpe_init_symbols(col("word")).as("syms"), col("cnt"))
-      .localCheckpoint()
+      .select(graft.functions.gfn.bpe_init_symbols(col("word")).as("syms"), col("cnt")))
+    def vocab: DataFrame = vocabCk.df
     def pairCounts: DataFrame = vocab
       // fully-merged words (one symbol) carry no pairs; without the guard
       // sequence(0, -1) runs DESCENDING under ANSI and indexes out of range
@@ -144,12 +146,15 @@ object TextOps {
         else {
           batch.foreach { case (l, r, pc) => merges += ((merges.length + 1L, l, r, pc)) }
           val flat = batch.iterator.flatMap { case (l, r, _) => Iterator(l, r) }.toArray
-          vocab = vocab
-            .withColumn("syms", graft.functions.gfn.bpe_merge_batch(col("syms"), flat))
-            .localCheckpoint()
+          val next = Caches.checkpoint(vocab
+            .withColumn("syms", graft.functions.gfn.bpe_merge_batch(col("syms"), flat)))
+          vocabCk.release()
+          vocabCk = next
         }
       }
     }
+    // the merge table is driver-side; the last vocab round is garbage now
+    vocabCk.release()
     import spark.implicits._
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
@@ -178,6 +183,32 @@ object TextOps {
     * the live count, so the first live top is the true
     * (count DESC, l, r) argmax — the same tie rule as [[learnBpe]].
     */
+  /** The production BPE surface: one cheap approx-distinct-words count
+    * picks the training locus. Vocabularies that fit the driver budget
+    * (the overwhelmingly common case — see [[learnBpeDriver]]'s scaladoc:
+    * ~10^7-10^8 distinct words even at 100 TB) train driver-side with zero
+    * Spark jobs per merge; anything wilder falls back to the batched
+    * distributed [[learnBpe]]. Both paths produce byte-identical merge
+    * tables (OpsSpec pins equality on seeded corpora; the `bpe_driver`
+    * scale probe re-pins it at 1k+ merges on the real sf0.1 corpus), so
+    * the dispatch is invisible in results — it only moves the work. The
+    * dispatch threshold is 80% of `maxDistinctWords` so the approx count's
+    * error can never trip [[learnBpeDriver]]'s exact refusal.
+    */
+  def learnBpeAuto(docs: DataFrame, text: Column, numMerges: Int,
+                   minPairCount: Long = 2L,
+                   maxDistinctWords: Int = 20000000,
+                   batchMerges: Int = 64): DataFrame = {
+    val approxDistinct = docs
+      .select(explode(split(lower(trim(text)), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+      .agg(approx_count_distinct(col("word")).as("n"))
+      .first().getLong(0)
+    if (approxDistinct <= maxDistinctWords * 0.8)
+      learnBpeDriver(docs, text, numMerges, minPairCount, maxDistinctWords)
+    else learnBpe(docs, text, numMerges, minPairCount, batchMerges)
+  }
+
   def learnBpeDriver(docs: DataFrame, text: Column, numMerges: Int,
                      minPairCount: Long = 2L,
                      maxDistinctWords: Int = 20000000): DataFrame = {

@@ -76,6 +76,11 @@ object IncrementalDedupJob {
         outSink(snap.join(hits, snap("doc_id") === hits("new_id"), "left")
           .select(snap("doc_id"), snap("text"), hits("dup_of"), hits("jaccard")))
         indexRef.set(Dedup.minhashIndexMerge(index, snap))
+        // the merge materialized its increment eagerly, so the raw batch
+        // snapshot is garbage now — without this a long-running stream
+        // pins one batch-sized cache per trigger, forever
+        snap.unpersist(blocking = false)
+        ()
       }
       .start()
   }

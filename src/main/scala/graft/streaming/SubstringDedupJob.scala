@@ -46,6 +46,10 @@ object SubstringDedupJob {
         val stats = Dedup.substringProbe(index, snap)
         outSink(snap.join(stats, "doc_id"))
         indexRef.set(Dedup.substringIndexMerge(index, snap))
+        // merge materialized its novel-gram increment eagerly; drop the
+        // batch snapshot or the stream leaks one cache per trigger
+        snap.unpersist(blocking = false)
+        ()
       }
       .start()
   }

@@ -61,18 +61,24 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("checkpointing keeps plan depth bounded at 30+ iterations, same bits") {
-    // 32 iterations with checkpointEvery=10: the final plan holds at most
-    // ~2 un-truncated iteration layers; without checkpointing it would
-    // hold all 32. Values must be identical either way (localCheckpoint
-    // materializes, it does not recompute).
-    val ckpt = Graph.pageRankInt(g.toDF("src", "dst"), iters = 32)
-    val depth = ckpt.queryExecution.optimizedPlan.collect { case p => p }.size
-    val noCkptDepth = Graph.pageRankInt(g.toDF("src", "dst"), iters = 32,
-        checkpointEvery = Int.MaxValue)
-      .queryExecution.optimizedPlan.collect { case p => p }.size
+    // 32 iterations with checkpointEvery=10: the final INTERNAL plan holds
+    // at most ~2 un-truncated iteration layers; without checkpointing it
+    // would hold all 32. The audit runs on the pre-materialization loop
+    // frame (the public surface always returns a depth-1 LogicalRDD, which
+    // would make this pin vacuous). Values on the public surface must be
+    // identical to the driver-side reference (a checkpoint materializes,
+    // it does not recompute).
+    val (ckptPlan, c1) = Graph.pageRankLoop(g.toDF("src", "dst"), iters = 32)
+    val depth = ckptPlan.queryExecution.optimizedPlan.collect { case p => p }.size
+    c1()
+    val (noCkptPlan, c2) = Graph.pageRankLoop(g.toDF("src", "dst"), iters = 32,
+      checkpointEvery = Int.MaxValue)
+    val noCkptDepth = noCkptPlan.queryExecution.optimizedPlan.collect { case p => p }.size
+    c2()
     assert(depth < noCkptDepth / 3,
       s"checkpointed plan has $depth nodes vs $noCkptDepth uncheckpointed")
     val want = reference(g, iters = 32)
+    val ckpt = Graph.pageRankInt(g.toDF("src", "dst"), iters = 32)
     assert(ckpt.as[(Long, Long)].collect().toMap == want)
   }
 

@@ -846,6 +846,23 @@ class OpsSpec extends AnyFunSuite {
     assert(jobsDrv <= 4, s"driver path ran $jobsDrv jobs")
   }
 
+  test("learnBpeAuto dispatches small vocabs to the driver path, same table") {
+    import spark.implicits._
+    val corpus = Seq("low low lower lowest", "new newer newest low",
+      "wide wider widest new", "low lower new newer")
+    val auto = TextOps.learnBpeAuto(corpus.toDF("text"), col("text"), numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val dist = TextOps.learnBpe(corpus.toDF("text"), col("text"), numMerges = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(auto == dist, s"auto $auto\ndist $dist")
+    // the wild-vocab fallback: a 1-word cap forces the distributed path,
+    // which must produce the same table (it is the same algorithm)
+    val forced = TextOps.learnBpeAuto(corpus.toDF("text"), col("text"),
+      numMerges = 10, maxDistinctWords = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(forced == dist)
+  }
+
   test("property: learnBpeDriver matches the reference on 6 seeded random corpora") {
     import spark.implicits._
     val rnd = new java.util.Random(55511)
