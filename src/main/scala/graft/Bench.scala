@@ -46,6 +46,32 @@ object Bench {
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
     val passes = 3
+
+    // Fixed-work CPU calibration, run before every pass: a deterministic
+    // xorshift spin on one thread and on every core at once. Pure JVM
+    // arithmetic — no Spark, no allocation, no I/O — so its wall time
+    // moves ONLY when the machine itself does (host contention, frequency
+    // scaling, steal). r8 measured three identical-code bench runs at
+    // 146/176/183 s total with the per-query offset flat across untouched
+    // queries; these numbers make that environmental drift measurable so
+    // cross-run comparisons can be read modulo calibration.
+    def spin(iters: Long): Long = {
+      var x = 0x9e3779b97f4a7c15L; var i = 0L
+      while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+      x
+    }
+    def calibrate(): (Double, Double) = {
+      val work = 400000000L
+      val t0 = System.nanoTime(); spin(work)
+      val single = (System.nanoTime() - t0) / 1e9
+      val n = Runtime.getRuntime.availableProcessors()
+      val t1 = System.nanoTime()
+      val ts = (1 to n).map(_ => new Thread(() => { spin(work); () }))
+      ts.foreach(_.start()); ts.foreach(_.join())
+      val multi = (System.nanoTime() - t1) / 1e9
+      (single, multi)
+    }
+    val calibrations = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     // samples so far per query; an empty vector after a pass means FAILED
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val failed = scala.collection.mutable.Set.empty[String]
@@ -67,8 +93,11 @@ object Bench {
         .map { case (k, (_, lo, hi)) => "\"" + k + "\":[" + lo + "," + hi + "]" }
         .mkString("{", ",", "}")
       val total = rows.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
+      val cal = calibrations
+        .map { case (s1, sn) => f"[$s1%.3f,$sn%.3f]" }.mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread_min_max":$spread,"runs_per_query":$passes,"stat":"median",""" +
+        s""""calibration_single_allcore_sec_per_pass":$cal,""" +
         s""""order":"shuffled_per_pass","failed":${failed.size},"sf":"$sfDir"}"""
     }
     // Persist to a file as well as stdout: the stdout line is long enough
@@ -91,6 +120,7 @@ object Bench {
     // touch AND a single GC/scheduler hiccup; min/max are recorded
     // alongside so the spread itself is visible in BENCH_r{N}.json.
     for (pass <- 0 until passes) {
+      calibrations += calibrate()
       val order = new scala.util.Random(pass).shuffle(ordered)
       for (q <- order if !failed(q.name)) {
         // drain the previous query's caches (tracked op intermediates,
