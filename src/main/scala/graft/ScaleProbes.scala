@@ -97,10 +97,14 @@ object ScaleProbes {
       val src = "/root/testdata/sf0.1"
       val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
       ScaleRehearsal.ensureSf1(spark, src, sf1, cpus.toInt)
-      // fixed probe batch: sf0.01 documents, ids offset out of every corpus
-      // id space (sf1 ids reach 5000*10+9; the probe contract needs
-      // disjoint ids)
-      val batch = Tables(spark, "/root/testdata/sf0.01", "documents")
+      // fixed probe batch: 500 docs sampled FROM the sf0.1 corpus with ids
+      // offset out of every corpus id space (sf1 ids reach 5000*10+9; the
+      // probe contract needs disjoint ids). Sampling from the corpus
+      // guarantees hits (every batch doc has an exact duplicate in both
+      // indexes), so the measurement covers candidate generation AND the
+      // jaccard verify join, not just an empty band probe.
+      val batch = Tables(spark, src, "documents")
+        .where(pmod(col("doc_id"), lit(10)) === 0).limit(500)
         .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
       for ((dir, tag) <- Seq((src, "1x"), (sf1, "10x"))) {
         batch.persist()
@@ -123,7 +127,19 @@ object ScaleProbes {
     }
 
     if (which.contains("bpe_driver")) {
-      val docs = Tables(spark, "/root/testdata/sf0.1", "documents").persist()
+      // The documents tables carry a ~50-word vocabulary — BPE exhausts
+      // all count>=2 pairs after ~107 merges, far short of a realistic
+      // merge budget. The probe instead synthesizes a corpus with a
+      // 50k-word Zipf-ish vocabulary (log-uniform rank per token, word =
+      // the rank spelled in base-26), deterministically from row ids:
+      // rich enough for 1k+ merges while the WEIGHTED-VOCAB shape (the
+      // only thing BPE training ever touches) stays realistic.
+      val docs = spark.range(100000).select(
+        expr("""array_join(transform(sequence(1, 20), i ->
+                 conv(cast(100000 + exp(
+                   (pmod(xxhash64(id, i), 100000) / 100000.0) * ln(50000)
+                 ) as bigint), 10, 26)), ' ')""").as("text"))
+        .repartition(cpus.toInt).persist()
       docs.count()
       val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "1024").toInt
       val (drv, tDrv) = timed {

@@ -33,10 +33,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object Caches {
 
-  /** A lineage-truncated, eagerly-stored frame plus its release handle.
-    * `release()` drops the stored blocks; the frame stays VALID (the
-    * backing RDD keeps its lineage and recomputes if consumed again) —
-    * release trades cache for recompute, never correctness.
+  /** A lineage-CUT, eagerly-stored frame plus its release handle.
+    * `release()` drops the stored blocks and is FINAL: the cut removed the
+    * backing RDD's lineage (required — see `DatasetBridge`: chained
+    * recompute-capable rounds overflow task serialization past a few
+    * hundred iterations), so a released frame must never be consumed
+    * again. Loop rounds satisfy this by construction (round N is released
+    * when round N+1 is stored); escaping results are consumed exactly once
+    * before the session owner's drain. A violated contract fails loudly
+    * ("checkpoint block not found"), never silently wrong.
     */
   final case class Checkpointed(df: DataFrame, rdd: RDD[_]) {
     def release(): Unit = rdd.unpersist(blocking = false)
@@ -66,8 +71,12 @@ object Caches {
   }
 
   /** Unpersist every tracked frame/RDD (non-blocking) and empty the
-    * registry. Returns how many live entries were released. Safe to call at
-    * any time: consumers of a released frame recompute, they do not break.
+    * registry. Returns how many live entries were released. Tracked
+    * DATASET caches stay valid afterward (lineage intact — consumers
+    * recompute); tracked checkpoint RDDs are final (see [[Checkpointed]]),
+    * so the owner calls this at unit-of-work boundaries where no released
+    * frame has a live consumer — exactly what `Bench`/`Verify` do between
+    * queries.
     */
   def release(): Int = {
     var n = 0
