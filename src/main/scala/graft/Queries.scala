@@ -549,8 +549,19 @@ object Queries {
       ORDER BY a_id"""))
 
   /** SimHash-banded near-dup pairs (rows-only: xxhash64 signature). */
+  /** SimHash near-dup pairs with banding auto-sized from the corpus (the
+    * q35 pattern one level down): `autoHammingBlocks` keeps per-table
+    * bucket occupancy constant by widening block keys ~log(corpus), and
+    * the round-8 scale probe measured fixed-4 at 5.9× auto past the
+    * ~4.2M-signature knee (identical pair sets — any lossless banding
+    * selects the same candidates, the exact hamming verify decides).
+    * Below the knee (every documents table here) auto PICKS 4 blocks, so
+    * this is bit-identical to the old fixed config; OpsSpec pins auto ==
+    * fixed on a real corpus slice and lossless-at-every-nBlocks by proof
+    * test.
+    */
   private val q34 = Q("q34_simhash_neardup",
-    (s, d) => Dedup.simhashNearDups(t(s, d, "documents"), maxHamming = 3)
+    (s, d) => Dedup.simhashNearDupsAuto(t(s, d, "documents"), maxHamming = 3)
       .orderBy(col("a_id"), col("b_id")),
     None)
 
@@ -3978,6 +3989,47 @@ object Queries {
       FROM pd JOIN dist ON pd.b = dist.b
       GROUP BY pd.doc_id ORDER BY pd.doc_id"""))
 
+  /** SEQUENCE PACKING (the training-pipeline "pack" step): greedily
+    * concatenate whole documents into fixed-capacity context windows, per
+    * source, in doc_id order — `ops/Pack.packGreedy`'s scale shape (one
+    * shuffle on the group key, then a sorted per-group stream with
+    * three longs of state; parallelism = group count, and a real pipeline
+    * packs per (source, shard) since any whole-doc grouping is a valid
+    * packing). Oracle: DuckDB replays the greedy scan as a recursive CTE
+    * advancing one document per source per step — exact per-doc
+    * (pack_no, pack_pos) equality, not just pack counts.
+    */
+  private val q133 = Q("q133_sequence_pack",
+    (s, d) => graft.ops.Pack.packGreedy(
+        docsSpread(s, d), col("source"), col("doc_id"),
+        graft.ops.Pack.wsTokens(col("text")), capacity = 120)
+      .select(col("ord").as("doc_id"), col("grp").as("source"),
+        col("toks").as("n_tokens"), col("pack_no"), col("pack_pos"))
+      .orderBy(col("source"), col("doc_id")),
+    Some("""
+      WITH RECURSIVE d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '),
+                                    w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents),
+      p AS (
+        SELECT doc_id, source, n_tokens, rn,
+               CAST(1 AS BIGINT) AS pack_no, CAST(1 AS BIGINT) AS pack_pos,
+               n_tokens AS fill
+        FROM d WHERE rn = 1
+        UNION ALL
+        SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+               CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 120
+                    THEN p.pack_no + 1 ELSE p.pack_no END,
+               CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 120
+                    THEN CAST(1 AS BIGINT) ELSE p.pack_pos + 1 END,
+               CASE WHEN p.fill > 0 AND p.fill + d.n_tokens > 120
+                    THEN d.n_tokens ELSE p.fill + d.n_tokens END
+        FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+      SELECT doc_id, source, n_tokens, pack_no, pack_pos
+      FROM p ORDER BY source, doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -3989,7 +4041,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124, q125, q126, q127, q128, q129, q130, q131, q132)
+    q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -1838,4 +1838,55 @@ class OpsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
+
+  test("packGreedy matches a plain-Scala greedy reference, incl. oversized docs") {
+    import graft.ops.Pack
+    val rnd = new java.util.Random(90210)
+    // token counts include zeros, typical sizes, and > capacity outliers
+    val rows = for (g <- Seq("a", "b", "c"); i <- 1 to 200) yield
+      (g, (g.hashCode.toLong.abs % 7) * 1000 + i,
+        rnd.nextInt(12) match {
+          case 0 => 0L
+          case 11 => 120L + rnd.nextInt(100) // bigger than capacity
+          case n => n.toLong * 7
+        })
+    val cap = 100L
+    def reference(in: Seq[(String, Long, Long)]): Map[(String, Long), (Long, Long)] =
+      in.groupBy(_._1).flatMap { case (_, docs) =>
+        var pack = 1L; var fill = 0L; var pos = 0L
+        docs.sortBy(_._2).map { case (g, ord, toks) =>
+          if (fill > 0 && fill + toks > cap) { pack += 1; fill = 0; pos = 0 }
+          fill += toks; pos += 1
+          (g, ord) -> (pack, pos)
+        }
+      }
+    val want = reference(rows)
+    // shuffled input + awkward partitioning: the op must be order-exact
+    // regardless of physical layout
+    val df = new scala.util.Random(7).shuffle(rows).toDF("g", "ord", "toks")
+      .repartition(7)
+    val got = Pack.packGreedy(df, col("g"), col("ord"), col("toks"), cap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == want)
+    // every pack except possibly the last per group is "closed": adding the
+    // FIRST doc of the next pack would overflow capacity (greedy invariant),
+    // and no pack with >1 doc exceeds capacity
+    val byPack = rows.map { case (g, ord, toks) => (g, ord, toks, want((g, ord))) }
+      .groupBy { case (g, _, _, (p, _)) => (g, p) }
+    for (((g, p), members) <- byPack) {
+      val fill = members.map(_._3).sum
+      // an over-capacity pack is legal only when a single oversized doc
+      // landed on an empty pack (zero-token docs don't raise the fill, so
+      // they may share it)
+      if (members.count(_._3 > 0) > 1)
+        assert(fill <= cap, s"pack ($g,$p) overfilled: $fill")
+      byPack.get((g, p + 1)).foreach { next =>
+        val firstNext = next.minBy(_._2)._3
+        assert(fill + firstNext > cap || fill == 0,
+          s"pack ($g,$p) closed early: $fill + $firstNext <= $cap")
+      }
+    }
+  }
 }
