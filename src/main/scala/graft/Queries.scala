@@ -4030,6 +4030,40 @@ object Queries {
       SELECT doc_id, source, n_tokens, pack_no, pack_pos
       FROM p ORDER BY source, doc_id"""))
 
+  /** WITHIN-DOCUMENT REPETITION FILTER (Gopher/MassiveText quality rule —
+    * Rae et al. 2021: drop documents dominated by repeated n-grams). Per
+    * doc: word-2-gram count, duplicate-2-gram count, duplicate fraction.
+    * Entirely NARROW (`TextOps.repetitionStats`): the n-gram list and its
+    * distinct count are higher-order-function expressions in one
+    * projection — no explode, no shuffle, scan parallelism IS the
+    * operator's parallelism at any corpus size. Exact longs; the fraction
+    * is one IEEE division replayed bit-identically by DuckDB.
+    */
+  private val q134 = Q("q134_repetition_filter",
+    (s, d) => graft.ops.TextOps.repetitionStats(
+        docsSpread(s, d), col("doc_id"), col("text"), n = 2)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1])
+               END AS grams
+        FROM t)
+      SELECT doc_id, n_tokens,
+             CAST(len(grams) AS BIGINT) AS n_grams,
+             CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup,
+             CASE WHEN len(grams) = 0 THEN 0.0
+                  ELSE CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                       / len(grams)
+             END AS dup_frac
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4041,7 +4075,7 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133)
+    q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -555,6 +555,40 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** Within-document repetition statistics (the Gopher/MassiveText
+    * repetition quality filters, Rae et al. 2021 §A1.1: documents whose
+    * content is dominated by repeated n-grams are low-quality): per
+    * document, the number of word n-grams and how many of them are
+    * duplicates of an earlier n-gram IN THE SAME document, plus the
+    * duplicate fraction. Entirely NARROW — the n-gram list, its distinct
+    * count, and the fraction are higher-order-function expressions inside
+    * one projection (no explode, no shuffle, no per-doc state beyond the
+    * row): the scan parallelism is the operator's parallelism at any
+    * corpus size. Exact integers; the fraction is one IEEE division of
+    * exact longs, replayed bit-identically by the SQL oracle.
+    */
+  def repetitionStats(docs: DataFrame, docId: Column, text: Column,
+                      n: Int = 2): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val toks = filter(split(text, " "), w => length(w) > 0)
+    val nGrams = greatest(lit(0), size(toks) - (n - 1))
+    // guard: sequence(1, 0) runs DESCENDING under ANSI (the q113 lesson),
+    // so short docs take the empty-array branch instead
+    val grams = when(nGrams === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), nGrams),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    docs
+      .select(docId.as("doc_id"), size(toks).cast("long").as("n_tokens"),
+        grams.as("grams"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("grams")).cast("long").as("n_grams"),
+        (size(col("grams")) - size(array_distinct(col("grams"))))
+          .cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_grams")))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -1839,6 +1839,36 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Join"), plan)
   }
 
+  test("repetitionStats matches a plain-Scala reference and plans narrow") {
+    val docs = Seq(
+      (1L, "a b a b a b"),            // heavy 2-gram repetition
+      (2L, "x y z w"),                // all distinct
+      (3L, "q"),                      // 1 token -> 0 grams
+      (4L, ""),                       // empty -> 0 tokens
+      (5L, "  p   p  "),              // ragged spaces, dup tokens, 1 gram pair
+      (6L, "m n m n o m n")           // mixed
+    )
+    def ref(text: String): (Long, Long, Long, Double) = {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val dup = grams.length - grams.distinct.length
+      (toks.length.toLong, grams.length.toLong, dup.toLong,
+        if (grams.isEmpty) 0.0 else dup.toDouble / grams.length)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = graft.ops.TextOps.repetitionStats(df, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val want = docs.map { case (id, t) => id -> ref(t) }.toMap
+    assert(got == want, s"got $got\nwant $want")
+    // the whole operator is one projection: no exchange, no join, no agg
+    val plan = graft.ops.TextOps.repetitionStats(df, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Aggregate"), plan)
+  }
+
   test("packGreedy matches a plain-Scala greedy reference, incl. oversized docs") {
     import graft.ops.Pack
     val rnd = new java.util.Random(90210)
