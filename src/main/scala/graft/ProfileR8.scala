@@ -61,6 +61,39 @@ object ProfileR8 {
       cleanup()
     }
 
+    if (args.contains("q122")) {
+      val cust = Tables(spark, d, "customer").select(col("c_custkey"), col("c_name"))
+      // warm
+      graft.ops.FuzzyJoin.editDistancePairs(cust, "c_custkey", "c_name", maxDist = 1).count()
+      graft.ops.Caches.drainAll(spark)
+      for (rep <- 1 to 2) {
+        time(s"q122 stage1 editDistancePairs rep$rep") {
+          graft.ops.FuzzyJoin.editDistancePairs(cust, "c_custkey", "c_name", maxDist = 1)
+            .count(); ()
+        }
+        graft.ops.Caches.drainAll(spark)
+      }
+      val pairs = graft.ops.FuzzyJoin
+        .editDistancePairs(cust, "c_custkey", "c_name", maxDist = 1)
+        .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
+        .persist()
+      println(s"PROF q122 pair count ${pairs.count()}")
+      for (rep <- 1 to 2) {
+        time(s"q122 stage2 connectedComponents (pairs cached) rep$rep") {
+          graft.ops.Components.connectedComponents(pairs).count(); ()
+        }
+        graft.ops.Caches.drainAll(spark); pairs.persist(); pairs.count()
+      }
+      graft.ops.Caches.drainAll(spark)
+      for (rep <- 1 to 2) {
+        time(s"q122 full rep$rep") {
+          Queries.all.find(_.name == "q122_entity_resolution").get.build(spark, d)
+            .write.format("noop").mode("overwrite").save()
+        }
+        graft.ops.Caches.drainAll(spark)
+      }
+    }
+
     if (args.isEmpty || args.contains("q114")) {
       val q = Queries.all.find(_.name == "q114_boilerplate_strip").get
       for (rep <- 1 to 6) {

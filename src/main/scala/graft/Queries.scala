@@ -3533,7 +3533,10 @@ object Queries {
       // supplier 2s+1; both directions so no node is dangling
       val e = pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
         .unionByName(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
-      graft.ops.Graph.pageRankInt(e, iters = 3)
+      // edgesDistinct: the union's branches are parity-disjoint projections
+      // of one distinct pair set — vouching skips pageRankInt's collapse
+      // shuffle over the full edge list
+      graft.ops.Graph.pageRankInt(e, iters = 3, edgesDistinct = true)
         .orderBy(col("rank_units").desc, col("node"))
         .limit(25)
     },

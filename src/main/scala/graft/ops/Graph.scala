@@ -48,13 +48,19 @@ object Graph {
     * Returns `(node, rank_units)` for every node that appears as a source
     * (callers wanting sink-only nodes should symmetrize the edge list, as
     * q120 does — that also removes dangling-mass concerns). Duplicate edges
-    * are collapsed first.
+    * are collapsed first unless the caller vouches with
+    * `edgesDistinct = true` — the collapse is a full corpus-sized shuffle,
+    * and inputs built from a `distinct()` projection (q120: the two
+    * parity-disjoint directions of one distinct pair set) are already
+    * duplicate-free; skipping the redundant exchange is a real win at any
+    * scale (GraphSpec pins flag-on == flag-off on such input).
     */
   def pageRankInt(edges: DataFrame, iters: Int, unit: Long = 1000000000L,
                   dampNum: Int = 85, dampDen: Int = 100,
-                  checkpointEvery: Int = 10): DataFrame = {
+                  checkpointEvery: Int = 10,
+                  edgesDistinct: Boolean = false): DataFrame = {
     val (r, cleanup) = pageRankLoop(edges, iters, unit, dampNum, dampDen,
-      checkpointEvery)
+      checkpointEvery, edgesDistinct)
     // materialize the (node-sized) result, then release the edge/degree
     // caches — they must not outlive the call into a long-lived session.
     // The result's own blocks are registered for the session owner's drain.
@@ -73,14 +79,15 @@ object Graph {
   private[graft] def pageRankLoop(edges: DataFrame, iters: Int,
                   unit: Long = 1000000000L,
                   dampNum: Int = 85, dampDen: Int = 100,
-                  checkpointEvery: Int = 10): (DataFrame, () => Unit) = {
+                  checkpointEvery: Int = 10,
+                  edgesDistinct: Boolean = false): (DataFrame, () => Unit) = {
     require(iters >= 1 && unit >= 1 && dampNum >= 0 && dampDen >= dampNum &&
       checkpointEvery >= 1)
     val base = unit * (dampDen - dampNum) / dampDen
 
-    val e = edges
+    val projected = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+    val e = (if (edgesDistinct) projected else projected.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -60,6 +60,15 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("edgesDistinct vouching: same bits as the collapsing path on distinct input") {
+    val a = Graph.pageRankInt(g.distinct.toDF("src", "dst"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankInt(g.distinct.toDF("src", "dst"), iters = 5,
+        edgesDistinct = true)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("checkpointing keeps plan depth bounded at 30+ iterations, same bits") {
     // 32 iterations with checkpointEvery=10: the final INTERNAL plan holds
     // at most ~2 un-truncated iteration layers; without checkpointing it
