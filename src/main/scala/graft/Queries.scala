@@ -4067,6 +4067,116 @@ object Queries {
              END AS dup_frac
       FROM g ORDER BY doc_id"""))
 
+  /** BIGRAM-LM CROSS-ENTROPY QUALITY SCORE (CCNet-style perplexity filter):
+    * an add-1-smoothed bigram LM trained on the deterministic half of the
+    * corpus (the q49 Knuth gate, replayed verbatim by the oracle) scores
+    * every document's per-token cross-entropy. Model counts are hash
+    * aggregates over gram types; scoring is one equi-join on (w1,w2) —
+    * see [[graft.ops.TextOps.bigramLmScore]] for the 100 TB shape. The ln
+    * terms go through the q83 DECIMAL(28,12) truncation so the decimal sum
+    * is order-independent and cross-engine exact.
+    */
+  private val q135 = Q("q135_lm_score",
+    (s, d) => graft.ops.TextOps.bigramLmScore(
+        docsSpread(s, d), col("doc_id"), col("text"),
+        trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 500)
+      .select(col("doc_id"), col("is_train").cast("long").as("is_train"),
+        col("n_bigrams"), col("xent_nats"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 500)
+                 AS is_train,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      e AS (
+        SELECT doc_id, is_train, toks,
+               unnest(range(1, len(toks))) AS i
+        FROM t),
+      g AS (
+        SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2 FROM e),
+      big AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM g WHERE is_train GROUP BY 1, 2),
+      ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      voc AS (
+        SELECT COUNT(DISTINCT wv) AS v FROM (
+          SELECT w1 AS wv FROM big UNION ALL SELECT w2 FROM big)),
+      terms AS (
+        SELECT doc_id,
+               CAST(ln((COALESCE(c12, 0) + 1) /
+                       (COALESCE(c1, 0) + 1.0 * v)) AS DECIMAL(28,12)) AS term
+        FROM g LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1)
+        CROSS JOIN voc),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term) AS s
+        FROM terms GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(is_train AS BIGINT) AS is_train,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             CASE WHEN n_bigrams IS NULL THEN 0.0
+                  ELSE -CAST(s AS DOUBLE) / n_bigrams END AS xent_nats
+      FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+      ORDER BY t.doc_id"""))
+
+  /** EXACT CONTAINMENT JOIN (asymmetric near-dup): pairs where one doc's
+    * shingle set lives mostly inside the other's — the quote/excerpt/
+    * aggregator-page duplication Jaccard misses. Posting-list counted |A∩B|
+    * (the q44 machinery), directional cont_a = |A∩B|/|A|; see
+    * [[graft.ops.Dedup.exactContainment]]. Oracle = DuckDB brute force over
+    * the same lowercase 3-token shingle sets.
+    */
+  private val q136 = Q("q136_containment",
+    (s, d) => Dedup.exactContainment(t(s, d, "documents"), threshold = 0.4)
+      .select(col("a_id"), col("b_id"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"),
+        round(col("jac"), 6).as("jac"))
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                 FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                    i -> array_to_string(l[i:least(i+2, len(l))], ' '))) AS s FROM t)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 6) AS cont_a,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s), 6) AS cont_b,
+             round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                   / len(list_distinct(a.s || b.s)), 6) AS jac
+      FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+      WHERE len(list_intersect(a.s, b.s)) > 0
+        AND greatest(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s),
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s))
+            >= 0.4
+      ORDER BY a_id, b_id"""))
+
+  /** SKIP-GRAM CO-OCCURRENCE COUNTS (word2vec/GloVe data prep): ordered
+    * token pairs within a 3-token forward window, corpus-wide counts,
+    * hapax-floor minCount=2 — narrow O(n·window) pair generation into one
+    * word-count-shaped reduce; see [[graft.ops.TextOps.skipgramCounts]].
+    */
+  private val q137 = Q("q137_skipgram",
+    (s, d) => graft.ops.TextOps.skipgramCounts(
+        docsSpread(s, d), col("text"), window = 3, minCount = 2L)
+      .orderBy(col("c").desc, col("w1"), col("w2")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      e AS (
+        SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+      p AS (
+        SELECT w1, w2 FROM (
+          SELECT toks[i] AS w1, toks[j] AS w2
+          FROM (SELECT doc_id, toks, i,
+                       unnest(range(i + 1, least(i + 3, len(toks)) + 1)) AS j
+                FROM e)))
+      SELECT w1, w2, COUNT(*) AS c
+      FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY c DESC, w1, w2"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4078,7 +4188,8 @@ object Queries {
     q86, q87, q88, q89, q90, q91, q92, q93, q94, q95, q96, q97, q98, q99,
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
-    q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134)
+    q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
+    q135, q136, q137)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

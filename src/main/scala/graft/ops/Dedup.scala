@@ -278,46 +278,18 @@ object Dedup {
     val src = docs.select(col("doc_id"), col("text"))
 
     if (strategy == "count") {
-      // consumed by the posting explode AND both per-doc size joins — persist
-      // so the shingle kernel runs once (ReuseExchange only dedupes the
-      // repartition shuffle, not the post-shuffle hashing; see minhash path).
-      // Caches-tracked: feeds the lazy result, released by the session owner.
-      val staged = Caches.track(src.repartition(parallelism, col("doc_id"))
-        .select(col("doc_id"), graft.functions.gfn.shingle_hashes64(col("text"), w).as("hashes")))
-      val sizes = staged.select(col("doc_id"), size(col("hashes")).as("sz"))
-      val posting = staged.select(col("doc_id"), explode(col("hashes")).as("h"))
-      val ids = array_sort(col("ids"))
-      val grouped = posting.groupBy(col("h"))
-        .agg(collect_list(col("doc_id")).as("ids"))
-        .filter(size(col("ids")) > 1)
-      val capped = maxDf.fold(grouped) { cap =>
-        grouped
-          .observe("exact_count_df_cap",
-            sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("dropped_buckets"),
-            sum(when(size(col("ids")) > cap, size(col("ids"))).otherwise(0L)).as("dropped_ids"),
-            max(size(col("ids"))).as("max_bucket_size"))
-          .filter(size(col("ids")) <= cap)
-      }
-      val counts = capped
-        .select(explode(flatten(transform(ids, (a, i) =>
-          transform(slice(ids, i + 2, size(ids)),
-            bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
-        .groupBy(col("p.a_id"), col("p.b_id")).agg(count(lit(1)).as("c"))
-      return counts
-        .join(sizes, col("doc_id") === col("a_id")).withColumnRenamed("sz", "a_sz")
-        .drop("doc_id")
-        .join(sizes, col("doc_id") === col("b_id")).withColumnRenamed("sz", "b_sz")
+      return postingPairCounts(src, w, maxDf, "exact_count_df_cap")
         .withColumn("jac",
           col("c").cast("double") / (col("a_sz") + col("b_sz") - col("c")))
         .filter(col("jac") >= threshold)
         .select(col("a_id"), col("b_id"), col("jac"))
     }
 
-    val staged = shingled(src.repartition(parallelism, col("doc_id")), w)
+    val stagedV = shingled(src.repartition(parallelism, col("doc_id")), w)
     val posting =
-      if (strategy == "full") staged.select(col("doc_id"), explode(col("hashes")).as("h"))
+      if (strategy == "full") stagedV.select(col("doc_id"), explode(col("hashes")).as("h"))
       else {
-        val full = staged
+        val full = stagedV
           .select(col("doc_id"), size(col("hashes")).as("sz"), explode(col("hashes")).as("h"))
         val dfreq = full.groupBy(col("h")).agg(count(lit(1)).as("df"))
         val w_ = org.apache.spark.sql.expressions.Window
@@ -336,6 +308,80 @@ object Dedup {
       .withColumn("jac", ngramJaccard(col("a_text"), col("b_text"), w))
       .filter(col("jac") >= threshold)
       .select(col("a_id"), col("b_id"), col("jac"))
+  }
+
+  /** The posting-list pair-counting core shared by [[exactNearDups]]
+    * (`"count"`) and [[exactContainment]]: stage per-doc 64-bit shingle hash
+    * SETS once (Caches-tracked — the frame feeds the posting explode AND both
+    * per-doc size joins; ReuseExchange only dedupes the repartition shuffle,
+    * not the post-shuffle hashing), group postings by shingle, expand
+    * in-bucket pairs (a<b by id sort), and count co-occurrences — giving
+    * EXACT |A∩B| with no per-pair text work. Returns
+    * (a_id, b_id, c=|A∩B|, a_sz=|A|, b_sz=|B|); callers derive their metric.
+    * `maxDf` drops posting lists longer than the cap (observed under
+    * `observeName`), making counts a certified LOWER bound — the giant-bucket
+    * guard for boilerplate-shingle corpora, same contract as the LSH
+    * `maxBucketSize` cap.
+    */
+  private def postingPairCounts(src: DataFrame, w: Int, maxDf: Option[Int],
+                                observeName: String): DataFrame = {
+    val parallelism = src.sparkSession.sparkContext.defaultParallelism
+    val staged = Caches.track(src.repartition(parallelism, col("doc_id"))
+      .select(col("doc_id"), graft.functions.gfn.shingle_hashes64(col("text"), w).as("hashes")))
+    val sizes = staged.select(col("doc_id"), size(col("hashes")).as("sz"))
+    val posting = staged.select(col("doc_id"), explode(col("hashes")).as("h"))
+    val ids = array_sort(col("ids"))
+    val grouped = posting.groupBy(col("h"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = maxDf.fold(grouped) { cap =>
+      grouped
+        .observe(observeName,
+          sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+          sum(when(size(col("ids")) > cap, size(col("ids"))).otherwise(0L)).as("dropped_ids"),
+          max(size(col("ids"))).as("max_bucket_size"))
+        .filter(size(col("ids")) <= cap)
+    }
+    capped
+      .select(explode(flatten(transform(ids, (a, i) =>
+        transform(slice(ids, i + 2, size(ids)),
+          bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
+      .groupBy(col("p.a_id"), col("p.b_id")).agg(count(lit(1)).as("c"))
+      .join(sizes, col("doc_id") === col("a_id")).withColumnRenamed("sz", "a_sz")
+      .drop("doc_id")
+      .join(sizes, col("doc_id") === col("b_id")).withColumnRenamed("sz", "b_sz")
+      .drop("doc_id")
+  }
+
+  /** EXACT shingle-set CONTAINMENT join — the ASYMMETRIC near-dup relation
+    * Jaccard cannot see: C(A→B) = |A∩B|/|A| is ~1 when A is a quote,
+    * excerpt, or scrape-subset of a much larger B even though
+    * Jaccard = |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0. For training corpora this is the
+    * "document swallowed by an aggregator page" / "chapter inside the whole
+    * book" duplication mode (the containment variant of the set-similarity
+    * join literature, e.g. Agrawal et al.'s containment joins; the symmetric
+    * exact join is [[exactNearDups]]).
+    *
+    * Same posting-list core, same scale shape: one shuffle to group postings,
+    * one groupBy to count pairs, broadcast-size per-doc |S| joins — work is
+    * Σ_h C(df_h, 2), NOT |docs|². Emits (a_id, b_id, cont_a, cont_b, jac)
+    * where cont_a = |A∩B|/|A| (how much of A lives inside B), for every pair
+    * with max(cont_a, cont_b) ≥ `threshold`; a<b by id. The Jaccard column
+    * rides along free (same three numbers) so downstream keeper policies can
+    * distinguish "true twin" (both high) from "subset" (one high).
+    * `maxDf` as in [[exactNearDups]]: capped runs are a certified lower
+    * bound, observed under `containment_df_cap`.
+    */
+  def exactContainment(docs: DataFrame, threshold: Double = 0.8, w: Int = 3,
+                       maxDf: Option[Int] = None): DataFrame = {
+    val src = docs.select(col("doc_id"), col("text"))
+    postingPairCounts(src, w, maxDf, "containment_df_cap")
+      .withColumn("cont_a", col("c").cast("double") / col("a_sz"))
+      .withColumn("cont_b", col("c").cast("double") / col("b_sz"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= threshold)
+      .withColumn("jac",
+        col("c").cast("double") / (col("a_sz") + col("b_sz") - col("c")))
+      .select(col("a_id"), col("b_id"), col("cont_a"), col("cont_b"), col("jac"))
   }
 
   /** Candidate pairs from LSH buckets: ONE shuffle (groupBy bucket key) and

@@ -589,6 +589,149 @@ object TextOps {
           .otherwise(col("n_dup").cast("double") / col("n_grams")))
   }
 
+  /** Space-split tokens with empties dropped — the array-side tokenizer the
+    * gram operators share ([[repetitionStats]], [[bigramLmScore]],
+    * [[skipgramCounts]]); mirrors DuckDB
+    * `list_filter(string_split(text, ' '), w -> len(w) > 0)`.
+    */
+  private def arrToks(text: Column): Column =
+    filter(split(text, " "), w => length(w) > 0)
+
+  /** Adjacent-bigram structs (w1, w2) as a NARROW array expression — no
+    * posexplode + self-join; the `sequence(1, 0)`-descends-under-ANSI guard
+    * as in [[repetitionStats]].
+    */
+  private def bigramStructs(toks: Column): Column =
+    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+
+  /** BIGRAM-LM CROSS-ENTROPY SCORING — the CCNet-style perplexity quality
+    * filter (Wenzek et al. 2020): train an add-k-smoothed bigram language
+    * model on a deterministic slice of the corpus, score EVERY document by
+    * its per-token cross-entropy under that model. Low entropy ⇒ fluent,
+    * in-distribution text; the extreme tails (boilerplate at the bottom,
+    * garbage at the top) are what a curation policy cuts.
+    *
+    *   p(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V),  V = |train vocab|
+    *   xent(doc) = −(1/n) Σ ln p(w2|w1)  over the doc's n adjacent bigrams
+    *
+    * Plan shape at 100 TB: bigram extraction is a narrow array expression
+    * (no posexplode self-join); model counts are two hash aggregates over the
+    * exploded grams (partial combine does the heavy lifting — the shuffle
+    * carries distinct grams, not token instances); scoring is ONE shuffle
+    * equi-join of doc-grams against the bigram table on (w1,w2) plus a
+    * foldable-size context join on w1 — big-big joins on their natural keys,
+    * exactly what AQE handles; V is a scalar broadcast. No driver loops, no
+    * cartesian. Left joins keep unseen grams (c=0 → the smoothing floor).
+    *
+    * Cross-engine determinism: each ln term is truncated to DECIMAL(28,12)
+    * before the order-independent decimal SUM (the q83_source_kl recipe);
+    * the final xent is one FP division of two exact values. Docs with <2
+    * tokens score 0 with n_bigrams = 0.
+    */
+  def bigramLmScore(docs: DataFrame, docId: Column, text: Column,
+                    trainGate: Column, addK: Int = 1): DataFrame = {
+    val lm = trainBigramLm(
+      docs.filter(trainGate).select(docId.as("doc_id"), text.as("text")),
+      col("doc_id"), col("text"), addK)
+    docs.select(docId.as("doc_id"), trainGate.as("is_train"), text.as("text"))
+      .transform(d => scoreBigramLm(d, col("doc_id"), col("text"), lm))
+      .select(col("doc_id"), col("is_train"), col("n_bigrams"),
+        col("xent_nats"))
+  }
+
+  /** A trained bigram LM: the bigram-type count table, its per-context
+    * marginals, the one-row vocab size, and the smoothing constant. `big`
+    * is Caches-tracked (it feeds ctx, V and every scoring join); like
+    * [[graft.ops.Dedup.MinHashIndex]] the model outlives the call that
+    * built it — the batch path scores a corpus against it once, the
+    * streaming face probes it every micro-batch, and the session owner
+    * releases it.
+    */
+  final case class BigramLm(big: DataFrame, ctx: DataFrame,
+                            vocab: DataFrame, addK: Int)
+
+  /** Train the add-k bigram model: ONE corpus pass → hash-aggregated gram
+    * TYPE counts (partial combine collapses instances map-side, so the
+    * shuffle carries distinct grams); ctx and V derive from the type table,
+    * which is orders of magnitude smaller than the token stream.
+    */
+  def trainBigramLm(docs: DataFrame, docId: Column, text: Column,
+                    addK: Int = 1): BigramLm = {
+    val grams = docs.select(explode(bigramStructs(arrToks(text))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val big = Caches.track(grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = big.select(col("w1").as("wv"))
+      .union(big.select(col("w2").as("wv")))
+      .agg(countDistinct(col("wv")).as("v"))
+    BigramLm(big, ctx, vocab, addK)
+  }
+
+  /** Score documents against a trained [[BigramLm]]: narrow bigram
+    * extraction, one (w1,w2) equi-join against the type table (+ a w1 join
+    * for the marginal, + the one-row V broadcast), one per-doc sum. Left
+    * joins keep unseen grams — they cost the smoothing floor
+    * ln(addK / (addK·V)), never a null. Output: (doc_id, n_bigrams,
+    * xent_nats), xent 0.0 for docs with <2 tokens; every other input
+    * column is preserved — callers keep their metadata through the score.
+    */
+  def scoreBigramLm(docs: DataFrame, docId: Column, text: Column,
+                    lm: BigramLm): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = docs
+      .select(docId.as("doc_id"), explode(bigramStructs(arrToks(text))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .join(lm.big, Seq("w1", "w2"), "left")
+      .join(lm.ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(lm.vocab))
+      .withColumn("term",
+        log((coalesce(col("c12"), lit(0L)) + lit(lm.addK)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + lit(lm.addK) * col("v")).cast("double"))
+          .cast(DecimalType(28, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("s"))
+    docs.withColumn("doc_id", docId)
+      .join(terms, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("xent_nats",
+        when(col("s").isNull, lit(0.0))
+          .otherwise(-(col("s").cast("double")) / col("n_bigrams")))
+      .drop("s")
+  }
+
+  /** SKIP-GRAM CO-OCCURRENCE COUNTS — the word2vec/GloVe training-data
+    * builder (Mikolov et al. 2013): for every ordered token pair (w1, w2)
+    * with w2 at most `window` positions after w1 in the same document, the
+    * corpus-wide pair count. This is the input matrix for embedding
+    * training and for distributional-similarity analysis; `minCount` drops
+    * the hapax tail (the standard vocabulary floor).
+    *
+    * Plan shape: pair generation is a NARROW nested array transform (each
+    * token emits ≤ `window` pairs — O(n·window) rows, no self-join, no
+    * window function), then ONE hash aggregate with map-side partial combine
+    * — the shuffle carries distinct pairs, not instances. At 100 TB this is
+    * the same shape as a word count: embarrassingly parallel generation into
+    * one key-partitioned reduce.
+    */
+  def skipgramCounts(docs: DataFrame, text: Column, window: Int = 3,
+                     minCount: Long = 2L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val toks = arrToks(text)
+    val pairs =
+      when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(flatten(transform(sequence(lit(1), size(toks) - 1), i =>
+          transform(sequence(i + 1, least(i + lit(window), size(toks))), j =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, j).as("w2"))))))
+    docs.select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -1919,4 +1919,113 @@ class OpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- bigram LM scoring (q135) ----
+
+  test("bigram LM: seen fluent text scores lower xent than unseen garbage") {
+    val fluent = "the cat sat on the mat and the cat sat again"
+    val d = docs(
+      0L -> fluent, 2L -> fluent, 4L -> "the cat sat on the mat",
+      1L -> "the cat sat on the mat",          // scored, all bigrams seen
+      3L -> "zq xv qqq zzz vvv xxx yy zz qq",  // scored, nothing seen
+      5L -> "one")                             // <2 tokens -> 0 bigrams
+    val out = TextOps.bigramLmScore(d, col("doc_id"), col("text"),
+        trainGate = col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(0L)._1 && !out(1L)._1)
+    assert(out(5L) == ((false, 0L, 0.0)))
+    assert(out(1L)._3 < out(3L)._3,
+      s"fluent ${out(1L)._3} should beat garbage ${out(3L)._3}")
+    // a doc the MODEL saw verbatim scores no worse than the unseen-garbage
+    // ceiling ln(V+...) and xent is positive (probabilities < 1)
+    assert(out(1L)._3 > 0 && out(3L)._3 > 0)
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  test("bigram LM: hand-computed add-1 cross-entropy matches exactly") {
+    // train doc: "a b a b" -> grams (a,b),(b,a),(a,b); V = {a,b} -> 2
+    // c12: (a,b)=2, (b,a)=1 ; c1: a=2, b=1
+    val d = docs(0L -> "a b a b", 1L -> "a b c")
+    val out = TextOps.bigramLmScore(d, col("doc_id"), col("text"),
+        trainGate = col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    def t(n: Double, den: Double) = {
+      val x = BigDecimal(math.log(n / den))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      x
+    }
+    // doc 1 grams: (a,b): (2+1)/(2+2)=3/4 ; (b,c): (0+1)/(1+2)=1/3
+    val want = -(t(3.0, 4.0) + t(1.0, 3.0)).toDouble / 2
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - want) < 1e-12, s"${out(1L)._2} vs $want")
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  // ---- exact containment join (q136) ----
+
+  test("containment: an excerpt is caught at cont~1 where Jaccard misses it") {
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")       // 38 3-shingles
+    val excerpt = (1 to 8).map(i => s"w$i").mkString(" ")    // 6 3-shingles, all in big
+    val other = (100 to 140).map(i => s"v$i").mkString(" ")
+    val rows = Dedup.exactContainment(
+        docs(1L -> big, 2L -> excerpt, 3L -> other), threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 1)
+    val (a, b, contA, contB, jac) = rows.head
+    assert((a, b) == ((1L, 2L)))
+    // direction: the excerpt (doc 2, the LARGER doc_id here) is fully inside
+    // doc 1 -> cont_b = 1.0; the big doc is mostly NOT in the excerpt
+    assert(contB == 1.0 && contA < 0.2)
+    assert(jac < 0.2, s"Jaccard $jac would never flag this pair")
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  test("containment agrees with a brute-force shingle-set replay") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "quick brown fox jumps over",
+      3L -> "the quick brown fox jumps over the lazy dog today ok",
+      4L -> "a completely unrelated sentence about query planning")
+    def shingles(t: String) =
+      t.toLowerCase.trim.split("\\s+").toSeq.sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      (ai, at) <- texts; (bi, bt) <- texts if ai < bi
+      sa = shingles(at); sb = shingles(bt)
+      c = (sa intersect sb).size
+      if c > 0 && math.max(c.toDouble / sa.size, c.toDouble / sb.size) >= 0.5
+    } yield (ai, bi, c.toDouble / sa.size, c.toDouble / sb.size)).toSet
+    val got = Dedup.exactContainment(docs(texts: _*), threshold = 0.5)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(got == want)
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  // ---- skip-gram co-occurrence (q137) ----
+
+  test("skipgram counts: hand-checked window-2 pairs, minCount floor applied") {
+    val d = docs(1L -> "a b c d", 2L -> "a b x")
+    val got = TextOps.skipgramCounts(d, col("text"), window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val want = Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L, ("b", "d") -> 1L,
+      ("c", "d") -> 1L, ("a", "x") -> 1L, ("b", "x") -> 1L)
+    assert(got == want)
+    // the floor drops the hapax tail
+    val floored = TextOps.skipgramCounts(d, col("text"), window = 2, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(floored == Set(("a", "b")))
+  }
+
+  test("skipgram pair generation is narrow: no shuffle before the count agg") {
+    val d = docs(1L -> "a b c d e f g h")
+    val plan = TextOps.skipgramCounts(d, col("text"), window = 3)
+      .queryExecution.executedPlan.toString
+    // exactly one exchange: the final groupBy(w1,w2) — pair generation
+    // must not introduce a window/self-join shuffle of its own
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"unexpected extra exchanges:\n$plan")
+  }
 }

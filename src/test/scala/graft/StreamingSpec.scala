@@ -491,4 +491,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.contains((7L, "click", "purchase")))
     } finally q.stop()
   }
+
+  test("streaming LM scoring matches the batch scorer bit-for-bit per batch") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val train = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the dog sat on the mat too")).toDF("doc_id", "text")
+    val lm = graft.ops.TextOps.trainBigramLm(train, col("doc_id"), col("text"))
+    val arrivals = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "zz qq vv xx yy unseen garbage entirely"),
+      (102L, "one"))
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lm_score_ckpt").toString
+    val q = graft.streaming.LmScoreJob.start(
+      mem.toDF().toDF("doc_id", "text"), lm,
+      out => got.synchronized {
+        out.collect().foreach(r => got(r.getLong(0)) =
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent_nats")))
+      },
+      ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(arrivals.drop(2): _*) // later batch scores against the SAME model
+      q.processAllAvailable()
+      val batchScores = graft.ops.TextOps.scoreBigramLm(
+          arrivals.toDF("doc_id", "text"), col("doc_id"), col("text"), lm)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_bigrams"), r.getAs[Double]("xent_nats"))).toMap
+      assert(got.toMap == batchScores, s"stream $got vs batch $batchScores")
+      assert(got(100L)._2 < got(101L)._2) // fluent beats garbage at the gate
+      assert(got(102L) == ((0L, 0.0)))    // <2 tokens -> zero-bigram floor
+    } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
+  }
 }
