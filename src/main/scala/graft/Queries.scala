@@ -4177,6 +4177,167 @@ object Queries {
       FROM p GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY c DESC, w1, w2"""))
 
+  /** DISTRIBUTED LOGISTIC REGRESSION (trained quality-classifier step, the
+    * discriminative sibling of q100/q132's generative models): 3 full-batch
+    * GD iterations, each ONE partial-combined aggregate over the train
+    * split; weights advance through a bounded one-row collect. The oracle
+    * UNROLLS the three iterations as CTEs and replays every step bit-exact:
+    * power-of-two feature scaling and learning rate make each FP op a
+    * single correctly-rounded IEEE rounding, gradients are exact decimal
+    * sums, and the one libm op (sigmoid) is snapped to DECIMAL(8,6) so a
+    * last-ulp exp() disagreement cannot feed back through the iterations —
+    * see [[graft.ops.Classify.logisticRegression]].
+    */
+  private val q138 = Q("q138_logreg_quality",
+    (s, d) => graft.ops.Classify.logisticRegression(
+        docsSpread(s, d), col("doc_id"), (col("source") === "src0").cast("int"),
+        features = Seq((col("n_chars"), 10),
+          (TextOps.tokenCount(col("text")), 6)),
+        trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 700,
+        iters = 3, lr = 0.125)
+      .select(col("id").as("doc_id"), col("y"),
+        col("is_train").cast("long").as("is_train"), col("p"), col("pred"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(source = 'src0' AS BIGINT) AS y,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 700)
+                 AS is_train,
+               CAST(n_chars AS DOUBLE) * 0.0009765625 AS x1d,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                 * 0.015625 AS x2d,
+               CAST(n_chars AS DECIMAL(10,0)) * 0.0009765625 AS x1c,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS DECIMAL(10,0)) * 0.015625 AS x2c
+        FROM documents),
+      tr AS (SELECT * FROM t WHERE is_train),
+      n AS (SELECT COUNT(*) AS n FROM tr),
+      p1 AS (
+        SELECT tr.*,
+               CAST(1.0/(1.0+exp(-((0.0 + 0.0*x1d) + 0.0*x2d)))
+                    AS DECIMAL(8,6)) AS p6
+        FROM tr),
+      g1 AS (
+        SELECT SUM(p6 - CAST(y AS DECIMAL(8,6))) AS g0,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x1c) AS g1,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x2c) AS g2
+        FROM p1),
+      w1 AS (
+        SELECT 0.0 - 0.125*(CAST(g0 AS DOUBLE)/n) AS w0,
+               0.0 - 0.125*(CAST(g1 AS DOUBLE)/n) AS w1,
+               0.0 - 0.125*(CAST(g2 AS DOUBLE)/n) AS w2
+        FROM g1, n),
+      p2 AS (
+        SELECT tr.*,
+               CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
+                    AS DECIMAL(8,6)) AS p6
+        FROM tr, w1 w),
+      g2s AS (
+        SELECT SUM(p6 - CAST(y AS DECIMAL(8,6))) AS g0,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x1c) AS g1,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x2c) AS g2
+        FROM p2),
+      w2 AS (
+        SELECT w.w0 - 0.125*(CAST(g0 AS DOUBLE)/n) AS w0,
+               w.w1 - 0.125*(CAST(g1 AS DOUBLE)/n) AS w1,
+               w.w2 - 0.125*(CAST(g2 AS DOUBLE)/n) AS w2
+        FROM g2s, w1 w, n),
+      p3 AS (
+        SELECT tr.*,
+               CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
+                    AS DECIMAL(8,6)) AS p6
+        FROM tr, w2 w),
+      g3s AS (
+        SELECT SUM(p6 - CAST(y AS DECIMAL(8,6))) AS g0,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x1c) AS g1,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x2c) AS g2
+        FROM p3),
+      w3 AS (
+        SELECT w.w0 - 0.125*(CAST(g0 AS DOUBLE)/n) AS w0,
+               w.w1 - 0.125*(CAST(g1 AS DOUBLE)/n) AS w1,
+               w.w2 - 0.125*(CAST(g2 AS DOUBLE)/n) AS w2
+        FROM g3s, w2 w, n)
+      SELECT doc_id, y, CAST(is_train AS BIGINT) AS is_train,
+             CAST(CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
+                       AS DECIMAL(8,6)) AS DOUBLE) AS p,
+             CAST(CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
+                       AS DECIMAL(8,6)) >= 0.5 AS BIGINT) AS pred
+      FROM t, w3 w
+      ORDER BY doc_id"""))
+
+  /** NAIVE BAYES LANGUAGE/QUALITY CLASSIFIER (Classify.naiveBayes): the
+    * counting-only generative classifier — train = one tokenize+count pass
+    * over the gated split, model = a (classes × 64 buckets) frame, score =
+    * broadcast-join + integer log-posterior argmax. All ln values snapped
+    * to 1e-12-nat Longs (the q132 recipe), so scores are exact integer
+    * sums and the oracle replays training AND inference bit-for-bit,
+    * including the (score12, class) tie-break. Bucket function is the
+    * SQL-expressible position-weighted codepoint polynomial q132 uses.
+    */
+  private val q139 = Q("q139_naive_bayes",
+    (s, d) => graft.ops.Classify.naiveBayes(
+        docsSpread(s, d), col("text"), col("doc_id"), col("lang"),
+        trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 600, buckets = 64,
+        bucketOf = Some(w => pmod(aggregate(
+          zip_with(split(w, ""), sequence(lit(1), length(w)),
+            (c, i) => ascii(c).cast("long") * i),
+          lit(0L), (a, x) => a + x), lit(64L))))
+      .select(col("id").as("doc_id"), col("label"),
+        col("is_train").cast("long").as("is_train"),
+        col("pred"), col("score12"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH gate AS (
+        SELECT doc_id, lang AS label, text,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 600)
+                 AS is_train
+        FROM documents),
+      toks AS (
+        SELECT doc_id, label, is_train,
+               unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                      x -> len(x) > 0)) AS w
+        FROM gate),
+      tb AS (
+        SELECT doc_id, label, is_train,
+               CAST(list_sum(list_transform(string_split(w, ''),
+                    (c, i) -> ascii(c) * i)) % 64 AS BIGINT) AS b
+        FROM toks),
+      pd AS (SELECT doc_id, label, is_train, b, COUNT(*) AS c
+             FROM tb GROUP BY 1, 2, 3, 4),
+      cbk AS (SELECT label, b, CAST(SUM(c) AS BIGINT) AS cb
+              FROM pd WHERE is_train GROUP BY 1, 2),
+      ct AS (SELECT label, CAST(SUM(cb) AS BIGINT) AS ctok FROM cbk GROUP BY 1),
+      cd AS (SELECT label, COUNT(*) AS ndocs FROM gate WHERE is_train GROUP BY 1),
+      nt AS (SELECT COUNT(*) AS n FROM gate WHERE is_train),
+      cls AS (
+        SELECT cd.label AS cls,
+               CAST(CAST(ln(CAST(ndocs AS DOUBLE) / n) AS DECIMAL(18,12))
+                    * 1000000000000 AS BIGINT) AS prior12,
+               CAST(CAST(ln(1.0 / (ctok + 64)) AS DECIMAL(18,12))
+                    * 1000000000000 AS BIGINT) AS zl12,
+               ctok
+        FROM cd JOIN ct USING (label), nt),
+      lik AS (
+        SELECT cls.cls, cbk.b,
+               CAST(CAST(ln(CAST(cb + 1 AS DOUBLE) / (cls.ctok + 64))
+                    AS DECIMAL(18,12)) * 1000000000000 AS BIGINT) AS lik12
+        FROM cbk JOIN cls ON cbk.label = cls.cls),
+      sc AS (
+        SELECT pd.doc_id, pd.label, pd.is_train, cls.cls, cls.prior12,
+               CAST(SUM(pd.c * COALESCE(lik.lik12, cls.zl12)) AS BIGINT) AS ll12
+        FROM pd CROSS JOIN cls
+        LEFT JOIN lik ON lik.cls = cls.cls AND lik.b = pd.b
+        GROUP BY 1, 2, 3, 4, 5),
+      fin AS (SELECT doc_id, label, is_train, cls, prior12 + ll12 AS score12
+              FROM sc)
+      SELECT doc_id, label, CAST(is_train AS BIGINT) AS is_train,
+             cls AS pred, score12
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score12 DESC, cls DESC) AS rn FROM fin)
+      WHERE rn = 1
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4189,7 +4350,7 @@ object Queries {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137)
+    q135, q136, q137, q138, q139)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

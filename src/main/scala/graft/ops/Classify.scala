@@ -95,4 +95,86 @@ object Classify {
       .select(col("id"), col("label"), col("is_train"),
         col("m.cls").as("pred"), col("m.score12").as("score12"))
   }
+
+  /** DISTRIBUTED LOGISTIC REGRESSION — the discriminative counterpart to
+    * [[naiveBayes]] (the fastText-style trained quality filter of the GPT-3
+    * /CCNet data recipes): full-batch gradient descent where each iteration
+    * is ONE partial-combined aggregate over the training split. Per task,
+    * the shuffle carries k+1 decimal sums — the canonical
+    * distributed-ML-on-Spark shape (statistics move, rows don't); `iters`
+    * scans of a (id, y, x₁..x_k) feature frame the caller can keep cached.
+    * The per-iteration weight step is a bounded one-row driver collect —
+    * same contract as the k-means seed/update collects.
+    *
+    * Exact-replay arithmetic (every step either exact or a single
+    * correctly-rounded IEEE op, so any engine replays it bit-for-bit):
+    *   - features enter as INTEGER columns with a power-of-two scale
+    *     (x = int · 2^-shift): exact in double AND in decimal;
+    *   - z = w₀ + Σ wⱼ·xⱼ in double, fixed association order;
+    *   - σ(z) = 1/(1+e^-z) is the ONE libm op; it is snapped to
+    *     DECIMAL(8,6) (`p6`). Quantizing at 1e-6 — not the 1e-12 the
+    *     one-shot q83 sums use — is deliberate: GD FEEDS BACK, so a last-ulp
+    *     cross-engine exp() disagreement would otherwise amplify across
+    *     iterations; at 1e-6 a flip needs the true σ within ~1e-16 of a grid
+    *     boundary (~1e-10/row/iter — never);
+    *   - gradient Σ (p6−y)·xⱼ_dec is an EXACT decimal sum
+    *     (order-independent across partitions);
+    *   - w ← w − lr·(grad/n) with lr a power of two, each op one IEEE
+    *     rounding, in the association order written here.
+    *
+    * `features` are (intColumn, shift) pairs ⇒ xⱼ = intColumn·2^-shift;
+    * shift ≤ 20. Returns (id, y, is_train, p, pred) for EVERY row — p the
+    * final-model σ as double (exact decimal→double), pred = p ≥ 0.5 as
+    * long — plus the learned weights in every row's `w` array column (the
+    * model is part of the result, like the k-means centroid output).
+    */
+  def logisticRegression(df: DataFrame, id: Column, label: Column,
+                         features: Seq[(Column, Int)], trainGate: Column,
+                         iters: Int = 3, lr: Double = 0.125): DataFrame = {
+    require(features.nonEmpty && features.forall(f => f._2 >= 0 && f._2 <= 20),
+      "features are (intColumn, shift) with 0 <= shift <= 20")
+    require(iters >= 1 && (lr > 0) && (java.lang.Double.doubleToRawLongBits(lr)
+      & 0x000fffffffffffffL) == 0L, "lr must be a positive power of two")
+    // p ∈ [0,1] fits DECIMAL(8,6); features fit DECIMAL(10,0) — the widths
+    // are chosen so diff·x is precision 31 ≤ 38: EXACT decimal products and
+    // sums in BOTH engines (a wider type would hit Spark's 38-digit cap and
+    // round under its own rules, which an oracle cannot replay)
+    val Dec86 = DecimalType(8, 6)
+    val k = features.size
+    val xd = features.map { case (c, sh) => // exact double: int * 2^-shift
+      c.cast("double") * lit(math.pow(2.0, -sh)) }
+    // 2^-shift as an exact decimal literal (2^-s = 5^s · 10^-s)
+    def pow2Dec(sh: Int): java.math.BigDecimal =
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(5L).pow(sh), sh)
+    val xdecs = features.map { case (c, sh) =>
+      c.cast(DecimalType(10, 0)) * lit(pow2Dec(sh)) }
+    val base = Caches.track(df.select(
+      (id.as("id") +: label.cast("long").as("y") +:
+        trainGate.cast("boolean").as("is_train") +:
+        xd.zipWithIndex.map { case (x, i) => x.as(s"xd$i") } ++:
+        xdecs.zipWithIndex.map { case (x, i) => x.as(s"xc$i") }): _*))
+    val train = base.where(col("is_train"))
+    val n = train.count()
+    require(n > 0, "empty training split")
+    val w = Array.fill(k + 1)(0.0) // bias + k weights
+    def zCol: Column =
+      (0 until k).foldLeft(lit(w(0))) { (acc, j) => acc + lit(w(j + 1)) * col(s"xd$j") }
+    def p6: Column =
+      (lit(1.0) / (lit(1.0) + exp(-zCol))).cast(Dec86)
+    for (_ <- 1 to iters) {
+      val diff = p6 - col("y").cast(Dec86)
+      val sums = train.agg(
+        sum(diff).as("g0"),
+        (0 until k).map(j => sum(diff * col(s"xc$j")).as(s"g${j + 1}")): _*)
+        .collect()(0)
+      for (j <- 0 to k) {
+        val g = sums.getDecimal(j).doubleValue() // exact-sum -> 1 rounding
+        w(j) = w(j) - lr * (g / n)               // 3 IEEE ops, fixed order
+      }
+    }
+    base.select(col("id"), col("y"), col("is_train"),
+      p6.cast("double").as("p"),
+      (p6 >= lit(new java.math.BigDecimal("0.5"))).cast("long").as("pred"),
+      array(w.map(lit(_)): _*).as("w"))
+  }
 }

@@ -2019,6 +2019,66 @@ class OpsSpec extends AnyFunSuite {
     assert(floored == Set(("a", "b")))
   }
 
+  // ---- naive Bayes (q139) ----
+
+  test("naive Bayes separates disjoint-vocabulary classes on held-out docs") {
+    import org.apache.spark.sql.functions.{col, lit, concat_ws}
+    val aWords = Seq("alpha", "beta", "gamma", "delta")
+    val bWords = Seq("omicron", "sigma", "tau", "upsilon")
+    val rows = (0L until 80L).map { i =>
+      val ws = if (i % 2 == 0) aWords else bWords
+      val txt = (0 until 12).map(j => ws((i + j).toInt % ws.length)).mkString(" ")
+      (i, txt, if (i % 2 == 0) "A" else "B")
+    }
+    val df = spark.createDataFrame(rows).toDF("doc_id", "text", "cls")
+    val out = graft.ops.Classify.naiveBayes(df, col("text"), col("doc_id"),
+        col("cls"), trainGate = col("doc_id") < 40) // first half trains
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getString(3)))
+    val test = out.filter(!_._3)
+    assert(test.nonEmpty && test.forall(t => t._4 == t._2),
+      s"held-out misclassified: ${test.filter(t => t._4 != t._2).take(3).toSeq}")
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  // ---- logistic regression (q138) ----
+
+  test("logistic regression learns a separable length rule") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // y = 1 iff len >= 640: linearly separable on the single scaled feature
+    val rows = (0L until 200L).map { i =>
+      val len = if (i % 2 == 0) 100 + (i % 37) else 1200 + (i % 53)
+      (i, len, if (len >= 640) 1 else 0)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "len", "y")
+    val out = graft.ops.Classify.logisticRegression(
+        df, col("id"), col("y"), Seq((col("len"), 7)),
+        trainGate = lit(true), iters = 30, lr = 0.25)
+      .collect()
+    val acc = out.count(r => r.getLong(4) == r.getLong(1)).toDouble / out.length
+    assert(acc >= 0.95, s"train accuracy $acc")
+    // pred is exactly the p >= 0.5 threshold
+    assert(out.forall(r => (r.getLong(4) == 1L) == (r.getDouble(3) >= 0.5)))
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  test("logistic regression is partitioning-invariant (exact decimal gradients)") {
+    import org.apache.spark.sql.functions.col
+    val rows = (0L until 120L).map(i => (i, (i * 37 % 900).toInt + 20, (i % 3 == 0)))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(rows).toDF("id", "len", "yb").repartition(parts)
+      val got = graft.ops.Classify.logisticRegression(
+          df, col("id"), col("yb").cast("int"), Seq((col("len"), 7)),
+          trainGate = col("id") % 2 === 0, iters = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(3), r.getLong(4),
+          r.getSeq[Double](5))).sortBy(_._1).toSeq
+      graft.ops.Caches.drainAll(spark)
+      got
+    }
+    val a = run(3); val b = run(11)
+    assert(a == b) // bit-identical p, pred AND weights regardless of layout
+  }
+
   test("skipgram pair generation is narrow: no shuffle before the count agg") {
     val d = docs(1L -> "a b c d e f g h")
     val plan = TextOps.skipgramCounts(d, col("text"), window = 3)
