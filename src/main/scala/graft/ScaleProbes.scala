@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   *     corpus: byte-identical merge tables required, wall-times recorded.
   *     This is the datapoint behind the driver path's job-count claim
   *     (zero Spark jobs per merge vs ~2.3/merge batched-distributed).
+  *  4. `lm_probe` — the `LmScoreJob` ingest-gate economics: a fixed
+  *     500-doc batch scored against bigram LMs trained on the 1x and 10x
+  *     corpora; warm probe cost must scale far below 10x (the batch pays
+  *     for itself plus a join against the persisted model TYPES).
   */
 object ScaleProbes {
   def main(args: Array[String]): Unit = {
@@ -45,7 +49,8 @@ object ScaleProbes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val which = if (args.isEmpty) Seq("simhash_knee", "stream_increment", "bpe_driver")
+    val which = if (args.isEmpty)
+                  Seq("simhash_knee", "stream_increment", "bpe_driver", "lm_probe")
                 else args.toSeq
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -121,6 +126,38 @@ object ScaleProbes {
         val r = f"""{"probe":"stream_increment","corpus":"$tag","cold_sec":$tCold%.2f,"warm_sec":$tWarm%.2f,"hits":$hits2}"""
         println(s"[probe] $r")
         require(hits1 == hits2, s"probe not deterministic: $hits1 vs $hits2")
+        rows += r
+      }
+      batch.unpersist()
+    }
+
+    if (which.contains("lm_probe")) {
+      // the LmScoreJob economics: scoring a FIXED ingest batch against a
+      // trained bigram LM must cost ~the batch, not the training corpus —
+      // the model is persisted state (bigram TYPES), so a 10x corpus only
+      // widens the type table the batch joins against. Mirrors
+      // stream_increment: cold pays the model's one-off aggregate
+      // materialization (amortized across all arrivals), warm is the
+      // steady state.
+      val src = "/root/testdata/sf0.1"
+      val sf1 = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+      ScaleRehearsal.ensureSf1(spark, src, sf1, cpus.toInt)
+      val batch = Tables(spark, src, "documents")
+        .where(pmod(col("doc_id"), lit(10)) === 0).limit(500)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      batch.persist(); batch.count()
+      for ((dir, tag) <- Seq((src, "1x"), (sf1, "10x"))) {
+        val lm = graft.ops.TextOps.trainBigramLm(
+          Tables(spark, dir, "documents"), col("doc_id"), col("text"))
+        def scoreOnce(): Long = graft.ops.TextOps.scoreBigramLm(
+          batch, col("doc_id"), col("text"), lm).count()
+        val (n1, tCold) = timed(scoreOnce())
+        val (n2, tWarm) = timed(scoreOnce())
+        val types = lm.big.count()
+        graft.ops.Caches.drainAll(spark)
+        require(n1 == n2 && n1 == 500L, s"probe not stable: $n1 vs $n2")
+        val r = f"""{"probe":"lm_probe","corpus":"$tag","bigram_types":$types,"cold_sec":$tCold%.2f,"warm_sec":$tWarm%.2f}"""
+        println(s"[probe] $r")
         rows += r
       }
       batch.unpersist()
