@@ -4338,6 +4338,78 @@ object Queries {
       WHERE rn = 1
       ORDER BY doc_id"""))
 
+  /** STUPID BACKOFF TRIGRAM SCORING (Brants et al. 2007): the
+    * scales-because-it's-only-counting LM — trigram score c123/c12 backing
+    * off through α·c23/c2 to the add-1 unigram floor α²·(c3+1)/(N+V).
+    * Train = three word-count-shaped aggregates over the q49 Knuth gate's
+    * deterministic half; score = four natural-key equi-joins + a one-row
+    * totals broadcast; see [[graft.ops.TextOps.stupidBackoffScore]]. The
+    * ln terms go through the q83/q135 DECIMAL(28,12) truncation, so the
+    * oracle replays training and scoring exactly, including both backoff
+    * tiers and the OOV floor.
+    */
+  private val q140 = Q("q140_stupid_backoff",
+    (s, d) => graft.ops.TextOps.stupidBackoffScore(
+        docsSpread(s, d), col("doc_id"), col("text"),
+        trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 500)
+      .select(col("doc_id"), col("is_train").cast("long").as("is_train"),
+        col("n_trigrams"), col("score_nats"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 500)
+                 AS is_train,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_train,
+               toks[i] AS w1, toks[i + 1] AS w2, toks[i + 2] AS w3
+        FROM (SELECT doc_id, is_train, toks,
+                     unnest(range(1, len(toks) - 1)) AS i
+              FROM t)),
+      gb AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+              FROM t WHERE is_train)),
+      tri AS (
+        SELECT w1, w2, w3, COUNT(*) AS c123
+        FROM g WHERE is_train GROUP BY 1, 2, 3),
+      big AS (SELECT w1, w2, COUNT(*) AS c12 FROM gb GROUP BY 1, 2),
+      uni AS (
+        SELECT w, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM t WHERE is_train) GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tokens, COUNT(*) AS v
+              FROM uni),
+      terms AS (
+        SELECT doc_id,
+               CAST(ln(CASE
+                 WHEN c123 IS NOT NULL
+                   THEN CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)
+                 WHEN c23 IS NOT NULL
+                   THEN 0.4 * CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE)
+                 ELSE 0.4 * 0.4 * CAST(COALESCE(c3, 0) + 1 AS DOUBLE)
+                      / CAST(n_tokens + v AS DOUBLE)
+               END) AS DECIMAL(28,12)) AS term
+        FROM g
+        LEFT JOIN tri USING (w1, w2, w3)
+        LEFT JOIN big USING (w1, w2)
+        LEFT JOIN (SELECT w1 AS w2, w2 AS w3, c12 AS c23 FROM big) b23
+          USING (w2, w3)
+        LEFT JOIN (SELECT w AS w2, c1 AS c2 FROM uni) u2 USING (w2)
+        LEFT JOIN (SELECT w AS w3, c1 AS c3 FROM uni) u3 USING (w3)
+        CROSS JOIN tot),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_trigrams, SUM(term) AS s
+        FROM terms GROUP BY 1)
+      SELECT t.doc_id,
+             CAST(is_train AS BIGINT) AS is_train,
+             COALESCE(n_trigrams, 0) AS n_trigrams,
+             CASE WHEN n_trigrams IS NULL THEN 0.0
+                  ELSE -CAST(s AS DOUBLE) / n_trigrams END AS score_nats
+      FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4350,7 +4422,7 @@ object Queries {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139)
+    q135, q136, q137, q138, q139, q140)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

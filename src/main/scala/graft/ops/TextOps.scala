@@ -702,6 +702,114 @@ object TextOps {
       .drop("s")
   }
 
+  /** Adjacent-trigram structs (w1, w2, w3) — same narrow array shape as
+    * [[bigramStructs]]; docs with <3 tokens yield an empty array.
+    */
+  private def trigramStructs(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2), i =>
+        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3"))))
+
+  /** A trained Stupid Backoff trigram model (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): trigram / bigram / unigram
+    * TYPE-count tables, the one-row (total tokens, vocab size) frame, and
+    * the backoff constant. `tri`/`big`/`uni` are Caches-tracked — `big` and
+    * `uni` each feed two scoring joins, and like [[BigramLm]] the model
+    * outlives the call that built it (batch scores once, a streaming gate
+    * probes it per micro-batch); the session owner releases them.
+    */
+  final case class BackoffLm(tri: DataFrame, big: DataFrame, uni: DataFrame,
+                             totals: DataFrame, alpha: Double)
+
+  /** Train the Stupid Backoff model: ONE corpus pass per gram order, each a
+    * hash aggregate with map-side partial combine — the shuffles carry
+    * distinct gram TYPES, not token instances. This absence of any
+    * normalization pass is the algorithm's entire point: Brants et al.
+    * chose score S(w3|w1,w2) = c123/c12, backing off to α·c23/c2 then
+    * α²·c3/N, precisely BECAUSE it needs nothing beyond distributed
+    * counting — no discounting pass, no cross-order smoothing join — so it
+    * scales to corpus sizes where Kneser-Ney's held-out statistics don't.
+    * The 100 TB shape is three word-count jobs.
+    */
+  def trainStupidBackoff(docs: DataFrame, text: Column,
+                         alpha: Double = 0.4): BackoffLm = {
+    val toks = docs.select(arrToks(text).as("toks"))
+    val tri = Caches.track(
+      toks.select(explode(trigramStructs(col("toks"))).as("g"))
+        .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
+        .agg(count(lit(1)).as("c123")))
+    val big = Caches.track(
+      toks.select(explode(bigramStructs(col("toks"))).as("g"))
+        .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
+        .agg(count(lit(1)).as("c12")))
+    val uni = Caches.track(
+      toks.select(explode(col("toks")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val totals = uni.agg(sum(col("c1")).as("n_tokens"),
+      count(lit(1)).as("v"))
+    BackoffLm(tri, big, uni, totals, alpha)
+  }
+
+  /** STUPID BACKOFF TRIGRAM SCORING — score every document's mean negated
+    * ln S over its adjacent trigrams, S per Brants et al. 2007:
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2)          if c(w1w2w3) > 0
+    *               = α · c(w2w3)/c(w2)           else if c(w2w3) > 0
+    *               = α² · (c(w3)+1)/(N+V)        otherwise
+    *
+    * (the unigram floor is add-1 over (N+V) so out-of-vocabulary tokens
+    * score finite instead of ln 0 — the one deviation from the paper,
+    * which scored only in-vocabulary MT hypotheses).
+    *
+    * Plan shape at 100 TB: trigram extraction is narrow; scoring is four
+    * equi-joins of doc-grams against the type tables on their natural keys
+    * — (w1,w2,w3), (w1,w2), (w2,w3), (w2) — plus the unigram join on (w3)
+    * and a one-row totals broadcast. Big-big joins on uniform keys, AQE
+    * territory; no driver loop, no cartesian. Determinism: each ln term is
+    * truncated to DECIMAL(28,12) before the order-independent decimal sum
+    * (the q83/q135 recipe); α enters as a double literal both engines parse
+    * identically, and each CASE branch is a fixed IEEE op sequence.
+    */
+  def stupidBackoffScore(docs: DataFrame, docId: Column, text: Column,
+                         trainGate: Column, alpha: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val lm = trainStupidBackoff(
+      docs.filter(trainGate).select(text.as("text")), col("text"), alpha)
+    val withId = docs.select(docId.as("doc_id"), trainGate.as("is_train"),
+      text.as("text"))
+    val terms = withId
+      .select(col("doc_id"), explode(trigramStructs(arrToks(col("text")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      .join(lm.tri, Seq("w1", "w2", "w3"), "left")
+      .join(lm.big, Seq("w1", "w2"), "left")
+      .join(lm.big.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c12").as("c23")), Seq("w2", "w3"), "left")
+      .join(lm.uni.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"), "left")
+      .join(lm.uni.select(col("w").as("w3"), col("c1").as("c3")), Seq("w3"), "left")
+      .crossJoin(broadcast(lm.totals))
+      .withColumn("term",
+        log(
+          when(col("c123").isNotNull,
+            col("c123").cast("double") / col("c12").cast("double"))
+          .when(col("c23").isNotNull,
+            lit(lm.alpha) * col("c23").cast("double") / col("c2").cast("double"))
+          .otherwise(lit(lm.alpha) * lit(lm.alpha) *
+            (coalesce(col("c3"), lit(0L)) + lit(1L)).cast("double") /
+            (col("n_tokens") + col("v")).cast("double")))
+          .cast(DecimalType(28, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("term")).as("s"))
+    withId.drop("text")
+      .join(terms, Seq("doc_id"), "left")
+      .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
+      .withColumn("score_nats",
+        when(col("s").isNull, lit(0.0))
+          .otherwise(-(col("s").cast("double")) / col("n_trigrams")))
+      .drop("s")
+  }
+
   /** SKIP-GRAM CO-OCCURRENCE COUNTS — the word2vec/GloVe training-data
     * builder (Mikolov et al. 2013): for every ordered token pair (w1, w2)
     * with w2 at most `window` positions after w1 in the same document, the

@@ -1962,6 +1962,50 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.drainAll(spark)
   }
 
+  // ---- stupid backoff trigram scoring (q140) ----
+
+  test("stupid backoff: all three tiers hand-computed exactly") {
+    // train doc 0 "a b c a b d":
+    //   trigrams (a,b,c),(b,c,a),(c,a,b),(a,b,d) each 1
+    //   bigrams  (a,b)=2,(b,c)=1,(c,a)=1,(b,d)=1
+    //   unigrams a=2,b=2,c=1,d=1  ->  N=6, V=4
+    val d = docs(0L -> "a b c a b d",
+      1L -> "a b c",   // tier 1: trigram seen        -> 1/2      (c12(a,b)=2)
+      2L -> "b b c",   // tier 2: backoff to (b,c)=1  -> 0.4*1/2  (c1(b)=2)
+      3L -> "c c z",   // tier 3: OOV floor           -> 0.4*0.4*(0+1)/(6+4)
+      4L -> "x y")     // <3 tokens -> 0 trigrams, score 0
+    val out = TextOps.stupidBackoffScore(d, col("doc_id"), col("text"),
+        trainGate = col("doc_id") === 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // replicate the engine's exact IEEE op order, then the DECIMAL(28,12)
+    // HALF_UP snap each ln term goes through
+    def snap(x: Double) = BigDecimal(math.log(x))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((1L, -snap(1.0 / 2.0))))
+    assert(out(2L) == ((1L, -snap(0.4 * 1.0 / 2.0))))
+    assert(out(3L) == ((1L, -snap(0.4 * 0.4 * 1.0 / 10.0))))
+    assert(out(4L) == ((0L, 0.0)))
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  test("stupid backoff: fluent text beats garbage; plan has no cartesian") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val d = docs(0L -> fluent, 2L -> fluent, 4L -> fluent,
+      1L -> "the cat sat on the mat",
+      3L -> "zq xv qqq zzz vvv xxx yyy zzz qq")
+    val scored = TextOps.stupidBackoffScore(d, col("doc_id"), col("text"),
+      trainGate = col("doc_id") % 2 === 0)
+    // (the one-row totals broadcast is a BroadcastNestedLoop by design —
+    // only an unbroadcast cartesian would be a plan defect)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    val out = scored.collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(3L),
+      s"fluent ${out(1L)} should beat garbage ${out(3L)}")
+    graft.ops.Caches.drainAll(spark)
+  }
+
   // ---- exact containment join (q136) ----
 
   test("containment: an excerpt is caught at cont~1 where Jaccard misses it") {
