@@ -4410,6 +4410,61 @@ object Queries {
       FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
       ORDER BY t.doc_id"""))
 
+  /** CCNET PERPLEXITY TERCILES (Wenzek et al. 2020): head/middle/tail split
+    * of each language by bigram-LM cross-entropy — the canonical
+    * quality-partition step after q135's scoring. Catalog runs the EXACT
+    * per-language ntile (deterministic, ties broken by doc_id, oracle
+    * replays it 1:1); the production-scale threshold-cut face is
+    * [[graft.ops.TextOps.pplBucketsByThreshold]], OpsSpec-pinned to agree
+    * at sketch accuracy.
+    */
+  private val q141 = Q("q141_ppl_buckets",
+    (s, d) => graft.ops.TextOps.pplBuckets(
+        docsSpread(s, d), col("doc_id"), col("text"), col("lang"),
+        trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 500)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("xent_nats"), col("tercile"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 500)
+                 AS is_train,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      e AS (
+        SELECT doc_id, is_train, toks,
+               unnest(range(1, len(toks))) AS i
+        FROM t),
+      g AS (
+        SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2 FROM e),
+      big AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM g WHERE is_train GROUP BY 1, 2),
+      ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY 1),
+      voc AS (
+        SELECT COUNT(DISTINCT wv) AS v FROM (
+          SELECT w1 AS wv FROM big UNION ALL SELECT w2 FROM big)),
+      terms AS (
+        SELECT doc_id,
+               CAST(ln((COALESCE(c12, 0) + 1) /
+                       (COALESCE(c1, 0) + 1.0 * v)) AS DECIMAL(28,12)) AS term
+        FROM g LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1)
+        CROSS JOIN voc),
+      sc AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term) AS s
+        FROM terms GROUP BY 1),
+      x AS (
+        SELECT t.doc_id, t.lang,
+               COALESCE(n_bigrams, 0) AS n_bigrams,
+               CASE WHEN n_bigrams IS NULL THEN 0.0
+                    ELSE -CAST(s AS DOUBLE) / n_bigrams END AS xent_nats
+        FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id)
+      SELECT doc_id, lang, n_bigrams, xent_nats,
+             CAST(ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY xent_nats, doc_id) AS INT) AS tercile
+      FROM x ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4422,7 +4477,7 @@ object Queries {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140)
+    q135, q136, q137, q138, q139, q140, q141)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -702,6 +702,65 @@ object TextOps {
       .drop("s")
   }
 
+  /** CCNET PERPLEXITY BUCKETS (Wenzek et al. 2020): partition each
+    * language's documents into head / middle / tail terciles by their LM
+    * cross-entropy — the standard quality split a curation policy keeps,
+    * downsamples, or drops. Scoring is [[bigramLmScore]]'s model (trained
+    * on `trainGate`'s slice); bucketing here is the EXACT per-language
+    * ntile over (xent, doc_id) — deterministic and oracle-replayable.
+    *
+    * Scale note: `Window.partitionBy(lang)` funnels each language through
+    * one task — exact terciles at 100 TB are a per-language global sort.
+    * CCNet itself cuts on PRECOMPUTED thresholds for exactly this reason;
+    * that embarrassingly-parallel face is [[pplBucketsByThreshold]]
+    * (thresholds from a mergeable quantile sketch, the q115 machinery),
+    * pinned in OpsSpec to agree with this exact form at sketch accuracy.
+    * The catalog runs the exact form — at gate scale they coincide and the
+    * oracle can hash it.
+    */
+  def pplBuckets(docs: DataFrame, docId: Column, text: Column, lang: Column,
+                 trainGate: Column, buckets: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lm = trainBigramLm(
+      docs.filter(trainGate).select(docId.as("doc_id"), text.as("text")),
+      col("doc_id"), col("text"))
+    val scored = scoreBigramLm(
+      docs.select(docId.as("doc_id"), lang.as("lang"), text.as("text")),
+      col("doc_id"), col("text"), lm).drop("text")
+    scored.withColumn("tercile",
+      ntile(buckets).over(
+        Window.partitionBy(col("lang")).orderBy(col("xent_nats"), col("doc_id"))))
+  }
+
+  /** The 100 TB face of [[pplBuckets]]: score, then assign buckets by
+    * comparing against per-language cut points from `percentile_approx`
+    * (Greenwald–Khanna, mergeable partials — one tiny aggregate, broadcast
+    * back). Assignment is a narrow comparison: no window, no per-language
+    * funnel; rank error is bounded by the sketch accuracy. This is what
+    * CCNet does in production (thresholds computed once on a sample, data
+    * cut in parallel).
+    */
+  def pplBucketsByThreshold(docs: DataFrame, docId: Column, text: Column,
+                            lang: Column, trainGate: Column, buckets: Int = 3,
+                            accuracy: Int = 10000): DataFrame = {
+    val lm = trainBigramLm(
+      docs.filter(trainGate).select(docId.as("doc_id"), text.as("text")),
+      col("doc_id"), col("text"))
+    val scored = scoreBigramLm(
+      docs.select(docId.as("doc_id"), lang.as("lang"), text.as("text")),
+      col("doc_id"), col("text"), lm).drop("text")
+    val pcts = (1 until buckets).map(_.toDouble / buckets)
+    val cuts = scored.groupBy(col("lang"))
+      .agg(percentile_approx(col("xent_nats"),
+        array(pcts.map(lit): _*), lit(accuracy)).as("cuts"))
+    scored.join(broadcast(cuts), Seq("lang"))
+      .withColumn("tercile",
+        (aggregate(col("cuts"), lit(0),
+          (acc, c) => acc + when(col("xent_nats") > c, 1).otherwise(0)) + 1)
+          .cast("int"))
+      .drop("cuts")
+  }
+
   /** Adjacent-trigram structs (w1, w2, w3) — same narrow array shape as
     * [[bigramStructs]]; docs with <3 tokens yield an empty array.
     */

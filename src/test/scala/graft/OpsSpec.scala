@@ -1962,6 +1962,53 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.drainAll(spark)
   }
 
+  // ---- CCNet perplexity buckets (q141) ----
+
+  test("ppl buckets: fluent docs land in the head, garbage in the tail") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val rows = (0L to 5L).map(_ -> fluent) ++ Seq(
+      6L -> "the cat sat on the mat", 7L -> "the dog sat on the rug",
+      8L -> "the cat ran under a tree", 9L -> "a dog ran over the hill",
+      10L -> "zq xv qqq zzz vvv xxx yyy www",
+      11L -> "k9 j8 h7 g6 f5 d4 s3 a2")
+    val d = docs(rows: _*).withColumn("lang", lit("en"))
+    val out = TextOps.pplBuckets(d, col("doc_id"), col("text"), col("lang"),
+        trainGate = col("doc_id") < 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(out.size == 12)
+    // terciles of 4: the six tied fluent docs fill the head and spill into
+    // the middle in doc_id order — the first four are the head
+    assert((0L to 3L).forall(out(_) == 1), s"fluent docs not head: $out")
+    assert(out(4L) == 2 && out(5L) == 2, s"tie spill not doc_id-ordered: $out")
+    assert(out(10L) == 3 && out(11L) == 3, s"garbage not tail: $out")
+    graft.ops.Caches.drainAll(spark)
+  }
+
+  test("ppl buckets: threshold-cut face agrees with exact ntile, no window") {
+    val fluent = "the cat sat on the mat and the dog sat on the rug"
+    val rows = (0L to 5L).map(_ -> fluent) ++ Seq(
+      6L -> "the cat sat on the mat", 7L -> "the dog sat on a rug",
+      8L -> "the cat ran under one tree", 9L -> "a dog ran over the hill",
+      10L -> "zq xv qqq zzz vvv xxx yyy www",
+      11L -> "k9 j8 h7 g6 f5 d4 s3 a2")
+    val d = docs(rows: _*).withColumn("lang", lit("en"))
+    val exact = TextOps.pplBuckets(d, col("doc_id"), col("text"), col("lang"),
+        trainGate = col("doc_id") < 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val thr = TextOps.pplBucketsByThreshold(d, col("doc_id"), col("text"),
+      col("lang"), trainGate = col("doc_id") < 6, accuracy = 100000)
+    // the scale face must not contain a window operator — that is its point
+    assert(!thr.queryExecution.executedPlan.toString.contains("Window"))
+    val got = thr.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Int]("tercile")).toMap
+    // sketch-exact at this n; ties inside the uniform head may split
+    // differently across the ntile boundary — bound the disagreement
+    val agree = exact.keys.count(k => exact(k) == got(k))
+    assert(agree >= 10, s"exact=$exact thr=$got")
+    assert(got(10L) == 3 && got(11L) == 3)
+    graft.ops.Caches.drainAll(spark)
+  }
+
   // ---- stupid backoff trigram scoring (q140) ----
 
   test("stupid backoff: all three tiers hand-computed exactly") {
