@@ -4465,6 +4465,62 @@ object Queries {
                                  ORDER BY xent_nats, doc_id) AS INT) AS tercile
       FROM x ORDER BY doc_id"""))
 
+  /** COUNT-MIN SKETCH (Cormode & Muthukrishnan 2005): 4×256 counter cells
+    * over the token stream, point estimates for every token with true
+    * count ≥ 5 next to the exact count — showing the ≥-true overestimate
+    * contract live. Order-independent counter sums make the whole sketch
+    * oracle-replayable (unlike SpaceSaving q66, which is order-dependent
+    * and rows-only); the bucket family is the q132/q139 position-weighted
+    * codepoint polynomial spread by per-row odd multipliers. See
+    * [[graft.ops.Sketch.countMin]] for the bounded-shuffle build shape.
+    */
+  private val q142 = Q("q142_countmin",
+    (s, d) => {
+      val toks = docsSpread(s, d).select(explode(filter(
+        split(lower(trim(col("text"))), "\\s+"),
+        w => length(w) > 0)).as("w"))
+      val poly = (w: Column) => aggregate(
+        zip_with(split(w, ""), sequence(lit(1), length(w)),
+          (c, i) => ascii(c).cast("long") * i),
+        lit(0L), (a, x) => a + x)
+      val bucket = Some((w: Column, j: Int) =>
+        pmod(poly(w) * lit(2 * j + 1) + lit(j), lit(256L)))
+      val sketch = graft.ops.Sketch.countMin(toks, col("w"), 4, 256, bucket)
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("c_true"))
+      graft.ops.Sketch.cmEstimate(sketch, exact.select(col("w")), col("w"),
+          4, 256, bucket)
+        .join(exact, Seq("w"))
+        .filter(col("c_true") >= 5)
+        .select(col("w"), col("c_true"), col("c_est"))
+        .orderBy(col("w"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+               x -> len(x) > 0)) AS w
+        FROM documents),
+      pb AS (
+        SELECT w, CAST(list_sum(list_transform(string_split(w, ''),
+               (c, i) -> ascii(c) * i)) AS BIGINT) AS poly
+        FROM toks),
+      cells AS (
+        SELECT j, (poly * (2*j + 1) + j) % 256 AS b
+        FROM pb, (SELECT unnest(range(0, 4)) AS j)),
+      counters AS (SELECT j, b, COUNT(*) AS c FROM cells GROUP BY 1, 2),
+      exact AS (SELECT w, COUNT(*) AS c_true FROM toks GROUP BY 1),
+      kp AS (
+        SELECT w, c_true, CAST(list_sum(list_transform(string_split(w, ''),
+               (c, i) -> ascii(c) * i)) AS BIGINT) AS poly
+        FROM exact),
+      kc AS (
+        SELECT w, c_true, j, (poly * (2*j + 1) + j) % 256 AS b
+        FROM kp, (SELECT unnest(range(0, 4)) AS j)),
+      est AS (
+        SELECT w, c_true, MIN(COALESCE(c, 0)) AS c_est
+        FROM kc LEFT JOIN counters USING (j, b) GROUP BY 1, 2)
+      SELECT w, c_true, CAST(c_est AS BIGINT) AS c_est
+      FROM est WHERE c_true >= 5 ORDER BY w"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4477,7 +4533,7 @@ object Queries {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141)
+    q135, q136, q137, q138, q139, q140, q141, q142)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

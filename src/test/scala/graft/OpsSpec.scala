@@ -1962,6 +1962,46 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.drainAll(spark)
   }
 
+  // ---- count-min sketch (q142) ----
+
+  test("count-min: estimates are >= exact counts, exact when unambiguous") {
+    import graft.ops.Sketch
+    val words = Seq.fill(40)("alpha") ++ Seq.fill(25)("beta") ++
+      Seq.fill(9)("gamma") ++ Seq("delta", "epsilon", "zeta")
+    val items = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("i", "w")
+    val sk = Sketch.countMin(items, col("w"), depth = 4, width = 1024)
+    val exact = items.groupBy(col("w")).agg(count(lit(1)).as("c_true"))
+    val got = Sketch.cmEstimate(sk, exact.select(col("w")), col("w"),
+        depth = 4, width = 1024)
+      .join(exact, Seq("w")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((w, (est, tru)) <- got)
+      assert(est >= tru, s"$w: CMS underestimated $est < $tru")
+    // 6 distinct words in 4x1024 cells: no collision in any row is
+    // overwhelmingly likely, and then min over rows is exact
+    assert(got("alpha")._1 == 40L && got("beta")._1 == 25L &&
+      got("gamma")._1 == 9L)
+    // a never-inserted key estimates 0
+    val miss = Sketch.cmEstimate(sk, Seq("nope").toDF("w"), col("w"),
+      depth = 4, width = 1024).collect()
+    assert(miss.head.getLong(1) == 0L)
+  }
+
+  test("count-min: merge of split halves equals the whole-stream sketch") {
+    import graft.ops.Sketch
+    val words = (0 until 200).map(i => s"w${i % 17}")
+    val items = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("i", "w")
+    val whole = Sketch.countMin(items, col("w"), depth = 3, width = 64)
+    val merged = Sketch.cmMerge(
+      Sketch.countMin(items.filter(col("i") < 100), col("w"), 3, 64),
+      Sketch.countMin(items.filter(col("i") >= 100), col("w"), 3, 64))
+    val a = whole.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b, "CMS must be order/partition independent")
+  }
+
   // ---- CCNet perplexity buckets (q141) ----
 
   test("ppl buckets: fluent docs land in the head, garbage in the tail") {
