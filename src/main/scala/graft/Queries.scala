@@ -4521,6 +4521,26 @@ object Queries {
       SELECT w, c_true, CAST(c_est AS BIGINT) AS c_est
       FROM est WHERE c_true >= 5 ORDER BY w"""))
 
+  /** COMPRESSION-RATIO QUALITY SIGNAL: deflate_len(text) / octet_length —
+    * the zlib-entropy heuristic for training-data curation: boilerplate and
+    * within-doc repetition compress far below fluent prose (they pair with
+    * q40/q134's explicit repetition counts), while encoded noise sits near
+    * 1.0. One codegen'd scalar per row ([[graft.functions.DeflateLen]]),
+    * fully narrow — the 100 TB cost is the scan plus per-byte deflate CPU.
+    * Rows-only: DuckDB has no per-value deflate; values are pinned by the
+    * OpsSpec planted-ordering and determinism tests.
+    */
+  private val q143 = Q("q143_compression_ratio",
+    (s, d) => docsSpread(s, d)
+      .select(col("doc_id"), col("lang"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        gfn.deflate_len(col("text")).as("deflate_len"))
+      .withColumn("ratio",
+        when(col("n_bytes") === 0, lit(0.0))
+          .otherwise(col("deflate_len").cast("double") / col("n_bytes")))
+      .orderBy(col("doc_id")),
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4533,7 +4553,7 @@ object Queries {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -4587,5 +4607,8 @@ object Queries {
     "q130_audio_fingerprint" -> Seq(
       "OpsSpec: audio fingerprint matches a direct PCM replay; half-volume re-encode is found"),
     "q131_video_fingerprint" -> Seq(
-      "OpsSpec: video fingerprint matches a direct frame replay; JPEG re-encode dup is found"))
+      "OpsSpec: video fingerprint matches a direct frame replay; JPEG re-encode dup is found"),
+    "q143_compression_ratio" -> Seq(
+      "OpsSpec: compression ratio orders repetition below prose below noise",
+      "OpsSpec: deflate_len is deterministic and tracks gzip minus its header"))
 }

@@ -34,6 +34,26 @@ case class TryGunzip(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): TryGunzip = copy(newChild)
 }
 
+/** DEFLATE-compressed byte length of a string (zlib level 6, raw stream) —
+  * the compression-ratio quality signal's kernel: ratio =
+  * deflate_len / octet_length. Codegen'd scalar; see GzipUtil.deflateLen.
+  */
+case class DeflateLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "deflate_len"
+
+  override def nullSafeEval(v: Any): Any =
+    GzipUtil.deflateLen(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GzipUtil.deflateLen($c.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateLen =
+    copy(newChild)
+}
+
 /** O9: lenient multi-format timestamp parse → TimestampType (micros), null
   * when unparseable. Zone applies to zone-less formats.
   * Ref: /root/reference/README.md:15 (dateutil.parser.parse leniency).
@@ -451,6 +471,7 @@ object gfn {
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
 
   def try_gunzip(c: Column): Column = col(TryGunzip(ex(c)))
+  def deflate_len(c: Column): Column = col(DeflateLen(ex(c)))
   def lenient_ts(c: Column, zone: String = "UTC"): Column = col(LenientTimestamp(ex(c), zone))
   def kpl_deaggregate(c: Column): Column = col(KplDeaggregate(ex(c)))
   def shingle_hashes(c: Column, w: Int = 3): Column = col(ShingleHashes(ex(c), w))

@@ -42,4 +42,23 @@ object GzipUtil {
     gz.close()
     out.toByteArray
   }
+
+  /** DEFLATE-compressed length of the input (zlib level 6, raw deflate —
+    * no gzip header/CRC, so the number is pure entropy signal). Backs the
+    * compression-ratio quality score: boilerplate/repetitive text
+    * compresses far below fluent prose, random noise not at all.
+    * Deterministic for a fixed zlib (the JDK bundles one); per-value
+    * Deflater construction keeps the expression thread-safe inside
+    * whole-stage codegen.
+    */
+  def deflateLen(bytes: Array[Byte]): Long = {
+    val d = new java.util.zip.Deflater(6, true)
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
 }

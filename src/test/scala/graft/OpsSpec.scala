@@ -1962,6 +1962,41 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.drainAll(spark)
   }
 
+  // ---- compression-ratio quality signal (q143) ----
+
+  test("compression ratio orders repetition below prose below noise") {
+    val rep = "lorem ipsum " * 80                       // pure repetition
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "discusses catalyst optimizer internals with a rather skeptical cat ") * 8
+    // deterministic high-entropy string (xorshift over printable ASCII)
+    var x = 88172645463325252L
+    val noise = new String((0 until 960).map { _ =>
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      (33 + math.floorMod(x, 94).toInt).toChar
+    }.toArray)
+    val d = docs(1L -> rep, 2L -> prose, 3L -> noise)
+      .select(col("doc_id"),
+        graft.functions.gfn.deflate_len(col("text")).as("dl"),
+        octet_length(col("text")).cast("long").as("nb"))
+      .withColumn("ratio", col("dl").cast("double") / col("nb"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(d(1L) < 0.1, s"repetition should crush: ${d(1L)}")
+    assert(d(1L) < d(2L) && d(2L) < d(3L), s"ordering violated: $d")
+    assert(d(3L) > 0.7, s"noise should barely compress: ${d(3L)}")
+  }
+
+  test("deflate_len is deterministic and tracks gzip minus its header") {
+    val s = "a mixed sample 12345 !@# with some repetition repetition"
+    val twice = docs(1L -> s, 2L -> s)
+      .select(graft.functions.gfn.deflate_len(col("text")).as("dl"))
+      .collect().map(_.getLong(0))
+    assert(twice(0) == twice(1))
+    // gzip = 10-byte header + deflate stream + 8-byte CRC/size trailer
+    val gz = graft.functions.GzipUtil.gzip(s.getBytes("UTF-8")).length
+    assert(twice(0) <= gz && gz <= twice(0) + 20,
+      s"deflate ${twice(0)} vs gzip $gz")
+  }
+
   // ---- count-min sketch (q142) ----
 
   test("count-min: estimates are >= exact counts, exact when unambiguous") {
