@@ -4541,6 +4541,35 @@ object Queries {
       .orderBy(col("doc_id")),
     None)
 
+  /** DISTINCT-N DIVERSITY AUDIT (Li et al. 2016): per-source distinct-1/2/3
+    * n-gram ratios — the lexical-diversity dashboard a curation pipeline
+    * watches for template floods; see
+    * [[graft.ops.TextOps.distinctNgramStats]]. All-orders gram expansion is
+    * one narrow explode; the ratio is one FP division of exact counts.
+    */
+  private val q144 = Q("q144_distinct_ngrams",
+    (s, d) => graft.ops.TextOps.distinctNgramStats(
+        docsSpread(s, d), col("source"), col("text"), maxN = 3)
+      .orderBy(col("source"), col("n")),
+    Some("""
+      WITH t AS (
+        SELECT source,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      ns AS (SELECT source, toks, unnest([1, 2, 3]) AS n FROM t),
+      e AS (
+        SELECT source, n, toks,
+               unnest(range(1, greatest(len(toks) - (n - 1), 0) + 1)) AS i
+        FROM ns),
+      g AS (
+        SELECT source, CAST(n AS BIGINT) AS n,
+               array_to_string(toks[i:i + n - 1], ' ') AS g
+        FROM e)
+      SELECT source, n, COUNT(*) AS n_grams,
+             COUNT(DISTINCT g) AS n_distinct,
+             CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS distinct_ratio
+      FROM g GROUP BY 1, 2 ORDER BY source, n"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4553,7 +4582,7 @@ object Queries {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -899,6 +899,36 @@ object TextOps {
       .filter(col("c") >= minCount)
   }
 
+  /** DISTINCT-N DIVERSITY METRICS (Li et al. 2016's distinct-1/2, extended
+    * to order `maxN`): per corpus slice, the ratio of distinct n-grams to
+    * total n-grams — the standard lexical-diversity audit for generated or
+    * scraped training data (a collapsing ratio flags template/boilerplate
+    * floods; the self-BLEU family measures the same thing from the other
+    * end). One narrow gram expansion emits every order in a single explode
+    * (each token position yields ≤ maxN struct rows), then ONE hash
+    * aggregate per (slice, n); the distinct count is Spark's expand-based
+    * count_distinct — at extreme gram cardinality the dial is
+    * `approx_count_distinct`, the q17/q97 trade.
+    */
+  def distinctNgramStats(docs: DataFrame, group: Column, text: Column,
+                         maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, s"maxN must be >= 1, got $maxN")
+    val toks = arrToks(text)
+    def grams(n: Int): Column = {
+      val cnt = greatest(lit(0), size(toks) - (n - 1))
+      when(cnt === 0, array().cast("array<struct<n:int,g:string>>"))
+        .otherwise(transform(sequence(lit(1), cnt), i =>
+          struct(lit(n).as("n"), concat_ws(" ", slice(toks, i, lit(n))).as("g"))))
+    }
+    docs.select(group.as("source"),
+        explode(flatten(array((1 to maxN).map(grams): _*))).as("x"))
+      .groupBy(col("source"), col("x.n").cast("long").as("n"))
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("x.g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / col("n_grams"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -1962,6 +1962,26 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.drainAll(spark)
   }
 
+  // ---- distinct-n diversity (q144) ----
+
+  test("distinct-n: hand-computed ratios; template flood collapses distinct-2") {
+    val d = docs(
+      1L -> "a b a b",   // src x: toks 4; 1-grams {a,b}; 2-grams (a b)(b a)(a b)
+      2L -> "a b",       // src x
+      3L -> "c d e",     // src y
+      4L -> "f g h")     // src y — all grams distinct
+      .withColumn("source", when(col("doc_id") <= 2, "x").otherwise("y"))
+    val got = TextOps.distinctNgramStats(d, col("source"), col("text"), maxN = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // src x: 6 1-gram instances, 2 types; 4 bigram instances {a b, b a} = 2 types
+    assert(got(("x", 1L)) == ((6L, 2L, 2.0 / 6)))
+    assert(got(("x", 2L)) == ((4L, 2L, 0.5)))
+    // src y: all distinct at both orders
+    assert(got(("y", 1L)) == ((6L, 6L, 1.0)))
+    assert(got(("y", 2L)) == ((4L, 4L, 1.0)))
+  }
+
   // ---- compression-ratio quality signal (q143) ----
 
   test("compression ratio orders repetition below prose below noise") {
