@@ -4570,6 +4570,107 @@ object Queries {
              CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*) AS distinct_ratio
       FROM g GROUP BY 1, 2 ORDER BY source, n"""))
 
+  /** CROSS-SOURCE OVERLAP MATRIX (Dedup.sourceOverlap): exact pairwise
+    * 3-shingle Jaccard between sources — the corpus-composition audit run
+    * before mixing (overlapping dumps get cross-deduped first). The
+    * catalog face is the exact op (gram-keyed shuffles, group-set
+    * aggregation, NO gram self-join); [[graft.ops.Dedup.sourceOverlapSketch]]
+    * is the one-pass mergeable-minhash scale face, pinned against this one
+    * in OpsSpec.
+    */
+  private val q145 = Q("q145_source_overlap",
+    (s, d) => graft.ops.Dedup.sourceOverlap(
+        docsSpread(s, d), col("source"), col("text"), w = 3)
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""
+      WITH t AS (
+        SELECT source,
+               regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        FROM documents),
+      e AS (
+        SELECT source, toks,
+               unnest(range(1, greatest(len(toks) - 3, 0) + 2)) AS i
+        FROM t),
+      g AS (
+        SELECT DISTINCT source, array_to_string(toks[i:i + 2], ' ') AS g
+        FROM e),
+      sz AS (SELECT source, COUNT(*) AS n_set FROM g GROUP BY 1),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT sa.source AS src_a, sb.source AS src_b,
+             sa.n_set AS n_a, sb.n_set AS n_b,
+             COALESCE(i.n_common, 0) AS n_common,
+             CAST(COALESCE(i.n_common, 0) AS DOUBLE) /
+               (sa.n_set + sb.n_set - COALESCE(i.n_common, 0)) AS jaccard
+      FROM sz sa
+      JOIN sz sb ON sa.source < sb.source
+      LEFT JOIN inter i ON i.src_a = sa.source AND i.src_b = sb.source
+      ORDER BY src_a, src_b"""))
+
+  /** VOCABULARY COVERAGE / OOV RATE (TextOps.vocabCoverage): token
+    * vocabulary from the deterministic 80% hash-gate slice, OOV token and
+    * type rates of the held-out 20% per language — the tokenizer-fit audit
+    * before committing a vocab. Membership = vocab-keyed LEFT equi-join
+    * (Bloom-filter map-side test is the documented at-scale variant).
+    */
+  private val q146 = Q("q146_vocab_coverage",
+    (s, d) => graft.ops.TextOps.vocabCoverage(
+        docsSpread(s, d), col("lang"), col("text"), col("doc_id"),
+        trainPermille = 800)
+      .orderBy(col("lang")),
+    Some("""
+      WITH t AS (
+        SELECT lang,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 800)
+                 AS is_train,
+               unnest(list_filter(string_split(text, ' '), w -> len(w) > 0))
+                 AS w
+        FROM documents),
+      v AS (SELECT DISTINCT w FROM t WHERE is_train),
+      h AS (
+        SELECT t.lang, t.w, (v.w IS NOT NULL) AS inv
+        FROM t LEFT JOIN v ON t.w = v.w
+        WHERE NOT t.is_train)
+      SELECT lang,
+             COUNT(*) AS n_tokens,
+             COUNT(*) FILTER (WHERE NOT inv) AS n_oov,
+             COUNT(DISTINCT w) AS n_types,
+             COUNT(DISTINCT CASE WHEN NOT inv THEN w END) AS n_oov_types,
+             CAST(COUNT(*) FILTER (WHERE NOT inv) AS DOUBLE) / COUNT(*)
+               AS oov_rate,
+             CAST(COUNT(DISTINCT CASE WHEN NOT inv THEN w END) AS DOUBLE) /
+               COUNT(DISTINCT w) AS oov_type_rate
+      FROM h GROUP BY 1 ORDER BY lang"""))
+
+  /** PMI COLLOCATIONS (TextOps.pmiCollocations): top adjacent bigrams by
+    * pointwise mutual information, emitted as the e^PMI LIFT ratio so the
+    * value is one IEEE division of exact integer products — same ordering
+    * as PMI, no libm ln to disagree across engines. TakeOrdered top-50
+    * with a (lift DESC, w1, w2) total order.
+    */
+  private val q147 = Q("q147_pmi_collocations",
+    (s, d) => graft.ops.TextOps.pmiCollocations(
+        docsSpread(s, d), col("text"), minCount = 5L, k = 50),
+    Some("""
+      WITH t AS (
+        SELECT list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      e AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t),
+      bi AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2, COUNT(*) AS c_ab
+        FROM e GROUP BY 1, 2),
+      l AS (SELECT w1, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM bi GROUP BY 1),
+      r AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM bi GROUP BY 1),
+      n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM bi)
+      SELECT bi.w1, bi.w2, bi.c_ab, l.c_a, r.c_b,
+             CAST(bi.c_ab * n.n_bigrams AS DOUBLE) /
+               CAST(l.c_a * r.c_b AS DOUBLE) AS lift
+      FROM bi, l, r, n
+      WHERE bi.w1 = l.w1 AND bi.w2 = r.w2 AND bi.c_ab >= 5
+      ORDER BY lift DESC, bi.w1, bi.w2 LIMIT 50"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4582,7 +4683,8 @@ object Queries {
     q100, q101, q102, q103, q104, q105, q106, q107, q108, q109, q110,
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
-    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144)
+    q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
+    q145, q146, q147)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

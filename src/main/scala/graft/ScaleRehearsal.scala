@@ -209,6 +209,13 @@ object ScaleRehearsal {
       case "q131_pairs" =>
         graft.ops.Multimodal.videoNearDups(
           graft.ops.Multimodal.mediaTable(Tables(spark, dir, "documents"))(spark))(spark)
+      // one-pass minhash-union face of q145 — the scale path that removes
+      // the exact op's corpus-sized distinct; measured against it at 10x
+      case "q145_sketch" =>
+        graft.ops.Dedup.sourceOverlapSketch(
+            Tables(spark, dir, "documents"), col("source"), col("text"),
+            w = 3, k = 64)
+          .orderBy(col("src_a"), col("src_b"))
       case _ => Queries.all.find(_.name == name).get.build(spark, dir)
     }
     def time(name: String, dir: String): Double = {

@@ -740,4 +740,83 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     GramIndex(grams, k, Seq(grams))
   }
+
+  // ---- Cross-source overlap ----
+
+  /** EXACT PAIRWISE SOURCE OVERLAP — the corpus-composition audit: n-gram
+    * Jaccard between every pair of `group` values (sources, snapshots,
+    * dumps). High overlap between two web dumps ⇒ dedup them against each
+    * other before mixing; near-zero ⇒ they contribute independent tokens.
+    *
+    * Shape (the part that matters at 100 TB): NOT a gram self-join — a hot
+    * gram present in all G groups would fan out G² rows per gram. Instead:
+    *   1. distinct (group, gram)        — one shuffle keyed by (group, gram);
+    *   2. gram → sorted set of groups   — one shuffle keyed by gram; the
+    *      aggregated set is bounded by G (tens), not by corpus size;
+    *   3. explode the ≤ G·(G−1)/2 ordered pairs per gram, count per pair —
+    *      partial-combined hash agg on a G²-bounded key space;
+    *   4. the full pair matrix comes from a broadcast self-cross of the
+    *      G-row size frame, left-joined with the intersection counts (so
+    *      disjoint pairs appear with n_common = 0).
+    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) — one IEEE division of exact Longs.
+    *
+    * The distinct in step 1 is the scale cost (corpus-sized shuffle); the
+    * sketch variant [[sourceOverlapSketch]] removes it entirely.
+    */
+  def sourceOverlap(docs: DataFrame, group: Column, text: Column,
+                    w: Int = 3): DataFrame = {
+    // two consumers (sizes + intersection) — Caches-tracked so the corpus
+    // shingle+distinct pass runs once; released by the session owner
+    val grams = Caches.track(docs
+      .select(group.as("src"), explode(shingles(text, w)).as("g"))
+      .distinct())
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_set"))
+    val pairCols = "struct<src_a:string,src_b:string>"
+    val inter = grams
+      .groupBy(col("g")).agg(sort_array(collect_set(col("src"))).as("ss"))
+      .select(explode(when(size(col("ss")) < 2, array().cast(s"array<$pairCols>"))
+        .otherwise(flatten(transform(sequence(lit(1), size(col("ss")) - 1), i =>
+          transform(sequence(lit(1), i), j =>
+            struct(element_at(col("ss"), j).as("src_a"),
+              element_at(col("ss"), i + 1).as("src_b"))))))).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val a = broadcast(sizes).select(col("src").as("src_a"), col("n_set").as("n_a"))
+    val b = broadcast(sizes).select(col("src").as("src_b"), col("n_set").as("n_b"))
+    a.crossJoin(b).where(col("src_a") < col("src_b")) // G×G broadcast matrix
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+  }
+
+  /** MINHASH-SKETCH SOURCE OVERLAP — the one-pass scale face of
+    * [[sourceOverlap]]. The k-perm min over a group's gram MULTISET equals
+    * the min over its gram SET, so the corpus-sized distinct disappears:
+    * per-doc signatures are a narrow kernel pass, the per-group signature
+    * is an elementwise-min aggregate (mergeable — partial combine does all
+    * the work; G×k cells of state), and the estimate
+    * ĵ(A,B) = |{j : sig_A[j] = sig_B[j]}| / k comes from a G²×k-sized
+    * comparison of the tiny signature table against itself. Standard error
+    * 1/√k; OpsSpec pins the estimate against the exact op.
+    */
+  def sourceOverlapSketch(docs: DataFrame, group: Column, text: Column,
+                          w: Int = 3, k: Int = 64): DataFrame = {
+    val withSig = docs
+      .select(group.as("src"),
+        graft.functions.gfn.shingle_hashes(text, w).as("hashes"))
+      .withColumn("sig", minhashSignature(col("hashes"), k))
+    // per-group elementwise min = the union set's signature; the posexplode
+    // fans k small rows per doc but partial combine collapses them to G×k
+    // cells per map task before the shuffle
+    val cells = withSig
+      .select(col("src"), posexplode(col("sig")).as(Seq("j", "v")))
+      .groupBy(col("src"), col("j")).agg(min(col("v")).as("v"))
+    val a = cells.select(col("src").as("src_a"), col("j"), col("v").as("va"))
+    val b = cells.select(col("src").as("src_b"), col("j"), col("v").as("vb"))
+    a.join(b, Seq("j")).where(col("src_a") < col("src_b")) // G²×k, tiny
+      .groupBy(col("src_a"), col("src_b"))
+      .agg((sum(when(col("va") === col("vb"), 1L).otherwise(0L)).cast("double")
+        / lit(k.toDouble)).as("jaccard_est"))
+  }
 }

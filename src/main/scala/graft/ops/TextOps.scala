@@ -929,6 +929,85 @@ object TextOps {
         col("n_distinct").cast("double") / col("n_grams"))
   }
 
+  /** PMI COLLOCATIONS — rank adjacent bigrams by pointwise mutual
+    * information, the classic collocation-extraction statistic (Church &
+    * Hanks 1990). Emitted as the LIFT ratio rather than its log:
+    *
+    *   lift(a,b) = p(a,b) / (p(a)·p(b)) = c_ab · N / (c_a · c_b) = e^PMI
+    *
+    * `lift` preserves the PMI ordering exactly and keeps the value
+    * cross-engine deterministic: both factors are exact Long products
+    * (< 2^53 at any per-shard corpus this runs on, see require below) and
+    * the single FP division is one correctly-rounded IEEE op in Spark and
+    * DuckDB alike — no libm `ln` to disagree in the last ulp.
+    *
+    * Plan shape at 100 TB: bigram extraction is a NARROW array expression
+    * (no posexplode self-join); the bigram count is one partial-combined
+    * hash aggregate (the shuffle carries distinct bigrams, not token
+    * instances); both marginals are aggregates OVER THE BIGRAM TABLE
+    * (vocab-sized, not corpus-sized); the two marginal joins shuffle on
+    * w1 / w2 — vocab-keyed equi-joins; N is a 1-row broadcast. The final
+    * top-k is TakeOrderedAndProject — k rows per partition to the driver,
+    * never a global sort.
+    */
+  def pmiCollocations(docs: DataFrame, text: Column, minCount: Long = 5L,
+                      k: Int = 50): DataFrame = {
+    require(minCount >= 1 && k >= 1)
+    val bi = docs.select(explode(bigramStructs(arrToks(text))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val left  = bi.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
+    val right = bi.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
+    val total = bi.agg(sum(col("c_ab")).as("n_bigrams"))
+    bi.where(col("c_ab") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(total)) // single-row totals frame
+      .withColumn("lift",
+        (col("c_ab") * col("n_bigrams")).cast("double") /
+          (col("c_a") * col("c_b")).cast("double"))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** VOCABULARY COVERAGE / OOV RATE — the tokenizer-fit audit: build the
+    * token vocabulary from a deterministic train slice ([[Mix.hashGate]]),
+    * then measure what fraction of the HELD-OUT slice's tokens (and token
+    * TYPES) fall outside it, per language. High OOV ⇒ the slice the
+    * tokenizer/vocab was fit on under-represents that language — the
+    * standard pre-training sanity check before committing a vocab.
+    *
+    * Plan shape at 100 TB: one tokenize+explode pass feeds both sides (the
+    * train vocab aggregate and the held-out stream); vocab membership is a
+    * LEFT equi-join on the token — vocab-keyed shuffle with partial-agg'd
+    * distinct on the build side. The vocabulary at corpus scale is large
+    * (so NOT broadcast), but a Bloom filter over it ([[BloomJoin]]'s
+    * pattern) turns membership into a map-side test when a ~1e-4 false-IN
+    * rate is acceptable; the exact join stays the catalog face.
+    */
+  def vocabCoverage(docs: DataFrame, lang: Column, text: Column,
+                    id: Column, trainPermille: Int = 800): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000)
+    val toks = docs.select(lang.as("lang"),
+        (Mix.hashGate(id) < trainPermille).as("is_train"),
+        explode(arrToks(text)).as("w"))
+    val vocab = toks.where(col("is_train")).select(col("w")).distinct()
+      .withColumn("in_vocab", lit(1L))
+    toks.where(!col("is_train"))
+      .join(vocab, Seq("w"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(col("w")).as("n_types"),
+        countDistinct(when(col("in_vocab").isNull, col("w"))).as("n_oov_types"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+      .withColumn("oov_type_rate",
+        col("n_oov_types").cast("double") / col("n_types"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -2274,4 +2274,100 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
       s"unexpected extra exchanges:\n$plan")
   }
+
+  // ---- cross-source overlap (q145) ----
+
+  private def srcDocs(rows: (Long, String, String)*) =
+    rows.toSeq.toDF("doc_id", "source", "text")
+
+  test("source overlap: exact Jaccard matches hand computation, disjoint pair present at 0") {
+    // shingle w=2 for hand-checkable sets
+    val d = srcDocs(
+      (1L, "a", "x y z"),        // a-grams: {x y, y z}
+      (2L, "a", "y z w"),        // + {y z(dup), z w} -> a = {x y, y z, z w}
+      (3L, "b", "x y q"),        // b = {x y, y q}
+      (4L, "c", "p q r"))        // c = {p q, q r} — disjoint with a
+    val got = Dedup.sourceOverlap(d, col("source"), col("text"), w = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.size == 3, s"full 3-choose-2 matrix expected: ${got.keySet}")
+    assert(got(("a", "b")) == ((3L, 2L, 1L, 0.25)))      // {x y} / 4
+    assert(got(("a", "c")) == ((3L, 2L, 0L, 0.0)))       // disjoint, still a row
+    assert(got(("b", "c")) == ((2L, 2L, 0L, 0.0)))
+  }
+
+  test("source overlap sketch tracks exact Jaccard: clone pair ~1, disjoint ~0") {
+    // three sources: b is a clone of a (jaccard 1), c is disjoint (jaccard 0)
+    val texts = (0 until 40).map(i =>
+      s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i")
+    val other = (0 until 40).map(i =>
+      s"omega$i psi$i chi$i phi$i upsilon$i tau$i")
+    val rows = texts.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i.toLong, "a", t), (1000L + i, "b", t)) } ++
+      other.zipWithIndex.map { case (t, i) => (2000L + i, "c", t) }
+    val d = srcDocs(rows: _*)
+    val est = Dedup.sourceOverlapSketch(d, col("source"), col("text"), w = 3, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.sourceOverlap(d, col("source"), col("text"), w = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(est(("a", "b")) == 1.0, s"clone pair signature must match fully: $est")
+    assert(est(("a", "c")) <= 0.2 && est(("b", "c")) <= 0.2, s"disjoint pairs: $est")
+    exact.foreach { case (k, j) =>
+      assert(math.abs(est(k) - j) <= 0.35, s"sketch off at $k: est=${est(k)} exact=$j")
+    }
+  }
+
+  test("source overlap plan has no cartesian product and no gram self-join blowup") {
+    val d = srcDocs((1L, "a", "x y z"), (2L, "b", "x y w"))
+    val plan = Dedup.sourceOverlap(d, col("source"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only joins are the broadcast G×G matrix assembly + intersection
+    // left-join; the gram table must never join itself
+    assert(plan.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") == 0,
+      s"gram-keyed sort-merge self-join crept in:\n$plan")
+  }
+
+  // ---- vocabulary coverage (q146) ----
+
+  test("vocab coverage: OOV tokens and types counted exactly per language") {
+    val d = Seq(
+      (0L, "en", "aa bb aa"),    // hashGate(0)=0 -> train
+      (5L, "en", "aa cc cc dd")) // hashGate(5)=917 -> held out at permille 500
+      .toDF("doc_id", "lang", "text")
+    val g5 = ((5L % 2147483648L) * 2654435761L % 2147483648L) % 1000L
+    assert(g5 >= 500, s"fixture assumption: gate(5)=$g5")
+    val got = TextOps.vocabCoverage(d, col("lang"), col("text"), col("doc_id"),
+        trainPermille = 500)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    // train vocab = {aa, bb}; held-out doc 1 tokens: aa cc cc dd -> 3 OOV
+    // of 4; types {aa, cc, dd} -> 2 OOV of 3
+    assert(got("en") == ((4L, 3L, 3L, 2L, 0.75, 2.0 / 3.0)), s"got $got")
+  }
+
+  // ---- PMI collocations (q147) ----
+
+  test("PMI collocations: planted collocation tops the list with exact lift") {
+    // "san francisco" always adjacent; "the" everywhere dilutes its own PMI
+    val rows = (0 until 10).map(i =>
+      (i.toLong, "the san francisco fog the bay")) ++
+      (10 until 20).map(i => (i.toLong, "the cat sat on the mat"))
+    val got = TextOps.pmiCollocations(rows.toDF("doc_id", "text"),
+        col("text"), minCount = 5L, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // exact lift: c_ab=10, c_a(san·)=10, c_b(·francisco)=10, N=100 bigrams
+    val m = got.toMap
+    val (cab, ca, cb, lift) = m(("san", "francisco"))
+    assert(cab == 10L && ca == 10L && cb == 10L)
+    assert(lift == (cab * 100L).toDouble / (ca * cb).toDouble) // = 10.0
+    // the planted collocation sits at the maximal lift...
+    assert(lift == got.map(_._2._4).max, s"got ${got.toSeq}")
+    // ...and ties are broken deterministically: (cat,sat) sorts before it
+    assert(got.head._1 == (("cat", "sat")), s"tie-break order: ${got.toSeq}")
+    // a frequent-but-uninformative left word dilutes its pairs' PMI
+    assert(m.get(("the", "cat")).forall(_._4 < lift))
+  }
 }
