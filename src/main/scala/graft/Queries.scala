@@ -4671,6 +4671,78 @@ object Queries {
       WHERE bi.w1 = l.w1 AND bi.w2 = r.w2 AND bi.c_ab >= 5
       ORDER BY lift DESC, bi.w1, bi.w2 LIMIT 50"""))
 
+  /** TEMPERATURE-SCALED MIXTURE ALLOCATION (TextOps.temperatureMix):
+    * p_i ∝ √n_i sampling rates, token allocations, and per-source epoch
+    * (repeat) factors for a 100M-token run. α = 1/2 makes the power an
+    * IEEE-exact `sqrt`; the denominator sums in DECIMAL(28,12) so the
+    * result is engine-order-independent and the oracle replays it
+    * bit-for-bit.
+    */
+  private val q148 = Q("q148_temperature_mix",
+    (s, d) => graft.ops.TextOps.temperatureMix(
+        t(s, d, "documents"), col("source"), col("text"),
+        budget = 100000000L)
+      .orderBy(col("source")),
+    Some("""
+      WITH c AS (
+        SELECT source,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                    AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      s AS (
+        SELECT source, n_tokens,
+               CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,12)) AS s
+        FROM c),
+      t AS (SELECT SUM(s) AS t FROM s)
+      SELECT source, n_tokens,
+             CAST(s AS DOUBLE) / CAST(t.t AS DOUBLE) AS p,
+             100000000 * (CAST(s AS DOUBLE) / CAST(t.t AS DOUBLE))
+               AS alloc_tokens,
+             (100000000 * (CAST(s AS DOUBLE) / CAST(t.t AS DOUBLE))) /
+               CAST(n_tokens AS DOUBLE) AS epochs
+      FROM s, t ORDER BY source"""))
+
+  /** WINNOWING DEDUP CANDIDATES (TextOps.winnowCandidates, Schleimer et
+    * al. SIGMOD '03): per-window minimum gram hashes as positional
+    * fingerprints, pairs sharing ≥ 2. The catalog face uses the
+    * SQL-replayable rolling 31-polynomial hash so DuckDB replays gram
+    * hashing, window minima, AND the pair counts value-exact; production
+    * swaps xxhash64 into `hashOf` (the q142 contract).
+    */
+  private val q149 = Q("q149_winnow_candidates",
+    (s, d) => graft.ops.TextOps.winnowCandidates(
+        docsSpread(s, d), col("doc_id"), col("text"),
+        k = 4, w = 5, minShared = 2L)
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 3, 1) + 1)) AS i
+        FROM t),
+      h AS (
+        SELECT doc_id, i,
+               list_reduce(
+                 list_transform(
+                   string_split(array_to_string(toks[i:i + 3], ' '), ''),
+                   c -> CAST(ascii(c) AS BIGINT)),
+                 (a, c) -> (a * 31 + c) % 2147483647) AS hv
+        FROM g),
+      hs AS (SELECT doc_id, list(hv ORDER BY i) AS hs FROM h GROUP BY 1),
+      wins AS (
+        SELECT doc_id, hs,
+               unnest(range(1, greatest(len(hs) - 4, 1) + 1)) AS j
+        FROM hs),
+      fp AS (
+        SELECT DISTINCT doc_id, list_min(hs[j:j + 4]) AS fp FROM wins)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4684,7 +4756,7 @@ object Queries {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147)
+    q145, q146, q147, q148, q149)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

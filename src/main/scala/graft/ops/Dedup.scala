@@ -801,17 +801,30 @@ object Dedup {
     * 1/√k; OpsSpec pins the estimate against the exact op.
     */
   def sourceOverlapSketch(docs: DataFrame, group: Column, text: Column,
-                          w: Int = 3, k: Int = 64): DataFrame = {
-    val withSig = docs
-      .select(group.as("src"),
-        graft.functions.gfn.shingle_hashes(text, w).as("hashes"))
-      .withColumn("sig", minhashSignature(col("hashes"), k))
-    // per-group elementwise min = the union set's signature; the posexplode
-    // fans k small rows per doc but partial combine collapses them to G×k
-    // cells per map task before the shuffle
-    val cells = withSig
-      .select(col("src"), posexplode(col("sig")).as(Seq("j", "v")))
-      .groupBy(col("src"), col("j")).agg(min(col("v")).as("v"))
+                          w: Int = 3, k: Int = 64): DataFrame =
+    overlapFromCells(sourceSignatureCells(docs, group, text, w, k), k)
+
+  /** The sketch's MERGEABLE STATE: (src, j, v) — component j of group
+    * `src`'s union-set minhash signature. Elementwise min = the union
+    * set's signature, and min is associative/commutative, so cells from
+    * any partition of the corpus (batches, days, streams) fold into the
+    * same state: `unionByName` + groupBy-min == one-shot build. The
+    * posexplode fans k small rows per doc but partial combine collapses
+    * them to G×k cells per map task before the shuffle.
+    */
+  def sourceSignatureCells(docs: DataFrame, group: Column, text: Column,
+                           w: Int = 3, k: Int = 64): DataFrame = docs
+    .select(group.as("src"),
+      graft.functions.gfn.shingle_hashes(text, w).as("hashes"))
+    .withColumn("sig", minhashSignature(col("hashes"), k))
+    .select(col("src"), posexplode(col("sig")).as(Seq("j", "v")))
+    .groupBy(col("src"), col("j")).agg(min(col("v")).as("v"))
+
+  /** Pairwise Jaccard estimates from a (src, j, v) cell table:
+    * ĵ = matching-component fraction, from a G²×k-sized self-comparison of
+    * the tiny signature table.
+    */
+  def overlapFromCells(cells: DataFrame, k: Int): DataFrame = {
     val a = cells.select(col("src").as("src_a"), col("j"), col("v").as("va"))
     val b = cells.select(col("src").as("src_b"), col("j"), col("v").as("vb"))
     a.join(b, Seq("j")).where(col("src_a") < col("src_b")) // G²×k, tiny
@@ -819,4 +832,11 @@ object Dedup {
       .agg((sum(when(col("va") === col("vb"), 1L).otherwise(0L)).cast("double")
         / lit(k.toDouble)).as("jaccard_est"))
   }
+
+  /** Fold a new batch's cells into existing sketch state (both (src,j,v)).
+    * Exact by the min-mergeability argument on [[sourceSignatureCells]].
+    */
+  def mergeSignatureCells(state: DataFrame, batchCells: DataFrame): DataFrame =
+    state.unionByName(batchCells)
+      .groupBy(col("src"), col("j")).agg(min(col("v")).as("v"))
 }

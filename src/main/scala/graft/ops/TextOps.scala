@@ -1008,6 +1008,111 @@ object TextOps {
         col("n_oov_types").cast("double") / col("n_types"))
   }
 
+  /** Cross-engine rolling polynomial hash: fold (a·31 + code) mod 2³¹−1
+    * over the string's leading-codepoint values — SQL-replayable in DuckDB
+    * (`list_reduce`), the q132/q142 oracle-hash recipe one step stronger
+    * (positional 31-powers, ~2³¹ spread instead of a positional sum). The
+    * intermediate a·31 + c < 2³⁶ never trips ANSI overflow.
+    */
+  def rollHash(s: Column): Column =
+    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L), (a, c) => pmod(a * 31 + c, lit(2147483647L)))
+
+  /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken, SIGMOD '03 —
+    * the MOSS algorithm): hash every word k-gram, then keep the MINIMUM of
+    * each window of `w` consecutive gram hashes. Guarantees: any shared
+    * run of ≥ w+k−1 tokens between two documents yields at least one
+    * shared fingerprint (the winnowing coverage theorem), while only
+    * ~2/(w+1) of gram hashes are kept — positional, excerpt-sensitive
+    * fingerprinting that minhash (whole-set) and simhash (global vector)
+    * cannot do.
+    *
+    * Emits (doc_id, fp) — the DISTINCT selected hashes per document (the
+    * classic tie rules only disambiguate selected POSITIONS; the distinct
+    * fingerprint set is rule-independent). All narrow: the gram-hash array
+    * is staged as a real column so each hash is computed once per gram
+    * (an inline subexpression under the window transform would recompute
+    * the whole array per window), then per-window array_min + explode.
+    * `hashOf` defaults to the SQL-replayable [[rollHash]] so the oracle
+    * replays bit-for-bit; production swaps in `xxhash64` (the q142
+    * polynomial-vs-xxhash64 contract).
+    */
+  def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
+                         k: Int = 4, w: Int = 5,
+                         hashOf: Column => Column = rollHash): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val toks = arrToks(text)
+    val nG = greatest(size(toks) - (k - 1), lit(1))
+    docs
+      .select(id.as("doc_id"),
+        transform(sequence(lit(1), nG), i =>
+          hashOf(concat_ws(" ", slice(toks, i, lit(k))))).as("hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+  }
+
+  /** Winnowing DEDUP CANDIDATES: document pairs sharing ≥ `minShared`
+    * selected fingerprints — the posting-list pair-count shape (q44's
+    * core): group postings by fingerprint, expand in-bucket pairs (a<b),
+    * count co-occurrences. Work is Σ_fp C(df,2), never |docs|²; `maxDf`
+    * drops boilerplate fingerprints shared by more than `maxDf` docs
+    * (certified lower bound, the standard giant-bucket guard).
+    */
+  def winnowCandidates(docs: DataFrame, id: Column, text: Column,
+                       k: Int = 4, w: Int = 5, minShared: Long = 2L,
+                       maxDf: Option[Int] = None,
+                       hashOf: Column => Column = rollHash): DataFrame = {
+    val posting = winnowFingerprints(docs, id, text, k, w, hashOf)
+    val grouped = posting.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val capped = maxDf.fold(grouped)(cap => grouped
+      .observe("winnow_df_cap",
+        sum(when(size(col("ids")) > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+        max(size(col("ids"))).as("max_bucket_size"))
+      .filter(size(col("ids")) <= cap))
+    capped
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /** TEMPERATURE-SCALED MIXTURE ALLOCATION — the multilingual/multi-source
+    * sampling-rate computation (Arivazhagan et al. 2019 §5; the UniMax
+    * paper's baseline): source i with n_i tokens is sampled with
+    * p_i ∝ n_i^α, here α = 1/2 so the power is `sqrt` — an IEEE
+    * correctly-rounded primitive, bit-identical across engines (no libm
+    * pow). The denominator Σ√n_j is summed in DECIMAL(28,12) (exact,
+    * order-independent — a double sum would vary with partial-agg order);
+    * each output is then a fixed dag of correctly-rounded double ops.
+    *
+    * Emits per source: token count, sampling probability, the token
+    * allocation for a `budget`-token training run, and `epochs` = how many
+    * times the source is traversed (>1 ⇒ upsampled/repeated, the
+    * overfitting dial the cap in UniMax exists for). One partial-combined
+    * aggregate + a one-row broadcast — nothing scales with corpus size
+    * except the token count itself.
+    */
+  def temperatureMix(docs: DataFrame, group: Column, text: Column,
+                     budget: Long): DataFrame = {
+    val dec2812 = org.apache.spark.sql.types.DataTypes.createDecimalType(28, 12)
+    val counts = docs.select(group.as("source"), tokenCount(text).as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+      .withColumn("s", sqrt(col("n_tokens").cast("double")).cast(dec2812))
+    val tot = counts.agg(sum(col("s")).as("t"))
+    counts.crossJoin(broadcast(tot)) // single-row totals frame
+      .withColumn("p", col("s").cast("double") / col("t").cast("double"))
+      .withColumn("alloc_tokens", lit(budget.toDouble) * col("p"))
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
+      .select(col("source"), col("n_tokens"), col("p"),
+        col("alloc_tokens"), col("epochs"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -2370,4 +2370,78 @@ class OpsSpec extends AnyFunSuite {
     // a frequent-but-uninformative left word dilutes its pairs' PMI
     assert(m.get(("the", "cat")).forall(_._4 < lift))
   }
+
+  // ---- winnowing fingerprints (q149) ----
+
+  test("winnowing: shared run of >= w+k-1 tokens always yields a shared fingerprint") {
+    // coverage theorem: k=4, w=5 -> any shared run of 8 tokens is caught
+    val shared = "one two three four five six seven eight"
+    val d = docs(
+      1L -> s"alpha beta gamma $shared delta epsilon zeta eta theta iota",
+      2L -> s"completely different prefix words here $shared and a different tail",
+      3L -> "nothing in common with either of the others at all kappa lambda")
+    val fps = TextOps.winnowFingerprints(d, col("doc_id"), col("text"), k = 4, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared 8-token run must share a fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "no common grams -> no common fingerprints")
+    // density: winnowing keeps far fewer fingerprints than grams
+    val nGrams1 = d.where(col("doc_id") === 1L)
+      .select(size(split(trim(col("text")), "\\s+"))).head().getInt(0) - 3
+    assert(byDoc(1L).size < nGrams1, s"selected ${byDoc(1L).size} of $nGrams1 grams")
+  }
+
+  test("winnowing candidates: excerpt pair found with exact shared count, plan has no cartesian") {
+    val excerpt = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val d = docs(
+      1L -> s"intro words before the excerpt $excerpt closing remarks here now",
+      2L -> s"$excerpt totally other continuation of the second document text",
+      3L -> "unrelated content kilo lima mike november oscar papa quebec romeo")
+    val out = TextOps.winnowCandidates(d, col("doc_id"), col("text"),
+      k = 4, w = 5, minShared = 2L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set((1L, 2L)), s"only the excerpt pair: $rows")
+    // replay: shared count == |fp(1) ∩ fp(2)|
+    val fps = TextOps.winnowFingerprints(d, col("doc_id"), col("text"), k = 4, w = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows((1L, 2L)) == (byDoc(1L) & byDoc(2L)).size.toLong)
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("winnowing maxDf cap drops boilerplate fingerprints, certified lower bound") {
+    // 12 docs all sharing one boilerplate sentence; cap df at 4
+    val boiler = "all rights reserved copyright two thousand twenty six inc"
+    val d = docs((1L to 12L).map(i => i -> s"unique$i lead$i text$i $boiler"): _*)
+    val uncapped = TextOps.winnowCandidates(d, col("doc_id"), col("text"),
+      k = 4, w = 5, minShared = 1L).count()
+    val capped = TextOps.winnowCandidates(d, col("doc_id"), col("text"),
+      k = 4, w = 5, minShared = 1L, maxDf = Some(4)).count()
+    assert(uncapped > 0L && capped < uncapped,
+      s"cap must drop the 12-doc boilerplate buckets: $capped vs $uncapped")
+  }
+
+  // ---- temperature mixture (q148) ----
+
+  test("temperature mix: sqrt flattening upsamples the small source, probabilities sum to 1") {
+    import graft.ops.TextOps
+    val d = Seq(
+      (1L, "big", ("tok " * 900).trim),
+      (2L, "big", ("tok " * 700).trim),
+      (3L, "small", ("tok " * 100).trim))
+      .toDF("doc_id", "source", "text")
+    val got = TextOps.temperatureMix(d, col("source"), col("text"), budget = 1600L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nBig, pBig, _, eBig) = got("big")
+    val (nSmall, pSmall, _, eSmall) = got("small")
+    assert(nBig == 1600L && nSmall == 100L)
+    assert(math.abs(pBig + pSmall - 1.0) < 1e-9)
+    // α=1/2: p ratio = sqrt(16) = 4, NOT the raw 16 — the small source is
+    // upsampled relative to proportional sampling
+    assert(math.abs(pBig / pSmall - 4.0) < 1e-9, s"got ratio ${pBig / pSmall}")
+    // epochs: small source repeats more often than the big one
+    assert(eSmall > eBig && eSmall > 1.0)
+  }
 }

@@ -531,4 +531,44 @@ class StreamingSpec extends AnyFunSuite {
       assert(got(102L) == ((0L, 0.0)))    // <2 tokens -> zero-bigram floor
     } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
   }
+
+  test("streaming source-overlap sketch folds to the batch sketch bit-for-bit") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "alpha beta gamma delta epsilon zeta eta theta"), // clone of a
+      ("c", "one two three four five six seven eight nine"))
+    val batch2 = Seq(
+      ("a", "extra alpha content beta arriving later gamma delta"),
+      ("c", "ten eleven twelve thirteen fourteen fifteen sixteen"))
+    val mem = MemoryStream[(String, String)]
+    @volatile var last: Map[(String, String), Double] = Map.empty
+    val ckpt = java.nio.file.Files.createTempDirectory("overlap_ckpt").toString
+    val q = graft.streaming.SourceOverlapJob.start(
+      mem.toDF().toDF("source", "text"),
+      out => last = out.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap,
+      ckpt, w = 3, k = 32,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      val afterB1 = last
+      assert(afterB1(("a", "b")) == 1.0, s"clones must match fully: $afterB1")
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // mergeability: folded state == one-shot batch sketch on ALL docs
+      val whole = (batch1 ++ batch2).toDF("source", "text")
+      val batchSketch = graft.ops.Dedup.sourceOverlapSketch(
+          whole, col("source"), col("text"), w = 3, k = 32)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      assert(last == batchSketch, s"stream $last vs batch $batchSketch")
+      // a's later-arriving extra content must have LOWERED the a/b estimate
+      assert(last(("a", "b")) < afterB1(("a", "b")), s"$afterB1 -> $last")
+    } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
+  }
 }
