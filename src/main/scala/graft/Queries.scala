@@ -4743,6 +4743,105 @@ object Queries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 2
       ORDER BY a_id, b_id"""))
 
+  /** K-CENTER DIVERSITY SELECTION (Cluster.kCenterSelect, Gonzalez 1985):
+    * greedy farthest-point picks on the integer lattice — the
+    * maximally-diverse-exemplars curation step, the opposite pole of
+    * SemDeDup. Exact 64-bit distances end-to-end, so the oracle UNROLLS
+    * all five greedy rounds as CTEs (the q119/q138 recipe) and replays
+    * every pick and coverage radius decision-for-decision, including the
+    * smallest-id tie rule.
+    */
+  private val q150 = Q("q150_kcenter_diverse",
+    (s, d) => graft.ops.Cluster.kCenterSelect(
+        t(s, d, "embeddings"), "vec_id", "embedding", k = 6)(s)
+      .withColumnRenamed("id", "vec_id")
+      .orderBy(col("sel_rank")),
+    Some("""
+      WITH
+      q AS (SELECT vec_id,
+              list_transform(embedding,
+                x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS qv
+            FROM embeddings),
+      qe AS (SELECT vec_id, i, qv[i] AS v FROM q, range(1, 65) t(i)),
+      s1 AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT 1),
+      c1 AS (SELECT qe.i, qe.v FROM qe JOIN s1 USING (vec_id)),
+      m1 AS (SELECT qe.vec_id, SUM((qe.v - c1.v) * (qe.v - c1.v)) AS md
+             FROM qe JOIN c1 USING (i) GROUP BY 1),
+      p2 AS (SELECT vec_id, md FROM m1 ORDER BY md DESC, vec_id LIMIT 1),
+      c2 AS (SELECT qe.i, qe.v FROM qe JOIN p2 USING (vec_id)),
+      e2 AS (SELECT qe.vec_id, SUM((qe.v - c2.v) * (qe.v - c2.v)) AS d2
+             FROM qe JOIN c2 USING (i) GROUP BY 1),
+      m2 AS (SELECT m1.vec_id, LEAST(m1.md, e2.d2) AS md
+             FROM m1 JOIN e2 USING (vec_id)),
+      p3 AS (SELECT vec_id, md FROM m2 ORDER BY md DESC, vec_id LIMIT 1),
+      c3 AS (SELECT qe.i, qe.v FROM qe JOIN p3 USING (vec_id)),
+      e3 AS (SELECT qe.vec_id, SUM((qe.v - c3.v) * (qe.v - c3.v)) AS d2
+             FROM qe JOIN c3 USING (i) GROUP BY 1),
+      m3 AS (SELECT m2.vec_id, LEAST(m2.md, e3.d2) AS md
+             FROM m2 JOIN e3 USING (vec_id)),
+      p4 AS (SELECT vec_id, md FROM m3 ORDER BY md DESC, vec_id LIMIT 1),
+      c4 AS (SELECT qe.i, qe.v FROM qe JOIN p4 USING (vec_id)),
+      e4 AS (SELECT qe.vec_id, SUM((qe.v - c4.v) * (qe.v - c4.v)) AS d2
+             FROM qe JOIN c4 USING (i) GROUP BY 1),
+      m4 AS (SELECT m3.vec_id, LEAST(m3.md, e4.d2) AS md
+             FROM m3 JOIN e4 USING (vec_id)),
+      p5 AS (SELECT vec_id, md FROM m4 ORDER BY md DESC, vec_id LIMIT 1),
+      c5 AS (SELECT qe.i, qe.v FROM qe JOIN p5 USING (vec_id)),
+      e5 AS (SELECT qe.vec_id, SUM((qe.v - c5.v) * (qe.v - c5.v)) AS d2
+             FROM qe JOIN c5 USING (i) GROUP BY 1),
+      m5 AS (SELECT m4.vec_id, LEAST(m4.md, e5.d2) AS md
+             FROM m4 JOIN e5 USING (vec_id)),
+      p6 AS (SELECT vec_id, md FROM m5 ORDER BY md DESC, vec_id LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, CAST(0 AS BIGINT) AS dist2
+      FROM s1
+      UNION ALL SELECT 2, vec_id, CAST(md AS BIGINT) FROM p2
+      UNION ALL SELECT 3, vec_id, CAST(md AS BIGINT) FROM p3
+      UNION ALL SELECT 4, vec_id, CAST(md AS BIGINT) FROM p4
+      UNION ALL SELECT 5, vec_id, CAST(md AS BIGINT) FROM p5
+      UNION ALL SELECT 6, vec_id, CAST(md AS BIGINT) FROM p6
+      ORDER BY sel_rank"""))
+
+  /** CORPUS DATACARD (TextOps.corpusDatacard): the per-source opening
+    * audit — volume, exact dup rate, short-doc rate, type/token ratio,
+    * language spread. Exact composition of already-proven primitives;
+    * the oracle replays every count and ratio.
+    */
+  private val q151 = Q("q151_corpus_datacard",
+    (s, d) => graft.ops.TextOps.corpusDatacard(
+        docsSpread(s, d), col("source"), col("text"), col("lang"),
+        col("n_chars"), shortTokens = 25)
+      .orderBy(col("source")),
+    Some("""
+      WITH base AS (
+        SELECT source, lang, CAST(n_chars AS BIGINT) AS nc,
+               CAST(len(list_filter(string_split(text, ' '),
+                    w -> len(w) > 0)) AS BIGINT) AS nt,
+               md5(text) AS h
+        FROM documents),
+      doc AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(nt) AS BIGINT) AS n_tokens,
+               CAST(SUM(nc) AS BIGINT) AS n_chars,
+               COUNT(*) - COUNT(DISTINCT h) AS n_dup_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               CAST(SUM(CASE WHEN nt < 25 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_short
+        FROM base GROUP BY 1),
+      ty AS (
+        SELECT source, COUNT(DISTINCT w) AS n_token_types
+        FROM (SELECT source,
+                     unnest(list_filter(string_split(text, ' '),
+                            w -> len(w) > 0)) AS w
+              FROM documents)
+        GROUP BY 1)
+      SELECT doc.*, ty.n_token_types,
+             CAST(n_dup_docs AS DOUBLE) / n_docs AS dup_rate,
+             CAST(n_short AS DOUBLE) / n_docs AS short_rate,
+             CAST(ty.n_token_types AS DOUBLE) / n_tokens AS type_token_ratio
+      FROM doc JOIN ty USING (source)
+      ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4756,7 +4855,7 @@ object Queries {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q148, q149)
+    q145, q146, q147, q148, q149, q150, q151)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

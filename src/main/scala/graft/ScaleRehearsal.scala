@@ -209,6 +209,23 @@ object ScaleRehearsal {
       case "q131_pairs" =>
         graft.ops.Multimodal.videoNearDups(
           graft.ops.Multimodal.mediaTable(Tables(spark, dir, "documents"))(spark))(spark)
+      // q144's documented extreme-cardinality escape, measured: HLL++
+      // approx_count_distinct instead of the expand-based exact distinct
+      case "q144_approx" =>
+        graft.ops.TextOps.distinctNgramStats(
+            Tables(spark, dir, "documents")
+              .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+            col("source"), col("text"), maxN = 3, approxRsd = Some(0.05))
+          .orderBy(col("source"), col("n"))
+      // q141's production face, measured: GK-sketch threshold cuts +
+      // narrow assignment instead of the exact per-language ntile window
+      case "q141_threshold" =>
+        graft.ops.TextOps.pplBucketsByThreshold(
+            Tables(spark, dir, "documents")
+              .repartition(spark.sparkContext.defaultParallelism, col("doc_id")),
+            col("doc_id"), col("text"), col("lang"),
+            trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 500)
+          .orderBy(col("doc_id"))
       // one-pass minhash-union face of q145 — the scale path that removes
       // the exact op's corpus-sized distinct; measured against it at 10x
       case "q145_sketch" =>

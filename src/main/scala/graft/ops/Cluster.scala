@@ -328,4 +328,58 @@ object Cluster {
     asg.unpersist()
     out
   }
+
+  /** K-CENTER DIVERSITY SELECTION — greedy farthest-point traversal
+    * (Gonzalez 1985, the 2-approximation for the k-center objective): seed
+    * with the smallest id, then repeatedly select the point FARTHEST from
+    * the already-selected set. The selection order is a coreset that
+    * maximizes coverage — the "pick maximally-diverse exemplars" step of
+    * curation pipelines (diverse few-shot pools, coverage-driven
+    * subsampling, active-learning seeds), the opposite pole of SemDeDup's
+    * "drop the redundant" and the same integer lattice, so every distance
+    * is an exact 64-bit number and an unrolled SQL oracle replays the
+    * greedy loop decision-for-decision (q150).
+    *
+    * Emits (sel_rank, id, dist2): dist2 = squared lattice distance from
+    * the picked point to its nearest already-selected center AT SELECTION
+    * TIME — the non-increasing coverage-radius sequence (r_k bounds how
+    * far any corpus point is from the selected set; 0 for the seed).
+    *
+    * Scale shape: k−1 corpus passes, each a NARROW min-distance kernel
+    * (selected centers ride into codegen as literals — the kmeans
+    * assignment expression) topped by a TakeOrdered(1) argmax — k rows
+    * total ever reach the driver, nothing corpus-sized shuffles. Ties
+    * break to the smallest id (both engines). For k beyond ~hundreds the
+    * known dial is pre-clustering (select per kmeans cell) — same
+    * composition as [[assignPruned]]'s two-level escape.
+    */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                    scale: Int = 1000)
+                   (implicit spark: SparkSession): DataFrame = {
+    require(k >= 1 && k <= 65536 && scale >= 1 && scale <= 200000,
+      "packing bound: k <= 65536 and dim*(2*scale)^2 < 2^47")
+    import spark.implicits._
+    val q = quantized(emb, idCol, vecCol, scale)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val first = q.orderBy(col("id")).limit(1)
+      .select(col("id"), col("qv")).collect()
+    require(first.nonEmpty, "k-center needs a non-empty input")
+    requirePackable(first(0).getSeq[Long](1).length, scale)
+    var centers = Vector(first(0).getSeq[Long](1).toArray)
+    var picks = Vector((1L, first(0).getLong(0), 0L))
+    for (r <- 2 to k) {
+      // min dist2 to the selected set per row (packed codegen kernel),
+      // argmax with the smallest-id tie rule — TakeOrdered(1), one row back
+      val far = q
+        .select(col("id"), nearestPacked(centers.toArray).as("packed"))
+        .select(col("id"), expr("packed div 65536").as("d2"))
+        .orderBy(col("d2").desc, col("id")).limit(1).collect()(0)
+      val vec = q.where(col("id") === far.getLong(0))
+        .select(col("qv")).collect()(0).getSeq[Long](0).toArray
+      centers :+= vec
+      picks :+= ((r.toLong, far.getLong(0), far.getLong(1)))
+    }
+    q.unpersist(blocking = false) // fully consumed within the call
+    picks.toDF("sel_rank", "id", "dist2")
+  }
 }

@@ -911,7 +911,8 @@ object TextOps {
     * `approx_count_distinct`, the q17/q97 trade.
     */
   def distinctNgramStats(docs: DataFrame, group: Column, text: Column,
-                         maxN: Int = 3): DataFrame = {
+                         maxN: Int = 3,
+                         approxRsd: Option[Double] = None): DataFrame = {
     require(maxN >= 1, s"maxN must be >= 1, got $maxN")
     val toks = arrToks(text)
     def grams(n: Int): Column = {
@@ -920,11 +921,17 @@ object TextOps {
         .otherwise(transform(sequence(lit(1), cnt), i =>
           struct(lit(n).as("n"), concat_ws(" ", slice(toks, i, lit(n))).as("g"))))
     }
+    // the documented extreme-cardinality escape (the q17/q97 trade): HLL++
+    // replaces the expand-based count_distinct — the shuffle then carries
+    // fixed-size sketches instead of every distinct gram type
+    val nDistinct = approxRsd
+      .map(rsd => approx_count_distinct(col("x.g"), rsd))
+      .getOrElse(countDistinct(col("x.g")))
     docs.select(group.as("source"),
         explode(flatten(array((1 to maxN).map(grams): _*))).as("x"))
       .groupBy(col("source"), col("x.n").cast("long").as("n"))
       .agg(count(lit(1)).as("n_grams"),
-        countDistinct(col("x.g")).as("n_distinct"))
+        nDistinct.as("n_distinct"))
       .withColumn("distinct_ratio",
         col("n_distinct").cast("double") / col("n_grams"))
   }
@@ -1111,6 +1118,42 @@ object TextOps {
       .withColumn("epochs", col("alloc_tokens") / col("n_tokens").cast("double"))
       .select(col("source"), col("n_tokens"), col("p"),
         col("alloc_tokens"), col("epochs"))
+  }
+
+  /** CORPUS DATACARD — the per-source audit table a curation run opens
+    * with (the "data card" / datasheet summary): volume, duplication,
+    * length profile, lexical diversity, language spread, all EXACT.
+    * Composes the primitives this file and [[Dedup]] already define:
+    * md5 content identity (q20), whitespace token counts, type counts.
+    *
+    * Two aggregates over one tokenize pass shape: the doc-level rollup is
+    * a partial-combined groupBy(source); the type count is a second
+    * aggregate over the exploded tokens (vocab-keyed — the same shuffle
+    * q146's vocab build pays); joined on the G-row source key. Ratios are
+    * single IEEE divisions of exact Longs.
+    */
+  def corpusDatacard(docs: DataFrame, group: Column, text: Column,
+                     lang: Column, nChars: Column,
+                     shortTokens: Int = 25): DataFrame = {
+    val base = docs.select(group.as("source"), lang.as("lang"),
+      nChars.cast("long").as("nc"),
+      size(arrToks(text)).cast("long").as("nt"),
+      md5(to_binary(text, lit("utf-8"))).as("h"))
+    val doc = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"),
+      sum(col("nc")).as("n_chars"),
+      (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(when(col("nt") < shortTokens, 1L).otherwise(0L)).as("n_short"))
+    val types = docs
+      .select(group.as("source"), explode(arrToks(text)).as("w"))
+      .groupBy(col("source")).agg(countDistinct(col("w")).as("n_token_types"))
+    doc.join(types, Seq("source"))
+      .withColumn("dup_rate", col("n_dup_docs").cast("double") / col("n_docs"))
+      .withColumn("short_rate", col("n_short").cast("double") / col("n_docs"))
+      .withColumn("type_token_ratio",
+        col("n_token_types").cast("double") / col("n_tokens"))
   }
 
   /** Quality-score feature set as a projection. */

@@ -195,4 +195,42 @@ class ClusterSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"))
     assert(!plan.contains("Exchange"))
   }
+
+  test("k-center greedy selection matches a plain-Scala replay pick-for-pick") {
+    val vecs = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toSeq
+    // plain replay: same lattice, same seed (smallest id), same argmax with
+    // smallest-id tie rule, dist2 = min over selected at selection time
+    val q = vecs.map { case (id, v) => id -> v.map(x => math.round(x * 1000) + 1000) }
+    val seed = q.minBy(_._1)
+    var centers = Vector(seed._2)
+    var expect = Vector((1L, seed._1, 0L))
+    for (r <- 2 to 6) {
+      def md(x: Array[Long]): Long = centers.map { c =>
+        var d = 0L; x.indices.foreach { i => val t = x(i) - c(i); d += t * t }; d
+      }.min
+      val (pid, pd) = q.map { case (id, x) => (id, md(x)) }
+        .minBy { case (id, d) => (-d, id) }
+      centers :+= q.find(_._1 == pid).get._2
+      expect :+= ((r.toLong, pid, pd))
+    }
+    val got = Cluster.kCenterSelect(emb, "vec_id", "embedding", k = 6)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toVector
+    assert(got == expect, s"\ngot    $got\nexpect $expect")
+    // coverage radii never increase along the greedy order
+    val radii = got.drop(1).map(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b }, radii)
+    // diversity: selected points are pairwise farther apart than the final
+    // coverage radius (the Gonzalez 2-approximation's structural property)
+    val byId = q.toMap
+    val sel = got.map(t => byId(t._2))
+    val rK = radii.last
+    for (i <- sel.indices; j <- sel.indices if i < j) {
+      var d = 0L
+      sel(i).indices.foreach { t => val x = sel(i)(t) - sel(j)(t); d += x * x }
+      assert(d >= rK, s"pair ($i,$j) closer than r_k: $d < $rK")
+    }
+  }
 }

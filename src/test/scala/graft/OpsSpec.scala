@@ -2444,4 +2444,46 @@ class OpsSpec extends AnyFunSuite {
     // epochs: small source repeats more often than the big one
     assert(eSmall > eBig && eSmall > 1.0)
   }
+
+  test("corpus datacard: exact counts, dup/short rates, type-token ratio by hand") {
+    val d = Seq(
+      (1L, "s1", "en", "aa bb cc dd"),    // 4 toks
+      (2L, "s1", "en", "aa bb cc dd"),    // exact dup of 1
+      (3L, "s1", "de", "aa bb xx"),       // 3 toks, short
+      (4L, "s2", "en", "yy zz"))          // 2 toks, short
+      .toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = TextOps.corpusDatacard(d, col("source"), col("text"),
+        col("lang"), col("n_chars"), shortTokens = 4)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1")
+    assert(s1.getLong(1) == 3L)                        // n_docs
+    assert(s1.getLong(2) == 11L)                       // n_tokens 4+4+3
+    assert(s1.getLong(4) == 1L)                        // one dup copy
+    assert(s1.getLong(5) == 2L)                        // en, de
+    assert(s1.getLong(6) == 1L)                        // doc 3 short (<4)
+    assert(s1.getLong(7) == 5L)                        // types aa bb cc dd xx
+    assert(s1.getDouble(8) == 1.0 / 3.0)               // dup_rate
+    assert(s1.getDouble(10) == 5.0 / 11.0)             // type_token_ratio
+    val s2 = got("s2")
+    assert(s2.getLong(1) == 1L && s2.getLong(4) == 0L && s2.getLong(6) == 1L)
+  }
+
+  test("approx distinct-ngram stats land within HLL++ tolerance of exact") {
+    val rnd = new scala.util.Random(7)
+    val d = docs((1L to 60L).map(i =>
+      i -> Seq.fill(30)(s"w${rnd.nextInt(400)}").mkString(" ")): _*)
+      .withColumn("source", lit("s"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val exact = asMap(TextOps.distinctNgramStats(d, col("source"), col("text")))
+    val approx = asMap(TextOps.distinctNgramStats(d, col("source"), col("text"),
+      approxRsd = Some(0.05)))
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.15,
+        s"approx $a vs exact $e at $k exceeds 3x the 5% rsd")
+    }
+  }
 }
