@@ -4842,6 +4842,158 @@ object Queries {
       FROM doc JOIN ty USING (source)
       ORDER BY source"""))
 
+  /** CLASSIFIER CALIBRATION BINS (Classify.calibrationBins over q138's
+    * exact-replay logistic regression, held-out slice): the reliability
+    * diagram — per probability bin (width 1/200, sized to the 3-iteration
+    * model's p-range), count / positives / mean p /
+    * observed positive fraction. The oracle replays the full q138 training
+    * unroll, then the binning; exact decimal p-sums make it value-exact.
+    */
+  private val q152 = Q("q152_calibration_bins",
+    (s, d) => {
+      val scored = graft.ops.Classify.logisticRegression(
+        docsSpread(s, d), col("doc_id"), (col("source") === "src0").cast("int"),
+        features = Seq((col("n_chars"), 10),
+          (TextOps.tokenCount(col("text")), 6)),
+        trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 700,
+        iters = 3, lr = 0.125)
+      graft.ops.Classify.calibrationBins(
+          scored.where(!col("is_train")), col("p"), col("y"), bins = 200)
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(source = 'src0' AS BIGINT) AS y,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 700)
+                 AS is_train,
+               CAST(n_chars AS DOUBLE) * 0.0009765625 AS x1d,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+                 * 0.015625 AS x2d,
+               CAST(n_chars AS DECIMAL(10,0)) * 0.0009765625 AS x1c,
+               CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS DECIMAL(10,0)) * 0.015625 AS x2c
+        FROM documents),
+      tr AS (SELECT * FROM t WHERE is_train),
+      n AS (SELECT COUNT(*) AS n FROM tr),
+      p1 AS (
+        SELECT tr.*,
+               CAST(1.0/(1.0+exp(-((0.0 + 0.0*x1d) + 0.0*x2d)))
+                    AS DECIMAL(8,6)) AS p6
+        FROM tr),
+      g1 AS (
+        SELECT SUM(p6 - CAST(y AS DECIMAL(8,6))) AS g0,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x1c) AS g1,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x2c) AS g2
+        FROM p1),
+      w1 AS (
+        SELECT 0.0 - 0.125*(CAST(g0 AS DOUBLE)/n) AS w0,
+               0.0 - 0.125*(CAST(g1 AS DOUBLE)/n) AS w1,
+               0.0 - 0.125*(CAST(g2 AS DOUBLE)/n) AS w2
+        FROM g1, n),
+      p2 AS (
+        SELECT tr.*,
+               CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
+                    AS DECIMAL(8,6)) AS p6
+        FROM tr, w1 w),
+      g2s AS (
+        SELECT SUM(p6 - CAST(y AS DECIMAL(8,6))) AS g0,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x1c) AS g1,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x2c) AS g2
+        FROM p2),
+      w2 AS (
+        SELECT w.w0 - 0.125*(CAST(g0 AS DOUBLE)/n) AS w0,
+               w.w1 - 0.125*(CAST(g1 AS DOUBLE)/n) AS w1,
+               w.w2 - 0.125*(CAST(g2 AS DOUBLE)/n) AS w2
+        FROM g2s, w1 w, n),
+      p3 AS (
+        SELECT tr.*,
+               CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
+                    AS DECIMAL(8,6)) AS p6
+        FROM tr, w2 w),
+      g3s AS (
+        SELECT SUM(p6 - CAST(y AS DECIMAL(8,6))) AS g0,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x1c) AS g1,
+               SUM((p6 - CAST(y AS DECIMAL(8,6))) * x2c) AS g2
+        FROM p3),
+      w3 AS (
+        SELECT w.w0 - 0.125*(CAST(g0 AS DOUBLE)/n) AS w0,
+               w.w1 - 0.125*(CAST(g1 AS DOUBLE)/n) AS w1,
+               w.w2 - 0.125*(CAST(g2 AS DOUBLE)/n) AS w2
+        FROM g3s, w2 w, n),
+      h AS (
+        SELECT doc_id, y,
+               CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
+                    AS DECIMAL(8,6)) AS p6
+        FROM t, w3 w WHERE NOT is_train)
+      SELECT LEAST(CAST(floor(CAST(p6 AS DOUBLE) * 200) AS BIGINT), 199) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(p6) AS DOUBLE) / COUNT(*) AS mean_p,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
+      FROM h GROUP BY 1 ORDER BY bin"""))
+
+  /** LABEL CENTROID AFFINITY (Cluster.labelAffinity): exact lattice-mean
+    * centroid per label, pairwise (dot, norms, cosine) — the
+    * embedding-space sibling of q145's lexical overlap matrix; the
+    * class-separation audit. Integers end-to-end except the final 4-op
+    * cosine dag.
+    */
+  private val q153 = Q("q153_label_affinity",
+    (s, d) => graft.ops.Cluster.labelAffinity(
+        t(s, d, "embeddings"), "label", "embedding")
+      .orderBy(col("label_a"), col("label_b")),
+    Some("""
+      WITH q AS (
+        SELECT label,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000)
+                 AS qv
+        FROM embeddings),
+      qe AS (SELECT label, i, qv[i] AS v FROM q, range(1, 65) t(i)),
+      c AS (SELECT CAST(label AS BIGINT) AS lab, i,
+                   SUM(v) // COUNT(*) AS v
+            FROM qe GROUP BY 1, 2),
+      nr AS (SELECT lab, CAST(SUM(v * v) AS BIGINT) AS norm2
+             FROM c GROUP BY 1),
+      d AS (SELECT a.lab AS label_a, b.lab AS label_b,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS dot
+            FROM c a JOIN c b ON a.i = b.i AND a.lab < b.lab
+            GROUP BY 1, 2)
+      SELECT d.label_a, d.label_b, d.dot,
+             na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+             CAST(d.dot AS DOUBLE) /
+               (sqrt(CAST(na.norm2 AS DOUBLE)) * sqrt(CAST(nb.norm2 AS DOUBLE)))
+               AS cos
+      FROM d
+      JOIN nr na ON na.lab = d.label_a
+      JOIN nr nb ON nb.lab = d.label_b
+      ORDER BY label_a, label_b"""))
+
+  /** CHUNK-STITCH JOIN (TextOps.chunkStitch): B's first 3 tokens == A's
+    * last 3 tokens ⇒ reassembly candidate — chunked-crawl / context-split
+    * repair. Pure boundary-key equi-join; exact, oracle-replayed.
+    */
+  private val q154 = Q("q154_chunk_stitch",
+    (s, d) => graft.ops.TextOps.chunkStitch(
+        docsSpread(s, d), col("doc_id"), col("text"), k = 3)
+      .orderBy(col("a_id"), col("b_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+      tl AS (SELECT doc_id AS a_id,
+                    array_to_string(toks[len(toks) - 2:len(toks)], ' ') AS bk
+             FROM f),
+      hd AS (SELECT doc_id AS b_id,
+                    array_to_string(toks[1:3], ' ') AS bk
+             FROM f)
+      SELECT tl.a_id, hd.b_id, tl.bk
+      FROM tl JOIN hd ON tl.bk = hd.bk AND tl.a_id != hd.b_id
+      ORDER BY a_id, b_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -4855,7 +5007,7 @@ object Queries {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151)
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -177,4 +177,31 @@ object Classify {
       (p6 >= lit(new java.math.BigDecimal("0.5"))).cast("long").as("pred"),
       array(w.map(lit(_)): _*).as("w"))
   }
+
+  /** CALIBRATION BINS (reliability diagram): bucket predicted
+    * probabilities into `bins` equal-width bins, emit per bin the count,
+    * positive count, mean predicted p, and observed positive fraction —
+    * mean_p ≈ frac_pos per bin is what "calibrated" MEANS; the gap per
+    * bin is the reliability curve a curation threshold is read off.
+    *
+    * Exactness: p is re-snapped to DECIMAL(8,6) (a lossless round-trip of
+    * [[logisticRegression]]'s already-snapped p) so the per-bin sum is an
+    * exact decimal — order-independent, oracle-replayable; the bin index
+    * `least(floor(p·bins), bins−1)` and both ratios are fixed dags of
+    * correctly-rounded IEEE ops. One partial-combined aggregate over the
+    * scored frame; output is `bins` rows.
+    */
+  def calibrationBins(scored: DataFrame, p: Column, y: Column,
+                      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000)
+    scored.select(
+        least(floor(p * bins).cast("long"), lit(bins - 1L)).as("bin"),
+        p.cast(DecimalType(8, 6)).as("p6"), y.cast("long").as("yy"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("yy")).as("n_pos"),
+        sum(col("p6")).as("sp"))
+      .withColumn("mean_p", col("sp").cast("double") / col("n"))
+      .withColumn("frac_pos", col("n_pos").cast("double") / col("n"))
+      .drop("sp")
+  }
 }

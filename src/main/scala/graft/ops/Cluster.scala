@@ -382,4 +382,51 @@ object Cluster {
     q.unpersist(blocking = false) // fully consumed within the call
     picks.toDF("sel_rank", "id", "dist2")
   }
+
+  /** LABEL/CLASS CENTROID AFFINITY — the embedding-space analogue of the
+    * lexical cross-source overlap matrix (q145): per-label lattice-mean
+    * centroid, then the exact pairwise (dot, norms, cosine) table. High
+    * off-diagonal cosine ⇒ semantically entangled classes/slices (merge or
+    * re-label before training a router/classifier on them); the
+    * class-separation audit at the slice level.
+    *
+    * Exactness: centroids are exact floor-divided lattice means (the q119
+    * rule), dot and squared norms are exact Long sums; only the final
+    * cosine is FP — a fixed 4-op dag (two sqrt, one multiply, one divide),
+    * identical in both engines.
+    *
+    * Scale: the corpus pays ONE posexplode + partial-combined
+    * groupBy(label, dim) — L×dim cells out; everything pairwise happens on
+    * the L×dim centroid table (tiny for any real label set).
+    */
+  def labelAffinity(emb: DataFrame, labelCol: String, vecCol: String,
+                    scale: Int = 1000): DataFrame = {
+    val q = quantized2(emb, labelCol, vecCol, scale)
+    val cent = q.select(col("lab"), posexplode(col("qv")).as(Seq("i", "v")))
+      .groupBy(col("lab"), col("i"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("lab"), col("i"), expr("s div n").as("v"))
+    val norms = cent.groupBy(col("lab"))
+      .agg(sum(col("v") * col("v")).as("norm2"))
+    val a = cent.select(col("lab").as("label_a"), col("i"), col("v").as("va"))
+    val b = cent.select(col("lab").as("label_b"), col("i"), col("v").as("vb"))
+    a.join(b, Seq("i")).where(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("va") * col("vb")).as("dot"))
+      .join(broadcast(norms).withColumnRenamed("lab", "label_a")
+        .withColumnRenamed("norm2", "norm2_a"), Seq("label_a"))
+      .join(broadcast(norms).withColumnRenamed("lab", "label_b")
+        .withColumnRenamed("norm2", "norm2_b"), Seq("label_b"))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("norm2_a").cast("double")) * sqrt(col("norm2_b").cast("double"))))
+      .select(col("label_a"), col("label_b"), col("dot"),
+        col("norm2_a"), col("norm2_b"), col("cos"))
+  }
+
+  /** [[quantized]] with a caller-named non-id group column (labels). */
+  private def quantized2(emb: DataFrame, labCol: String, vecCol: String,
+                         scale: Int): DataFrame =
+    emb.select(col(labCol).cast("long").as("lab"),
+      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint) + ${scale}L)")
+        .as("qv"))
 }

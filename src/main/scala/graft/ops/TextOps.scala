@@ -1156,6 +1156,41 @@ object TextOps {
         col("n_token_types").cast("double") / col("n_tokens"))
   }
 
+  /** CHUNK-STITCH JOIN — reassembly candidates for chunked corpora: doc B
+    * whose FIRST k tokens equal doc A's LAST k tokens is a candidate
+    * continuation (crawl chunking, context-window splits, page-break
+    * shards). One boundary key per side, so the result is an equi-join on
+    * the boundary k-gram — never a substring scan.
+    *
+    * Scale: two narrow boundary-key projections + one key-partitioned
+    * equi-join. A boilerplate boundary ("click here to continue…") makes a
+    * hot key whose fan-out is df_tail×df_head; `maxDf` drops keys past the
+    * cap on EITHER side BEFORE the join (certified lower bound, the q44
+    * posting-cap contract).
+    */
+  def chunkStitch(docs: DataFrame, id: Column, text: Column, k: Int = 3,
+                  maxDf: Option[Int] = None): DataFrame = {
+    require(k >= 1)
+    val base = docs.select(id.as("doc_id"), arrToks(text).as("toks"))
+      .where(size(col("toks")) >= k)
+    val tails = base.select(col("doc_id").as("a_id"),
+      concat_ws(" ",
+        slice(col("toks"), size(col("toks")) - (k - 1), lit(k))).as("bk"))
+    val heads = base.select(col("doc_id").as("b_id"),
+      concat_ws(" ", slice(col("toks"), lit(1), lit(k))).as("bk"))
+    val (t2, h2): (DataFrame, DataFrame) = maxDf match {
+      case None => (tails, heads)
+      case Some(cap) =>
+        val ok = tails.groupBy(col("bk")).agg(count(lit(1)).as("df_a"))
+          .join(heads.groupBy(col("bk")).agg(count(lit(1)).as("df_b")), Seq("bk"))
+          .where(col("df_a") <= cap && col("df_b") <= cap)
+          .select(col("bk"))
+        (tails.join(ok, Seq("bk")), heads.join(ok, Seq("bk")))
+    }
+    t2.join(h2, Seq("bk")).where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("bk"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -2469,6 +2469,74 @@ class OpsSpec extends AnyFunSuite {
     assert(s2.getLong(1) == 1L && s2.getLong(4) == 0L && s2.getLong(6) == 1L)
   }
 
+  test("calibration bins: counts partition the slice, rates hand-checked, perfect prediction calibrates") {
+    import graft.ops.Classify
+    val scored = Seq(
+      (1L, 0.05, 0L), (2L, 0.08, 0L),          // bin 0: 0/2 positive
+      (3L, 0.55, 1L), (4L, 0.52, 0L),          // bin 5: 1/2
+      (5L, 0.95, 1L), (6L, 1.0, 1L))           // bin 9 (p=1.0 clamped): 2/2
+      .toDF("id", "p", "y")
+    val got = Classify.calibrationBins(scored, col("p"), col("y"), bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(0L, 5L, 9L))
+    assert(got(0L) == ((2L, 0L, 0.065, 0.0)))
+    assert(got(5L)._1 == 2L && got(5L)._2 == 1L && got(5L)._4 == 0.5)
+    assert(got(9L) == ((2L, 2L, 0.975, 1.0)))  // p=1.0 lands in the top bin
+    assert(got.values.map(_._1).sum == 6L, "bins partition the input")
+  }
+
+  test("label affinity: centroid math exact, identical labels cos 1, orthogonal cos 0") {
+    import graft.ops.Cluster
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(1f, 0f, 0f, 0f), 0),
+      (3L, Array(1f, 0f, 0f, 0f), 1),            // label 1 == label 0 centroid
+      (4L, Array(0f, 1f, 0f, 0f), 2))            // label 2 orthogonal (pre-shift)
+      .toDF("vec_id", "embedding", "label")
+    val got = Cluster.labelAffinity(e, "label", "embedding", scale = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got.size == 3)
+    val (d01, na01, nb01, cos01) = got((0L, 1L))
+    assert(na01 == nb01 && d01 == na01, s"identical centroids: $got")
+    // same 4-op IEEE dag as the op (sqrt·sqrt does not simplify to n)
+    assert(cos01 == d01.toDouble /
+      (math.sqrt(na01.toDouble) * math.sqrt(nb01.toDouble)))
+    assert(math.abs(cos01 - 1.0) < 1e-12)
+    // lattice shift (+1000) makes raw axes non-orthogonal; verify exact
+    // integer values instead: centroid(0)=(2000,1000,1000,1000), centroid(2)=(1000,2000,1000,1000)
+    val (d02, na02, _, cos02) = got((0L, 2L))
+    assert(na02 == 2000L*2000 + 3*1000L*1000)
+    assert(d02 == 2000L*1000 + 1000L*2000 + 2*1000L*1000)
+    assert(cos02 == d02.toDouble / (math.sqrt(na02.toDouble) * math.sqrt(na02.toDouble)))
+    assert(cos02 < cos01)
+  }
+
+  test("chunk stitch: planted continuation found, short docs skipped, cap drops boilerplate") {
+    val d = docs(
+      1L -> "part one of the long article ends with alpha beta gamma",
+      2L -> "alpha beta gamma continues part two of the article here",
+      3L -> "totally unrelated content with no shared boundary at all",
+      4L -> "xy yz") // 2 tokens < k, must be skipped entirely
+    val got = TextOps.chunkStitch(d, col("doc_id"), col("text"), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(got.toSet == Set((1L, 2L, "alpha beta gamma")), got.toSeq)
+    // boilerplate boundary shared by many docs: cap kills it, keeps real pair
+    val boiler = (10L to 20L).map(i =>
+      i -> s"doc number $i ends click here to continue")
+    val mixed = docs((boiler ++ Seq(
+      21L -> s"story part a finishing with unique marker tokens",
+      22L -> s"unique marker tokens and then the story part b",
+      23L -> "here to continue reading on the next page today")): _*)
+    val capped = TextOps.chunkStitch(mixed, col("doc_id"), col("text"),
+      k = 3, maxDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((21L, 22L)), s"cap should keep only the real pair: ${capped.toSeq}")
+    val uncapped = TextOps.chunkStitch(mixed, col("doc_id"), col("text"), k = 3)
+      .count()
+    assert(uncapped > 1L, s"uncapped must include the boilerplate fan-out: $uncapped")
+  }
+
   test("approx distinct-ngram stats land within HLL++ tolerance of exact") {
     val rnd = new scala.util.Random(7)
     val d = docs((1L to 60L).map(i =>
