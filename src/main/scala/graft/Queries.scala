@@ -4994,6 +4994,62 @@ object Queries {
       FROM tl JOIN hd ON tl.bk = hd.bk AND tl.a_id != hd.b_id
       ORDER BY a_id, b_id"""))
 
+  /** PERSONALIZED PAGERANK (Graph.personalizedPageRankInt, Haveliwala
+    * 2002): q120's trade graph, but rank mass starts and teleports only at
+    * GERMANY's customers — "which suppliers matter to this slice". Same
+    * integer procedure, oracle replays all three seeded rounds verbatim.
+    */
+  private val q155 = Q("q155_personalized_pagerank",
+    (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").cast("long").as("c"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct()
+      val e = pairs.select((col("c") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sk") * 2 + 1).as("src"), (col("c") * 2).as("dst")))
+      val seeds = t(s, d, "customer")
+        .join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey") && col("n_name") === "GERMANY")
+        .select((col("c_custkey").cast("long") * 2).as("node"))
+      graft.ops.Graph.personalizedPageRankInt(e, seeds, iters = 3,
+          edgesDistinct = true)
+        .orderBy(col("rank_units").desc, col("node"))
+        .limit(25)
+    },
+    Some("""
+      WITH
+      pairs AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      e AS (SELECT c * 2 AS src, sk * 2 + 1 AS dst FROM pairs
+            UNION ALL SELECT sk * 2 + 1, c * 2 FROM pairs),
+      d AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      s AS (SELECT DISTINCT c_custkey * 2 AS node
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name = 'GERMANY'),
+      n AS (SELECT d.src AS node,
+                   CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END AS seed
+            FROM d LEFT JOIN s ON s.node = d.src),
+      r0 AS (SELECT node, CAST(seed * 1000000000 AS BIGINT) AS r FROM n),
+      i1 AS (SELECT e.dst AS node, SUM(((r0.r * 85) // 100) // d.deg) AS x
+             FROM r0 JOIN d ON d.src = r0.node JOIN e ON e.src = r0.node
+             GROUP BY e.dst),
+      r1 AS (SELECT n.node, n.seed * 150000000 + COALESCE(i1.x, 0) AS r
+             FROM n LEFT JOIN i1 USING (node)),
+      i2 AS (SELECT e.dst AS node, SUM(((r1.r * 85) // 100) // d.deg) AS x
+             FROM r1 JOIN d ON d.src = r1.node JOIN e ON e.src = r1.node
+             GROUP BY e.dst),
+      r2 AS (SELECT n.node, n.seed * 150000000 + COALESCE(i2.x, 0) AS r
+             FROM n LEFT JOIN i2 USING (node)),
+      i3 AS (SELECT e.dst AS node, SUM(((r2.r * 85) // 100) // d.deg) AS x
+             FROM r2 JOIN d ON d.src = r2.node JOIN e ON e.src = r2.node
+             GROUP BY e.dst),
+      r3 AS (SELECT n.node, n.seed * 150000000 + COALESCE(i3.x, 0) AS r
+             FROM n LEFT JOIN i3 USING (node))
+      SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_units
+      FROM r3 ORDER BY rank_units DESC, node LIMIT 25"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5007,7 +5063,7 @@ object Queries {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154)
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

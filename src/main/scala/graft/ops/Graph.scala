@@ -61,6 +61,31 @@ object Graph {
                   edgesDistinct: Boolean = false): DataFrame = {
     val (r, cleanup) = pageRankLoop(edges, iters, unit, dampNum, dampDen,
       checkpointEvery, edgesDistinct)
+    val out = Caches.checkpoint(r)
+    cleanup()
+    Caches.trackRdd(out.rdd)
+    out.df
+  }
+
+  /** PERSONALIZED PageRank (topic-sensitive PageRank, Haveliwala 2002):
+    * identical integer procedure, but BOTH the start mass and the per-round
+    * teleport base land only on `seeds` (a one-column `node` frame) — rank
+    * becomes "importance as seen from the seed set", the
+    * relevance-to-a-slice curation weight (e.g. rank suppliers by
+    * importance to one nation's customers, domains by importance to a
+    * topic's seed pages). Seeds without out-edges are dropped with the
+    * same nodes-from-degrees rule as the plain op. Exactness, scale shape,
+    * checkpointing and cache lifecycle are all inherited; the only new
+    * cost is one node-sized seed-flag frame persisted across iterations
+    * (q155's oracle replays all three rounds seed-for-seed).
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame, iters: Int,
+                              unit: Long = 1000000000L,
+                              dampNum: Int = 85, dampDen: Int = 100,
+                              checkpointEvery: Int = 10,
+                              edgesDistinct: Boolean = false): DataFrame = {
+    val (r, cleanup) = pageRankLoop(edges, iters, unit, dampNum, dampDen,
+      checkpointEvery, edgesDistinct, seeds = Some(seeds))
     // materialize the (node-sized) result, then release the edge/degree
     // caches — they must not outlive the call into a long-lived session.
     // The result's own blocks are registered for the session owner's drain.
@@ -80,7 +105,8 @@ object Graph {
                   unit: Long = 1000000000L,
                   dampNum: Int = 85, dampDen: Int = 100,
                   checkpointEvery: Int = 10,
-                  edgesDistinct: Boolean = false): (DataFrame, () => Unit) = {
+                  edgesDistinct: Boolean = false,
+                  seeds: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     require(iters >= 1 && unit >= 1 && dampNum >= 0 && dampDen >= dampNum &&
       checkpointEvery >= 1)
     val base = unit * (dampDen - dampNum) / dampDen
@@ -92,8 +118,22 @@ object Graph {
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = deg.select(col("src").as("node"))
+    // personalized: a node-sized (node, start, base) frame with mass only
+    // on seeds; the None path keeps the original literal columns (and
+    // bit-identical plans — GraphSpec's parity pins stay meaningful)
+    val nb: Option[DataFrame] = seeds.map { s =>
+      nodes.join(
+          s.select(col("node").cast("long").as("node")).distinct()
+            .withColumn("is_seed", lit(true)),
+          Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), lit(unit)).otherwise(lit(0L)).as("start"),
+          when(col("is_seed"), lit(base)).otherwise(lit(0L)).as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
 
-    var r = nodes.select(col("node"), lit(unit).as("r"))
+    var r = nb.map(_.select(col("node"), col("start").as("r")))
+      .getOrElse(nodes.select(col("node"), lit(unit).as("r")))
     var ck: Option[Caches.Checkpointed] = None
     for (i <- 1 to iters) {
       val contrib = r
@@ -102,8 +142,12 @@ object Graph {
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
-      r = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"), (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+      r = nb match {
+        case Some(f) => f.join(contrib, Seq("node"), "left")
+          .select(col("node"), (col("b") + coalesce(col("inflow"), lit(0L))).as("r"))
+        case None => nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"), (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
+      }
       // truncate lineage: rank values are identical (checkpoint is a
       // materialization, not a recomputation), plan depth stays bounded;
       // the superseded round's blocks are dropped immediately
@@ -119,6 +163,7 @@ object Graph {
       ck.foreach(_.release())
       e.unpersist(blocking = false)
       deg.unpersist(blocking = false)
+      nb.foreach(_.unpersist(blocking = false))
       ()
     }
     (result, cleanup)

@@ -97,4 +97,43 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("Cartesian"))
     assert(!plan.contains("BroadcastNestedLoop"))
   }
+
+  /** Seeded replay: start mass and per-round base only on the seed set. */
+  private def referencePers(edges: Seq[(Long, Long)], seeds: Set[Long],
+                            iters: Int,
+                            unit: Long = 1000000000L): Map[Long, Long] = {
+    val e = edges.distinct
+    val deg = e.groupBy(_._1).map { case (s, xs) => s -> xs.size.toLong }
+    val nodes = deg.keySet
+    val base = unit * 15 / 100
+    var r: Map[Long, Long] = nodes.map(n => n -> (if (seeds(n)) unit else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inflow = e.filter(p => r.contains(p._1))
+        .groupBy(_._2)
+        .map { case (dst, in) =>
+          dst -> in.map { case (src, _) => r(src) * 85 / 100 / deg(src) }.sum
+        }
+      r = nodes.map(n =>
+        n -> ((if (seeds(n)) base else 0L) + inflow.getOrElse(n, 0L))).toMap
+    }
+    r
+  }
+
+  test("personalized pagerank matches the seeded replay; mass stays near the seed") {
+    val seeds = Set(0L)
+    val want = referencePers(g, seeds, iters = 5)
+    val got = Graph.personalizedPageRankInt(g.toDF("src", "dst"),
+        seeds.toSeq.toDF("node"), iters = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // locality: the seed and its neighbors outrank the far chain tail
+    assert(got(0L) > got(5L) && got(1L) > got(5L))
+    // all-nodes seed set degenerates to the plain op, bit-for-bit
+    val allSeeds = g.flatMap(p => Seq(p._1, p._2)).distinct.toDF("node")
+    val pers = Graph.personalizedPageRankInt(g.toDF("src", "dst"), allSeeds,
+        iters = 4).as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRankInt(g.toDF("src", "dst"), iters = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(pers == plain)
+  }
 }
