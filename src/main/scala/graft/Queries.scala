@@ -5050,6 +5050,62 @@ object Queries {
       SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank_units
       FROM r3 ORDER BY rank_units DESC, node LIMIT 25"""))
 
+  /** LABEL PROPAGATION (Graph.labelPropagation, clamped Raghavan et al.
+    * 2007): nation labels from a 30% hash-gate seed slice spread two
+    * rounds through q118/q122's name-similarity graph — sparse-label
+    * densification over an entity graph. Integer votes + deterministic
+    * tie rule ⇒ the oracle unrolls both rounds and replays every vote.
+    */
+  private val q156 = Q("q156_label_propagation",
+    (s, d) => {
+      val cust = t(s, d, "customer")
+      val pairs = graft.ops.FuzzyJoin
+        .editDistancePairs(cust.select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name", maxDist = 1)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val seeds = cust
+        .where(graft.ops.Mix.hashGate(col("c_custkey")) < 300)
+        .select(col("c_custkey").as("node"), col("c_nationkey").as("label"))
+      graft.ops.Graph.labelPropagation(pairs, seeds, rounds = 2)
+        .orderBy(col("node"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT a.c_custkey AS a, b.c_custkey AS b
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 1),
+      e AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+      n AS (SELECT DISTINCT src AS node FROM e),
+      s AS (SELECT c_custkey AS node, CAST(c_nationkey AS BIGINT) AS seed_label
+            FROM customer
+            WHERE (c_custkey % 2147483648) * 2654435761 % 2147483648 % 1000
+                  < 300),
+      l0 AS (SELECT n.node, s.seed_label AS label
+             FROM n LEFT JOIN s USING (node)),
+      v1 AS (SELECT e.dst AS node, l0.label, COUNT(*) AS c
+             FROM l0 JOIN e ON e.src = l0.node
+             WHERE l0.label IS NOT NULL GROUP BY 1, 2),
+      w1 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label) AS rn
+               FROM v1) WHERE rn = 1),
+      l1 AS (SELECT n.node, COALESCE(s.seed_label, w1.label) AS label
+             FROM n LEFT JOIN s USING (node) LEFT JOIN w1 USING (node)),
+      v2 AS (SELECT e.dst AS node, l1.label, COUNT(*) AS c
+             FROM l1 JOIN e ON e.src = l1.node
+             WHERE l1.label IS NOT NULL GROUP BY 1, 2),
+      w2 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label) AS rn
+               FROM v2) WHERE rn = 1),
+      l2 AS (SELECT n.node, COALESCE(s.seed_label, w2.label) AS label
+             FROM n LEFT JOIN s USING (node) LEFT JOIN w2 USING (node))
+      SELECT CAST(node AS BIGINT) AS node, label FROM l2 ORDER BY node"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5063,7 +5119,7 @@ object Queries {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155)
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -95,6 +95,58 @@ object Graph {
     out.df
   }
 
+  /** SEMI-SUPERVISED LABEL PROPAGATION (the clamped variant of Raghavan
+    * et al. 2007's LPA): seed nodes carry fixed labels; each round every
+    * node adopts the MAJORITY label among its labeled neighbors (ties to
+    * the smallest label — the deterministic argmax), seeds stay clamped.
+    * The "spread sparse human labels through the similarity graph" step:
+    * quality ratings through near-dup clusters, nation/domain labels
+    * through an entity graph. Unreached nodes keep a null label.
+    *
+    * Exactness: counts are integers and the argmax is a lexicographic
+    * `max(struct(count, −label))` — the oracle (q156) unrolls the rounds
+    * and replays every vote. Scale shape per round: one equi-join of the
+    * label frame onto src-partitioned edges, one partial-combined
+    * groupBy(dst, label) vote count, one argmax aggregate — the PageRank
+    * iteration's cost model with labels in place of mass. Edges are
+    * symmetrized, deduped, and persisted once; released before return.
+    */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 1)
+    val e = edges
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .unionByName(edges
+        .select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node")).distinct()
+    val s = seeds
+      .select(col("node").cast("long").as("node"),
+        col("label").cast("long").as("seed_label"))
+    var lab = nodes.join(s, Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"))
+    for (_ <- 1 to rounds) {
+      val votes = lab.where(col("label").isNotNull)
+        .join(e, lab("node") === e("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      // lexicographic max of (count, -label): majority, ties to the
+      // SMALLEST label — one aggregate, never a per-node window
+      val win = votes.groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("prop"))
+      lab = nodes.join(s, Seq("node"), "left")
+        .join(win, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("seed_label"), col("prop")).as("label"))
+    }
+    val out = Caches.checkpoint(lab)
+    e.unpersist(blocking = false)
+    Caches.trackRdd(out.rdd)
+    out.df
+  }
+
   /** The iterative core, UN-materialized: returns the lazy rank frame plus
     * a cleanup that releases the loop's persisted edge/degree/checkpoint
     * blocks. Package-private so GraphSpec can audit the pre-materialization

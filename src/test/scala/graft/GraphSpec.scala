@@ -136,4 +136,28 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(pers == plain)
   }
+
+  test("label propagation: clamped seeds, majority vote, smallest-label ties, null for unreached") {
+    // two cliques bridged by a chain, plus an isolated pair:
+    //   clique A: 1-2-3 (seed 1 -> label 10); clique B: 5-6-7 (seed 5 -> 20)
+    //   bridge: 3-4, 4-5; isolated: 8-9 (no seed -> stays null)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L), (6L, 7L), (5L, 7L),
+      (3L, 4L), (4L, 5L), (8L, 9L)).toDF("a", "b")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    def run(r: Int) = Graph.labelPropagation(edges, seeds, rounds = r)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    val r1 = run(1)
+    assert(r1(2L).contains(10L) && r1(3L).contains(10L), s"clique A labeled: $r1")
+    assert(r1(6L).contains(20L) && r1(7L).contains(20L))
+    assert(r1(4L).contains(20L), s"bridge sees only seed 5 at round 1: ${r1(4L)}")
+    assert(r1(8L).isEmpty && r1(9L).isEmpty)
+    val r2 = run(2)
+    // round 2: node 4 sees labeled 3 (10) and labeled 5 (20) — one vote
+    // each, tie breaks to the SMALLEST label
+    assert(r2(4L).contains(10L), s"tie must break to 10: ${r2(4L)}")
+    // seeds stay clamped even with opposing neighbors
+    assert(r2(1L).contains(10L) && r2(5L).contains(20L))
+    assert(r2(8L).isEmpty && r2(9L).isEmpty, "isolated pair never labeled")
+  }
 }
