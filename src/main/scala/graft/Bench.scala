@@ -100,6 +100,26 @@ object Bench {
         s""""calibration_single_allcore_sec_per_pass":$cal,""" +
         s""""order":"shuffled_per_pass","failed":${failed.size},"sf":"$sfDir"}"""
     }
+    // The LAST stdout line, and the one the harness is meant to parse:
+    // every BENCH_r01..r08.json came back `"parsed": null` because the
+    // driver keeps only a ~2000-char stdout TAIL and the full 156-query
+    // line is ~6 KB — the tail always started mid-line. This line carries
+    // the total, run metadata, and a fixed 30-query headline subset of
+    // medians, rendered to fit comfortably inside the tail (≈1 KB); the
+    // complete per-query medians + spreads stay in the full line above
+    // and in `detail_file`.
+    def renderCompact(): String = {
+      val done = ordered.map(_.name).filter(n => failed(n) || samples.contains(n))
+      val rows = done.map(n => n -> stats(n))
+      val total = rows.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
+      val qs = headline.filter(done.contains)
+        .map(n => f""""$n":${stats(n)._1}%.3f""").mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir",""" +
+        s""""n_queries":${done.size},"failed":${failed.size},""" +
+        s""""runs_per_query":$passes,"stat":"median","order":"shuffled_per_pass",""" +
+        s""""queries":$qs,"detail_file":"$outPath"}"""
+    }
+
     // Persist to a file as well as stdout: the stdout line is long enough
     // that log-tail capture has truncated it (round 3 lost q01-q12 and the
     // total). Rewritten after EVERY query so a timeout/kill mid-run still
@@ -144,6 +164,24 @@ object Bench {
       }
     }
     println(renderJson())
+    println(renderCompact())
     spark.stop()
   }
+
+  /** Headline subset for the COMPACT stdout line: one representative per
+    * operator family (relational core, joins, windows, dedup family, ANN,
+    * graph, clustering, text/LM kernels, pipeline, heaviest-five), chosen
+    * so a reader with only these medians can still compare rounds.
+    */
+  private val headline: Vector[String] = Vector(
+    "q01_pricing_summary", "q03_join_revenue", "q05_window_topn",
+    "q12_json_extract", "q20_dedup_exact", "q25_minhash_neardup",
+    "q26_embed_topk", "q34_simhash_neardup", "q35_cosine_neardup",
+    "q36_ann_ivf", "q37_pipeline_parse", "q44_neardup_exact",
+    "q47_dedup_clusters", "q67_salted_join", "q77_mad_outliers",
+    "q85_cluster_safe_split", "q88_inverted_index", "q96_triangles",
+    "q113_bpe_learn", "q114_boilerplate_strip", "q116_substring_dedup",
+    "q118_fuzzy_join", "q120_pagerank", "q122_entity_resolution",
+    "q123_semantic_dedup", "q128_semantic_keepers", "q140_stupid_backoff",
+    "q147_pmi_collocations", "q150_kcenter_diverse", "q155_personalized_pagerank")
 }

@@ -4665,8 +4665,8 @@ object Queries {
       r AS (SELECT w2, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM bi GROUP BY 1),
       n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bigrams FROM bi)
       SELECT bi.w1, bi.w2, bi.c_ab, l.c_a, r.c_b,
-             CAST(bi.c_ab * n.n_bigrams AS DOUBLE) /
-               CAST(l.c_a * r.c_b AS DOUBLE) AS lift
+             (CAST(bi.c_ab AS DOUBLE) * CAST(n.n_bigrams AS DOUBLE)) /
+               (CAST(l.c_a AS DOUBLE) * CAST(r.c_b AS DOUBLE)) AS lift
       FROM bi, l, r, n
       WHERE bi.w1 = l.w1 AND bi.w2 = r.w2 AND bi.c_ab >= 5
       ORDER BY lift DESC, bi.w1, bi.w2 LIMIT 50"""))
@@ -5106,6 +5106,230 @@ object Queries {
              FROM n LEFT JOIN s USING (node) LEFT JOIN w2 USING (node))
       SELECT CAST(node AS BIGINT) AS node, label FROM l2 ORDER BY node"""))
 
+  /** FILTER FUNNEL (TextOps.filterFunnel): per-stage survival of the
+    * ordered curation chain — one corpus pass, one global partial-combined
+    * aggregate, first-failure drop attribution. The "kept X% at each gate"
+    * report every pipeline run starts from.
+    */
+  private val q157 = Q("q157_filter_funnel",
+    (s, d) => TextOps.filterFunnel(t(s, d, "documents"), Seq(
+        "nonempty" -> (length(trim(col("text"))) > 0),
+        "min_chars_100" -> (col("n_chars") >= 100),
+        "supported_lang" -> col("lang").isin("en", "es", "de", "fr"),
+        "token_floor_30" ->
+          (size(filter(split(col("text"), " "), w => length(w) > 0)) >= 30),
+        "max_chars_520" -> (col("n_chars") <= 520)))
+      .orderBy(col("stage_idx")),
+    Some("""
+      WITH f AS (
+        SELECT len(trim(text)) > 0 AS c1,
+               n_chars >= 100 AS c2,
+               lang IN ('en','es','de','fr') AS c3,
+               len(list_filter(string_split(text, ' '), w -> len(w) > 0)) >= 30
+                 AS c4,
+               n_chars <= 520 AS c5
+        FROM documents),
+      a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s0,
+          CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+          CAST(SUM(CASE WHEN c1 AND c2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+          CAST(SUM(CASE WHEN c1 AND c2 AND c3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+          CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND c4 THEN 1 ELSE 0 END)
+               AS BIGINT) AS s4,
+          CAST(SUM(CASE WHEN c1 AND c2 AND c3 AND c4 AND c5 THEN 1 ELSE 0 END)
+               AS BIGINT) AS s5
+        FROM f),
+      u AS (
+        SELECT 1 AS stage_idx, 'nonempty' AS stage, s0 AS n_in, s1 AS n_out FROM a
+        UNION ALL SELECT 2, 'min_chars_100', s1, s2 FROM a
+        UNION ALL SELECT 3, 'supported_lang', s2, s3 FROM a
+        UNION ALL SELECT 4, 'token_floor_30', s3, s4 FROM a
+        UNION ALL SELECT 5, 'max_chars_520', s4, s5 FROM a)
+      SELECT stage_idx, stage, n_in, n_out, n_in - n_out AS n_dropped,
+             CASE WHEN n_in > 0
+                  THEN CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) END
+               AS keep_rate
+      FROM u ORDER BY stage_idx"""))
+
+  /** PER-CLASS CONFUSION STATS (Eval.confusionStats) of the q23 language-ID
+    * heuristic against the gold `lang` column — which languages leak where
+    * (zh has no marker set, so it must leak into the latin-script classes
+    * and appear as a gold-only row with NULL precision).
+    */
+  private val q158 = Q("q158_confusion_lang",
+    (s, d) => graft.ops.Eval.confusionStats(
+        t(s, d, "documents")
+          .select(TextOps.langPred(col("text")).as("pred"), col("lang")),
+        col("pred"), col("lang"))
+      .orderBy(col("cls")),
+    Some {
+      val scores = TextOps.langMarkers.map { case (l, ws) =>
+        val sum = ws.map(w =>
+          s"(length(text) - length(replace(text, '$w', '')))").mkString(" + ")
+        s"($sum) AS s_$l"
+      }.mkString(",\n          ")
+      s"""
+      WITH s AS (
+        SELECT lang AS gold,
+          $scores
+        FROM documents),
+      p AS (
+        SELECT CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS pred, gold
+        FROM s),
+      cells AS (SELECT pred, gold, COUNT(*) AS n FROM p GROUP BY 1, 2),
+      bg AS (SELECT gold AS cls, CAST(SUM(n) AS BIGINT) AS n_gold,
+                    CAST(SUM(CASE WHEN pred = gold THEN n ELSE 0 END)
+                         AS BIGINT) AS tp
+             FROM cells GROUP BY 1),
+      bp AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+             FROM cells GROUP BY 1)
+      SELECT cls, COALESCE(tp, 0) AS tp,
+             COALESCE(n_pred, 0) - COALESCE(tp, 0) AS fp,
+             COALESCE(n_gold, 0) - COALESCE(tp, 0) AS fn,
+             COALESCE(n_gold, 0) AS n_gold, COALESCE(n_pred, 0) AS n_pred,
+             CASE WHEN COALESCE(n_pred, 0) > 0
+                  THEN CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(n_pred AS DOUBLE) END AS "precision",
+             CASE WHEN COALESCE(n_gold, 0) > 0
+                  THEN CAST(COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(n_gold AS DOUBLE) END AS recall,
+             CASE WHEN COALESCE(n_pred, 0) + COALESCE(n_gold, 0) > 0
+                  THEN CAST(2 * COALESCE(tp, 0) AS DOUBLE)
+                       / CAST(COALESCE(n_pred, 0) + COALESCE(n_gold, 0)
+                              AS DOUBLE) END AS f1
+      FROM bg FULL OUTER JOIN bp USING (cls) ORDER BY cls"""
+    })
+
+  /** COHEN'S KAPPA (Eval.cohenKappa) between two deterministic "raters" —
+    * a char-length bucketer and a token-count bucketer over the same
+    * documents. κ = (N·A − Σ row·col) / (N² − Σ row·col): both sides exact
+    * Longs, one IEEE division. The inter-annotator-reliability gate.
+    */
+  private val q159 = Q("q159_rater_kappa",
+    (s, d) => graft.ops.Eval.cohenKappa(
+        t(s, d, "documents").select(
+          when(col("n_chars") < 200, "short")
+            .when(col("n_chars") < 400, "medium").otherwise("long").as("ra"),
+          when(size(filter(split(col("text"), " "), w => length(w) > 0)) < 35,
+              "short")
+            .when(size(filter(split(col("text"), " "), w => length(w) > 0)) < 70,
+              "medium").otherwise("long").as("rb")),
+        col("ra"), col("rb")),
+    Some("""
+      WITH r AS (
+        SELECT CASE WHEN n_chars < 200 THEN 'short'
+                    WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS ra,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         w -> len(w) > 0)) < 35 THEN 'short'
+                    WHEN len(list_filter(string_split(text, ' '),
+                                         w -> len(w) > 0)) < 70 THEN 'medium'
+                    ELSE 'long' END AS rb
+        FROM documents),
+      cells AS (SELECT ra, rb, CAST(COUNT(*) AS BIGINT) AS n
+                FROM r GROUP BY 1, 2),
+      rm AS (SELECT ra AS cls, SUM(n) AS row_n FROM cells GROUP BY 1),
+      cm AS (SELECT rb AS cls, SUM(n) AS col_n FROM cells GROUP BY 1),
+      ch AS (SELECT CAST(SUM(row_n * col_n) AS BIGINT) AS chance_num
+             FROM rm JOIN cm USING (cls)),
+      tt AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+                    CAST(SUM(CASE WHEN ra = rb THEN n ELSE 0 END) AS BIGINT)
+                      AS agree
+             FROM cells)
+      SELECT n, agree, chance_num,
+             CAST(n * agree - chance_num AS DOUBLE)
+               / CAST(n * n - chance_num AS DOUBLE) AS kappa
+      FROM tt, ch"""))
+
+  /** BRADLEY–TERRY PREFERENCE STRENGTHS (Eval.bradleyTerry): per-user
+    * event-type activity counts become pairwise "preferences" (the type a
+    * user did strictly more of wins that user's vote), then 3 fixed MM
+    * steps fit P(i beats j) = s_i/(s_i+s_j). Every FP sum in the loop is a
+    * key-ORDERED sequential fold on an item-sized frame (see
+    * Eval.bradleyTerry — the DECIMAL trick is tie-fragile here), so the
+    * oracle unrolls the loop with list_reduce and matches bit-for-bit.
+    */
+  private val q160 = Q("q160_bradley_terry",
+    (s, d) => {
+      val pt = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val a = pt.select(col("user_id"), col("event_type").as("item_a"),
+        col("c").as("ca"))
+      val b = pt.select(col("user_id"), col("event_type").as("item_b"),
+        col("c").as("cb"))
+      val pairs = a.join(b, Seq("user_id"))
+        .where(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("wins_a"),
+          sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("wins_b"))
+        .where(col("wins_a") + col("wins_b") > 0)
+      graft.ops.Eval.bradleyTerry(pairs, iters = 3)
+        .orderBy(col("bt_score").desc, col("item"))
+    },
+    Some("""
+      WITH pt AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      pr AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins_a,
+               CAST(SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins_b
+        FROM pt a JOIN pt b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2),
+      prf AS (SELECT * FROM pr WHERE wins_a + wins_b > 0),
+      e AS (
+        SELECT item_a AS i, item_b AS j, wins_a + wins_b AS n, wins_a AS w
+        FROM prf
+        UNION ALL
+        SELECT item_b, item_a, wins_a + wins_b, wins_b FROM prf),
+      items AS (SELECT i AS item, CAST(SUM(w) AS BIGINT) AS wins,
+                       CAST(SUM(n) AS BIGINT) AS n_comparisons
+                FROM e GROUP BY 1),
+      s0 AS (SELECT item, CAST(1.0 AS DOUBLE) AS score FROM items),
+      d1 AS (SELECT e.i,
+                    list_reduce(list(CAST(e.n AS DOUBLE)
+                                     / (si.score + sj.score) ORDER BY e.j),
+                                (a, b) -> a + b) AS d
+             FROM e JOIN s0 si ON e.i = si.item JOIN s0 sj ON e.j = sj.item
+             GROUP BY 1),
+      r1 AS (SELECT items.item, CAST(items.wins AS DOUBLE) / d1.d AS r
+             FROM items JOIN d1 ON items.item = d1.i),
+      z1 AS (SELECT list_reduce(list(r ORDER BY item), (a, b) -> a + b) AS z
+             FROM r1),
+      s1 AS (SELECT item, GREATEST(r / z.z, 1e-12) AS score FROM r1, z1 z),
+      d2 AS (SELECT e.i,
+                    list_reduce(list(CAST(e.n AS DOUBLE)
+                                     / (si.score + sj.score) ORDER BY e.j),
+                                (a, b) -> a + b) AS d
+             FROM e JOIN s1 si ON e.i = si.item JOIN s1 sj ON e.j = sj.item
+             GROUP BY 1),
+      r2 AS (SELECT items.item, CAST(items.wins AS DOUBLE) / d2.d AS r
+             FROM items JOIN d2 ON items.item = d2.i),
+      z2 AS (SELECT list_reduce(list(r ORDER BY item), (a, b) -> a + b) AS z
+             FROM r2),
+      s2 AS (SELECT item, GREATEST(r / z.z, 1e-12) AS score FROM r2, z2 z),
+      d3 AS (SELECT e.i,
+                    list_reduce(list(CAST(e.n AS DOUBLE)
+                                     / (si.score + sj.score) ORDER BY e.j),
+                                (a, b) -> a + b) AS d
+             FROM e JOIN s2 si ON e.i = si.item JOIN s2 sj ON e.j = sj.item
+             GROUP BY 1),
+      r3 AS (SELECT items.item, CAST(items.wins AS DOUBLE) / d3.d AS r
+             FROM items JOIN d3 ON items.item = d3.i),
+      z3 AS (SELECT list_reduce(list(r ORDER BY item), (a, b) -> a + b) AS z
+             FROM r3),
+      s3 AS (SELECT item, GREATEST(r / z.z, 1e-12) AS score FROM r3, z3 z)
+      SELECT items.item, items.wins, items.n_comparisons,
+             s3.score AS bt_score
+      FROM items JOIN s3 USING (item)
+      ORDER BY bt_score DESC, item"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5119,7 +5343,8 @@ object Queries {
     q111, q112, q113, q114, q115, q116, q117, q118, q119, q120, q121, q122,
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
-    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156)
+    q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
+    q157, q158, q159, q160)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

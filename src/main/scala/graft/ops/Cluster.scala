@@ -352,6 +352,11 @@ object Cluster {
     * break to the smallest id (both engines). For k beyond ~hundreds the
     * known dial is pre-clustering (select per kmeans cell) — same
     * composition as [[assignPruned]]'s two-level escape.
+    *
+    * If k exceeds the number of DISTINCT lattice points, selection stops
+    * early (the round's max distance hits 0 — everything left coincides
+    * with a center) and fewer than k rows come back; ids are never
+    * duplicated.
     */
   def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String, k: Int,
                     scale: Int = 1000)
@@ -367,17 +372,26 @@ object Cluster {
     requirePackable(first(0).getSeq[Long](1).length, scale)
     var centers = Vector(first(0).getSeq[Long](1).toArray)
     var picks = Vector((1L, first(0).getLong(0), 0L))
-    for (r <- 2 to k) {
+    var exhausted = false
+    for (r <- 2 to k if !exhausted) {
       // min dist2 to the selected set per row (packed codegen kernel),
       // argmax with the smallest-id tie rule — TakeOrdered(1), one row back
       val far = q
         .select(col("id"), nearestPacked(centers.toArray).as("packed"))
         .select(col("id"), expr("packed div 65536").as("d2"))
         .orderBy(col("d2").desc, col("id")).limit(1).collect()(0)
-      val vec = q.where(col("id") === far.getLong(0))
-        .select(col("qv")).collect()(0).getSeq[Long](0).toArray
-      centers :+= vec
-      picks :+= ((r.toLong, far.getLong(0), far.getLong(1)))
+      if (far.getLong(1) == 0L) {
+        // every remaining point coincides with a selected center on the
+        // lattice (k exceeds the distinct-point count): the argmax would
+        // re-pick an already-selected id forever. Return the < k genuine
+        // picks instead of emitting duplicates.
+        exhausted = true
+      } else {
+        val vec = q.where(col("id") === far.getLong(0))
+          .select(col("qv")).collect()(0).getSeq[Long](0).toArray
+        centers :+= vec
+        picks :+= ((r.toLong, far.getLong(0), far.getLong(1)))
+      }
     }
     q.unpersist(blocking = false) // fully consumed within the call
     picks.toDF("sel_rank", "id", "dist2")

@@ -766,9 +766,13 @@ object Dedup {
   def sourceOverlap(docs: DataFrame, group: Column, text: Column,
                     w: Int = 3): DataFrame = {
     // two consumers (sizes + intersection) — Caches-tracked so the corpus
-    // shingle+distinct pass runs once; released by the session owner
+    // shingle+distinct pass runs once; released by the session owner.
+    // group is cast to string UP FRONT: the empty-pair branch below is
+    // typed struct<src_a:string,src_b:string>, so a non-string group (an
+    // int snapshot id, a date) would otherwise fail analysis with a
+    // branch-type mismatch.
     val grams = Caches.track(docs
-      .select(group.as("src"), explode(shingles(text, w)).as("g"))
+      .select(group.cast("string").as("src"), explode(shingles(text, w)).as("g"))
       .distinct())
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_set"))
     val pairCols = "struct<src_a:string,src_b:string>"
@@ -814,7 +818,9 @@ object Dedup {
     */
   def sourceSignatureCells(docs: DataFrame, group: Column, text: Column,
                            w: Int = 3, k: Int = 64): DataFrame = docs
-    .select(group.as("src"),
+    // string-cast the group key so sketch output lines up with the exact
+    // op's string src_a/src_b for any input group type
+    .select(group.cast("string").as("src"),
       graft.functions.gfn.shingle_hashes(text, w).as("hashes"))
     .withColumn("sig", minhashSignature(col("hashes"), k))
     .select(col("src"), posexplode(col("sig")).as(Seq("j", "v")))

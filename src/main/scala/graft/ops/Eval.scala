@@ -73,4 +73,157 @@ object Eval {
         (col("u2").cast("double") /
           (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"))
   }
+
+  /** PER-CLASS CONFUSION STATISTICS — the multi-class completion of
+    * [[rocPoints]]/[[aucExact]]: for every gold class, exact integer
+    * (tp, fp, fn, n_gold, n_pred) plus precision / recall / F1. The
+    * router-audit for any categorical filter (language ID, domain
+    * classifier, quality-tier router): which classes leak into which.
+    *
+    * Exactness: every count is an integer from one partial-combined
+    * groupBy; each metric is ONE IEEE division of exact longs — F1 uses
+    * the algebraic form 2·tp / (n_pred + n_gold), identical to
+    * 2PR/(P+R) but a single division instead of an FP chain, so both
+    * engines agree bitwise. Classes present only in gold (never
+    * predicted) or only in pred (never gold) still get a row — their
+    * undefined metric (0/0) is NULL in both engines.
+    *
+    * Scale shape: the corpus pays one shuffle DOWN to the C×C cell table
+    * (C = class count — tens); the per-class marginals and the final
+    * full-outer assembly run on C-sized frames.
+    */
+  def confusionStats(df: DataFrame, predCol: Column, goldCol: Column): DataFrame = {
+    val cells = df
+      .select(predCol.cast("string").as("pred"), goldCol.cast("string").as("gold"))
+      .groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("n"))
+    val byGold = cells.groupBy(col("gold").as("cls"))
+      .agg(sum(col("n")).as("n_gold"),
+        sum(when(col("pred") === col("gold"), col("n")).otherwise(0L)).as("tp"))
+    val byPred = cells.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    byGold.join(byPred, Seq("cls"), "full_outer")
+      .na.fill(0L, Seq("n_gold", "tp", "n_pred"))
+      .select(col("cls"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_gold") - col("tp")).as("fn"),
+        col("n_gold"), col("n_pred"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")).as("precision"),
+        when(col("n_gold") > 0,
+          col("tp").cast("double") / col("n_gold").cast("double")).as("recall"),
+        when(col("n_pred") + col("n_gold") > 0,
+          (lit(2L) * col("tp")).cast("double") /
+            (col("n_pred") + col("n_gold")).cast("double")).as("f1"))
+  }
+
+  /** COHEN'S KAPPA — chance-corrected agreement between two categorical
+    * raters (Cohen 1960): the inter-annotator-reliability gate before any
+    * human-labeled quality/preference set is trusted for training. With
+    * exact integer N (items), A (agreements) and E = Σ_k row_k·col_k (the
+    * chance-agreement numerator over the raters' marginals),
+    *
+    *   κ = (p_o − p_e) / (1 − p_e) = (N·A − E) / (N² − E)
+    *
+    * — the right-hand form keeps BOTH numerator and denominator exact
+    * Longs, so the emitted κ is one IEEE division (cross-engine bitwise,
+    * the [[aucExact]] rule). Overflow dial: N² needs N < ~3e9 items
+    * (per-slice kappas at corpus scale stay far under); beyond that route
+    * the products through DECIMAL(38,0).
+    *
+    * Scale shape: one corpus shuffle down to the C×C cell table; marginals
+    * and the final scalar fold run on C-sized frames. Returns one row
+    * `(n, agree, chance_num, kappa)`.
+    */
+  def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val cells = df
+      .select(raterA.cast("string").as("ra"), raterB.cast("string").as("rb"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("n"))
+    val rowM = cells.groupBy(col("ra").as("cls")).agg(sum(col("n")).as("row_n"))
+    val colM = cells.groupBy(col("rb").as("cls")).agg(sum(col("n")).as("col_n"))
+    val chance = rowM.join(colM, Seq("cls")) // inner: absent side ⇒ product 0
+      .agg(sum(col("row_n") * col("col_n")).as("chance_num"))
+    val totals = cells.agg(sum(col("n")).as("n"),
+      sum(when(col("ra") === col("rb"), col("n")).otherwise(0L)).as("agree"))
+    totals.crossJoin(chance) // two single-row frames
+      .select(col("n"), col("agree"), col("chance_num"),
+        ((col("n") * col("agree") - col("chance_num")).cast("double") /
+          (col("n") * col("n") - col("chance_num")).cast("double")).as("kappa"))
+  }
+
+  /** BRADLEY–TERRY PREFERENCE STRENGTHS — fit item scores from pairwise
+    * win counts by Hunter (2004)'s MM iteration, the standard model behind
+    * preference-data quality audits (and the Elo-adjacent ranking used on
+    * LLM comparison data): P(i beats j) = s_i / (s_i + s_j),
+    *
+    *   s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j),   then normalize Σ s = 1.
+    *
+    * Input `pairs`: (item_a, item_b, wins_a, wins_b) — one row per
+    * unordered pair. Runs a FIXED `iters` MM steps from the uniform start
+    * (deterministic, replayable; convergence is geometric, a handful of
+    * steps ranks stably).
+    *
+    * Cross-engine determinism: every FP sum in the loop (the per-item
+    * denominator over opponents, the normalizing Σ s over items) is an
+    * ORDERED SEQUENTIAL LEFT FOLD — Spark folds a key-sorted collect_list
+    * with `aggregate(...)`, DuckDB folds `list(t ORDER BY key)` with
+    * `list_reduce` — so both engines execute the identical IEEE addition
+    * dag and match bitwise. (The q148 DECIMAL-cast trick is NOT enough
+    * here: a term landing near a rounding tie at the 12th decimal rounds
+    * HALF_UP in Spark and differently in DuckDB, and the MM loop amplifies
+    * the ulp — measured 14 ulps after 3 iterations on sf0.01.) The fold is
+    * safe because these frames are ITEM-sized by construction — the
+    * mergeable partial-agg scale story lives in the pair aggregation the
+    * caller already did, not here.
+    *
+    * Scale shape: the corpus was already reduced to the pair table by the
+    * caller (items = event types / sources / model ids — tens to
+    * thousands); every MM step is two item-keyed equi-joins + one
+    * partial-combined agg on an ITEM-sized frame. Items that lose every
+    * comparison collapse to the 1e-12 score floor below (which keeps the
+    * update total even on degenerate comparison graphs); on connected
+    * graphs — every item wins at least once — the floor never binds.
+    *
+    * Returns (item, wins, n_comparisons, bt_score), one row per item.
+    */
+  def bradleyTerry(pairs: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, "fixed small iteration count")
+    // both directions: (i, j, n_ij, w_ij = wins of i against j)
+    val e = pairs.select(
+        col("item_a").cast("string").as("i"), col("item_b").cast("string").as("j"),
+        (col("wins_a") + col("wins_b")).cast("long").as("n"),
+        col("wins_a").cast("long").as("w"))
+      .unionByName(pairs.select(
+        col("item_b").cast("string").as("i"), col("item_a").cast("string").as("j"),
+        (col("wins_a") + col("wins_b")).cast("long").as("n"),
+        col("wins_b").cast("long").as("w")))
+    val items = e.groupBy(col("i").as("item"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("n_comparisons"))
+    var s = items.select(col("item"),
+      lit(1.0).as("score")) // uniform start; normalized scale is irrelevant
+    for (_ <- 1 to iters) {
+      val si = s.select(col("item").as("i"), col("score").as("s_i"))
+      val sj = s.select(col("item").as("j"), col("score").as("s_j"))
+      val denom = e.join(si, "i").join(sj, "j")
+        .select(col("i"), col("j"),
+          (col("n").cast("double") / (col("s_i") + col("s_j"))).as("t"))
+        .groupBy(col("i"))
+        .agg(expr("aggregate(sort_array(collect_list(struct(j, t))), " +
+          "cast(0.0 as double), (a, x) -> a + x.t)").as("d"))
+      val raw = items.join(denom, items("item") === denom("i"))
+        .select(col("item"), (col("wins").cast("double") / col("d")).as("r"))
+      val z = raw.agg(expr("aggregate(sort_array(collect_list(struct(item, r))), " +
+        "cast(0.0 as double), (a, x) -> a + x.r)").as("z"))
+      // floor at 1e-12: an item that lost EVERY comparison hits r = 0, and
+      // if two such items share a pair the next step's s_i+s_j would be 0
+      // (division blow-up). The floor keeps the MM map total on degenerate
+      // comparison graphs; on connected graphs (every item wins once) it
+      // never binds. The oracle replays the same greatest().
+      s = raw.crossJoin(z)
+        .select(col("item"),
+          greatest(col("r") / col("z"), lit(1e-12)).as("score"))
+    }
+    items.join(s, "item")
+      .select(col("item"), col("wins"), col("n_comparisons"),
+        col("score").as("bt_score"))
+  }
 }

@@ -121,9 +121,16 @@ object Graph {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
+    // one row per seed node, deterministically: duplicate seed rows (or
+    // two rows labeling one node differently) would fan out through every
+    // round's left joins and duplicate output rows — collapse to the
+    // SMALLEST label per node, matching the vote-tie rule below and the
+    // seed .distinct() in pageRankLoop's personalized path.
     val s = seeds
       .select(col("node").cast("long").as("node"),
         col("label").cast("long").as("seed_label"))
+      .groupBy(col("node"))
+      .agg(min(col("seed_label")).as("seed_label"))
     var lab = nodes.join(s, Seq("node"), "left")
       .select(col("node"), col("seed_label").as("label"))
     for (_ <- 1 to rounds) {

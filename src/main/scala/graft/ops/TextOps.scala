@@ -943,10 +943,12 @@ object TextOps {
     *   lift(a,b) = p(a,b) / (p(a)·p(b)) = c_ab · N / (c_a · c_b) = e^PMI
     *
     * `lift` preserves the PMI ordering exactly and keeps the value
-    * cross-engine deterministic: both factors are exact Long products
-    * (< 2^53 at any per-shard corpus this runs on, see require below) and
-    * the single FP division is one correctly-rounded IEEE op in Spark and
-    * DuckDB alike — no libm `ln` to disagree in the last ulp.
+    * cross-engine deterministic: each count is cast to double BEFORE the
+    * multiply (a Long product like c_ab·n_bigrams overflows 2^63 at real
+    * corpus scales), so every factor is exact while the individual counts
+    * stay < 2^53 — far past any conceivable corpus — and the multiply /
+    * divide are correctly-rounded IEEE ops in Spark and DuckDB alike — no
+    * libm `ln` to disagree in the last ulp.
     *
     * Plan shape at 100 TB: bigram extraction is a NARROW array expression
     * (no posexplode self-join); the bigram count is one partial-combined
@@ -969,9 +971,15 @@ object TextOps {
     bi.where(col("c_ab") >= minCount)
       .join(left, "w1").join(right, "w2")
       .crossJoin(broadcast(total)) // single-row totals frame
+      // cast each factor BEFORE multiplying: at real corpus scales
+      // (n_bigrams ~1e12+) the Long products c_ab*n_bigrams and c_a*c_b
+      // exceed 2^63 — wrapping silently with ANSI off, throwing with it
+      // on. Double-first costs one rounding per factor (exact while each
+      // factor < 2^53, i.e. far past any conceivable corpus) and keeps
+      // the top-k ordering.
       .withColumn("lift",
-        (col("c_ab") * col("n_bigrams")).cast("double") /
-          (col("c_a") * col("c_b")).cast("double"))
+        (col("c_ab").cast("double") * col("n_bigrams").cast("double")) /
+          (col("c_a").cast("double") * col("c_b").cast("double")))
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
         col("lift"))
       .orderBy(col("lift").desc, col("w1"), col("w2"))
@@ -1189,6 +1197,42 @@ object TextOps {
     }
     t2.join(h2, Seq("bk")).where(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), col("bk"))
+  }
+
+  /** FILTER FUNNEL AUDIT — per-stage survival of an ORDERED quality-filter
+    * chain, the standard curation-pipeline report ("raw → nonempty →
+    * length gate → language gate → … kept X%"): stage i counts documents
+    * passing stages 1..i, so n_in of stage i is n_out of stage i−1 and
+    * drop attribution is unambiguous (a doc failing several filters is
+    * charged to the FIRST). Deciding which gate to loosen when yield is
+    * too low starts from exactly this table.
+    *
+    * Exactness: pure integer conditional sums; keep_rate is one IEEE
+    * division of exact longs per row.
+    *
+    * Scale shape: ONE corpus pass, ONE partial-combined global aggregate
+    * (k+1 counters of state per task), then a k-row literal explode of
+    * the single agg row — nothing corpus-sized shuffles, no per-stage
+    * rescan, no matter how many stages.
+    */
+  def filterFunnel(docs: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "at least one stage")
+    val cum = stages.scanLeft(lit(true)) { case (acc, (_, c)) => acc && c }.drop(1)
+    val aggs = count(lit(1)).as("s0") +: cum.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"s${i + 1}")
+    }
+    val one = docs.agg(aggs.head, aggs.tail: _*)
+    val rows = array(stages.indices.map { i =>
+      struct(lit(i + 1).as("stage_idx"), lit(stages(i)._1).as("stage"),
+        col(s"s$i").as("n_in"), col(s"s${i + 1}").as("n_out"))
+    }: _*)
+    one.select(explode(rows).as("r"))
+      .select(col("r.stage_idx").as("stage_idx"), col("r.stage").as("stage"),
+        col("r.n_in").as("n_in"), col("r.n_out").as("n_out"),
+        (col("r.n_in") - col("r.n_out")).as("n_dropped"),
+        when(col("r.n_in") > 0,
+          col("r.n_out").cast("double") / col("r.n_in").cast("double"))
+          .as("keep_rate"))
   }
 
   /** Quality-score feature set as a projection. */

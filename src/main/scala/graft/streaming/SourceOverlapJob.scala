@@ -27,6 +27,20 @@ import graft.ops.Dedup
   *
   * Input schema: (source, text). Output per trigger:
   * (src_a, src_b, jaccard_est).
+  *
+  * ==Restart contract==
+  * The sketch state lives in the DRIVER (a [[graft.ops.Caches.Checkpointed]]
+  * ref), while `checkpointLocation` commits only SOURCE OFFSETS. After a
+  * restart, Spark will NOT replay batches it already committed — but the
+  * driver-side state is gone — so a bare restart silently loses all
+  * pre-restart mass. Callers that need restart durability MUST close the
+  * loop themselves: pass `cellsSink` and persist the raw (src, j, v) state
+  * it receives each trigger (it is tiny — G×k cells — and elementwise-min
+  * mergeable, so overwriting with the latest snapshot is always safe),
+  * then rehydrate via `initialCells` on the next `start`. Restarting with
+  * neither `initialCells` nor a FRESH `checkpointDir` is an
+  * estimates-since-restart job, not a continuation. StreamingSpec pins
+  * that kill → rehydrate → resume equals the uninterrupted run.
   */
 object SourceOverlapJob {
 
@@ -36,6 +50,7 @@ object SourceOverlapJob {
             w: Int = 3,
             k: Int = 64,
             initialCells: Option[DataFrame] = None,
+            cellsSink: Option[DataFrame => Unit] = None,
             trigger: Trigger = Trigger.AvailableNow())
            (implicit spark: SparkSession): StreamingQuery = {
     // foreachBatch triggers run sequentially, so plain refs are race-free
@@ -61,6 +76,11 @@ object SourceOverlapJob {
         val prev = cpRef.getAndSet(next)
         if (prev != null) prev.release()
         init = None
+        // raw state first: if outSink throws, the caller still has the
+        // snapshot that includes this batch (offsets commit after
+        // foreachBatch returns, so a crash here replays the batch — min
+        // re-merge is idempotent)
+        cellsSink.foreach(sink => sink(next.df))
         outSink(Dedup.overlapFromCells(next.df, k))
         ()
       }

@@ -233,4 +233,20 @@ class ClusterSpec extends AnyFunSuite {
       assert(d >= rK, s"pair ($i,$j) closer than r_k: $d < $rK")
     }
   }
+
+  test("kCenterSelect stops early when k exceeds the distinct points — no duplicate ids") {
+    import spark.implicits._
+    // 3 distinct lattice points among 5 rows (2 exact duplicates)
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.0f, 1.0f)),
+      (5L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Cluster.kCenterSelect(emb, "vec_id", "embedding", k = 5)
+      .orderBy(col("sel_rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 3, s"3 distinct points -> 3 picks, got ${got.toSeq}")
+    assert(got.map(_._2).distinct.length == 3, s"no duplicate ids: ${got.toSeq}")
+    assert(got.forall { case (rank, _, d2) => rank == 1L || d2 > 0L },
+      s"every non-seed pick strictly diverse: ${got.toSeq}")
+  }
 }

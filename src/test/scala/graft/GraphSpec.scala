@@ -160,4 +160,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r2(1L).contains(10L) && r2(5L).contains(20L))
     assert(r2(8L).isEmpty && r2(9L).isEmpty, "isolated pair never labeled")
   }
+
+  test("label propagation dedups seeds: duplicate and conflicting rows collapse to min label") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    // node 1 seeded twice identically, node 3 with CONFLICTING labels —
+    // both must collapse to one row per node (min label) instead of
+    // fanning out through every round's joins
+    val seeds = Seq((1L, 10L), (1L, 10L), (3L, 30L), (3L, 20L))
+      .toDF("node", "label")
+    val out = Graph.labelPropagation(edges, seeds, rounds = 2).collect()
+    assert(out.length == out.map(_.getLong(0)).distinct.length,
+      s"one row per node expected: ${out.mkString(",")}")
+    val m = out.map(x => x.getLong(0) ->
+      (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(m(1L).contains(10L) && m(3L).contains(20L), s"clamped minima: $m")
+    // clean run on the deduped seed set agrees exactly
+    val clean = Graph.labelPropagation(edges,
+        Seq((1L, 10L), (3L, 20L)).toDF("node", "label"), rounds = 2)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(m == clean)
+  }
 }

@@ -1370,6 +1370,127 @@ class OpsSpec extends AnyFunSuite {
     assert(got.head._4 == 0 && got.head._5 == 0)
   }
 
+  test("confusion stats: per-class tp/fp/fn and one-division metrics, absent-side classes kept") {
+    import spark.implicits._
+    // gold 'c' never predicted; pred 'd' never a gold label
+    val rows = Seq(
+      ("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"), ("b", "a"),
+      ("d", "c"), ("a", "c"))
+    val got = graft.ops.Eval.confusionStats(rows.toDF("pred", "gold"),
+        col("pred"), col("gold")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    def brute(c: String) = (
+      rows.count(x => x._1 == c && x._2 == c).toLong,
+      rows.count(x => x._1 == c && x._2 != c).toLong,
+      rows.count(x => x._1 != c && x._2 == c).toLong,
+      rows.count(_._2 == c).toLong, rows.count(_._1 == c).toLong)
+    assert(got.keySet == Set("a", "b", "c", "d"))
+    for (c <- got.keySet) {
+      val (tp, fp, fn, ng, np) = brute(c)
+      val r = got(c)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == ((tp, fp, fn, ng, np)), s"class $c")
+      if (np > 0) assert(r.getDouble(6) == tp.toDouble / np) else assert(r.isNullAt(6))
+      if (ng > 0) assert(r.getDouble(7) == tp.toDouble / ng) else assert(r.isNullAt(7))
+      assert(r.getDouble(8) == 2.0 * tp / (np + ng), s"f1 $c")
+    }
+    // 'c' was never predicted: precision undefined (NULL), recall 0
+    assert(got("c").isNullAt(6) && got("c").getDouble(7) == 0.0)
+    // 'd' never appears in gold: recall undefined (NULL)
+    assert(got("d").isNullAt(7))
+  }
+
+  test("cohen kappa: exact integer identity matches the textbook formula; ends behave") {
+    import spark.implicits._
+    val rows = Seq(
+      ("x", "x"), ("x", "x"), ("x", "y"), ("y", "y"), ("y", "x"),
+      ("y", "y"), ("z", "z"), ("z", "y"))
+    val got = graft.ops.Eval.cohenKappa(rows.toDF("ra", "rb"),
+      col("ra"), col("rb")).collect()(0)
+    val n = rows.size.toLong
+    val agree = rows.count(x => x._1 == x._2).toLong
+    val cls = (rows.map(_._1) ++ rows.map(_._2)).distinct
+    val chance = cls.map(c =>
+      rows.count(_._1 == c).toLong * rows.count(_._2 == c).toLong).sum
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((n, agree, chance)))
+    val po = agree.toDouble / n; val pe = chance.toDouble / (n * n)
+    // same value, two formulations (exact-long form vs textbook): the
+    // long form is one division so only compare within an ulp or two
+    assert(math.abs(got.getDouble(3) - (po - pe) / (1 - pe)) < 1e-12)
+    // perfect agreement -> kappa 1
+    val perfect = graft.ops.Eval.cohenKappa(
+      Seq(("x", "x"), ("y", "y")).toDF("ra", "rb"), col("ra"), col("rb"))
+      .collect()(0)
+    assert(perfect.getDouble(3) == 1.0)
+  }
+
+  test("bradley-terry: ordered-fold MM replay matches exactly; dominance ranks right") {
+    import spark.implicits._
+    // a beats b 8-2, a beats c 9-1, b beats c 6-4 -> scores a > b > c
+    val pairs = Seq(
+      ("a", "b", 8L, 2L), ("a", "c", 9L, 1L), ("b", "c", 6L, 4L))
+    val iters = 3
+    val got = graft.ops.Eval.bradleyTerry(
+        pairs.toDF("item_a", "item_b", "wins_a", "wins_b"), iters)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+
+    // driver-side replay with the SAME ordered sequential-fold semantics
+    // (left-to-right double addition in opponent/item key order)
+    val e = pairs.flatMap { case (a, b, wa, wb) =>
+      Seq((a, b, wa + wb, wa), (b, a, wa + wb, wb)) }
+    val items = e.groupBy(_._1).map { case (i, xs) =>
+      i -> (xs.map(_._4).sum, xs.map(_._3).sum) }
+    var s = items.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val raw = items.map { case (i, (w, _)) =>
+        val d = e.filter(_._1 == i).sortBy(_._2)
+          .map { case (_, j, n, _) => n.toDouble / (s(i) + s(j)) }
+          .foldLeft(0.0)(_ + _)
+        i -> w.toDouble / d
+      }
+      val z = raw.toSeq.sortBy(_._1).map(_._2).foldLeft(0.0)(_ + _)
+      s = raw.map { case (i, r) => i -> math.max(r / z, 1e-12) }
+    }
+    for ((i, (w, n)) <- items) {
+      assert(got(i)._1 == w && got(i)._2 == n, s"marginals of $i")
+      assert(got(i)._3 == s(i), s"score of $i: got ${got(i)._3} want ${s(i)}")
+    }
+    assert(got("a")._3 > got("b")._3 && got("b")._3 > got("c")._3, got)
+    // symmetric pair -> equal scores
+    val sym = graft.ops.Eval.bradleyTerry(
+      Seq(("p", "q", 5L, 5L)).toDF("item_a", "item_b", "wins_a", "wins_b"), 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(sym("p") == sym("q"))
+  }
+
+  test("filter funnel: first-failure attribution, chained n_in/n_out, one-pass plan") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "good long document text here", "en"),
+      (2L, "", "en"),                    // fails nonempty
+      (3L, "short", "en"),               // fails min_len (len >= 10)
+      (4L, "long enough but wrong lang", "zh"), // fails lang gate
+      (5L, "also long enough and fine", "en"))
+      .toDF("doc_id", "text", "lang")
+    val stages = Seq(
+      "nonempty" -> (length(trim(col("text"))) > 0),
+      "min_len" -> (length(col("text")) >= 10),
+      "lang_en" -> (col("lang") === "en"))
+    val funnel = graft.ops.TextOps.filterFunnel(d, stages)
+    val got = funnel.orderBy(col("stage_idx")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1, "nonempty", 5L, 4L, 1L, 4.0 / 5),
+      (2, "min_len", 4L, 3L, 1L, 3.0 / 4),
+      (3, "lang_en", 3L, 2L, 1L, 2.0 / 3)), got.toSeq)
+    // one aggregate, no join, no per-stage rescan
+    val plan = funnel.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert(plan.sliding("Scan".length).count(_ == "Scan") <= 2, plan)
+  }
+
   test("image aHash matches a direct replay; re-encoded near-dup is found") {
     implicit val s = spark
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
@@ -2315,6 +2436,19 @@ class OpsSpec extends AnyFunSuite {
     exact.foreach { case (k, j) =>
       assert(math.abs(est(k) - j) <= 0.35, s"sketch off at $k: est=${est(k)} exact=$j")
     }
+  }
+
+  test("source overlap accepts a non-string group column (int snapshot id)") {
+    val d = Seq(
+      (1L, 2024, "x y z"), (2L, 2024, "y z w"),
+      (3L, 2025, "x y q")).toDF("doc_id", "snap", "text")
+    val got = Dedup.sourceOverlap(d, col("snap"), col("text"), w = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(got == Map(("2024", "2025") -> 0.25), got) // {x y} of {x y,y z,z w,y q}
+    // sketch side takes the same non-string group and emits matching keys
+    val est = Dedup.sourceOverlapSketch(d, col("snap"), col("text"), w = 2, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(est == Set(("2024", "2025")), est)
   }
 
   test("source overlap plan has no cartesian product and no gram self-join blowup") {

@@ -571,4 +571,63 @@ class StreamingSpec extends AnyFunSuite {
       assert(last(("a", "b")) < afterB1(("a", "b")), s"$afterB1 -> $last")
     } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
   }
+
+  test("source-overlap sketch restart: cellsSink snapshot rehydrates to the uninterrupted run") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = Seq(
+      ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("b", "alpha beta gamma delta epsilon zeta eta theta"),
+      ("c", "one two three four five six seven eight nine"))
+    val batch2 = Seq(
+      ("a", "extra alpha content beta arriving later gamma delta"),
+      ("c", "ten eleven twelve thirteen fourteen fifteen sixteen"))
+    val ckpt = java.nio.file.Files.createTempDirectory("overlap_restart").toString
+    // the caller's durable store: latest raw (src, j, v) snapshot,
+    // overwritten per trigger (min-mergeable, so latest-wins is safe)
+    @volatile var savedCells: Seq[(String, Int, Long)] = Seq.empty
+    @volatile var last: Map[(String, String), Double] = Map.empty
+
+    val mem1 = MemoryStream[(String, String)]
+    val q1 = graft.streaming.SourceOverlapJob.start(
+      mem1.toDF().toDF("source", "text"),
+      out => last = out.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap,
+      ckpt, w = 3, k = 32,
+      cellsSink = Some(cells => savedCells = cells.collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem1.addData(batch1: _*)
+      q1.processAllAvailable()
+    } finally { q1.stop() }
+    assert(savedCells.nonEmpty, "cellsSink must have seen the batch-1 state")
+
+    // "restart": batch 1's offsets were committed, so the source will NOT
+    // replay them (simulated here by feeding only the post-crash
+    // increment), and the driver-held state is gone — rehydrate it from
+    // the caller's snapshot
+    val mem2 = MemoryStream[(String, String)]
+    val ckpt2 = java.nio.file.Files.createTempDirectory("overlap_restart2").toString
+    val q2 = graft.streaming.SourceOverlapJob.start(
+      mem2.toDF().toDF("source", "text"),
+      out => last = out.collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap,
+      ckpt2, w = 3, k = 32,
+      initialCells = Some(savedCells.toDF("src", "j", "v")),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(batch2: _*)
+      q2.processAllAvailable()
+      val whole = (batch1 ++ batch2).toDF("source", "text")
+      val oneShot = graft.ops.Dedup.sourceOverlapSketch(
+          whole, col("source"), col("text"), w = 3, k = 32)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+        .toMap
+      assert(last == oneShot,
+        s"rehydrated resume $last differs from uninterrupted $oneShot")
+    } finally { q2.stop(); graft.ops.Caches.drainAll(spark) }
+  }
 }
