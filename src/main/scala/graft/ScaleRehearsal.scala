@@ -129,6 +129,24 @@ object ScaleRehearsal {
         .write.mode("overwrite").parquet(ordOut)
       println(s"[scale] built $ordOut")
     }
+    // 10x events for the preference/behavior rehearsals (q160): disjoint
+    // user-id namespaces per replica -> 10 independent copies of the
+    // per-user behavior structure. The item space (event types) stays
+    // FIXED — that's the point: corpus-sized work (the per-user type
+    // counts) scales 10x while the pair/item tables the MM loop touches
+    // stay constant-size.
+    val evOut = s"$sf1/events.parquet"
+    if (java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(evOut))) {
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(evOut))
+      Tables(spark, src, "events")
+        .withColumn("rep", explode(sequence(lit(0), lit(9))))
+        .withColumn("event_id", col("event_id") * 10L + col("rep"))
+        .withColumn("user_id", col("user_id") * 10L + col("rep"))
+        .drop("rep")
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(evOut)
+      println(s"[scale] built $evOut")
+    }
     val liOut = s"$sf1/lineitem.parquet"
     if (java.nio.file.Files.isSymbolicLink(java.nio.file.Paths.get(liOut))) {
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(liOut))

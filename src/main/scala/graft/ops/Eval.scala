@@ -196,14 +196,25 @@ object Eval {
         col("item_b").cast("string").as("i"), col("item_a").cast("string").as("j"),
         (col("wins_a") + col("wins_b")).cast("long").as("n"),
         col("wins_b").cast("long").as("w")))
-    val items = e.groupBy(col("i").as("item"))
-      .agg(sum(col("w")).as("wins"), sum(col("n")).as("n_comparisons"))
+    // Materialize the edge and item frames ONCE (both are item/pair-sized
+    // — tiny by the caller's aggregation) and lineage-cut each round's
+    // score frame: the MM loop references s twice (s_i, s_j) per step, so
+    // a fully-lazy plan re-derives the upstream pair aggregation ~2^iters
+    // times (measured: 12 s for 3 iters over 5 items at sf0.1 — the
+    // corpus groupBy replayed in every branch). The pageRankLoop pattern:
+    // round N's blocks released the moment N+1 is stored.
+    val eCp = Caches.checkpoint(e)
+    val eM = eCp.df
+    val itemsCp = Caches.checkpoint(eM.groupBy(col("i").as("item"))
+      .agg(sum(col("w")).as("wins"), sum(col("n")).as("n_comparisons")))
+    val items = itemsCp.df
     var s = items.select(col("item"),
       lit(1.0).as("score")) // uniform start; normalized scale is irrelevant
+    var prev: Caches.Checkpointed = null
     for (_ <- 1 to iters) {
       val si = s.select(col("item").as("i"), col("score").as("s_i"))
       val sj = s.select(col("item").as("j"), col("score").as("s_j"))
-      val denom = e.join(si, "i").join(sj, "j")
+      val denom = eM.join(si, "i").join(sj, "j")
         .select(col("i"), col("j"),
           (col("n").cast("double") / (col("s_i") + col("s_j"))).as("t"))
         .groupBy(col("i"))
@@ -218,12 +229,19 @@ object Eval {
       // (division blow-up). The floor keeps the MM map total on degenerate
       // comparison graphs; on connected graphs (every item wins once) it
       // never binds. The oracle replays the same greatest().
-      s = raw.crossJoin(z)
+      val cp = Caches.checkpoint(raw.crossJoin(z)
         .select(col("item"),
-          greatest(col("r") / col("z"), lit(1e-12)).as("score"))
+          greatest(col("r") / col("z"), lit(1e-12)).as("score")))
+      if (prev != null) prev.release()
+      prev = cp
+      s = cp.df
     }
-    items.join(s, "item")
+    val out = Caches.checkpoint(items.join(s, "item")
       .select(col("item"), col("wins"), col("n_comparisons"),
-        col("score").as("bt_score"))
+        col("score").as("bt_score")))
+    if (prev != null) prev.release()
+    eCp.release(); itemsCp.release()
+    Caches.trackRdd(out.rdd)
+    out.df
   }
 }
