@@ -4849,20 +4849,35 @@ object Queries {
     * observed positive fraction. The oracle replays the full q138 training
     * unroll, then the binning; exact decimal p-sums make it value-exact.
     */
-  private val q152 = Q("q152_calibration_bins",
-    (s, d) => {
-      val scored = graft.ops.Classify.logisticRegression(
+  /** The q138/q152/q164 shared scorer: 3-step exact-replay logistic
+    * regression, held-out slice only.
+    */
+  private def logregHeldOut(s: SparkSession, d: String): DataFrame =
+    graft.ops.Classify.logisticRegression(
         docsSpread(s, d), col("doc_id"), (col("source") === "src0").cast("int"),
         features = Seq((col("n_chars"), 10),
           (TextOps.tokenCount(col("text")), 6)),
         trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 700,
         iters = 3, lr = 0.125)
-      graft.ops.Classify.calibrationBins(
-          scored.where(!col("is_train")), col("p"), col("y"), bins = 200)
-        .orderBy(col("bin"))
-    },
-    Some("""
-      WITH t AS (
+      .where(!col("is_train"))
+
+  private val q152 = Q("q152_calibration_bins",
+    (s, d) => graft.ops.Classify.calibrationBins(
+        logregHeldOut(s, d), col("p"), col("y"), bins = 200)
+      .orderBy(col("bin")),
+    Some(s"""
+      WITH $logregHeldOutCtes
+      SELECT LEAST(CAST(floor(CAST(p6 AS DOUBLE) * 200) AS BIGINT), 199) AS bin,
+             COUNT(*) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(p6) AS DOUBLE) / COUNT(*) AS mean_p,
+             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
+      FROM h GROUP BY 1 ORDER BY bin"""))
+
+  /** The q152/q164 shared oracle CTE chain: the full 3-step logreg unroll
+    * ending at `h` = (doc_id, y, p6) on the held-out slice.
+    */
+  private lazy val logregHeldOutCtes: String = """t AS (
         SELECT doc_id,
                CAST(source = 'src0' AS BIGINT) AS y,
                ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 700)
@@ -4925,13 +4940,7 @@ object Queries {
         SELECT doc_id, y,
                CAST(1.0/(1.0+exp(-((w.w0 + w.w1*x1d) + w.w2*x2d)))
                     AS DECIMAL(8,6)) AS p6
-        FROM t, w3 w WHERE NOT is_train)
-      SELECT LEAST(CAST(floor(CAST(p6 AS DOUBLE) * 200) AS BIGINT), 199) AS bin,
-             COUNT(*) AS n,
-             CAST(SUM(y) AS BIGINT) AS n_pos,
-             CAST(SUM(p6) AS DOUBLE) / COUNT(*) AS mean_p,
-             CAST(SUM(y) AS DOUBLE) / COUNT(*) AS frac_pos
-      FROM h GROUP BY 1 ORDER BY bin"""))
+        FROM t, w3 w WHERE NOT is_train)"""
 
   /** LABEL CENTROID AFFINITY (Cluster.labelAffinity): exact lattice-mean
     * centroid per label, pairwise (dot, norms, cosine) — the
@@ -5330,6 +5339,170 @@ object Queries {
       FROM items JOIN s3 USING (item)
       ORDER BY bt_score DESC, item"""))
 
+  /** FLEISS' KAPPA (Eval.fleissKappa): three deterministic "raters" — a
+    * char-length bucketer, a token-count bucketer, and a sentence-count
+    * (period) bucketer — each vote a length class per document; κ from the
+    * exact-Long identity. The ≥3-annotator reliability gate.
+    */
+  private val q161 = Q("q161_fleiss_kappa",
+    (s, d) => {
+      val tok = size(filter(split(col("text"), " "), w => length(w) > 0))
+      val periods = length(col("text")) -
+        length(regexp_replace(col("text"), "\\.", ""))
+      val votes = t(s, d, "documents").select(col("doc_id"),
+          explode(array(
+            when(col("n_chars") < 200, "short")
+              .when(col("n_chars") < 400, "medium").otherwise("long"),
+            when(tok < 35, "short").when(tok < 70, "medium").otherwise("long"),
+            when(periods < 3, "short").when(periods < 6, "medium")
+              .otherwise("long"))).as("cat"))
+      graft.ops.Eval.fleissKappa(votes, col("doc_id"), col("cat"), nRaters = 3)
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id,
+          CASE WHEN n_chars < 200 THEN 'short'
+               WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS r1,
+          CASE WHEN len(list_filter(string_split(text, ' '),
+                                    w -> len(w) > 0)) < 35 THEN 'short'
+               WHEN len(list_filter(string_split(text, ' '),
+                                    w -> len(w) > 0)) < 70 THEN 'medium'
+               ELSE 'long' END AS r2,
+          CASE WHEN length(text) - length(replace(text, '.', '')) < 3
+                 THEN 'short'
+               WHEN length(text) - length(replace(text, '.', '')) < 6
+                 THEN 'medium'
+               ELSE 'long' END AS r3
+        FROM documents),
+      votes AS (
+        SELECT doc_id, r1 AS cat FROM r
+        UNION ALL SELECT doc_id, r2 FROM r
+        UNION ALL SELECT doc_id, r3 FROM r),
+      cells AS (SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS c
+                FROM votes GROUP BY 1, 2),
+      pi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                    CAST(MIN(n_i) AS BIGINT) AS n_min,
+                    CAST(MAX(n_i) AS BIGINT) AS n_max
+             FROM (SELECT doc_id, SUM(c) AS n_i FROM cells GROUP BY 1)),
+      aa AS (SELECT CAST(SUM(c * c) AS BIGINT) AS a_sum FROM cells),
+      ss AS (SELECT CAST(SUM(t * t) AS BIGINT) AS s_sum
+             FROM (SELECT cat, SUM(c) AS t FROM cells GROUP BY 1))
+      SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_min, n_max,
+             a_sum, s_sum,
+             CAST((a_sum - n_items * 3) * n_items * 3 - s_sum * (3 - 1)
+                  AS DOUBLE) /
+             CAST((3 - 1) * (n_items * 3 * n_items * 3 - s_sum)
+                  AS DOUBLE) AS kappa
+      FROM pi, aa, ss"""))
+
+  /** PAIRWISE WIN RATES + WILSON INTERVALS (Eval.winRateCI) over the q160
+    * duel table: the "is this preference signal statistically real" audit
+    * that should precede fitting Bradley–Terry strengths. Every endpoint
+    * is a fixed IEEE dag over exact Longs — the oracle states the same dag
+    * textually and matches bitwise.
+    */
+  private val q162 = Q("q162_winrate_ci",
+    (s, d) => {
+      val pt = t(s, d, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val a = pt.select(col("user_id"), col("event_type").as("item_a"),
+        col("c").as("ca"))
+      val b = pt.select(col("user_id"), col("event_type").as("item_b"),
+        col("c").as("cb"))
+      val pairs = a.join(b, Seq("user_id"))
+        .where(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
+        .agg(sum(when(col("ca") > col("cb"), 1L).otherwise(0L)).as("wins_a"),
+          sum(when(col("cb") > col("ca"), 1L).otherwise(0L)).as("wins_b"))
+        .where(col("wins_a") + col("wins_b") > 0)
+      graft.ops.Eval.winRateCI(pairs, z = 1.96)
+        .orderBy(col("item_a"), col("item_b"))
+    },
+    Some("""
+      WITH pt AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+      pr AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins_a,
+               CAST(SUM(CASE WHEN b.c > a.c THEN 1 ELSE 0 END) AS BIGINT)
+                 AS wins_b
+        FROM pt a JOIN pt b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2),
+      prf AS (SELECT * FROM pr WHERE wins_a + wins_b > 0),
+      w AS (
+        SELECT item_a, item_b, wins_a, wins_b,
+               CAST(wins_a + wins_b AS BIGINT) AS n,
+               CAST(wins_a AS DOUBLE) / CAST(wins_a + wins_b AS DOUBLE) AS p,
+               CAST(wins_a + wins_b AS DOUBLE) AS nn
+        FROM prf)
+      SELECT item_a, item_b, wins_a, wins_b, n,
+             p AS win_rate_a,
+             GREATEST(((p + (1.96 * 1.96) / (2.0 * nn)) -
+              1.96 * sqrt(p * (1.0 - p) / nn +
+                          (1.96 * 1.96) / (4.0 * nn * nn)))
+               / (1.0 + (1.96 * 1.96) / nn), 0.0) AS wilson_lo_a,
+             LEAST(((p + (1.96 * 1.96) / (2.0 * nn)) +
+              1.96 * sqrt(p * (1.0 - p) / nn +
+                          (1.96 * 1.96) / (4.0 * nn * nn)))
+               / (1.0 + (1.96 * 1.96) / nn), 1.0) AS wilson_hi_a
+      FROM w ORDER BY item_a, item_b"""))
+
+  /** TOKENIZER FERTILITY AUDIT (TextOps.tokenFertility): per-language
+    * bytes/chars/tokens totals and the fertility ratios — the
+    * cross-lingual tokenizer-cost fairness check that pairs with q146's
+    * OOV audit.
+    */
+  private val q163 = Q("q163_token_fertility",
+    (s, d) => TextOps.tokenFertility(
+        t(s, d, "documents"), col("lang"), col("text"))
+      .orderBy(col("slice")),
+    Some("""
+      SELECT lang AS slice,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      w -> len(w) > 0))) AS BIGINT)
+               AS n_tokens,
+             CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+             CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes,
+             CAST(SUM(len(list_filter(string_split(text, ' '),
+                                      w -> len(w) > 0))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS tokens_per_doc,
+             CAST(SUM(length(text)) AS DOUBLE)
+               / CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          w -> len(w) > 0))) AS DOUBLE)
+               AS chars_per_token,
+             CAST(SUM(strlen(text)) AS DOUBLE)
+               / CAST(SUM(len(list_filter(string_split(text, ' '),
+                                          w -> len(w) > 0))) AS DOUBLE)
+               AS bytes_per_token
+      FROM documents GROUP BY 1 ORDER BY slice"""))
+
+  /** EXPECTED CALIBRATION ERROR (Classify.ece) of the q138/q152 logistic
+    * scorer on its held-out slice: the one-number honesty summary of the
+    * q152 reliability diagram. The per-bin weighted deviation is computed
+    * as |n_pos − Σp6| (exact DECIMAL), so the bin fold is
+    * order-independent and the oracle — the full q152 unroll plus one
+    * fold — matches bitwise.
+    */
+  private val q164 = Q("q164_ece",
+    (s, d) => graft.ops.Classify.ece(
+      logregHeldOut(s, d), col("p"), col("y"), bins = 200),
+    Some(s"""
+      WITH $logregHeldOutCtes,
+      b AS (
+        SELECT LEAST(CAST(floor(CAST(p6 AS DOUBLE) * 200) AS BIGINT), 199)
+                 AS bin,
+               COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos, SUM(p6) AS sp
+        FROM h GROUP BY 1)
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(ABS(CAST(n_pos AS DECIMAL(18,6)) - sp)) AS DOUBLE)
+               / CAST(SUM(n) AS DOUBLE) AS ece
+      FROM b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5344,7 +5517,7 @@ object Queries {
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
-    q157, q158, q159, q160)
+    q157, q158, q159, q160, q161, q162, q163, q164)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

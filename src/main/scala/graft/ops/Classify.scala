@@ -192,7 +192,40 @@ object Classify {
     * scored frame; output is `bins` rows.
     */
   def calibrationBins(scored: DataFrame, p: Column, y: Column,
-                      bins: Int = 10): DataFrame = {
+                      bins: Int = 10): DataFrame =
+    calibrationBinsRaw(scored, p, y, bins)
+      .withColumn("mean_p", col("sp").cast("double") / col("n"))
+      .withColumn("frac_pos", col("n_pos").cast("double") / col("n"))
+      .drop("sp")
+
+  /** EXPECTED CALIBRATION ERROR — the one-number summary of
+    * [[calibrationBins]]: ECE = Σ_b (n_b/N)·|frac_pos_b − mean_p_b|, the
+    * standard "is this classifier's confidence honest" scalar (reported
+    * next to AUC for every learned quality/toxicity filter).
+    *
+    * Exactness trick: the per-bin weighted deviation n_b·|frac_pos −
+    * mean_p| equals |n_pos_b − Σp6_b| EXACTLY, where Σp6 is the bin's
+    * DECIMAL(8,6) probability sum — so the sum over bins is exact decimal
+    * addition (order-independent, partial-agg mergeable) and the emitted
+    * ECE is ONE IEEE division of an exact decimal by an exact long. No
+    * double accumulation anywhere.
+    *
+    * Scale shape: identical to [[calibrationBins]] — one partial-combined
+    * corpus aggregate down to ≤ `bins` rows, then a bins-row fold.
+    * Returns one row `(n, ece)`.
+    */
+  def ece(scored: DataFrame, p: Column, y: Column, bins: Int = 10): DataFrame =
+    calibrationBinsRaw(scored, p, y, bins)
+      .agg(sum(col("n")).as("n"),
+        sum(abs(col("n_pos").cast(DecimalType(18, 6)) - col("sp"))).as("dev"))
+      .select(col("n"),
+        (col("dev").cast("double") / col("n").cast("double")).as("ece"))
+
+  /** [[calibrationBins]] before the per-bin divisions — keeps the exact
+    * DECIMAL p-sum visible for [[ece]]'s exact fold.
+    */
+  private def calibrationBinsRaw(scored: DataFrame, p: Column, y: Column,
+                                 bins: Int): DataFrame = {
     require(bins >= 2 && bins <= 1000)
     scored.select(
         least(floor(p * bins).cast("long"), lit(bins - 1L)).as("bin"),
@@ -200,8 +233,5 @@ object Classify {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("yy")).as("n_pos"),
         sum(col("p6")).as("sp"))
-      .withColumn("mean_p", col("sp").cast("double") / col("n"))
-      .withColumn("frac_pos", col("n_pos").cast("double") / col("n"))
-      .drop("sp")
   }
 }

@@ -185,6 +185,88 @@ object Eval {
     *
     * Returns (item, wins, n_comparisons, bt_score), one row per item.
     */
+  /** FLEISS' KAPPA — chance-corrected agreement for a FIXED number of
+    * raters per item (Fleiss 1971), the multi-annotator generalization of
+    * [[cohenKappa]]: the reliability gate when ≥ 3 labelers rate each
+    * document. Input is LONG format — one row per (item, rater vote) with
+    * the assigned category; `nRaters` raters per item is the Fleiss
+    * contract (the emitted n_min/n_max expose violations instead of
+    * silently mis-weighting).
+    *
+    * Exactness: with A = Σ_ik r_ik², S = Σ_k (Σ_i r_ik)², N items, n
+    * raters, the textbook P̄ = (A − Nn)/(Nn(n−1)) and P̄_e = S/(Nn)²
+    * reduce to
+    *
+    *   κ = ((A − Nn)·Nn − S·(n−1)) / ((n−1)·((Nn)² − S))
+    *
+    * — numerator and denominator exact Longs, ONE IEEE division (the
+    * [[cohenKappa]] rule). Overflow dial: (Nn)² needs Nn < ~3e9 votes;
+    * beyond that route the two products through DECIMAL(38,0).
+    *
+    * Scale shape: one corpus shuffle down to the (item, category) vote
+    * cells; the item marginal (which also audits the per-item rater
+    * count) and category marginal are partial-combined aggregates over
+    * cells; the final fold is three single-row frames. Returns one row
+    * `(n_items, n_raters, n_min, n_max, a_sum, s_sum, kappa)`.
+    */
+  def fleissKappa(votes: DataFrame, item: Column, category: Column,
+                  nRaters: Int): DataFrame = {
+    require(nRaters >= 2)
+    val cells = votes
+      .select(item.cast("string").as("it"), category.cast("string").as("cat"))
+      .groupBy(col("it"), col("cat")).agg(count(lit(1)).as("r"))
+    val perItem = cells.groupBy(col("it")).agg(sum(col("r")).as("n_i"))
+      .agg(count(lit(1)).as("n_items"),
+        min(col("n_i")).as("n_min"), max(col("n_i")).as("n_max"))
+    val aSum = cells.agg(sum(col("r") * col("r")).as("a_sum"))
+    val sSum = cells.groupBy(col("cat")).agg(sum(col("r")).as("t"))
+      .agg(sum(col("t") * col("t")).as("s_sum"))
+    val n = lit(nRaters.toLong)
+    perItem.crossJoin(aSum).crossJoin(sSum) // three single-row frames
+      .select(col("n_items"), n.as("n_raters"), col("n_min"), col("n_max"),
+        col("a_sum"), col("s_sum"),
+        (((col("a_sum") - col("n_items") * n) * col("n_items") * n -
+            col("s_sum") * (n - 1L)).cast("double") /
+          ((n - 1L) * (col("n_items") * n * col("n_items") * n -
+            col("s_sum"))).cast("double")).as("kappa"))
+  }
+
+  /** PAIRWISE WIN RATES WITH WILSON INTERVALS — per unordered pair, item
+    * A's observed win rate and its Wilson score interval (Wilson 1927; the
+    * standard small-n-honest binomial CI — never leaves [0,1], sane at
+    * w = 0 or w = n). The "is this preference signal real or 6 coin
+    * flips?" audit that should precede fitting [[bradleyTerry]] strengths.
+    *
+    * Cross-engine determinism: p̂ and every interval endpoint are FIXED
+    * dags of IEEE ops (division, multiply, one sqrt — all correctly
+    * rounded) over exact Long w and n; the oracle states the SAME dag
+    * textually, so values match bitwise. Ties (w_a = w_b) are the
+    * caller's pair-construction concern, not re-judged here.
+    *
+    * Scale shape: purely per-row arithmetic on the (already aggregated,
+    * P²-bounded) pair table — narrow, codegen'd, no shuffle.
+    */
+  def winRateCI(pairs: DataFrame, z: Double = 1.96): DataFrame = {
+    require(z > 0)
+    val n = (col("wins_a") + col("wins_b")).cast("long")
+    val p = col("wins_a").cast("double") / n.cast("double")
+    val zz = lit(z) * lit(z)
+    val nn = n.cast("double")
+    val denom = lit(1.0) + zz / nn
+    val center = p + zz / (lit(2.0) * nn)
+    val margin = lit(z) * sqrt(p * (lit(1.0) - p) / nn +
+      zz / (lit(4.0) * nn * nn))
+    // clamp to [0,1]: the true Wilson interval lies inside by
+    // construction; the clamp only clips FP overshoot (measured 1 ulp at
+    // p = 1, n = 5) so downstream range checks can rely on the bounds
+    pairs.select(col("item_a"), col("item_b"),
+      col("wins_a").cast("long").as("wins_a"),
+      col("wins_b").cast("long").as("wins_b"),
+      n.as("n"), p.as("win_rate_a"),
+      greatest((center - margin) / denom, lit(0.0)).as("wilson_lo_a"),
+      least((center + margin) / denom, lit(1.0)).as("wilson_hi_a"))
+  }
+
   def bradleyTerry(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
     // both directions: (i, j, n_ij, w_ij = wins of i against j)

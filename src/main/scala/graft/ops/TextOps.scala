@@ -1199,6 +1199,38 @@ object TextOps {
       .select(col("a_id"), col("b_id"), col("bk"))
   }
 
+  /** TOKENIZER FERTILITY AUDIT — per-slice bytes/chars/tokens totals and
+    * the derived fertility ratios (chars per token, bytes per token,
+    * tokens per doc): the standard "how expensively does this slice
+    * tokenize" health check — a language whose bytes-per-token runs hot is
+    * under-served by the vocabulary and will eat context budget (the
+    * cross-lingual fairness metric tokenizer papers report). Pairs with
+    * [[vocabCoverage]]: that one measures OOV, this one measures cost.
+    *
+    * Exactness: all totals are integer sums (token count via the same
+    * split-and-filter as the oracle, bytes via octet_length); each ratio
+    * is ONE IEEE division of exact Longs.
+    *
+    * Scale shape: one narrow projection + one partial-combined
+    * groupBy(slice) — G rows out, nothing else shuffles.
+    */
+  def tokenFertility(docs: DataFrame, slice: Column, text: Column): DataFrame =
+    docs.select(slice.as("slice"),
+        size(filter(split(text, " "), w => length(w) > 0)).cast("long").as("tk"),
+        length(text).cast("long").as("ch"),
+        octet_length(text).cast("long").as("by"))
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
+        sum(col("ch")).as("n_chars"), sum(col("by")).as("n_bytes"))
+      .select(col("slice"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_bytes"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("tokens_per_doc"),
+        (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+          .as("chars_per_token"),
+        (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
+          .as("bytes_per_token"))
+
   /** FILTER FUNNEL AUDIT — per-stage survival of an ORDERED quality-filter
     * chain, the standard curation-pipeline report ("raw → nonempty →
     * length gate → language gate → … kept X%"): stage i counts documents

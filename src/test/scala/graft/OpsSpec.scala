@@ -1464,6 +1464,107 @@ class OpsSpec extends AnyFunSuite {
     assert(sym("p") == sym("q"))
   }
 
+  test("fleiss kappa: exact-long identity matches the textbook two-step formula") {
+    import spark.implicits._
+    // 4 items x 3 raters, mixed agreement
+    val votes = Seq(
+      (1L, "a"), (1L, "a"), (1L, "a"),   // unanimous
+      (2L, "a"), (2L, "b"), (2L, "b"),   // majority b
+      (3L, "b"), (3L, "c"), (3L, "a"),   // total disagreement
+      (4L, "c"), (4L, "c"), (4L, "b"))   // majority c
+    val got = graft.ops.Eval.fleissKappa(votes.toDF("item", "cat"),
+      col("item"), col("cat"), nRaters = 3).collect()(0)
+    val n = 3; val items = votes.map(_._1).distinct
+    val cats = votes.map(_._2).distinct
+    val r = items.map(i => cats.map(c =>
+      votes.count(v => v._1 == i && v._2 == c).toLong))
+    val bigN = items.size.toLong
+    val aSum = r.flatten.map(x => x * x).sum
+    val sSum = cats.indices.map(k => r.map(_(k)).sum)
+      .map(t => t * t).sum
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) == ((bigN, 3L, 3L, 3L, aSum, sSum)))
+    // textbook: P-bar vs P-bar-e
+    val pBar = (aSum - bigN * n).toDouble / (bigN * n * (n - 1))
+    val pE = sSum.toDouble / ((bigN * n).toDouble * (bigN * n))
+    assert(math.abs(got.getDouble(6) - (pBar - pE) / (1 - pE)) < 1e-12,
+      s"kappa ${got.getDouble(6)} vs ${(pBar - pE) / (1 - pE)}")
+    // unanimity on every item -> kappa 1
+    val perfect = graft.ops.Eval.fleissKappa(
+      Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "y")).toDF("item", "cat"),
+      col("item"), col("cat"), nRaters = 2).collect()(0)
+    assert(perfect.getDouble(6) == 1.0)
+  }
+
+  test("wilson win-rate interval: brackets p-hat, inside [0,1] even at 0/n and n/n") {
+    import spark.implicits._
+    val pairs = Seq(
+      ("a", "b", 8L, 2L), ("a", "c", 0L, 6L), ("b", "c", 5L, 0L),
+      ("c", "d", 1L, 1L))
+    val got = graft.ops.Eval.winRateCI(
+        pairs.toDF("item_a", "item_b", "wins_a", "wins_b"), z = 1.96)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    for (((_, _), (n, p, lo, hi)) <- got) {
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi,
+        s"bracket broken: n=$n p=$p [$lo, $hi]")
+      // replay the exact dag (incl. the [0,1] FP-overshoot clamp)
+      val nn = n.toDouble; val z = 1.96; val zz = z * z
+      val center = p + zz / (2.0 * nn)
+      val margin = z * math.sqrt(p * (1.0 - p) / nn + zz / (4.0 * nn * nn))
+      val den = 1.0 + zz / nn
+      assert(lo == math.max((center - margin) / den, 0.0) &&
+        hi == math.min((center + margin) / den, 1.0))
+    }
+    // extreme rates stay strictly informative: 0/6 upper < 1, 5/5 lower > 0
+    assert(got(("a", "c"))._2 == 0.0 && got(("a", "c"))._4 > 0.0 &&
+      got(("a", "c"))._4 < 0.6)
+    assert(got(("b", "c"))._2 == 1.0 && got(("b", "c"))._3 > 0.4 &&
+      got(("b", "c"))._3 < 1.0)
+    // a coin-flip pair's interval spans 0.5 widely at n=2
+    val (_, _, l, h) = got(("c", "d"))
+    assert(l < 0.5 && h > 0.5)
+  }
+
+  test("token fertility: integer totals and single-division ratios per slice") {
+    import spark.implicits._
+    val d = Seq(
+      ("en", "one two three"), ("en", "four five"),
+      ("zh", "一 二")).toDF("lang", "text")
+    val got = graft.ops.TextOps.tokenFertility(d, col("lang"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    assert(en.getLong(1) == 2 && en.getLong(2) == 5)
+    assert(en.getLong(3) == 22 && en.getLong(4) == 22) // ascii: bytes == chars
+    assert(en.getDouble(5) == 2.5 && en.getDouble(6) == 4.4)
+    val zh = got("zh")
+    assert(zh.getLong(2) == 2 && zh.getLong(3) == 3)
+    assert(zh.getLong(4) == 7, "two 3-byte CJK chars + one space")
+    assert(zh.getDouble(7) == 3.5, "bytes per token doubles for CJK")
+  }
+
+  test("ece: exact decimal fold equals the weighted bin deviation; perfect calibration -> 0") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, 0L), (0.05, 0L), (0.05, 1L),  // bin 0: mean_p .05, frac .333
+      (0.55, 1L), (0.55, 0L),              // bin 5: mean_p .55, frac .5
+      (0.95, 1L), (0.95, 1L))              // bin 9: mean_p .95, frac 1
+      .toDF("p", "y")
+    val got = graft.ops.Classify.ece(scored, col("p"), col("y"), bins = 10)
+      .collect()(0)
+    assert(got.getLong(0) == 7)
+    // brute force: sum over bins of |n_pos - sum(p)| / N, p exact at 2 dp
+    val want = (math.abs(1.0 - 3 * 0.05) + math.abs(1.0 - 2 * 0.55) +
+      math.abs(2.0 - 2 * 0.95)) / 7.0
+    assert(math.abs(got.getDouble(1) - want) < 1e-9, s"${got.getDouble(1)} vs $want")
+    // scores that exactly equal the empirical rate in every bin -> ECE 0
+    val perfect = Seq((0.25, 0L), (0.25, 0L), (0.25, 0L), (0.25, 1L),
+      (0.75, 1L), (0.75, 1L), (0.75, 1L), (0.75, 0L)).toDF("p", "y")
+    val e0 = graft.ops.Classify.ece(perfect, col("p"), col("y"), bins = 2)
+      .collect()(0)
+    assert(e0.getDouble(1) == 0.0)
+  }
+
   test("filter funnel: first-failure attribution, chained n_in/n_out, one-pass plan") {
     import spark.implicits._
     val d = Seq(
