@@ -93,8 +93,13 @@ object Eval {
     * full-outer assembly run on C-sized frames.
     */
   def confusionStats(df: DataFrame, predCol: Column, goldCol: Column): DataFrame = {
+    // NULL classes become a visible "(null)" category up front: the class
+    // marginals below are assembled with equi-joins, where a null key
+    // never matches itself — a null class would otherwise split into two
+    // half-filled rows instead of one
     val cells = df
-      .select(predCol.cast("string").as("pred"), goldCol.cast("string").as("gold"))
+      .select(coalesce(predCol.cast("string"), lit("(null)")).as("pred"),
+        coalesce(goldCol.cast("string"), lit("(null)")).as("gold"))
       .groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("n"))
     val byGold = cells.groupBy(col("gold").as("cls"))
       .agg(sum(col("n")).as("n_gold"),
@@ -135,8 +140,11 @@ object Eval {
     * `(n, agree, chance_num, kappa)`.
     */
   def cohenKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    // same "(null)" normalization as confusionStats: the marginal inner
+    // join below must see null votes as a real matching category
     val cells = df
-      .select(raterA.cast("string").as("ra"), raterB.cast("string").as("rb"))
+      .select(coalesce(raterA.cast("string"), lit("(null)")).as("ra"),
+        coalesce(raterB.cast("string"), lit("(null)")).as("rb"))
       .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("n"))
     val rowM = cells.groupBy(col("ra").as("cls")).agg(sum(col("n")).as("row_n"))
     val colM = cells.groupBy(col("rb").as("cls")).agg(sum(col("n")).as("col_n"))

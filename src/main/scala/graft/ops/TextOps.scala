@@ -1214,11 +1214,14 @@ object TextOps {
     * Scale shape: one narrow projection + one partial-combined
     * groupBy(slice) — G rows out, nothing else shuffles.
     */
-  def tokenFertility(docs: DataFrame, slice: Column, text: Column): DataFrame =
+  def tokenFertility(docs: DataFrame, slice: Column, text: Column): DataFrame = {
+    // null text counts as an empty doc (0 tokens/chars/bytes), not a
+    // silently-skipped sum term that would skew the per-doc ratios
+    val t = coalesce(text, lit(""))
     docs.select(slice.as("slice"),
-        size(filter(split(text, " "), w => length(w) > 0)).cast("long").as("tk"),
-        length(text).cast("long").as("ch"),
-        octet_length(text).cast("long").as("by"))
+        size(filter(split(t, " "), w => length(w) > 0)).cast("long").as("tk"),
+        length(t).cast("long").as("ch"),
+        octet_length(t).cast("long").as("by"))
       .groupBy(col("slice"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"),
         sum(col("ch")).as("n_chars"), sum(col("by")).as("n_bytes"))
@@ -1230,6 +1233,7 @@ object TextOps {
           .as("chars_per_token"),
         (col("n_bytes").cast("double") / col("n_tokens").cast("double"))
           .as("bytes_per_token"))
+  }
 
   /** FILTER FUNNEL AUDIT — per-stage survival of an ORDERED quality-filter
     * chain, the standard curation-pipeline report ("raw → nonempty →

@@ -1398,6 +1398,15 @@ class OpsSpec extends AnyFunSuite {
     assert(got("c").isNullAt(6) && got("c").getDouble(7) == 0.0)
     // 'd' never appears in gold: recall undefined (NULL)
     assert(got("d").isNullAt(7))
+    // NULL classes collapse to one visible "(null)" row, never two
+    // half-filled rows (equi-joins don't match null keys)
+    val withNull = Seq((Some("a"), Some("a")), (None, Some("a")),
+      (Some("a"), None), (None, None)).toDF("pred", "gold")
+    val nr = graft.ops.Eval.confusionStats(withNull, col("pred"), col("gold"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(nr.keySet == Set("a", "(null)"))
+    assert(nr("(null)").getLong(1) == 1 && nr("(null)").getLong(4) == 2 &&
+      nr("(null)").getLong(5) == 2) // tp=1 (null,null); n_gold=n_pred=2
   }
 
   test("cohen kappa: exact integer identity matches the textbook formula; ends behave") {
@@ -1541,6 +1550,12 @@ class OpsSpec extends AnyFunSuite {
     assert(zh.getLong(2) == 2 && zh.getLong(3) == 3)
     assert(zh.getLong(4) == 7, "two 3-byte CJK chars + one space")
     assert(zh.getDouble(7) == 3.5, "bytes per token doubles for CJK")
+    // null text = empty doc: counted in n_docs, contributes 0 everywhere
+    val withNull = Seq(("en", Some("one two")), ("en", None))
+      .toDF("lang", "text")
+    val n = graft.ops.TextOps.tokenFertility(withNull, col("lang"), col("text"))
+      .collect()(0)
+    assert(n.getLong(1) == 2 && n.getLong(2) == 2 && n.getDouble(5) == 1.0)
   }
 
   test("ece: exact decimal fold equals the weighted bin deviation; perfect calibration -> 0") {
