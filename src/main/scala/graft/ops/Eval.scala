@@ -92,15 +92,34 @@ object Eval {
     * (C = class count — tens); the per-class marginals and the final
     * full-outer assembly run on C-sized frames.
     */
-  def confusionStats(df: DataFrame, predCol: Column, goldCol: Column): DataFrame = {
+  def confusionStats(df: DataFrame, predCol: Column, goldCol: Column): DataFrame =
+    confusionFromCells(confusionCells(df, predCol, goldCol))
+
+  /** The confusion matrix's MERGEABLE STATE: (pred, gold, n) cells — the
+    * corpus-sized shuffle happens here, once; integer counts sum across
+    * any partition of the corpus (batches, days, streams), so
+    * `mergeConfusionCells(a, b)` == one-shot cells over the concatenation.
+    * The streaming monitor ([[graft.streaming.EvalMonitorJob]]) folds
+    * per-trigger cells into this state and re-assembles stats per batch.
+    */
+  def confusionCells(df: DataFrame, predCol: Column, goldCol: Column): DataFrame =
     // NULL classes become a visible "(null)" category up front: the class
-    // marginals below are assembled with equi-joins, where a null key
-    // never matches itself — a null class would otherwise split into two
+    // marginals in the assembly are equi-joins, where a null key never
+    // matches itself — a null class would otherwise split into two
     // half-filled rows instead of one
-    val cells = df
-      .select(coalesce(predCol.cast("string"), lit("(null)")).as("pred"),
+    df.select(coalesce(predCol.cast("string"), lit("(null)")).as("pred"),
         coalesce(goldCol.cast("string"), lit("(null)")).as("gold"))
       .groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("n"))
+
+  /** Fold a new batch's cells into existing state (both (pred, gold, n)).
+    * Exact by integer-sum mergeability.
+    */
+  def mergeConfusionCells(state: DataFrame, batchCells: DataFrame): DataFrame =
+    state.unionByName(batchCells)
+      .groupBy(col("pred"), col("gold")).agg(sum(col("n")).as("n"))
+
+  /** Per-class stats from a (pred, gold, n) cell table — C²-sized work. */
+  def confusionFromCells(cells: DataFrame): DataFrame = {
     val byGold = cells.groupBy(col("gold").as("cls"))
       .agg(sum(col("n")).as("n_gold"),
         sum(when(col("pred") === col("gold"), col("n")).otherwise(0L)).as("tp"))

@@ -572,6 +572,84 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
   }
 
+  test("streaming eval monitor: folded confusion stats equal the one-shot batch table") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("en", "en"), ("en", "es"), ("es", "es"), ("de", "de"))
+    val batch2 = Seq(("en", "en"), ("es", "de"), ("de", "de"), ("fr", "en"))
+    val mem = MemoryStream[(String, String)]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val ckpt = java.nio.file.Files.createTempDirectory("evalmon").toString
+    val q = graft.streaming.EvalMonitorJob.start(
+      mem.toDF().toDF("pred", "gold"),
+      out => last = out.orderBy(col("cls")).collect(),
+      ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      val afterB1 = last.map(_.toSeq)
+      val oneShot1 = graft.ops.Eval.confusionStats(
+          batch1.toDF("pred", "gold"), col("pred"), col("gold"))
+        .orderBy(col("cls")).collect().map(_.toSeq)
+      assert(afterB1.toSeq == oneShot1.toSeq)
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val oneShot = graft.ops.Eval.confusionStats(
+          (batch1 ++ batch2).toDF("pred", "gold"), col("pred"), col("gold"))
+        .orderBy(col("cls")).collect().map(_.toSeq)
+      assert(last.map(_.toSeq).toSeq == oneShot.toSeq,
+        s"stream ${last.toSeq} vs batch ${oneShot.toSeq}")
+    } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
+  }
+
+  test("eval monitor restart: batch-id guard makes a replayed batch a no-op, counts stay exact") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("en", "en"), ("en", "es"), ("es", "es"))
+    val batch2 = Seq(("de", "de"), ("es", "en"))
+    @volatile var savedId = Long.MinValue
+    @volatile var savedCells: Seq[(String, String, Long)] = Seq.empty
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+
+    val mem1 = MemoryStream[(String, String)]
+    val q1 = graft.streaming.EvalMonitorJob.start(
+      mem1.toDF().toDF("pred", "gold"),
+      out => last = out.collect(),
+      java.nio.file.Files.createTempDirectory("evalmon_r1").toString,
+      cellsSink = Some((id, cells) => {
+        savedId = id
+        savedCells = cells.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      }),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem1.addData(batch1: _*); q1.processAllAvailable()
+    } finally { q1.stop() }
+    assert(savedId == 0L && savedCells.nonEmpty)
+
+    // "restart after a crash that persisted the snapshot but not the
+    // offset": batch 1 REPLAYS (same id 0 in the fresh run) — the
+    // initialBatchId guard must skip its merge, else it double-counts
+    val mem2 = MemoryStream[(String, String)]
+    val q2 = graft.streaming.EvalMonitorJob.start(
+      mem2.toDF().toDF("pred", "gold"),
+      out => last = out.orderBy(col("cls")).collect(),
+      java.nio.file.Files.createTempDirectory("evalmon_r2").toString,
+      initialCells = Some(savedCells.toDF("pred", "gold", "n")),
+      initialBatchId = savedId,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(batch1: _*); q2.processAllAvailable() // replayed: skipped
+      mem2.addData(batch2: _*); q2.processAllAvailable() // new: merged
+      val oneShot = graft.ops.Eval.confusionStats(
+          (batch1 ++ batch2).toDF("pred", "gold"), col("pred"), col("gold"))
+        .orderBy(col("cls")).collect().map(_.toSeq)
+      assert(last.map(_.toSeq).toSeq == oneShot.toSeq,
+        s"replayed batch must not double-count: ${last.toSeq} vs ${oneShot.toSeq}")
+    } finally { q2.stop(); graft.ops.Caches.drainAll(spark) }
+  }
+
   test("source-overlap sketch restart: cellsSink snapshot rehydrates to the uninterrupted run") {
     import spark.implicits._
     implicit val s = spark
