@@ -112,8 +112,8 @@ object Graph {
     * symmetrized, deduped, and persisted once; released before return.
     */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
-                       rounds: Int): DataFrame = {
-    require(rounds >= 1)
+                       rounds: Int, checkpointEvery: Int = 10): DataFrame = {
+    require(rounds >= 1 && checkpointEvery >= 1)
     val e = edges
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .unionByName(edges
@@ -133,7 +133,8 @@ object Graph {
       .agg(min(col("seed_label")).as("seed_label"))
     var lab = nodes.join(s, Seq("node"), "left")
       .select(col("node"), col("seed_label").as("label"))
-    for (_ <- 1 to rounds) {
+    var ck: Option[Caches.Checkpointed] = None
+    for (i <- 1 to rounds) {
       val votes = lab.where(col("label").isNotNull)
         .join(e, lab("node") === e("src"))
         .groupBy(col("dst").as("node"), col("label"))
@@ -147,8 +148,18 @@ object Graph {
         .join(win, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("seed_label"), col("prop")).as("label"))
+      // same bounded-plan-depth rule as pageRankLoop: label values are
+      // identical (a checkpoint materializes, never recomputes), the
+      // superseded round's blocks are dropped immediately
+      if (i % checkpointEvery == 0 && i < rounds) {
+        val next = Caches.checkpoint(lab)
+        ck.foreach(_.release())
+        ck = Some(next)
+        lab = next.df
+      }
     }
     val out = Caches.checkpoint(lab)
+    ck.foreach(_.release())
     e.unpersist(blocking = false)
     Caches.trackRdd(out.rdd)
     out.df

@@ -161,6 +161,18 @@ class GraphSpec extends AnyFunSuite {
     assert(r2(8L).isEmpty && r2(9L).isEmpty, "isolated pair never labeled")
   }
 
+  test("label propagation: 25 rounds runs through the checkpoint path and holds the fixpoint") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (5L, 6L), (6L, 7L), (5L, 7L),
+      (3L, 4L), (4L, 5L), (8L, 9L)).toDF("a", "b")
+    val seeds = Seq((1L, 10L), (5L, 20L)).toDF("node", "label")
+    def run(r: Int) = Graph.labelPropagation(edges, seeds, rounds = r)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    // the fixture stabilizes by round 3; 25 rounds (two checkpoints at 10
+    // and 20) must return the identical labeling, not a recomputed variant
+    assert(run(25) == run(3))
+  }
+
   test("label propagation dedups seeds: duplicate and conflicting rows collapse to min label") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     // node 1 seeded twice identically, node 3 with CONFLICTING labels —
