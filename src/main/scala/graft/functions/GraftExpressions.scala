@@ -509,6 +509,8 @@ object gfn {
   def topk_by_score(score: Column, id: Column, k: Int): Column =
     col(TopKByScore(ex(score.cast("double")), ex(id.cast("long")), k)
       .toAggregateExpression())
+  def gram_matrix(vec: Column, dim: Int): Column =
+    col(GramMatrix(ex(vec), dim).toAggregateExpression())
   def top_cells(c: Column, cents: Array[Double], nList: Int, dim: Int, nProbe: Int): Column =
     col(TopCells(ex(c), cents, nList, dim, nProbe))
 

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.gfn
+
+/** Distributed exact linear algebra over embedding columns — the
+  * covariance/PCA family. The design split every such op shares: the
+  * CORPUS-sized step is one mergeable aggregate (the [[graft.functions
+  * .GramMatrix]] pass — count, sums, upper-triangle products in a single
+  * buffer per map task), and everything AFTER it runs on a dim²-sized
+  * table that fits anywhere. Whitening, PCA, covariance audits all differ
+  * only in that second, tiny stage.
+  */
+object LinAlg {
+
+  /** Quantize a float vector onto the integer lattice with the
+    * SQL-replayable rounding `floor(x·scale + 0.5)` — written identically
+    * in the oracle so no round-half convention can diverge. |q| ≤ scale
+    * for inputs in [−1, 1].
+    */
+  def quantize(vec: Column, scale: Int): Column =
+    transform(vec, x =>
+      floor(x.cast("double") * scale + lit(0.5)).cast("long"))
+
+  /** EXACT EMBEDDING COVARIANCE MATRIX — one row per (i ≤ j) dimension
+    * pair with the exact integer second moments and the covariance in
+    * lattice units²:
+    *
+    *   cov_ij = s_ij/n − (s_i/n)·(s_j/n)
+    *
+    * (three divisions, one multiply, one subtract — a fixed IEEE dag of
+    * exact Longs, cross-engine bitwise). The feature-redundancy /
+    * anisotropy audit, and the input to PCA/whitening: at 100 TB the
+    * corpus pays ONE GramMatrix aggregate (state = dim·(dim+3)/2 longs
+    * per task, merged pairwise), and the (i, j) table this emits is
+    * dim²-sized — the eigen-solve on it is a driver triviality, which is
+    * exactly why the matrix, not the factorization, is the distributed
+    * op. The oracle replays the sums with a dim²-fan-out unnest join —
+    * fine at sf0.01, and the reason THIS op exists instead of that plan.
+    *
+    * Overflow bound (loud, not silent — Math.addExact): n ≤ 2^63/scale².
+    */
+  def embedCovariance(emb: DataFrame, vecCol: String, dim: Int,
+                      scale: Int = 1000): DataFrame = {
+    require(dim >= 1 && scale >= 1)
+    val one = emb
+      .select(gfn.gram_matrix(quantize(col(vecCol), scale), dim).as("m"))
+    // dim²-sized literal explode of the single aggregate row: recover the
+    // (i, j) pair table from the flat upper-triangle layout t = offset(i)+j−i
+    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          element_at(col("m.g"),
+            // row-major upper triangle: rows 0..i−1 contribute dim−r terms
+            (i * (lit(2) * dim - i + 1) / 2 + (j - i) + 1).cast("int")).as("s_ij"),
+          element_at(col("m.s"), (i + 1).cast("int")).as("s_i"),
+          element_at(col("m.s"), (j + 1).cast("int")).as("s_j")))))
+    one.select(col("m.n").as("n"), explode(pairs).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("n"),
+        col("p.s_ij").as("s_ij"), col("p.s_i").as("s_i"), col("p.s_j").as("s_j"),
+        (col("p.s_ij").cast("double") / col("n").cast("double") -
+          (col("p.s_i").cast("double") / col("n").cast("double")) *
+            (col("p.s_j").cast("double") / col("n").cast("double"))).as("cov"))
+  }
+
+  /** TOP PRINCIPAL DIRECTION by fixed-iteration POWER METHOD over
+    * [[embedCovariance]]'s matrix — the dominant-eigenvector step of PCA
+    * (anisotropy direction, first whitening axis). The corpus work is the
+    * ONE Gram pass; the matrix is then collected (dim² doubles — a
+    * bounded, documented collect like the k-means centroid fold) and the
+    * iteration runs driver-side in a FIXED, replayable order:
+    *
+    *   v ← C·v (per row: left-to-right fold over j), then v ← v / v_m
+    *   where m = argmax |v_i| (smallest i on ties) — max-abs
+    *   normalization needs no sqrt and pins sign and scale (v_m = 1).
+    *
+    * Every step is a fixed IEEE dag, so the oracle unrolls the same
+    * iterations with ordered list_reduce folds and matches bitwise.
+    * Convergence is the standard |λ₁/λ₂| geometric rate — `iters` is the
+    * dial; the residual test in OpsSpec pins the eigen-property at a
+    * realistic count. Returns (i, v) — the direction with v_m = 1 — plus
+    * the Rayleigh-quotient estimate λ̂ = (C·v)_m of the top eigenvalue in
+    * the `eigenvalue` column (same value every row).
+    */
+  def topDirection(emb: DataFrame, vecCol: String, dim: Int,
+                   scale: Int = 1000, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 100)
+    val cov = embedCovariance(emb, vecCol, dim, scale)
+      .select(col("i"), col("j"), col("cov")).collect()
+    val c = Array.ofDim[Double](dim, dim)
+    cov.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(dim)(1.0)
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += c(i)(j) * v(j); j += 1 } // fixed j order
+        acc
+      }
+      var m = 0
+      var i = 1
+      while (i < dim) { if (math.abs(w(i)) > math.abs(w(m))) m = i; i += 1 }
+      lambda = w(m)
+      v = w.map(_ / w(m))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x, lambda) }
+      .toSeq.toDF("i", "v", "eigenvalue")
+  }
+}

@@ -1580,6 +1580,71 @@ class OpsSpec extends AnyFunSuite {
     assert(e0.getDouble(1) == 0.0)
   }
 
+  test("gram-matrix covariance matches brute force; merge-invariant under repartition") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(4)(rnd.nextFloat() * 0.6f - 0.3f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    def brute = {
+      val q = vecs.map(_._2.map(x =>
+        math.floor(x.toDouble * 1000 + 0.5).toLong))
+      val n = q.size.toLong
+      (for (i <- 0 until 4; j <- i until 4) yield {
+        val sij = q.map(v => v(i) * v(j)).sum
+        val si = q.map(_(i)).sum; val sj = q.map(_(j)).sum
+        (i, j, n, sij, si, sj,
+          sij.toDouble / n - (si.toDouble / n) * (sj.toDouble / n))
+      }).toSeq
+    }
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.LinAlg.embedCovariance(df, "embedding", dim = 4)
+        .orderBy(col("i"), col("j")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(run(emb) == brute)
+    // mergeability: many partitions (forcing partial-buffer merges) must
+    // produce identical exact sums
+    assert(run(emb.repartition(16)) == brute)
+    // covariance diagonal is a variance: non-negative
+    assert(brute.filter(t => t._1 == t._2).forall(_._7 >= 0))
+  }
+
+  test("power iteration recovers a planted dominant direction; eigen residual shrinks") {
+    import spark.implicits._
+    // planted: strong variance along axis 1, weak noise elsewhere
+    val rnd = new scala.util.Random(5)
+    val emb = Seq.tabulate(300) { i =>
+      val t = rnd.nextGaussian() * 0.25
+      (i.toLong, Array(
+        (0.02 * rnd.nextGaussian()).toFloat, t.toFloat,
+        (0.02 * rnd.nextGaussian()).toFloat, (0.3 * t + 0.01 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = graft.ops.LinAlg.topDirection(emb, "embedding", dim = 4,
+        iters = 25)
+      .orderBy(col("i")).collect()
+    val v = out.map(_.getDouble(1))
+    val lambda = out(0).getDouble(2)
+    // dominant axis is dim 1 (normalized to 1 by the max-abs rule), with
+    // the correlated dim 3 at ~0.3 of it and noise dims near 0
+    assert(v(1) == 1.0, v.toSeq)
+    assert(math.abs(v(3) - 0.3) < 0.1, v.toSeq)
+    assert(math.abs(v(0)) < 0.1 && math.abs(v(2)) < 0.1, v.toSeq)
+    // eigen property: C v ~= lambda v (relative residual small at 25 iters)
+    val cov = graft.ops.LinAlg.embedCovariance(emb, "embedding", dim = 4)
+      .collect()
+    val c = Array.ofDim[Double](4, 4)
+    cov.foreach { r =>
+      c(r.getInt(0))(r.getInt(1)) = r.getDouble(6)
+      c(r.getInt(1))(r.getInt(0)) = r.getDouble(6)
+    }
+    val cv = Array.tabulate(4)(i => (0 until 4).map(j => c(i)(j) * v(j)).sum)
+    val resid = math.sqrt((0 until 4).map(i =>
+      math.pow(cv(i) - lambda * v(i), 2)).sum)
+    val scale = math.sqrt((0 until 4).map(i => math.pow(lambda * v(i), 2)).sum)
+    assert(resid / scale < 1e-6, s"residual $resid vs scale $scale")
+  }
+
   test("filter funnel: first-failure attribution, chained n_in/n_out, one-pass plan") {
     import spark.implicits._
     val d = Seq(
