@@ -43,7 +43,17 @@ object LinAlg {
     * Overflow bound (loud, not silent — Math.addExact): n ≤ 2^63/scale².
     */
   def embedCovariance(emb: DataFrame, vecCol: String, dim: Int,
-                      scale: Int = 1000): DataFrame = {
+                      scale: Int = 1000): DataFrame =
+    covarianceFromMoments(secondMoments(emb, vecCol, dim, scale))
+
+  /** The covariance's MERGEABLE STATE: one row per (i ≤ j) pair with the
+    * exact integer moments (n, s_ij, s_i, s_j). Integer sums merge across
+    * any partition of the corpus — [[mergeMoments]] == a one-shot pass
+    * over the concatenation — which is what the streaming drift monitor
+    * ([[graft.streaming.EmbedDriftJob]]) folds per trigger.
+    */
+  def secondMoments(emb: DataFrame, vecCol: String, dim: Int,
+                    scale: Int = 1000): DataFrame = {
     require(dim >= 1 && scale >= 1)
     val one = emb
       .select(gfn.gram_matrix(quantize(col(vecCol), scale), dim).as("m"))
@@ -59,10 +69,38 @@ object LinAlg {
           element_at(col("m.s"), (j + 1).cast("int")).as("s_j")))))
     one.select(col("m.n").as("n"), explode(pairs).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("n"),
-        col("p.s_ij").as("s_ij"), col("p.s_i").as("s_i"), col("p.s_j").as("s_j"),
-        (col("p.s_ij").cast("double") / col("n").cast("double") -
-          (col("p.s_i").cast("double") / col("n").cast("double")) *
-            (col("p.s_j").cast("double") / col("n").cast("double"))).as("cov"))
+        col("p.s_ij").as("s_ij"), col("p.s_i").as("s_i"), col("p.s_j").as("s_j"))
+  }
+
+  /** Fold a new batch's moments into existing state (both the
+    * [[secondMoments]] schema). Exact by integer-sum mergeability.
+    */
+  def mergeMoments(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("n")).as("n"), sum(col("s_ij")).as("s_ij"),
+        sum(col("s_i")).as("s_i"), sum(col("s_j")).as("s_j"))
+
+  /** The covariance dag over a moments table — dim²-sized work. */
+  def covarianceFromMoments(m: DataFrame): DataFrame =
+    m.select(col("i"), col("j"), col("n"),
+      col("s_ij"), col("s_i"), col("s_j"),
+      (col("s_ij").cast("double") / col("n").cast("double") -
+        (col("s_i").cast("double") / col("n").cast("double")) *
+          (col("s_j").cast("double") / col("n").cast("double"))).as("cov"))
+
+  /** Project a vector column onto a fixed direction with a REPLAYABLE
+    * left-to-right fold: proj = Σᵢ xᵢ·dᵢ evaluated as
+    * `aggregate(zip_with(x, d, *), 0.0, +)` — element order fixed by the
+    * arrays, so DuckDB's `list_reduce(list(xᵢ·dᵢ ORDER BY i))` executes
+    * the identical IEEE dag. Narrow, codegen-friendly, no shuffle — the
+    * per-row half of PCA once [[topDirection]] has done the corpus half.
+    */
+  def projectOnto(vec: Column, dir: Array[Double]): Column = {
+    val d = array(dir.map(lit(_)): _*)
+    aggregate(
+      zip_with(transform(vec, x => x.cast("double")), d, (x, w) => x * w),
+      lit(0.0), (acc, t) => acc + t)
   }
 
   /** TOP PRINCIPAL DIRECTION by fixed-iteration POWER METHOD over

@@ -650,6 +650,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q2.stop(); graft.ops.Caches.drainAll(spark) }
   }
 
+  test("streaming embed-drift monitor: folded covariance equals the one-shot batch matrix") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(3)
+    def mk(n: Int, base: Long) = Seq.tabulate(n)(k =>
+      (base + k, Array.fill(4)(rnd.nextFloat() * 0.5f - 0.25f)))
+    val batch1 = mk(30, 0L)
+    val batch2 = mk(20, 1000L)
+    val mem = MemoryStream[(Long, Array[Float])]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    @volatile var savedId = Long.MinValue
+    @volatile var savedMoments: Seq[(Int, Int, Long, Long, Long, Long)] = Seq.empty
+    val ckpt = java.nio.file.Files.createTempDirectory("drift").toString
+    val q = graft.streaming.EmbedDriftJob.start(
+      mem.toDF().toDF("vec_id", "embedding"),
+      out => last = out.orderBy(col("i"), col("j")).collect(),
+      ckpt, vecCol = "embedding", dim = 4,
+      momentsSink = Some((id, m) => {
+        savedId = id
+        savedMoments = m.collect().map(r => (r.getInt(0), r.getInt(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+      }),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val oneShot = graft.ops.LinAlg.embedCovariance(
+          (batch1 ++ batch2).toDF("vec_id", "embedding"), "embedding", dim = 4)
+        .orderBy(col("i"), col("j")).collect()
+      assert(last.map(_.toSeq).toSeq == oneShot.map(_.toSeq).toSeq,
+        s"stream ${last.take(3).toSeq} vs batch ${oneShot.take(3).toSeq}")
+      assert(savedId == 1L && savedMoments.size == 10) // 4*(4+1)/2 pairs
+    } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
+
+    // restart with the replayed-batch guard (the EvalMonitorJob contract)
+    val mem2 = MemoryStream[(Long, Array[Float])]
+    val q2 = graft.streaming.EmbedDriftJob.start(
+      mem2.toDF().toDF("vec_id", "embedding"),
+      out => last = out.orderBy(col("i"), col("j")).collect(),
+      java.nio.file.Files.createTempDirectory("drift2").toString,
+      vecCol = "embedding", dim = 4,
+      initialMoments = Some(savedMoments
+        .toDF("i", "j", "n", "s_ij", "s_i", "s_j")),
+      initialBatchId = savedId,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(batch1: _*); q2.processAllAvailable() // id 0 <= 1: skipped
+      mem2.addData(batch2: _*); q2.processAllAvailable() // id 1 <= 1: skipped
+      val batch3 = mk(10, 2000L)
+      mem2.addData(batch3: _*); q2.processAllAvailable() // id 2 > 1: merged
+      val oneShot = graft.ops.LinAlg.embedCovariance(
+          (batch1 ++ batch2 ++ batch3).toDF("vec_id", "embedding"),
+          "embedding", dim = 4)
+        .orderBy(col("i"), col("j")).collect()
+      assert(last.map(_.toSeq).toSeq == oneShot.map(_.toSeq).toSeq,
+        "replayed batches must not double-count")
+    } finally { q2.stop(); graft.ops.Caches.drainAll(spark) }
+  }
+
   test("source-overlap sketch restart: cellsSink snapshot rehydrates to the uninterrupted run") {
     import spark.implicits._
     implicit val s = spark
