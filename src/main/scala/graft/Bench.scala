@@ -183,5 +183,6 @@ object Bench {
     "q113_bpe_learn", "q114_boilerplate_strip", "q116_substring_dedup",
     "q118_fuzzy_join", "q120_pagerank", "q122_entity_resolution",
     "q123_semantic_dedup", "q128_semantic_keepers", "q140_stupid_backoff",
-    "q147_pmi_collocations", "q150_kcenter_diverse", "q155_personalized_pagerank")
+    "q147_pmi_collocations", "q150_kcenter_diverse", "q155_personalized_pagerank",
+    "q160_bradley_terry", "q165_embed_covariance")
 }
