@@ -5657,6 +5657,57 @@ object Queries {
       FROM pe JOIN v3 ON v3.i = pe.i
       GROUP BY pe.vec_id ORDER BY pe.vec_id"""))
 
+  /** PER-CLASS COVARIANCE DISTANCE (LinAlg.covarianceDistance): Frobenius
+    * distance between every two labels' covariance matrices (off-diagonals
+    * weighted 2, their multiplicity in the symmetric matrix) — the
+    * homoscedasticity / distribution-shift audit at the second-moment
+    * level, covariance-space sibling of q153's centroid affinity. Corpus
+    * pays ONE grouped Gram pass; the oracle replays moments, covariances,
+    * and the (i,j)-ordered fold bitwise.
+    */
+  private val q168 = Q("q168_cov_distance",
+    (s, d) => graft.ops.LinAlg.covarianceDistance(
+        t(s, d, "embeddings"), col("label"), "embedding",
+        dim = 64, scale = 1000)
+      .orderBy(col("grp_a"), col("grp_b")),
+    Some("""
+      WITH q AS (
+        SELECT CAST(label AS VARCHAR) AS grp, vec_id,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+                 AS qv
+        FROM embeddings),
+      qe AS (SELECT grp, vec_id, CAST(i AS INTEGER) - 1 AS i, qv[i] AS v
+             FROM q, range(1, 65) t(i)),
+      nn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1),
+      sums AS (SELECT grp, i, CAST(SUM(v) AS BIGINT) AS s
+               FROM qe GROUP BY 1, 2),
+      g AS (SELECT a.grp, a.i AS i, b.i AS j,
+                   CAST(SUM(a.v * b.v) AS BIGINT) AS s_ij
+            FROM qe a JOIN qe b
+              ON a.grp = b.grp AND a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY 1, 2, 3),
+      cells AS (
+        SELECT g.grp, g.i, g.j,
+               CAST(g.s_ij AS DOUBLE) / CAST(nn.n AS DOUBLE) -
+                 (CAST(sa.s AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
+                 (CAST(sb.s AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS cov
+        FROM g
+        JOIN nn ON nn.grp = g.grp
+        JOIN sums sa ON sa.grp = g.grp AND sa.i = g.i
+        JOIN sums sb ON sb.grp = g.grp AND sb.i = g.j),
+      d AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               list_reduce(list((a.cov - b.cov) * (a.cov - b.cov) *
+                                (CASE WHEN a.i = a.j THEN 1.0 ELSE 2.0 END)
+                                ORDER BY a.i, a.j),
+                           (x, y) -> x + y) AS d2
+        FROM cells a JOIN cells b
+          ON a.i = b.i AND a.j = b.j AND a.grp < b.grp
+        GROUP BY 1, 2)
+      SELECT grp_a, grp_b, d2, sqrt(d2) AS frobenius
+      FROM d ORDER BY grp_a, grp_b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5671,7 +5722,7 @@ object Queries {
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
-    q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167)
+    q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

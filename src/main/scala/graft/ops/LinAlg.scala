@@ -57,17 +57,7 @@ object LinAlg {
     require(dim >= 1 && scale >= 1)
     val one = emb
       .select(gfn.gram_matrix(quantize(col(vecCol), scale), dim).as("m"))
-    // dim²-sized literal explode of the single aggregate row: recover the
-    // (i, j) pair table from the flat upper-triangle layout t = offset(i)+j−i
-    val pairs = flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
-      transform(sequence(i, lit(dim - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          element_at(col("m.g"),
-            // row-major upper triangle: rows 0..i−1 contribute dim−r terms
-            (i * (lit(2) * dim - i + 1) / 2 + (j - i) + 1).cast("int")).as("s_ij"),
-          element_at(col("m.s"), (i + 1).cast("int")).as("s_i"),
-          element_at(col("m.s"), (j + 1).cast("int")).as("s_j")))))
-    one.select(col("m.n").as("n"), explode(pairs).as("p"))
+    one.select(col("m.n").as("n"), explode(trianglePairs(dim)).as("p"))
       .select(col("p.i").as("i"), col("p.j").as("j"), col("n"),
         col("p.s_ij").as("s_ij"), col("p.s_i").as("s_i"), col("p.s_j").as("s_j"))
   }
@@ -81,13 +71,82 @@ object LinAlg {
       .agg(sum(col("n")).as("n"), sum(col("s_ij")).as("s_ij"),
         sum(col("s_i")).as("s_i"), sum(col("s_j")).as("s_j"))
 
-  /** The covariance dag over a moments table — dim²-sized work. */
+  /** The covariance dag over a moments table — dim²-sized work. Appends
+    * `cov`, passing through any extra key columns (e.g. [[groupedMoments]]'
+    * `grp`).
+    */
   def covarianceFromMoments(m: DataFrame): DataFrame =
-    m.select(col("i"), col("j"), col("n"),
-      col("s_ij"), col("s_i"), col("s_j"),
-      (col("s_ij").cast("double") / col("n").cast("double") -
+    m.withColumn("cov",
+      col("s_ij").cast("double") / col("n").cast("double") -
         (col("s_i").cast("double") / col("n").cast("double")) *
-          (col("s_j").cast("double") / col("n").cast("double"))).as("cov"))
+          (col("s_j").cast("double") / col("n").cast("double")))
+
+  /** Per-GROUP second moments — [[secondMoments]] with a group key: one
+    * GramMatrix buffer per (task × group) in the partial aggregate, G·dim²
+    * rows out. The class-conditional / per-source covariance input.
+    */
+  def groupedMoments(emb: DataFrame, group: Column, vecCol: String, dim: Int,
+                     scale: Int = 1000): DataFrame = {
+    require(dim >= 1 && scale >= 1)
+    val one = emb
+      .groupBy(group.cast("string").as("grp"))
+      .agg(gfn.gram_matrix(quantize(col(vecCol), scale), dim).as("m"))
+    one.select(col("grp"), col("m.n").as("n"),
+        explode(trianglePairs(dim)).as("p"))
+      .select(col("grp"), col("p.i").as("i"), col("p.j").as("j"), col("n"),
+        col("p.s_ij").as("s_ij"), col("p.s_i").as("s_i"), col("p.s_j").as("s_j"))
+  }
+
+  /** dim²-sized literal explode of a GramMatrix struct column `m`:
+    * recovers the (i, j) pair table from the flat row-major upper-triangle
+    * layout, where offset(i) = i·(2·dim − i + 1)/2 (rows 0..i−1 contribute
+    * dim − r entries each) and element_at is 1-based.
+    */
+  private def trianglePairs(dim: Int): Column =
+    flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+      transform(sequence(i, lit(dim - 1)), j =>
+        struct(i.as("i"), j.as("j"),
+          element_at(col("m.g"),
+            (i * (lit(2) * dim - i + 1) / 2 + (j - i) + 1).cast("int")).as("s_ij"),
+          element_at(col("m.s"), (i + 1).cast("int")).as("s_i"),
+          element_at(col("m.s"), (j + 1).cast("int")).as("s_j")))))
+
+  /** PAIRWISE COVARIANCE DISTANCE — Frobenius distance between every two
+    * groups' covariance matrices: ‖C_a − C_b‖_F with the off-diagonal
+    * cells counted twice (they appear twice in the full symmetric
+    * matrix). The distribution-shift audit at the second-moment level —
+    * "does source/class a's embedding geometry match b's" — feeding
+    * homoscedasticity checks, per-class whitening decisions, and
+    * encoder-regression comparisons; the covariance-space sibling of the
+    * q153 centroid-affinity (mean-level) audit.
+    *
+    * Determinism: each Δ² term is a fixed IEEE dag over the exact-Long
+    * moments; the per-pair sum is a (i, j)-ORDERED sequential fold
+    * (G²·dim²-sized work on tiny G), and the final sqrt is one
+    * correctly-rounded op — the oracle replays the identical dag.
+    *
+    * Scale shape: the corpus pays the ONE grouped Gram pass; everything
+    * pairwise runs on the G·dim² cell table.
+    */
+  def covarianceDistance(emb: DataFrame, group: Column, vecCol: String,
+                         dim: Int, scale: Int = 1000): DataFrame = {
+    val cells = covarianceFromMoments(
+        groupedMoments(emb, group, vecCol, dim, scale))
+      .select(col("grp"), col("i"), col("j"), col("cov"))
+    val a = cells.select(col("grp").as("grp_a"), col("i"), col("j"),
+      col("cov").as("ca"))
+    val b = cells.select(col("grp").as("grp_b"), col("i"), col("j"),
+      col("cov").as("cb"))
+    a.join(b, Seq("i", "j")).where(col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"), col("i"), col("j"),
+        ((col("ca") - col("cb")) * (col("ca") - col("cb")) *
+          when(col("i") === col("j"), lit(1.0)).otherwise(lit(2.0))).as("t"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(expr("aggregate(sort_array(collect_list(struct(i, j, t))), " +
+        "cast(0.0 as double), (a, x) -> a + x.t)").as("d2"))
+      .select(col("grp_a"), col("grp_b"), col("d2"),
+        sqrt(col("d2")).as("frobenius"))
+  }
 
   /** Project a vector column onto a fixed direction with a REPLAYABLE
     * left-to-right fold: proj = Σᵢ xᵢ·dᵢ evaluated as

@@ -1610,6 +1610,43 @@ class OpsSpec extends AnyFunSuite {
     assert(brute.filter(t => t._1 == t._2).forall(_._7 >= 0))
   }
 
+  test("covariance distance: zero for identical groups, matches brute force, symmetric weighting") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = Seq.tabulate(30)(k =>
+      Array.fill(3)(rnd.nextFloat() * 0.5f - 0.25f))
+    // group b = exact copy of a (distance 0); group c = scaled (distance > 0)
+    val rows =
+      base.zipWithIndex.map { case (v, k) => (k.toLong, "a", v) } ++
+      base.zipWithIndex.map { case (v, k) => (1000L + k, "b", v) } ++
+      base.zipWithIndex.map { case (v, k) =>
+        (2000L + k, "c", v.map(x => x * 2.0f)) }
+    val emb = rows.toDF("vec_id", "grp", "embedding")
+    val got = graft.ops.LinAlg.covarianceDistance(emb, col("grp"), "embedding",
+        dim = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b")) == ((0.0, 0.0)), "identical groups must be 0")
+    assert(got(("a", "c"))._2 > 0 && got(("a", "c")) == got(("b", "c")))
+    // brute force for (a, c) with the same ordered fold + weights
+    def cov(vs: Seq[Array[Float]]) = {
+      val q = vs.map(_.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong))
+      val n = q.size.toLong
+      (for (i <- 0 until 3; j <- i until 3) yield {
+        val sij = q.map(v => v(i) * v(j)).sum
+        val si = q.map(_(i)).sum; val sj = q.map(_(j)).sum
+        (i, j) -> (sij.toDouble / n - (si.toDouble / n) * (sj.toDouble / n))
+      }).toMap
+    }
+    val ca = cov(base); val cc = cov(base.map(_.map(x => x * 2.0f)))
+    val d2 = (for (i <- 0 until 3; j <- i until 3) yield {
+      val w = if (i == j) 1.0 else 2.0
+      (ca((i, j)) - cc((i, j))) * (ca((i, j)) - cc((i, j))) * w
+    }).foldLeft(0.0)(_ + _)
+    assert(got(("a", "c"))._1 == d2 && got(("a", "c"))._2 == math.sqrt(d2))
+  }
+
   test("power iteration recovers a planted dominant direction; eigen residual shrinks") {
     import spark.implicits._
     // planted: strong variance along axis 1, weak noise elsewhere
