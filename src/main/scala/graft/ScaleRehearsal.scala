@@ -251,6 +251,28 @@ object ScaleRehearsal {
             Tables(spark, dir, "documents"), col("source"), col("text"),
             w = 3, k = 64)
           .orderBy(col("src_a"), col("src_b"))
+      // the dim²-per-row explode formulation of q165 — the plan
+      // GramMatrix exists to avoid, measured against it: every vector
+      // fans out to dim·(dim+1)/2 product rows BEFORE the partial agg
+      // can combine them, so the narrow stage materializes ~2080× the
+      // input rows (the aggregate's buffer update touches the same
+      // products but never materializes a row)
+      case "q165_naive" =>
+        val dim = 64
+        val q = Tables(spark, dir, "embeddings").select(col("vec_id"),
+          graft.ops.LinAlg.quantize(col("embedding"), 1000).as("qv"))
+        val prods = q.select(explode(flatten(
+            transform(sequence(lit(0), lit(dim - 1)), i =>
+              transform(sequence(i, lit(dim - 1)), j =>
+                struct(i.as("i"), j.as("j"),
+                  (element_at(col("qv"), i + 1) *
+                    element_at(col("qv"), j + 1)).as("p"),
+                  element_at(col("qv"), i + 1).as("vi"),
+                  element_at(col("qv"), j + 1).as("vj")))))).as("x"))
+        prods.groupBy(col("x.i").as("i"), col("x.j").as("j"))
+          .agg(count(lit(1)).as("n"), sum(col("x.p")).as("s_ij"),
+            sum(col("x.vi")).as("s_i"), sum(col("x.vj")).as("s_j"))
+          .orderBy(col("i"), col("j"))
       case _ => Queries.all.find(_.name == name).get.build(spark, dir)
     }
     def time(name: String, dir: String): Double = {
