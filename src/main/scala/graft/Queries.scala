@@ -5544,12 +5544,11 @@ object Queries {
     * smallest-index tie rule). The oracle unrolls all three steps with
     * ordered list_reduce folds and matches bitwise.
     */
-  private val q166 = Q("q166_top_direction",
-    (s, d) => graft.ops.LinAlg.topDirection(
-        t(s, d, "embeddings"), "embedding", dim = 64, scale = 1000, iters = 3)
-      .orderBy(col("i")),
-    Some("""
-      WITH q AS (
+  /** The q166/q167/q169 shared oracle CTE chain: quantize -> moments ->
+    * covariance cells -> mirrored matrix -> 3 power steps, ending at
+    * v3/m3 (direction, top-eigenvalue estimate).
+    */
+  private lazy val powerCtes: String = """q AS (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
@@ -5587,7 +5586,14 @@ object Queries {
                                      (a, b) -> a + b) AS w
              FROM fm f JOIN v2 ON v2.i = f.j GROUP BY 1),
       m3 AS (SELECT w AS wm FROM w3 ORDER BY abs(w) DESC, i LIMIT 1),
-      v3 AS (SELECT w3.i, w3.w / m3.wm AS v FROM w3, m3)
+      v3 AS (SELECT w3.i, w3.w / m3.wm AS v FROM w3, m3)"""
+
+  private val q166 = Q("q166_top_direction",
+    (s, d) => graft.ops.LinAlg.topDirection(
+        t(s, d, "embeddings"), "embedding", dim = 64, scale = 1000, iters = 3)
+      .orderBy(col("i")),
+    Some(s"""
+      WITH $powerCtes
       SELECT v3.i, v3.v, m3.wm AS eigenvalue
       FROM v3, m3 ORDER BY v3.i"""))
 
@@ -5608,46 +5614,8 @@ object Queries {
           graft.ops.LinAlg.projectOnto(col("embedding"), dir).as("pc1"))
         .orderBy(col("vec_id"))
     },
-    Some("""
-      WITH q AS (
-        SELECT vec_id,
-               list_transform(embedding,
-                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
-                 AS qv
-        FROM embeddings),
-      qe AS (SELECT vec_id, CAST(i AS INTEGER) - 1 AS i, qv[i] AS v
-             FROM q, range(1, 65) t(i)),
-      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
-      sums AS (SELECT i, CAST(SUM(v) AS BIGINT) AS s FROM qe GROUP BY 1),
-      g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS s_ij
-            FROM qe a JOIN qe b ON a.vec_id = b.vec_id AND a.i <= b.i
-            GROUP BY 1, 2),
-      cells AS (
-        SELECT g.i, g.j,
-               CAST(g.s_ij AS DOUBLE) / CAST(nn.n AS DOUBLE) -
-                 (CAST(sa.s AS DOUBLE) / CAST(nn.n AS DOUBLE)) *
-                 (CAST(sb.s AS DOUBLE) / CAST(nn.n AS DOUBLE)) AS cov
-        FROM g CROSS JOIN nn
-        JOIN sums sa ON sa.i = g.i
-        JOIN sums sb ON sb.i = g.j),
-      fm AS (
-        SELECT i, j, cov FROM cells
-        UNION ALL SELECT j, i, cov FROM cells WHERE i < j),
-      w1 AS (SELECT i, list_reduce(list(cov * 1.0 ORDER BY j),
-                                   (a, b) -> a + b) AS w
-             FROM fm GROUP BY 1),
-      m1 AS (SELECT w AS wm FROM w1 ORDER BY abs(w) DESC, i LIMIT 1),
-      v1 AS (SELECT w1.i, w1.w / m1.wm AS v FROM w1, m1),
-      w2 AS (SELECT f.i, list_reduce(list(f.cov * v1.v ORDER BY f.j),
-                                     (a, b) -> a + b) AS w
-             FROM fm f JOIN v1 ON v1.i = f.j GROUP BY 1),
-      m2 AS (SELECT w AS wm FROM w2 ORDER BY abs(w) DESC, i LIMIT 1),
-      v2 AS (SELECT w2.i, w2.w / m2.wm AS v FROM w2, m2),
-      w3 AS (SELECT f.i, list_reduce(list(f.cov * v2.v ORDER BY f.j),
-                                     (a, b) -> a + b) AS w
-             FROM fm f JOIN v2 ON v2.i = f.j GROUP BY 1),
-      m3 AS (SELECT w AS wm FROM w3 ORDER BY abs(w) DESC, i LIMIT 1),
-      v3 AS (SELECT w3.i, w3.w / m3.wm AS v FROM w3, m3),
+    Some(s"""
+      WITH $powerCtes,
       pe AS (SELECT e.vec_id, CAST(t.i AS INTEGER) - 1 AS i,
                     CAST(e.embedding[t.i] AS DOUBLE) AS x
              FROM embeddings e, range(1, 65) t(i))
@@ -5708,6 +5676,25 @@ object Queries {
       SELECT grp_a, grp_b, d2, sqrt(d2) AS frobenius
       FROM d ORDER BY grp_a, grp_b"""))
 
+  /** SPECTRAL SUMMARY (LinAlg.spectralSummary): covariance trace (an
+    * i-ordered diagonal fold), the q166 Rayleigh top-eigenvalue estimate,
+    * and the explained-variance ratio — the one-number anisotropy audit
+    * deciding whether whitening is worth running. Same corpus cost as
+    * q166 (one Gram pass); the oracle extends the shared power-CTE chain
+    * with the identical trace fold.
+    */
+  private val q169 = Q("q169_spectral_summary",
+    (s, d) => graft.ops.LinAlg.spectralSummary(
+      t(s, d, "embeddings"), "embedding", dim = 64, scale = 1000, iters = 3),
+    Some(s"""
+      WITH $powerCtes,
+      tr AS (SELECT list_reduce(list(cov ORDER BY i), (a, b) -> a + b)
+               AS trace
+             FROM cells WHERE i = j)
+      SELECT nn.n, tr.trace, m3.wm AS eigenvalue,
+             m3.wm / tr.trace AS explained_ratio
+      FROM nn, tr, m3"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5722,7 +5709,7 @@ object Queries {
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
-    q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168)
+    q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

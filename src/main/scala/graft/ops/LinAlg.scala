@@ -148,6 +148,29 @@ object LinAlg {
         sqrt(col("d2")).as("frobenius"))
   }
 
+  /** SPECTRAL SUMMARY — total variance (the covariance trace, an
+    * i-ORDERED fold over the diagonal) next to [[topDirection]]'s
+    * Rayleigh top-eigenvalue estimate, and their ratio: the
+    * explained-variance share of the dominant axis. The one-number
+    * anisotropy audit ("is this embedding space collapsing onto a line")
+    * that decides whether whitening is worth running. Same cost as
+    * [[topDirection]]: one Gram pass + driver arithmetic. Returns one
+    * row `(n, trace, eigenvalue, explained_ratio)`.
+    */
+  def spectralSummary(emb: DataFrame, vecCol: String, dim: Int,
+                      scale: Int = 1000, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 100)
+    val (n, c) = covMatrix(emb, vecCol, dim, scale)
+    var trace = 0.0
+    var d = 0
+    while (d < dim) { trace += c(d)(d); d += 1 } // fixed i order
+    val (_, lambda) = powerIterate(c, dim, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    Seq((n, trace, lambda, lambda / trace))
+      .toDF("n", "trace", "eigenvalue", "explained_ratio")
+  }
+
   /** Project a vector column onto a fixed direction with a REPLAYABLE
     * left-to-right fold: proj = Σᵢ xᵢ·dᵢ evaluated as
     * `aggregate(zip_with(x, d, *), 0.0, +)` — element order fixed by the
@@ -184,13 +207,36 @@ object LinAlg {
   def topDirection(emb: DataFrame, vecCol: String, dim: Int,
                    scale: Int = 1000, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 100)
-    val cov = embedCovariance(emb, vecCol, dim, scale)
-      .select(col("i"), col("j"), col("cov")).collect()
+    val (_, c) = covMatrix(emb, vecCol, dim, scale)
+    val (v, lambda) = powerIterate(c, dim, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    v.zipWithIndex.map { case (x, i) => (i, x, lambda) }
+      .toSeq.toDF("i", "v", "eigenvalue")
+  }
+
+  /** Bounded dim² collect of the covariance matrix (mirrored to full
+    * symmetric form) plus the row count — the driver-side entry the
+    * iteration ops share.
+    */
+  private def covMatrix(emb: DataFrame, vecCol: String, dim: Int,
+                        scale: Int): (Long, Array[Array[Double]]) = {
+    val rows = embedCovariance(emb, vecCol, dim, scale).collect()
+    val n = if (rows.isEmpty) 0L else rows(0).getLong(2)
     val c = Array.ofDim[Double](dim, dim)
-    cov.foreach { r =>
-      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getDouble(6))
       c(i)(j) = v; c(j)(i) = v
     }
+    (n, c)
+  }
+
+  /** Fixed-order power iteration: left-to-right matvec folds, max-abs
+    * normalization with the smallest-index tie rule. Returns (direction
+    * with v_m = 1, Rayleigh top-eigenvalue estimate).
+    */
+  private def powerIterate(c: Array[Array[Double]], dim: Int,
+                           iters: Int): (Array[Double], Double) = {
     var v = Array.fill(dim)(1.0)
     var lambda = 0.0
     for (_ <- 1 to iters) {
@@ -206,9 +252,6 @@ object LinAlg {
       lambda = w(m)
       v = w.map(_ / w(m))
     }
-    val spark = emb.sparkSession
-    import spark.implicits._
-    v.zipWithIndex.map { case (x, i) => (i, x, lambda) }
-      .toSeq.toDF("i", "v", "eigenvalue")
+    (v, lambda)
   }
 }
