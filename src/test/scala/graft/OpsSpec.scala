@@ -1682,6 +1682,30 @@ class OpsSpec extends AnyFunSuite {
     assert(resid / scale < 1e-6, s"residual $resid vs scale $scale")
   }
 
+  test("spectral summary: trace equals variance sum; planted dominant axis explains most variance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = Seq.tabulate(300) { i =>
+      val t = rnd.nextGaussian() * 0.25
+      (i.toLong, Array(
+        (0.02 * rnd.nextGaussian()).toFloat, t.toFloat,
+        (0.02 * rnd.nextGaussian()).toFloat,
+        (0.3 * t + 0.01 * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val s = graft.ops.LinAlg.spectralSummary(emb, "embedding", dim = 4,
+      iters = 25).collect()(0)
+    assert(s.getLong(0) == 300)
+    // trace == ordered sum of the diagonal covariances
+    val diag = graft.ops.LinAlg.embedCovariance(emb, "embedding", dim = 4)
+      .where(col("i") === col("j")).orderBy(col("i")).collect()
+      .map(_.getDouble(6))
+    assert(s.getDouble(1) == diag.foldLeft(0.0)(_ + _))
+    // one strong axis (plus its 0.3-correlated echo) dominates
+    val ratio = s.getDouble(3)
+    assert(ratio > 0.85 && ratio <= 1.0, s"explained ratio $ratio")
+    assert(s.getDouble(2) > 0, "top eigenvalue of a covariance is positive")
+  }
+
   test("filter funnel: first-failure attribution, chained n_in/n_out, one-pass plan") {
     import spark.implicits._
     val d = Seq(
