@@ -5695,6 +5695,59 @@ object Queries {
              m3.wm / tr.trace AS explained_ratio
       FROM nn, tr, m3"""))
 
+  /** DSIR IMPORTANCE WEIGHTS, BIGRAM FORM (TextOps.dsirImportance, Xie
+    * et al. NeurIPS 2023): hashed-bigram log-likelihood ratio of a target
+    * domain (here sources src0-src2 stand in for the paper's
+    * Wikipedia/books slice) against the raw corpus — the data-selection
+    * policy input for importance resampling. Completes q132's unigram
+    * form with the paper's actual bigram feature set (co-occurrence
+    * signal unigrams can't see). Bucket counts are two B-row partial-agg
+    * shuffles broadcast back onto the gram stream; summands route through
+    * DECIMAL(28,12) (q71 recipe) and every log-ratio factor is cast to
+    * double pre-multiply (q147 overflow lesson). Oracle replays the
+    * rollHash/mod chain and the identical ln((a·b)/(c·d)) shape.
+    */
+  private val q170 = Q("q170_dsir_importance",
+    (s, d) => graft.ops.TextOps.dsirImportance(
+        t(s, d, "documents"), col("doc_id"), col("text"),
+        col("source").isin("src0", "src1", "src2"), buckets = 256)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source IN ('src0', 'src1', 'src2') AS is_target,
+               list_transform(
+                 list_filter(string_split(text, ' '), w -> len(w) > 0),
+                 w -> list_reduce(
+                   list_transform(string_split(w, ''),
+                     c -> CAST(ascii(c) AS BIGINT)),
+                   (a, c) -> (a * 31 + c) % 2147483647)) AS th
+        FROM documents),
+      g AS (
+        SELECT doc_id, is_target, th,
+               unnest(range(1, greatest(len(th) - 1, 0) + 1)) AS i
+        FROM t),
+      h AS (
+        SELECT doc_id, is_target,
+               ((th[i] * 131 + th[i + 1]) % 2147483647) % 256 AS bkt
+        FROM g),
+      raw AS (SELECT bkt, COUNT(*) AS c_r FROM h GROUP BY 1),
+      tgt AS (SELECT bkt, COUNT(*) AS c_t FROM h WHERE is_target GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_r,
+                     CAST(COUNT(*) FILTER (WHERE is_target) AS BIGINT) AS n_t
+              FROM h),
+      w AS (
+        SELECT raw.bkt,
+               CAST(ln((CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) *
+                        CAST(n_r + 256 AS DOUBLE)) /
+                       (CAST(c_r + 1 AS DOUBLE) *
+                        CAST(n_t + 256 AS DOUBLE)))
+                    AS DECIMAL(28,12)) AS w
+        FROM raw LEFT JOIN tgt USING (bkt) CROSS JOIN tot)
+      SELECT h.doc_id, COUNT(*) AS n_grams,
+             CAST(SUM(w.w) AS DOUBLE) AS dsir_logratio
+      FROM h JOIN w USING (bkt)
+      GROUP BY 1 ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5709,7 +5762,8 @@ object Queries {
     q123, q124, q125, q126, q127, q128, q129, q130, q131, q132, q133, q134,
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
-    q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169)
+    q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
+    q170)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -1271,6 +1271,101 @@ object TextOps {
           .as("keep_rate"))
   }
 
+  /** DSIR IMPORTANCE WEIGHTS (Xie et al., NeurIPS 2023 — "Data Selection
+    * for Language Models via Importance Resampling"): score every document
+    * by the hashed-bigram log-likelihood ratio between a TARGET domain
+    * (the distribution you want more of — in the paper, Wikipedia/books)
+    * and the RAW corpus. Per bucket b:
+    * `w_b = ln( ((c_t[b]+1)·(n_r+B)) / ((c_r[b]+1)·(n_t+B)) )` — add-one
+    * smoothed log-ratio of target vs raw bucket mass; a document's score
+    * is the sum of `w` over its bigram occurrences. High score ⇒ the doc
+    * looks like the target domain; importance resampling keeps docs with
+    * probability ∝ exp(score/len) — the score column IS the policy input.
+    *
+    * Cross-engine exact: each TOKEN hashes once through [[rollHash]]; a
+    * bigram's bucket is `((h1·131 + h2) mod (2^31−1)) mod buckets` —
+    * SQL-replayable and |h1·131+h2| < 2^39 (ANSI-safe). Each log-ratio
+    * factor is cast to double BEFORE
+    * multiplying (the q147 overflow lesson — counts at 100 TB overflow
+    * any Long product), and per-doc summands route through DECIMAL(28,12)
+    * so the sum is order-independent (the q71 recipe).
+    *
+    * Scale shape: ONE tokenize+hash pass feeding one (doc, bucket)
+    * partial-agg shuffle (≤ docs·B cells, the only corpus-sized
+    * exchange); the two bucket distributions and the totals are B-row /
+    * 1-row aggregates off that persisted cell frame, broadcast back for
+    * scoring (`w·c` per cell == the per-occurrence sum, exactly, since
+    * decimal × integer is exact). No corpus-sized join sides; `buckets`
+    * bounds every model frame (the paper uses 10^4 for full CommonCrawl).
+    *
+    * Sibling of [[graft.ops.Mix.importanceWeights]] (catalog q132): that
+    * op is the UNIGRAM form with integer 1e-12-nat arithmetic and a
+    * pluggable bucket hash; this one is the paper's hashed-BIGRAM feature
+    * set (word co-occurrence, the signal unigrams can't see) with the
+    * count-ratio (not probability-difference) weight formulation. Use
+    * q132's shape when bit-exact Long replay matters; this when bigram
+    * context does.
+    */
+  def dsirImportance(docs: DataFrame, id: Column, text: Column,
+                     isTarget: Column, buckets: Int = 256,
+                     tokenHash: Option[Column => Column] = None): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 2, "need at least two hash buckets")
+    // default token hash is the SQL-replayable rollHash; production
+    // callers pass w => pmod(xxhash64(w), lit(1L << 31)) — codegen'd,
+    // ~an order cheaper than the interpreted char fold (the q142 contract)
+    val tHash: Column => Column = tokenHash.getOrElse(w => rollHash(w))
+    // hash each TOKEN once (per-doc hash array), then a bigram's key is
+    // O(1) arithmetic over adjacent entries — vs rollHash(concat(w1,w2))
+    // which re-folds every character twice through interpreted
+    // higher-order exprs (measured: the concat form alone was ~4x the
+    // comparable bigram ops at sf0.1)
+    val nGrams = greatest(size(col("h")) - 1, lit(0))
+    val grams = docs.select(id.as("doc_id"), isTarget.as("is_target"),
+        transform(arrToks(text), w => tHash(w)).as("h"))
+      .select(col("doc_id"), col("is_target"),
+        explode(zip_with(
+          slice(col("h"), lit(1), nGrams), slice(col("h"), lit(2), nGrams),
+          (a, b) => pmod(a * 131 + b, lit(2147483647L)))).as("hh"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(col("hh"), lit(buckets.toLong)).as("bkt"))
+    // one tokenize+hash pass: collapse to (doc, bucket) occurrence counts
+    // FIRST (the Mix.importanceWeights recipe) — this frame feeds the raw
+    // distribution, the target distribution, the totals AND the scoring
+    // join, so without it the corpus would re-hash four times (measured
+    // 12.8 s -> see SCALE.md; Caches-tracked, released by the session owner)
+    val perDoc = graft.ops.Caches.track(
+      grams.groupBy(col("doc_id"), col("is_target"), col("bkt"))
+        .agg(count(lit(1)).as("c")))
+    val raw = perDoc.groupBy(col("bkt")).agg(sum(col("c")).as("c_r"))
+    val tgt = perDoc.where(col("is_target"))
+      .groupBy(col("bkt")).agg(sum(col("c")).as("c_t"))
+    val tot = perDoc.agg(sum(col("c")).as("n_r"),
+      sum(when(col("is_target"), col("c")).otherwise(0L)).as("n_t"))
+    val bLit = lit(buckets.toLong)
+    val weights = raw.join(tgt, Seq("bkt"), "left")
+      .na.fill(0L, Seq("c_t"))
+      .crossJoin(broadcast(tot)) // single-row totals frame
+      .select(col("bkt"),
+        // each factor to double BEFORE multiplying; identical IEEE shape
+        // to the oracle's ln((a*b)/(c*d))
+        // DECIMAL(20,12), not (28,12): the w·c product must keep scale 12
+        // under Spark's 38-digit cap — (20,12)×(17,0) → exactly (38,12);
+        // a (28,12) w would make Spark silently round the product to
+        // scale 6 (measured: 6-dp results). |w| < 50, so 8 integer
+        // digits are generous; same HALF_UP 12-dp value as the oracle's
+        // (28,12) cast.
+        log(((col("c_t") + 1).cast("double") * (col("n_r") + bLit).cast("double")) /
+            ((col("c_r") + 1).cast("double") * (col("n_t") + bLit).cast("double")))
+          .cast(DecimalType(20, 12)).as("w"))
+    // w·c == the oracle's per-occurrence SUM(w): decimal × integer is exact
+    perDoc.join(broadcast(weights), Seq("bkt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("w") * col("c").cast(DecimalType(17, 0)))
+          .cast("double").as("dsir_logratio"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -2747,6 +2747,63 @@ class OpsSpec extends AnyFunSuite {
     assert(m.get(("the", "cat")).forall(_._4 < lift))
   }
 
+  // ---- DSIR importance weights (q170) ----
+
+  test("DSIR: bit-parity with a plain-Scala replica; target domain outranks raw") {
+    val rows = Seq(
+      (0L, "src0", "quantum flux quantum flux quantum flux"),
+      (1L, "src0", "quantum flux capacitor array quantum flux"),
+      (2L, "src5", "stock market stock market stock market"),
+      (3L, "src5", "stock market crash and quantum flux"),
+      (4L, "src6", "quantum flux quantum flux stock market"))
+    val d = rows.toDF("doc_id", "source", "text")
+    val B = 64
+    val out = TextOps.dsirImportance(d, col("doc_id"), col("text"),
+      col("source") === "src0", buckets = B)
+    val got = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    // plain-Scala replica of the whole chain, DECIMAL(28,12) routing incl.
+    def h(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 2147483647L)
+    val grams = rows.flatMap { case (id, src, text) =>
+      text.split(" ").filter(_.nonEmpty).sliding(2).filter(_.length == 2)
+        .map(p => (id, src == "src0", (h(p(0)) * 131 + h(p(1))) % 2147483647L % B))
+    }
+    val nR = grams.size.toLong
+    val nT = grams.count(_._2).toLong
+    val cR = grams.groupBy(_._3).map { case (b, g) => b -> g.size.toLong }
+    val cT = grams.filter(_._2).groupBy(_._3)
+      .map { case (b, g) => b -> g.size.toLong }
+    def w(b: Long): BigDecimal = BigDecimal(
+      math.log(((cT.getOrElse(b, 0L) + 1).toDouble * (nR + B).toDouble) /
+               ((cR(b) + 1).toDouble * (nT + B).toDouble)))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val exp = grams.groupBy(_._1).map { case (id, g) =>
+      id -> ((g.size.toLong, g.map(x => w(x._3)).sum.toDouble))
+    }
+    assert(got == exp, s"got $got\nexp $exp")
+    // the pure-target doc scores above the pure-raw-domain doc, and the
+    // mixed doc lands between them
+    assert(got(0L)._2 > got(4L)._2 && got(4L)._2 > got(2L)._2, s"got $got")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+
+    // the production xxhash64 token-hash hook: same docs, same gram
+    // counts, deterministic scores (bucketing differs, coverage doesn't)
+    val prod = TextOps.dsirImportance(d, col("doc_id"), col("text"),
+      col("source") === "src0", buckets = B,
+      tokenHash = Some(w => pmod(xxhash64(w), lit(1L << 31))))
+    val prodRows = prod.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(prodRows.keySet == exp.keySet)
+    assert(prodRows.map { case (k, v) => k -> v._1 } ==
+           exp.map { case (k, v) => k -> v._1 })
+    val prodRows2 = prod.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(prodRows == prodRows2)
+  }
+
   // ---- winnowing fingerprints (q149) ----
 
   test("winnowing: shared run of >= w+k-1 tokens always yields a shared fingerprint") {
