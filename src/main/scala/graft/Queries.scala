@@ -5702,10 +5702,11 @@ object Queries {
     * policy input for importance resampling. Completes q132's unigram
     * form with the paper's actual bigram feature set (co-occurrence
     * signal unigrams can't see). Bucket counts are two B-row partial-agg
-    * shuffles broadcast back onto the gram stream; summands route through
-    * DECIMAL(28,12) (q71 recipe) and every log-ratio factor is cast to
-    * double pre-multiply (q147 overflow lesson). Oracle replays the
-    * rollHash/mod chain and the identical ln((a·b)/(c·d)) shape.
+    * shuffles broadcast back onto the (doc, bucket) cell frame; summands
+    * route through 12-dp DECIMAL (q71 recipe) and every log-ratio factor
+    * is cast to double pre-multiply (q147 overflow lesson). Oracle
+    * replays the per-token rollHash array, the (h1·131+h2) gram keys,
+    * and the identical ln((a·b)/(c·d)) shape.
     */
   private val q170 = Q("q170_dsir_importance",
     (s, d) => graft.ops.TextOps.dsirImportance(

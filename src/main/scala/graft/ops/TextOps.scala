@@ -1287,8 +1287,9 @@ object TextOps {
     * SQL-replayable and |h1·131+h2| < 2^39 (ANSI-safe). Each log-ratio
     * factor is cast to double BEFORE
     * multiplying (the q147 overflow lesson — counts at 100 TB overflow
-    * any Long product), and per-doc summands route through DECIMAL(28,12)
-    * so the sum is order-independent (the q71 recipe).
+    * any Long product), and per-doc summands route through a 12-dp
+    * DECIMAL so the sum is order-independent (the q71 recipe; see the
+    * in-code note for why the weight is (20,12), not (28,12)).
     *
     * Scale shape: ONE tokenize+hash pass feeding one (doc, bucket)
     * partial-agg shuffle (≤ docs·B cells, the only corpus-sized
