@@ -277,6 +277,11 @@ object ScaleRehearsal {
     }
     def time(name: String, dir: String): Double = {
       def once(): Double = {
+        // drain tracked op caches BEFORE the clock starts (the Bench
+        // contract): otherwise an op that persists an intermediate gets
+        // its second run nearly free and min-of-2 reports the cached
+        // recompute, not the build (q170 measured a bogus 1.44x at 10x)
+        graft.ops.Caches.drainAll(spark)
         val t0 = System.nanoTime()
         build(name, dir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
