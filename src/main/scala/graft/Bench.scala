@@ -184,5 +184,6 @@ object Bench {
     "q118_fuzzy_join", "q120_pagerank", "q122_entity_resolution",
     "q123_semantic_dedup", "q128_semantic_keepers", "q140_stupid_backoff",
     "q147_pmi_collocations", "q150_kcenter_diverse", "q155_personalized_pagerank",
-    "q160_bradley_terry", "q165_embed_covariance")
+    "q160_bradley_terry", "q165_embed_covariance",
+    "q170_dsir_importance", "q173_triplet_mine")
 }

@@ -5749,6 +5749,143 @@ object Queries {
       FROM h JOIN w USING (bkt)
       GROUP BY 1 ORDER BY doc_id"""))
 
+  /** HARD-NEGATIVE MINING (Similarity.hardNegatives): for each of 20 query
+    * vectors, the top-5 most-similar corpus vectors with a DIFFERENT
+    * label — the contrastive-training negatives op (DPR/SimCSE shape).
+    * knnJoin's plan (q81) plus a null-safe label gate applied before the
+    * bounded heap, so same-label rows never consume heap slots. Quantized
+    * integer dot (the q26/q81 recipe) keeps scores bit-exact; the oracle
+    * is q81's brute force with `label IS DISTINCT FROM q_label`, rank
+    * tie-broken (score DESC, vec_id) like TopKByScore.
+    */
+  private val q171 = Q("q171_hard_negatives",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      graft.ops.Similarity.hardNegatives(emb, queries, k = 5,
+          scorer = graft.ops.Similarity.quantizedDot)
+        .withColumnRenamed("score", "dot")
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                        label AS q_label
+                 FROM embeddings WHERE vec_id < 20),
+      d AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+                        CAST(round(CAST(q.q_emb[t.i] AS DOUBLE) * 1000) AS BIGINT))
+                    AS DOUBLE) AS dot
+        FROM embeddings e, q, range(1, 65) t(i)
+        WHERE e.label IS DISTINCT FROM q.q_label
+        GROUP BY 1, 2),
+      r AS (SELECT query_id, vec_id, dot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, vec_id) AS rank
+            FROM d)
+      SELECT query_id, rank, vec_id, dot FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** EPOCH / REPEAT-FACTOR SCHEDULE (Mix.epochSchedule): the pretraining
+    * data-recipe table — per-source epochs under a 50k-token budget, T=0.5
+    * temperature weights (q92 recipe), and a 2.0-epoch repeat cap with one
+    * surplus-redistribution waterfall round. At this corpus the budget
+    * caps 2 of the 20 sources, so the oracle exercises the full path:
+    * exact token counts → sqrt/DECIMAL weight chain → cap → DECIMAL
+    * surplus/uncapped-mass pool → re-clamped redistribution, every FP
+    * step an identical dag in both engines.
+    */
+  private val q172 = Q("q172_epoch_schedule",
+    (s, d) => graft.ops.Mix.epochSchedule(
+        t(s, d, "documents"), col("source"),
+        size(filter(split(col("text"), " "), w => length(w) > 0)),
+        budget = 50000L, maxEpochs = 2.0)
+      .orderBy(col("stratum")),
+    Some("""
+      WITH cnt AS (
+        SELECT source AS stratum,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        w -> len(w) > 0))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1),
+      tot AS (SELECT SUM(n_tokens) AS n_total FROM cnt),
+      scaled AS (
+        SELECT stratum, n_tokens,
+               CAST(sqrt(CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE))
+                    AS DECIMAL(28,12)) AS sq
+        FROM cnt, tot),
+      z AS (SELECT SUM(sq) AS z FROM scaled),
+      e0 AS (
+        SELECT stratum, n_tokens,
+               CAST(sq AS DOUBLE) / CAST(z AS DOUBLE) AS w,
+               50000.0 * (CAST(sq AS DOUBLE) / CAST(z AS DOUBLE)) /
+                 CAST(n_tokens AS DOUBLE) AS epochs0
+        FROM scaled, z),
+      e1 AS (SELECT *, epochs0 > 2.0 AS capped FROM e0),
+      pool AS (
+        SELECT SUM(CASE WHEN capped
+                        THEN CAST(50000.0 * w - CAST(n_tokens AS DOUBLE) * 2.0
+                                  AS DECIMAL(28,12))
+                        ELSE CAST(0 AS DECIMAL(28,12)) END) AS surplus,
+               SUM(CASE WHEN NOT capped THEN CAST(w AS DECIMAL(28,12))
+                        ELSE CAST(0 AS DECIMAL(28,12)) END) AS zu
+        FROM e1),
+      sched AS (
+        SELECT stratum, n_tokens, w,
+               CASE WHEN capped OR zu = 0 THEN least(epochs0, 2.0)
+                    ELSE least(2.0, epochs0 +
+                           CAST(surplus AS DOUBLE) * w /
+                             (CAST(zu AS DOUBLE) * CAST(n_tokens AS DOUBLE)))
+               END AS epochs
+        FROM e1, pool)
+      SELECT stratum, n_tokens, w, epochs,
+             epochs * CAST(n_tokens AS DOUBLE) AS alloc_tokens
+      FROM sched ORDER BY stratum"""))
+
+  /** TRIPLET MINING (Similarity.tripletMine): each query anchor's hardest
+    * same-label positive (self excluded) and hardest different-label
+    * negative, with the margin between them — the assembled
+    * (anchor, positive, negative) table a triplet/contrastive loss trains
+    * on; margin ≤ 0 rows are the anchors the loss exists to fix. Both
+    * legs are the q171 gated bounded-heap plan at k=1; quantized integer
+    * dot keeps every score and the margin subtraction bit-exact.
+    */
+  private val q173 = Q("q173_triplet_mine",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      graft.ops.Similarity.tripletMine(emb, queries,
+          scorer = graft.ops.Similarity.quantizedDot)
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                        label AS q_label
+                 FROM embeddings WHERE vec_id < 20),
+      d AS (
+        SELECT q.query_id, q.q_label, e.vec_id, e.label,
+               CAST(SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+                        CAST(round(CAST(q.q_emb[t.i] AS DOUBLE) * 1000) AS BIGINT))
+                    AS DOUBLE) AS dot
+        FROM embeddings e, q, range(1, 65) t(i)
+        GROUP BY 1, 2, 3, 4),
+      p AS (SELECT query_id, vec_id AS pos_id, dot AS pos_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, vec_id) AS rk
+            FROM d WHERE label = q_label AND vec_id <> query_id),
+      n AS (SELECT query_id, vec_id AS neg_id, dot AS neg_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY dot DESC, vec_id) AS rk
+            FROM d WHERE label IS DISTINCT FROM q_label)
+      SELECT p.query_id, pos_id, pos_score, neg_id, neg_score,
+             pos_score - neg_score AS margin
+      FROM p JOIN n USING (query_id)
+      WHERE p.rk = 1 AND n.rk = 1
+      ORDER BY query_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5764,7 +5901,7 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170)
+    q170, q171, q172, q173)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -103,6 +103,73 @@ object Mix {
       floor((sum(tokens).over(w) - tokens) / lit(budget)))
   }
 
+  /** EPOCH / REPEAT-FACTOR SCHEDULE (the data-recipe table of LLaMA-style
+    * pretraining and DoReMi-style mixture work): given a per-document
+    * token count and a total token `budget`, how many EPOCHS of each
+    * stratum (source/domain) to run so the realized mixture tracks the
+    * temperature-scaled weights without repeating any stratum more than
+    * `maxEpochs` times (the repeated-data degradation cap, Muennighoff
+    * et al. 2023). Procedure:
+    *   1. `w_s = sqrt(p_s)/Σ sqrt(p)` — the q92 T=0.5 temperature recipe
+    *      (sqrt is correctly rounded in both engines; Σ through
+    *      DECIMAL(28,12) so it is order-independent);
+    *   2. raw allocation `epochs0_s = budget·w_s / n_s`;
+    *   3. strata over `maxEpochs` cap there; their surplus budget
+    *      redistributes over the UNCAPPED strata proportional to w, one
+    *      waterfall round, re-clamped (a stratum pushed over the cap by
+    *      redistribution caps too; the residual shows up as
+    *      `budget − Σ alloc_tokens` — callers wanting a full waterfall
+    *      iterate this G-row op).
+    * Output per stratum: (stratum, n_tokens, w, epochs, alloc_tokens) —
+    * `alloc_tokens = n_s·epochs_s` is the realized per-stratum budget.
+    *
+    * All-capped edge: when every stratum caps, the uncapped weight mass
+    * is 0 and redistribution is skipped (no 0-division NaN).
+    *
+    * Scale shape: one partial-agg shuffle to G stratum rows; everything
+    * after is G-row arithmetic with two single-row broadcasts — the same
+    * cost at any corpus size. Every FP step is an identical dag in the
+    * DuckDB oracle (exact integer inputs, one sqrt, DECIMAL sums, fixed
+    * double expression order), so the schedule is bit-reproducible.
+    */
+  def epochSchedule(docs: DataFrame, stratum: Column, tokens: Column,
+                    budget: Long, maxEpochs: Double = 4.0): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    require(maxEpochs > 0, "epoch cap must be positive")
+    val cnt = docs.groupBy(stratum.as("stratum"))
+      .agg(sum(tokens).as("n_tokens"))
+    val tot = cnt.agg(sum(col("n_tokens")).as("n_total"))
+    val p = col("n_tokens").cast("double") / col("n_total").cast("double")
+    val scaled = cnt.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_tokens"),
+        sqrt(p).cast(DecimalType2812).as("sq"))
+    val z = scaled.agg(sum(col("sq")).as("z"))
+    val e0 = scaled.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_tokens"),
+        (col("sq").cast("double") / col("z").cast("double")).as("w"))
+      .withColumn("epochs0",
+        lit(budget.toDouble) * col("w") / col("n_tokens").cast("double"))
+      .withColumn("capped", col("epochs0") > lit(maxEpochs))
+    // one row: surplus budget above the cap + uncapped weight mass
+    val pool = e0.agg(
+      sum(when(col("capped"),
+          (lit(budget.toDouble) * col("w") -
+            col("n_tokens").cast("double") * lit(maxEpochs))
+            .cast(DecimalType2812))
+        .otherwise(lit(0).cast(DecimalType2812))).as("surplus"),
+      sum(when(!col("capped"), col("w").cast(DecimalType2812))
+        .otherwise(lit(0).cast(DecimalType2812))).as("zu"))
+    e0.crossJoin(broadcast(pool))
+      .select(col("stratum"), col("n_tokens"), col("w"),
+        when(col("capped") || col("zu") === lit(0), least(col("epochs0"), lit(maxEpochs)))
+          .otherwise(least(lit(maxEpochs),
+            col("epochs0") +
+              col("surplus").cast("double") * col("w") /
+                (col("zu").cast("double") * col("n_tokens").cast("double"))))
+          .as("epochs"))
+      .withColumn("alloc_tokens", col("epochs") * col("n_tokens").cast("double"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw doc by
     * how target-like its hashed-token-bucket distribution is. Both
@@ -171,4 +238,5 @@ object Mix {
 
   private val DecimalType1812 = org.apache.spark.sql.types.DecimalType(18, 12)
   private val Decimal130 = org.apache.spark.sql.types.DecimalType(13, 0)
+  private val DecimalType2812 = org.apache.spark.sql.types.DecimalType(28, 12)
 }

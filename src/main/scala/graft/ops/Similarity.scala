@@ -112,6 +112,89 @@ object Similarity {
         col("col.id").as("vec_id"), col("col.score").as("score"))
   }
 
+  /** HARD-NEGATIVE MINING (contrastive / retrieval training data): for
+    * every query vector, the top-k most-similar corpus vectors with a
+    * DIFFERENT label — the highest-scoring wrong answers are exactly the
+    * negatives a contrastive loss learns most from (e.g. DPR, Karpukhin
+    * et al. 2020; SimCSE hard negatives). Same plan as [[knnJoin]]
+    * (broadcast query set, one narrow scoring pass, bounded-heap
+    * TopKByScore map-side reduce) with the label gate applied BEFORE the
+    * heap update, so same-label rows never consume heap slots and a
+    * query's k negatives are exact, not best-effort post-filtering.
+    *
+    * The gate is null-safe (`NOT (label <=> q_label)`): an unlabeled
+    * corpus row IS a candidate negative for a labeled query and vice
+    * versa, but unlabeled-vs-unlabeled is treated as same-label
+    * (conservatively excluded — unknown pairs must not masquerade as
+    * known negatives). Corpus/queries carry (vec_id, embedding, label) /
+    * (query_id, q_emb, q_label); output (query_id, rank, vec_id, score).
+    *
+    * Scale: inherits knnJoin's contract — shuffle carries k rows per
+    * query per partition. For a corpus-sized query table, apply the same
+    * null-safe gate to [[annKnnJoin]]'s candidate stream after its
+    * (tbl, sig) equi-join instead (compose, don't rescan).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    scorer: (Column, Column) => Column = cosine): DataFrame =
+    gatedKnn(corpus, queries, k, !(col("label") <=> col("q_label")), scorer)
+
+  /** Hardest same-label companions: top-k most-similar corpus vectors with
+    * the SAME (non-null-safe `===` — an unlabeled row is never a certified
+    * positive) label, self excluded. With k=1 this is the "hardest
+    * positive" of triplet mining; larger k feeds pseudo-labeling and
+    * intra-class consistency audits. Same plan contract as
+    * [[hardNegatives]].
+    */
+  def hardPositives(corpus: DataFrame, queries: DataFrame, k: Int,
+                    scorer: (Column, Column) => Column = cosine): DataFrame =
+    gatedKnn(corpus, queries, k,
+      col("label") === col("q_label") && col("vec_id") =!= col("query_id"),
+      scorer)
+
+  /** TRIPLET MINING (anchor, positive, negative): for every query, its
+    * single hardest positive ([[hardPositives]] k=1) and hardest negative
+    * ([[hardNegatives]] k=1), plus `margin = pos_score − neg_score` — the
+    * assembled training pair table of a triplet/contrastive loss, where
+    * margin ≤ 0 rows are exactly the anchors whose nearest wrong-label
+    * vector outscores their best same-label one (the pairs the loss
+    * exists to fix). Queries whose label matches no other corpus row drop
+    * out (inner join on both legs — a triplet needs all three corners).
+    * Two gated scans + a query-keyed join of two ≤|queries|-row frames.
+    */
+  def tripletMine(corpus: DataFrame, queries: DataFrame,
+                  scorer: (Column, Column) => Column = cosine): DataFrame = {
+    val pos = hardPositives(corpus, queries, k = 1, scorer)
+      .select(col("query_id"), col("vec_id").as("pos_id"),
+        col("score").as("pos_score"))
+    val neg = hardNegatives(corpus, queries, k = 1, scorer)
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        col("score").as("neg_score"))
+    pos.join(neg, Seq("query_id"))
+      .withColumn("margin", col("pos_score") - col("neg_score"))
+  }
+
+  /** The [[knnJoin]] plan with a candidate gate applied BEFORE the bounded
+    * heap: gated rows never consume heap slots, so the k survivors are
+    * exact under the constraint (not best-effort post-filtering).
+    */
+  private def gatedKnn(corpus: DataFrame, queries: DataFrame, k: Int,
+                       gate: Column,
+                       scorer: (Column, Column) => Column): DataFrame = {
+    val parallelism = corpus.sparkSession.sparkContext.defaultParallelism
+    corpus.select(col("vec_id"), col("embedding"), col("label"))
+      .repartition(parallelism, col("vec_id")) // single-split scan guard
+      .crossJoin(broadcast(queries.select(
+        col("query_id"), col("q_emb"), col("q_label"))))
+      .where(gate)
+      .select(col("query_id"), col("vec_id"),
+        scorer(col("embedding"), col("q_emb")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.gfn.topk_by_score(col("score"), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("score"))
+  }
+
   /** Batched ANN KNN join — the LSH-pruned form of [[knnJoin]] for when the
     * query table itself is large: corpus rows bucket by nTables hyperplane
     * signatures, each query probes its bucket plus hamming-1 neighbors per

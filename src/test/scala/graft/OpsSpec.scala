@@ -610,6 +610,75 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("hardNegatives: brute-force parity; null-label semantics; same label never surfaces") {
+    // 4-dim lattice vectors, labels 0 / 1 / null
+    val rows = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), Some(0)),
+      (1L, Seq(0.9f, 0.1f, 0f, 0f), Some(0)),   // closest to 0 but same label
+      (2L, Seq(0.8f, 0.2f, 0f, 0f), Some(1)),   // the true hard negative of 0
+      (3L, Seq(0f, 1f, 0f, 0f), Some(1)),
+      (4L, Seq(0f, 0.9f, 0.1f, 0f), None),      // unlabeled corpus row
+      (5L, Seq(0f, 0f, 1f, 0f), None),
+      (6L, Seq(0.5f, 0.5f, 0f, 0f), Some(0)))
+    val d = rows.map { case (id, v, l) =>
+      (id, v, l.map(Integer.valueOf).orNull) }
+      .toDF("vec_id", "embedding", "label")
+    val queries = d.where(col("vec_id").isin(0L, 4L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val out = Similarity.hardNegatives(d, queries, k = 3,
+      scorer = Similarity.quantizedDot)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).toSeq }
+
+    // plain-Scala replica: quantized dot, null-safe label gate, rank by
+    // (dot DESC, vec_id) — TopKByScore's tie rule
+    def dot(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.round(x * 1000.0) * math.round(y * 1000.0) }.sum
+    val exp = Seq((0L, Some(0)), (4L, Option.empty[Int])).map { case (q, ql) =>
+      val qv = rows.find(_._1 == q).get._2
+      val cands = rows.filter(r => r._3 != ql)
+        .map(r => (r._1, dot(qv, r._2).toDouble))
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+      q -> cands.zipWithIndex.map { case ((id, s), i) =>
+        (q, (i + 1).toLong, id, s) }
+    }.toMap
+    assert(got == exp, s"got $got\nexp $exp")
+    // query 0 (label 0): ids 1 and 6 (same label) never surface even
+    // though 1 is the nearest vector overall; 2 ranks first
+    assert(got(0L).map(_._3).toSet.intersect(Set(1L, 6L)).isEmpty)
+    assert(got(0L).head._3 == 2L)
+    // query 4 (unlabeled): the other unlabeled row (5) is excluded,
+    // every labeled row is fair game
+    assert(!got(4L).map(_._3).contains(5L))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+
+    // hardPositives: same label, self excluded, unlabeled queries get none
+    val posOut = Similarity.hardPositives(d, queries, k = 3,
+        scorer = Similarity.quantizedDot).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (q, rs) => q -> rs.sortBy(_._2).map(_._3).toSeq }
+    // query 0 (label 0): positives are exactly {1, 6}, best-first
+    assert(posOut(0L) == Seq(1L, 6L), posOut.toString)
+    // query 4 (null label): === never matches null -> no positives at all
+    assert(!posOut.contains(4L), posOut.toString)
+
+    // tripletMine: query 0 pairs its best positive with its best negative;
+    // the unlabeled query drops out (no positive corner)
+    val tri = Similarity.tripletMine(d, queries,
+        scorer = Similarity.quantizedDot).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))).toMap
+    assert(tri.keySet == Set(0L))
+    val (posId, posS, negId, negS, margin) = tri(0L)
+    assert(posId == 1L && negId == 2L, tri.toString)
+    assert(margin == posS - negS)
+    assert(margin > 0) // 1 (same label) outscores 2 for anchor 0
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
@@ -2802,6 +2871,61 @@ class OpsSpec extends AnyFunSuite {
     val prodRows2 = prod.collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(prodRows == prodRows2)
+  }
+
+  // ---- epoch / repeat-factor schedule (q172) ----
+
+  test("epochSchedule: plain-Scala replica parity; caps, redistribution, conservation") {
+    val rows = Seq(
+      (0L, "srcA", 100),  // small: highest epochs0, caps
+      (1L, "srcB", 400),
+      (2L, "srcC", 1600),
+      (3L, "srcD", 6400)) // large: lowest epochs0
+    val d = rows.map { case (id, s, n) => (id, s, ("x " * n).trim) }
+      .toDF("doc_id", "source", "text")
+    val tokens = size(filter(split(col("text"), " "), w => length(w) > 0))
+    val budget = 10000L
+    val maxE = 4.0
+    val out = graft.ops.Mix.epochSchedule(d, col("source"), tokens, budget, maxE)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+
+    // replica with the identical FP dag, DECIMAL routing included
+    def dec(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val n = rows.groupBy(_._2).map { case (s, g) => s -> g.map(_._3).sum.toLong }
+    val nTot = n.values.sum
+    val sq = n.map { case (s, ns) =>
+      s -> dec(math.sqrt(ns.toDouble / nTot.toDouble)) }
+    val z = sq.values.sum
+    val w = sq.map { case (s, q) => s -> (q.toDouble / z.toDouble) }
+    val e0 = w.map { case (s, ws) =>
+      s -> budget.toDouble * ws / n(s).toDouble }
+    val capped = e0.map { case (s, e) => s -> (e > maxE) }
+    val surplus = e0.collect { case (s, _) if capped(s) =>
+      dec(budget.toDouble * w(s) - n(s).toDouble * maxE) }.sum
+    val zu = w.collect { case (s, ws) if !capped(s) => dec(ws) }.sum
+    val exp = n.keys.map { s =>
+      val e =
+        if (capped(s) || zu == 0) math.min(e0(s), maxE)
+        else math.min(maxE,
+          e0(s) + surplus.toDouble * w(s) / (zu.toDouble * n(s).toDouble))
+      s -> ((n(s), w(s), e, e * n(s).toDouble))
+    }.toMap
+    assert(out == exp, s"got $out\nexp $exp")
+
+    // structure: the small stratum caps, epochs are anti-monotone in size,
+    // and the realized allocation never exceeds the budget
+    assert(out("srcA")._3 == maxE)
+    val bySize = Seq("srcA", "srcB", "srcC", "srcD").map(out(_)._3)
+    assert(bySize == bySize.sorted.reverse, s"epochs not anti-monotone: $bySize")
+    val alloc = out.values.map(_._4).sum
+    assert(alloc <= budget * (1 + 1e-9), s"over-allocated: $alloc > $budget")
+
+    // all-capped edge: tiny budget cap -> every stratum at the cap, no NaN
+    val tiny = graft.ops.Mix.epochSchedule(d, col("source"), tokens, 100000L, 0.5)
+      .collect().map(r => (r.getString(0), r.getDouble(3)))
+    assert(tiny.forall { case (_, e) => e == 0.5 }, tiny.toSeq.toString)
   }
 
   // ---- winnowing fingerprints (q149) ----
