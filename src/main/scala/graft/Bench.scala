@@ -185,5 +185,6 @@ object Bench {
     "q123_semantic_dedup", "q128_semantic_keepers", "q140_stupid_backoff",
     "q147_pmi_collocations", "q150_kcenter_diverse", "q155_personalized_pagerank",
     "q160_bradley_terry", "q165_embed_covariance",
-    "q170_dsir_importance", "q173_triplet_mine")
+    "q170_dsir_importance", "q173_triplet_mine",
+    "q174_bm25_topk", "q176_mmr_select")
 }

@@ -5886,6 +5886,254 @@ object Queries {
       WHERE p.rk = 1 AND n.rk = 1
       ORDER BY query_id"""))
 
+  /** BM25 TOP-K RETRIEVAL (TextOps.bm25TopK): 8 queries (the first 4
+    * tokens of docs 0–7) against the whole corpus, top-5 each — the
+    * lexical-retrieval face of RAG search and decontamination probes.
+    * Exact tf/df/dl/N; idf and each idf·tfw term go through the q83
+    * DECIMAL(28,12) truncation so the per-(query, doc) sum is
+    * order-independent; k1 = 1.25 / b = 0.75 keep every folded constant
+    * binary-exact across DuckDB's decimal-literal promotion.
+    */
+  private val q174 = Q("q174_bm25_topk",
+    (s, d) => {
+      val queries = t(s, d, "documents").where(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(filter(split(col("text"), " "),
+            w => length(w) > 0), 1, 4), " ").as("q_text"))
+      TextOps.bm25TopK(docsSpread(s, d), col("doc_id"), col("text"),
+          queries, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some("""
+      WITH dd AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      st AS (SELECT COUNT(*) AS n_docs,
+                    CAST(SUM(len(toks)) AS BIGINT) AS n_toks FROM dd),
+      tfg AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, toks, unnest(toks) AS term FROM dd)
+        GROUP BY 1, 2, 3),
+      dfq AS (SELECT term, COUNT(*) AS df FROM tfg GROUP BY 1),
+      q AS (SELECT DISTINCT query_id, term FROM (
+              SELECT doc_id AS query_id, unnest(toks[1:4]) AS term
+              FROM dd WHERE doc_id < 8)),
+      sc AS (
+        SELECT q.query_id, tfg.doc_id,
+               SUM(CAST(
+                 CAST(CAST(ln(1.0 + (CAST(st.n_docs AS DOUBLE) -
+                                     CAST(dfq.df AS DOUBLE) + 0.5) /
+                                    (CAST(dfq.df AS DOUBLE) + 0.5))
+                      AS DECIMAL(28,12)) AS DOUBLE) *
+                 (CAST(tfg.tf AS DOUBLE) * 2.25 /
+                  (CAST(tfg.tf AS DOUBLE) + 1.25 *
+                   (0.25 + 0.75 * (CAST(tfg.dl AS DOUBLE) /
+                     (CAST(st.n_toks AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+               AS DECIMAL(28,12))) AS sd
+        FROM tfg JOIN q USING (term) JOIN dfq USING (term), st
+        GROUP BY 1, 2),
+      r AS (SELECT query_id, doc_id, CAST(sd AS DOUBLE) AS score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY CAST(sd AS DOUBLE) DESC, doc_id) AS rank
+            FROM sc)
+      SELECT query_id, rank, doc_id, score FROM r WHERE rank <= 5
+      ORDER BY query_id, rank"""))
+
+  /** PREFERENCE-PAIR CONSTRUCTION (Mix.preferencePairs): per source
+    * ("prompt"), the best-of-n chosen and worst rejected candidate by an
+    * exact integer reward (distinct-token count — a lexical-diversity
+    * proxy), gap-gated at 5 — the (prompt, chosen, rejected) DPO/RLHF
+    * data-assembly step. One partial-combined struct-min/max aggregate;
+    * ties to the smallest doc_id on both corners.
+    */
+  private val q175 = Q("q175_preference_pairs",
+    (s, d) => graft.ops.Mix.preferencePairs(
+        t(s, d, "documents"), col("source"), col("doc_id"),
+        size(array_distinct(filter(split(col("text"), " "),
+          w => length(w) > 0))).cast("long"),
+        minGap = 5L)
+      .orderBy(col("grp")),
+    Some("""
+      WITH c AS (
+        SELECT source AS grp, doc_id AS cid,
+               CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                 w -> len(w) > 0))) AS BIGINT) AS r
+        FROM documents),
+      g AS (SELECT grp, COUNT(*) AS n_cands FROM c GROUP BY 1),
+      ch AS (SELECT grp, cid, r,
+                    ROW_NUMBER() OVER (PARTITION BY grp
+                      ORDER BY r DESC, cid) AS rk FROM c),
+      rj AS (SELECT grp, cid, r,
+                    ROW_NUMBER() OVER (PARTITION BY grp
+                      ORDER BY r ASC, cid) AS rk FROM c)
+      SELECT g.grp, g.n_cands,
+             ch.cid AS chosen_id, ch.r AS chosen_reward,
+             rj.cid AS rejected_id, rj.r AS rejected_reward,
+             ch.r - rj.r AS gap
+      FROM g JOIN ch ON g.grp = ch.grp AND ch.rk = 1
+             JOIN rj ON g.grp = rj.grp AND rj.rk = 1
+      WHERE g.n_cands >= 2 AND ch.r - rj.r >= 5 AND ch.cid <> rj.cid
+      ORDER BY g.grp"""))
+
+  /** MMR DIVERSE SELECTION (Similarity.mmrSelect, λ = 1/2): five greedy
+    * picks maximizing rel − max-sim-to-selected against query vector 0 —
+    * the relevance-vs-redundancy re-rank between retrieval and a context
+    * window. Exact integer dots end-to-end, so the oracle UNROLLS all
+    * five rounds as CTEs (the q150 recipe) and replays every argmax and
+    * running-max decision-for-decision, smallest-id ties included.
+    */
+  private val q176 = Q("q176_mmr_select",
+    (s, d) => {
+      val qv = t(s, d, "embeddings").where(col("vec_id") === 0L)
+        .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+      graft.ops.Similarity.mmrSelect(t(s, d, "embeddings"), qv,
+          k = 5, lNum = 1, lDen = 2)
+        .orderBy(col("sel_rank"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings),
+      qe AS (SELECT vec_id, i, qv[i] AS v FROM e, range(1, 65) t(i)),
+      q0 AS (SELECT i, v FROM qe WHERE vec_id = 0),
+      rel AS (SELECT qe.vec_id, SUM(qe.v * q0.v) AS rel
+              FROM qe JOIN q0 USING (i) GROUP BY 1),
+      p1 AS (SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms FROM rel
+             ORDER BY rel DESC, vec_id LIMIT 1),
+      c1 AS (SELECT qe.i, qe.v FROM qe JOIN p1 USING (vec_id)),
+      m1 AS (SELECT qe.vec_id, SUM(qe.v * c1.v) AS ms
+             FROM qe JOIN c1 USING (i) GROUP BY 1),
+      p2 AS (SELECT r.vec_id, r.rel, m1.ms FROM rel r JOIN m1 USING (vec_id)
+             WHERE r.vec_id NOT IN (SELECT vec_id FROM p1)
+             ORDER BY r.rel - m1.ms DESC, r.vec_id LIMIT 1),
+      c2 AS (SELECT qe.i, qe.v FROM qe JOIN p2 USING (vec_id)),
+      s2 AS (SELECT qe.vec_id, SUM(qe.v * c2.v) AS d
+             FROM qe JOIN c2 USING (i) GROUP BY 1),
+      m2 AS (SELECT m1.vec_id, GREATEST(m1.ms, s2.d) AS ms
+             FROM m1 JOIN s2 USING (vec_id)),
+      p3 AS (SELECT r.vec_id, r.rel, m2.ms FROM rel r JOIN m2 USING (vec_id)
+             WHERE r.vec_id NOT IN (SELECT vec_id FROM p1
+                                    UNION ALL SELECT vec_id FROM p2)
+             ORDER BY r.rel - m2.ms DESC, r.vec_id LIMIT 1),
+      c3 AS (SELECT qe.i, qe.v FROM qe JOIN p3 USING (vec_id)),
+      s3 AS (SELECT qe.vec_id, SUM(qe.v * c3.v) AS d
+             FROM qe JOIN c3 USING (i) GROUP BY 1),
+      m3 AS (SELECT m2.vec_id, GREATEST(m2.ms, s3.d) AS ms
+             FROM m2 JOIN s3 USING (vec_id)),
+      p4 AS (SELECT r.vec_id, r.rel, m3.ms FROM rel r JOIN m3 USING (vec_id)
+             WHERE r.vec_id NOT IN (SELECT vec_id FROM p1
+                                    UNION ALL SELECT vec_id FROM p2
+                                    UNION ALL SELECT vec_id FROM p3)
+             ORDER BY r.rel - m3.ms DESC, r.vec_id LIMIT 1),
+      c4 AS (SELECT qe.i, qe.v FROM qe JOIN p4 USING (vec_id)),
+      s4 AS (SELECT qe.vec_id, SUM(qe.v * c4.v) AS d
+             FROM qe JOIN c4 USING (i) GROUP BY 1),
+      m4 AS (SELECT m3.vec_id, GREATEST(m3.ms, s4.d) AS ms
+             FROM m3 JOIN s4 USING (vec_id)),
+      p5 AS (SELECT r.vec_id, r.rel, m4.ms FROM rel r JOIN m4 USING (vec_id)
+             WHERE r.vec_id NOT IN (SELECT vec_id FROM p1
+                                    UNION ALL SELECT vec_id FROM p2
+                                    UNION ALL SELECT vec_id FROM p3
+                                    UNION ALL SELECT vec_id FROM p4)
+             ORDER BY r.rel - m4.ms DESC, r.vec_id LIMIT 1)
+      SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
+             ms AS max_sim, rel - ms AS mmr_num FROM p1
+      UNION ALL SELECT 2, vec_id, rel, ms, rel - ms FROM p2
+      UNION ALL SELECT 3, vec_id, rel, ms, rel - ms FROM p3
+      UNION ALL SELECT 4, vec_id, rel, ms, rel - ms FROM p4
+      UNION ALL SELECT 5, vec_id, rel, ms, rel - ms FROM p5
+      ORDER BY sel_rank"""))
+
+  /** RETRIEVAL METRICS (Eval.retrievalMetrics): MRR / recall@10 / NDCG@10
+    * of the exact knn results (self excluded, labels as relevance) for 20
+    * labeled query vectors — the eval loop that grades every
+    * retrieval/ANN/mining component in the catalog. The oracle replays
+    * the brute-force top-11, the self-drop re-rank, and every metric,
+    * discounts through the shared DECIMAL(28,12) truncation.
+    */
+  private val q177 = Q("q177_retrieval_metrics",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, d, "embeddings")
+      val queries = emb.where(col("vec_id") < 20 && col("label").isNotNull)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      val results = graft.ops.Similarity.knnJoin(emb, queries, k = 11,
+          scorer = graft.ops.Similarity.quantizedDot)
+        .where(col("vec_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id")).orderBy(col("rank"))))
+        .where(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("vec_id").as("item_id"))
+      val truth = emb.where(col("label").isNotNull)
+        .join(broadcast(queries.select(col("query_id"), col("q_label"))),
+          col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("item_id"))
+      graft.ops.Eval.retrievalMetrics(results, truth, k = 10)
+        .orderBy(col("query_id"))
+    },
+    Some("""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb,
+                        label AS q_label
+                 FROM embeddings WHERE vec_id < 20 AND label IS NOT NULL),
+      d AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(SUM(CAST(round(CAST(e.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+                        CAST(round(CAST(q.q_emb[t.i] AS DOUBLE) * 1000) AS BIGINT))
+                    AS DOUBLE) AS dot
+        FROM embeddings e, q, range(1, 65) t(i)
+        GROUP BY 1, 2),
+      top11 AS (SELECT query_id, vec_id, dot,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY dot DESC, vec_id) AS rk
+                FROM d),
+      res AS (SELECT query_id, vec_id AS item_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rk) AS rank
+              FROM top11 WHERE rk <= 11 AND vec_id <> query_id),
+      resk AS (SELECT * FROM res WHERE rank <= 10),
+      truth AS (SELECT q.query_id, e.vec_id AS item_id
+                FROM embeddings e JOIN q
+                  ON e.label = q.q_label AND e.vec_id <> q.query_id),
+      disc AS (SELECT CAST(r AS BIGINT) AS rank,
+                      CAST(ln(2.0) / ln(CAST(r + 1 AS DOUBLE))
+                           AS DECIMAL(28,12)) AS disc
+               FROM range(1, 11) t(r)),
+      mk AS (SELECT resk.query_id, resk.rank,
+                    CASE WHEN truth.item_id IS NULL THEN 0 ELSE 1 END AS is_rel,
+                    disc.disc
+             FROM resk LEFT JOIN truth USING (query_id, item_id)
+                       JOIN disc USING (rank)),
+      perq AS (SELECT query_id,
+                      CAST(SUM(is_rel) AS BIGINT) AS n_rel_at_k,
+                      CAST(COALESCE(MIN(CASE WHEN is_rel = 1 THEN rank END), 0)
+                           AS BIGINT) AS first_rel_rank,
+                      SUM(CASE WHEN is_rel = 1 THEN disc
+                               ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg
+               FROM mk GROUP BY 1),
+      tot AS (SELECT query_id, COUNT(*) AS n_rel_total FROM truth GROUP BY 1),
+      idcg AS (SELECT t.query_id, SUM(disc.disc) AS idcg
+               FROM tot t JOIN disc ON disc.rank <= LEAST(10, t.n_rel_total)
+               GROUP BY 1)
+      SELECT p.query_id,
+             CAST(COALESCE(t.n_rel_total, 0) AS BIGINT) AS n_rel_total,
+             p.n_rel_at_k, p.first_rel_rank,
+             CASE WHEN p.first_rel_rank > 0
+                  THEN 1.0 / CAST(p.first_rel_rank AS DOUBLE)
+                  ELSE 0.0 END AS rr,
+             CASE WHEN COALESCE(t.n_rel_total, 0) > 0
+                  THEN CAST(p.n_rel_at_k AS DOUBLE) / CAST(t.n_rel_total AS DOUBLE)
+                  ELSE 0.0 END AS recall_at_k,
+             CASE WHEN i.idcg IS NOT NULL
+                  THEN CAST(p.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+                  ELSE 0.0 END AS ndcg_at_k
+      FROM perq p LEFT JOIN tot t USING (query_id)
+                  LEFT JOIN idcg i USING (query_id)
+      ORDER BY p.query_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -5901,7 +6149,7 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173)
+    q170, q171, q172, q173, q174, q175, q176, q177)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -294,6 +294,71 @@ object Eval {
       least((center + margin) / denom, lit(1.0)).as("wilson_hi_a"))
   }
 
+  /** RETRIEVAL METRICS at k (MRR, recall@k, NDCG@k with binary gains) —
+    * the eval loop of every retrieval/ANN/dedup-mining component: given a
+    * RANKED results table `(query_id, rank, item_id)` (rank 1-based, the
+    * producer's tie rule already applied) and a ground-truth relevance
+    * table `(query_id, item_id)`, score each query:
+    *
+    *   rr        = 1/first_rel_rank (0 when nothing relevant in the top k)
+    *   recall@k  = |relevant ∩ top-k| / |relevant|
+    *   ndcg@k    = Σ_{rel hits} 1/log2(rank+1)  /  Σ_{i≤min(k,|rel|)} 1/log2(i+1)
+    *
+    * Cross-engine determinism: counts and first_rel_rank are exact ints;
+    * each discount 1/log2(i+1) = ln2/ln(i+1) is a fixed double dag
+    * truncated to DECIMAL(28,12) (the q83 recipe), so DCG and the ideal
+    * DCG are order-independent exact decimal sums; rr/recall/ndcg are one
+    * FP division each of exact values.
+    *
+    * Scale shape: results are ≤ k rows per query by construction, truth is
+    * the relevance table — both query-keyed; every join and aggregate here
+    * shuffles on query_id with partial combine, and the k-row discount
+    * table broadcasts. Nothing corpus-sized enters: the expensive part of
+    * retrieval eval is PRODUCING results, not scoring them.
+    */
+  def retrievalMetrics(results: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1 && k <= 10000, "discount table bound: k <= 10000")
+    val spark = results.sparkSession
+    val dec = DecimalType(28, 12)
+    // rank -> truncated 1/log2(rank+1), shared by DCG and ideal-DCG
+    val disc = spark.range(1, k + 1L)
+      .select(col("id").as("rank"),
+        (log(lit(2.0)) / log((col("id") + 1).cast("double"))).cast(dec).as("disc"))
+    val marked = results.where(col("rank") <= k)
+      .join(truth.select(col("query_id"), col("item_id"), lit(1L).as("is_rel")),
+        Seq("query_id", "item_id"), "left")
+      .join(broadcast(disc), Seq("rank"))
+    val perQ = marked.groupBy(col("query_id"))
+      .agg(
+        sum(coalesce(col("is_rel"), lit(0L))).as("n_rel_at_k"),
+        coalesce(min(when(col("is_rel") === 1L, col("rank"))), lit(0L))
+          .as("first_rel_rank"),
+        sum(when(col("is_rel") === 1L, col("disc"))
+          .otherwise(lit(0).cast(dec))).as("dcg"))
+    val totals = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_total"))
+    // ideal DCG: the first min(k, |relevant|) discount rows per query —
+    // a broadcast theta-join against the k-row discount table
+    val idcg = totals.join(broadcast(disc),
+        col("rank") <= least(lit(k.toLong), col("n_rel_total")))
+      .groupBy(col("query_id")).agg(sum(col("disc")).as("idcg"))
+    perQ.join(totals, Seq("query_id"), "left")
+      .join(idcg, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_rel_total"))
+      .select(col("query_id"), col("n_rel_total"), col("n_rel_at_k"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank") > 0,
+          lit(1.0) / col("first_rel_rank").cast("double"))
+          .otherwise(lit(0.0)).as("rr"),
+        when(col("n_rel_total") > 0,
+          col("n_rel_at_k").cast("double") / col("n_rel_total").cast("double"))
+          .otherwise(lit(0.0)).as("recall_at_k"),
+        when(col("idcg").isNotNull && col("dcg").isNotNull,
+          col("dcg").cast("double") / col("idcg").cast("double"))
+          .otherwise(lit(0.0)).as("ndcg_at_k"))
+  }
+
   def bradleyTerry(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
     // both directions: (i, j, n_ij, w_ij = wins of i against j)

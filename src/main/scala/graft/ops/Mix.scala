@@ -236,6 +236,43 @@ object Mix {
         (col("logw12").cast("double") / lit(1e12)).as("log_weight"))
   }
 
+  /** PREFERENCE-PAIR CONSTRUCTION (the DPO/RLHF data-assembly step): given
+    * candidate rows scored by an exact integer `reward`, emit per group
+    * (the "prompt") the best-of-n CHOSEN candidate and the worst REJECTED
+    * one, keeping only groups whose reward gap is decisive (`gap >=
+    * minGap`) — the (prompt, chosen, rejected) table a preference loss
+    * trains on. Ties break to the smallest candidate id on both sides, so
+    * the pair is deterministic under any row order.
+    *
+    * The reward is an exact integer BY CONTRACT (quantize FP rewards at the
+    * call site, the q26 recipe): argmax/argmin over doubles would make the
+    * chosen row depend on accumulation order. Groups with fewer than two
+    * candidates, or where chosen == rejected (all rewards equal), drop —
+    * a preference pair needs two distinct corners.
+    *
+    * Scale shape: ONE partial-combined groupBy over the candidate table —
+    * the struct min/max aggregates carry two (reward, id) pairs per group
+    * per task, so the shuffle moves G·2 tuples, never candidate rows. No
+    * window, no sort, no driver state.
+    */
+  def preferencePairs(cands: DataFrame, group: Column, candId: Column,
+                      reward: Column, minGap: Long = 1L): DataFrame = {
+    require(minGap >= 0, "minGap must be non-negative")
+    cands
+      .select(group.as("grp"), candId.cast("long").as("cid"),
+        reward.cast("long").as("r"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_cands"),
+        max(struct(col("r"), (-col("cid")).as("nid"))).as("ch"),
+        min(struct(col("r"), col("cid"))).as("rj"))
+      .where(col("n_cands") >= 2)
+      .select(col("grp"), col("n_cands"),
+        (-col("ch.nid")).as("chosen_id"), col("ch.r").as("chosen_reward"),
+        col("rj.cid").as("rejected_id"), col("rj.r").as("rejected_reward"))
+      .withColumn("gap", col("chosen_reward") - col("rejected_reward"))
+      .where(col("gap") >= minGap && col("chosen_id") =!= col("rejected_id"))
+  }
+
   private val DecimalType1812 = org.apache.spark.sql.types.DecimalType(18, 12)
   private val Decimal130 = org.apache.spark.sql.types.DecimalType(13, 0)
   private val DecimalType2812 = org.apache.spark.sql.types.DecimalType(28, 12)

@@ -195,6 +195,69 @@ object Similarity {
         col("col.id").as("vec_id"), col("col.score").as("score"))
   }
 
+  /** MMR DIVERSE SELECTION (Maximal Marginal Relevance, Carbonell &
+    * Goldstein SIGIR '98): greedily pick k corpus vectors maximizing
+    *   λ·rel(x) − (1−λ)·max_{s ∈ selected} sim(x, s)
+    * — the relevance-vs-redundancy re-ranking step between retrieval and a
+    * context window (and the query-anchored counterpart of the q150
+    * k-center pick, which maximizes diversity alone). λ is the rational
+    * lNum/lDen so every score is EXACT 64-bit: rel and sim are quantized
+    * integer dots (the q26 recipe) and the argmax compares
+    * `lNum·rel − (lDen−lNum)·max_sim` longs with the smallest-id tie rule —
+    * an unrolled SQL oracle replays every pick decision-for-decision.
+    *
+    * Emits (sel_rank, vec_id, rel, max_sim, mmr_num): max_sim is the
+    * similarity to the nearest already-selected vector AT SELECTION TIME
+    * (0 for the seed — the empty-set max term), mmr_num the winning
+    * numerator.
+    *
+    * Scale shape (the kCenterSelect contract): k corpus passes, each a
+    * NARROW score kernel (selected vectors ride into the plan as literals
+    * feeding the codegen'd quantized-dot) topped by TakeOrdered(1) — k rows
+    * total ever reach the driver, nothing corpus-sized shuffles. Overflow:
+    * |dot| ≤ dim·(scale·maxval)² ≈ 2^26·dim at unit-norm inputs, and
+    * lNum, lDen ≤ 2^10 by require — products stay far under 2^62 (ANSI-safe).
+    */
+  def mmrSelect(emb: DataFrame, query: Array[Float], k: Int,
+                lNum: Int = 1, lDen: Int = 2): DataFrame = {
+    require(k >= 1 && k <= 256, "driver-loop bound: k <= 256")
+    require(lNum > 0 && lNum <= lDen && lDen <= 1024,
+      "lambda = lNum/lDen must sit in (0, 1]")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = emb.select(col("vec_id"), col("embedding"),
+        quantizedDot(col("embedding"), typedlit(query.toSeq)).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mu = lit((lDen - lNum).toLong)
+    var picks = Vector.empty[(Long, Long, Long, Long, Long)]
+    var selected = Vector.empty[Seq[Float]]
+    for (r <- 1 to k if r == 1 || picks.size == r - 1) {
+      // max similarity to the selected set: greatest over ≤ r−1 literal
+      // quantized dots (0 for the empty set) — narrow, codegen'd
+      val dots = selected.map(s => quantizedDot(col("embedding"), typedlit(s)))
+      val ms =
+        if (dots.isEmpty) lit(0L)          // empty-set max term
+        else if (dots.size == 1) dots.head // greatest() needs >= 2 args
+        else greatest(dots: _*)
+      val cand = q
+        .where(!col("vec_id").isin(picks.map(_._2): _*))
+        .select(col("vec_id"), col("rel"), ms.as("ms"),
+          (lit(lNum.toLong) * col("rel") - mu * ms).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .collect()
+      if (cand.nonEmpty) {
+        val row = cand(0)
+        val vec = q.where(col("vec_id") === row.getLong(0))
+          .select(col("embedding")).collect()(0).getSeq[Float](0)
+        selected :+= vec
+        picks :+= ((r.toLong, row.getLong(0), row.getLong(1),
+          row.getLong(2), row.getLong(3)))
+      }
+    }
+    q.unpersist(blocking = false) // fully consumed within the call
+    picks.toDF("sel_rank", "vec_id", "rel", "max_sim", "mmr_num")
+  }
+
   /** Batched ANN KNN join — the LSH-pruned form of [[knnJoin]] for when the
     * query table itself is large: corpus rows bucket by nTables hyperplane
     * signatures, each query probes its bucket plus hamming-1 neighbors per

@@ -1367,6 +1367,108 @@ object TextOps {
           .cast("double").as("dsir_logratio"))
   }
 
+  /** BM25 TOP-K RETRIEVAL (Robertson–Sparck Jones; the Lucene/ATIRE
+    * non-negative idf variant): score every document against a small query
+    * table and keep each query's k best — the lexical-retrieval workhorse
+    * behind RAG corpus search, decontamination probes ("which training
+    * docs does this eval question retrieve?"), and seed expansion.
+    *
+    *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))      (≥ 0 always)
+    *   tfw(t,d)= tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   score   = Σ_t idf·tfw  over the query's DISTINCT terms (qtf = 1)
+    *
+    * Cross-engine determinism: tf/df/dl/N are exact longs; avgdl is one
+    * double division of two exact longs; idf and the idf·tfw product are
+    * fixed double dags truncated to DECIMAL(28,12) per term, so the
+    * per-(query, doc) Σ is an order-independent exact decimal sum (the
+    * q83/q135 recipe); ranking ties break (score DESC, doc_id) —
+    * TopKByScore's rule. Defaults k1 = 1.25, b = 0.75 (inside the standard
+    * tuning range) are chosen binary-exact: DuckDB parses decimal-point
+    * literals as DECIMAL (not DOUBLE), so constants and their folds
+    * (k1+1, 1−b) only provably survive the decimal→double promotion
+    * bit-identically when they are exactly representable.
+    *
+    * Scale shape at 100 TB: the corpus pays one tokenize pass → the
+    * (doc, term) tf aggregate (partial combine collapses instances
+    * map-side; tracked-cached, it feeds both df and scoring); df derives
+    * from tf, and (N, Σdl) is one extra NARROW all-column-pruned pass
+    * (kept separate so zero-token docs still count toward N and avgdl).
+    * The query table is tiny by contract and broadcasts into the tf
+    * stream; scoring shuffles k rows per query per partition through the
+    * bounded-heap TopKByScore reduce (knnJoin's contract — never
+    * corpus-sized). Vocabulary is never collected or broadcast.
+    */
+  def bm25TopK(docs: DataFrame, docId: Column, text: Column,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.25, b: Double = 0.75): DataFrame =
+    bm25Probe(bm25IndexBuild(docs, docId, text, k1, b), queries, k)
+
+  /** A built BM25 index: the tracked-cached (doc, dl, term) tf table, the
+    * term df table, and the one-row corpus stats. Like
+    * [[graft.ops.Similarity.IvfIndex]] and [[BigramLm]], the index
+    * outlives the call that built it — the batch path probes it once, the
+    * streaming face (`streaming/Bm25ProbeJob`) probes it every
+    * micro-batch, and the session owner releases the tracked cache.
+    */
+  final case class Bm25Index(tf: DataFrame, df: DataFrame, stats: DataFrame,
+                             k1: Double, b: Double)
+
+  /** One corpus pass → the [[Bm25Index]]: the (doc, term) tf aggregate
+    * (partial combine collapses instances map-side; tracked-cached, it
+    * feeds both df and every probe); df derives from tf, and (N, Σdl) is
+    * one extra NARROW pass (kept separate so zero-token docs still count
+    * toward N and avgdl).
+    */
+  def bm25IndexBuild(docs: DataFrame, docId: Column, text: Column,
+                     k1: Double = 1.25, b: Double = 0.75): Bm25Index = {
+    val base = docs.select(docId.as("doc_id"), arrToks(text).as("toks"))
+    val tf = Caches.track(base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks")).cast("long")).as("n_toks"))
+    Bm25Index(tf, dfreq, stats, k1, b)
+  }
+
+  /** Score a query batch against a built [[Bm25Index]] (see [[bm25TopK]]
+    * for the formula and determinism contract): the query batch broadcasts
+    * into the tf stream, per-(query, doc) decimal sums feed the
+    * bounded-heap TopKByScore reduce — each probe pays only for its own
+    * queries, never a corpus rescan.
+    */
+  def bm25Probe(index: Bm25Index, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, "k must be positive")
+    val (k1, b) = (index.k1, index.b)
+    val qTerms = queries
+      .select(col("query_id"), explode(arrToks(col("q_text"))).as("term"))
+      .distinct()
+    val terms = index.tf
+      .join(broadcast(qTerms), Seq("term")) // query gate BEFORE df/stats join
+      .join(index.df, Seq("term"))
+      .crossJoin(broadcast(index.stats))
+      .withColumn("avgdl", col("n_toks").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))).cast(DecimalType(28, 12)))
+      .withColumn("tfw",
+        col("tf").cast("double") * lit(k1 + 1.0) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl")))))
+      .withColumn("term_score",
+        (col("idf").cast("double") * col("tfw")).cast(DecimalType(28, 12)))
+    terms.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_score")).cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.gfn.topk_by_score(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -3111,4 +3111,171 @@ class OpsSpec extends AnyFunSuite {
         s"approx $a vs exact $e at $k exceeds 3x the 5% rsd")
     }
   }
+
+  // ---- BM25 retrieval (q174) ----
+
+  test("bm25TopK: plain-Scala replica parity; rare-term and length-norm behavior") {
+    val corpus = Seq(
+      (0L, "apple banana cherry"),
+      (1L, "apple apple apple apple apple apple apple apple"),
+      (2L, "zebra quokka"),
+      (3L, "apple zebra banana banana"),
+      (4L, "date elderberry fig grape hazelnut iris jasmine kiwi lemon mango"))
+    val d = corpus.toDF("doc_id", "text")
+    val q = Seq((100L, "apple zebra"), (101L, "banana")).toDF("query_id", "q_text")
+    val out = TextOps.bm25TopK(d, col("doc_id"), col("text"), q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (qq, rs) => qq -> rs.sortBy(_._2).toSeq }
+
+    // replica with the identical FP dag (decimal truncation included)
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val toks = corpus.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val nDocs = corpus.size.toLong
+    val nToks = toks.values.map(_.size.toLong).sum
+    val avgdl = nToks.toDouble / nDocs.toDouble
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, g) => t -> g.size.toLong }
+    def score(qTerms: Seq[String], doc: Long): Option[Double] = {
+      val tfm = toks(doc).groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val dl = toks(doc).size.toDouble
+      val terms = qTerms.distinct.flatMap { t =>
+        tfm.get(t).map { tf =>
+          val idf = dec12(math.log(1.0 +
+            (nDocs.toDouble - dfm(t).toDouble + 0.5) / (dfm(t).toDouble + 0.5)))
+          dec12(idf.toDouble *
+            (tf.toDouble * 2.25 / (tf.toDouble + 1.25 * (0.25 + 0.75 * (dl / avgdl)))))
+        }
+      }
+      if (terms.isEmpty) None else Some(terms.sum.toDouble)
+    }
+    val exp = Map(100L -> "apple zebra", 101L -> "banana").map { case (qq, qt) =>
+      val ranked = corpus.map(_._1).flatMap(id => score(qt.split(" "), id).map(id -> _))
+        .sortBy { case (id, s) => (-s, id) }.take(3)
+      qq -> ranked.zipWithIndex.map { case ((id, s), i) =>
+        (qq, (i + 1).toLong, id, s) }
+    }
+    assert(out == exp, s"got $out\nexp $exp")
+    // rare-term dominance: for "apple zebra", docs containing the rare
+    // term zebra (2, 3) outrank the apple-only spam doc 1
+    val q100 = out(100L).map(_._3)
+    assert(q100.indexOf(2L) >= 0 && q100.indexOf(3L) >= 0)
+    assert(!q100.take(2).contains(1L), q100.toString)
+    // length normalization: for "banana", doc 0 (1 of 3 tokens) outranks
+    // doc 3 (2 bananas of 4 tokens)? Both contain it; just assert the
+    // replica agreed (already exact) and only banana docs surface
+    assert(out(101L).map(_._3).toSet == Set(0L, 3L))
+  }
+
+  // ---- preference pairs (q175) ----
+
+  test("preferencePairs: corners, tie rules, gap gate, degenerate groups") {
+    val cands = Seq(
+      // group A: clear gap 9, ties inside on reward 10 (ids 2, 3)
+      ("A", 1L, 10L), ("A", 2L, 10L), ("A", 3L, 1L), ("A", 4L, 1L),
+      // group B: gap 2 < minGap 5 -> dropped
+      ("B", 5L, 7L), ("B", 6L, 5L),
+      // group C: single candidate -> dropped
+      ("C", 7L, 100L),
+      // group D: all rewards equal -> chosen==rejected -> dropped
+      ("D", 8L, 4L), ("D", 9L, 4L))
+      .toDF("grp", "cid", "r")
+    val out = graft.ops.Mix.preferencePairs(cands, col("grp"), col("cid"),
+        col("r"), minGap = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(out.toSeq == Seq(("A", 4L, 1L, 10L, 3L, 1L, 9L)),
+      out.mkString(","))
+    // chosen tie -> smallest id (1 not 2); rejected tie -> smallest id (3 not 4)
+    val withGap0 = graft.ops.Mix.preferencePairs(cands, col("grp"), col("cid"),
+        col("r"), minGap = 0L).collect().map(_.getString(0)).toSet
+    assert(withGap0 == Set("A", "B"), withGap0.toString) // D still drops: same corner
+  }
+
+  // ---- MMR selection (q176) ----
+
+  test("mmrSelect: diversity beats redundancy; lambda=1 is pure relevance; exhaustion") {
+    // the query direction is NOT in the corpus (otherwise sim-to-seed ==
+    // rel and lambda=1/2 scores degenerate to 0 for everything): an exact
+    // duplicate pair leaning toward e1, one diverse vector, one orthogonal
+    val rows = Seq(
+      (1L, Seq(0.9f, 0.4f, 0.0f, 0.0f)),   // rel .9, |v|^2 = .97
+      (2L, Seq(0.9f, 0.4f, 0.0f, 0.0f)),   // exact duplicate of 1
+      (3L, Seq(0.6f, 0.0f, 0.6f, 0.0f)),   // rel .6, diverse
+      (4L, Seq(0.0f, 0.0f, 0.0f, 1.0f)))   // rel 0, orthogonal to all
+    val d = rows.toDF("vec_id", "embedding")
+    val qv = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val mmr = Similarity.mmrSelect(d, qv, k = 3, lNum = 1, lDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    // pick 1: rel tie (1, 2) -> smallest id 1 (max_sim 0); pick 2: the
+    // duplicate scores .9 - .97 < 0 while diverse 3 scores .6 - .54 > 0;
+    // pick 3: orthogonal 4 (score 0) still beats the duplicate (-0.07)
+    assert(mmr.map(_._2).toSeq == Seq(1L, 3L, 4L), mmr.mkString(","))
+    assert(mmr.head._3 == 0L) // seed's empty-set max_sim
+    // lambda = 1: pure relevance order, ties by id
+    val rel = Similarity.mmrSelect(d, qv, k = 3, lNum = 1, lDen = 1)
+      .collect().map(_.getLong(1))
+    assert(rel.toSeq == Seq(1L, 2L, 3L), rel.mkString(","))
+    // k > n: all rows selected once, no duplicates
+    val all = Similarity.mmrSelect(d, qv, k = 10).collect().map(_.getLong(1))
+    assert(all.length == 4 && all.toSet.size == 4)
+    // replica check of the full (rank, id, rel, max_sim, mmr_num) tuple set
+    def dot(a: Seq[Float], b: Seq[Float]): Long =
+      a.zip(b).map { case (x, y) =>
+        math.round(x * 1000.0) * math.round(y * 1000.0) }.sum
+    var sel = Vector.empty[Long]
+    var exp = Vector.empty[(Long, Long, Long, Long, Long)]
+    for (r <- 1 to 3) {
+      val cands = rows.filterNot(c => sel.contains(c._1)).map { c =>
+        val rl = dot(c._2, qv.toSeq)
+        val ms = if (sel.isEmpty) 0L
+          else sel.map(s => dot(c._2, rows.find(_._1 == s).get._2)).max
+        (c._1, rl, ms, 1L * rl - 1L * ms)
+      }
+      val best = cands.minBy { case (id, _, _, sc) => (-sc, id) }
+      sel :+= best._1
+      exp :+= ((r.toLong, best._1, best._2, best._3, best._4))
+    }
+    val got = Similarity.mmrSelect(d, qv, k = 3, lNum = 1, lDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toVector
+    assert(got == exp, s"got $got\nexp $exp")
+  }
+
+  // ---- retrieval metrics (q177) ----
+
+  test("retrievalMetrics: hand-computed MRR/recall/NDCG; no-hit and missing-truth edges") {
+    def dec12(x: Double): BigDecimal =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val results = Seq(
+      // query 1: relevant at ranks 1 and 3 (of 3 results)
+      (1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      // query 2: nothing relevant in the top k
+      (2L, 1L, 20L), (2L, 2L, 21L),
+      // query 3: no truth rows at all
+      (3L, 1L, 30L))
+      .toDF("query_id", "rank", "item_id")
+    val truth = Seq(
+      (1L, 10L), (1L, 12L), (1L, 99L), // 3 relevant, 2 retrieved
+      (2L, 77L))
+      .toDF("query_id", "item_id")
+    val out = graft.ops.Eval.retrievalMetrics(results, truth, k = 3)
+      .orderBy(col("query_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    def disc(i: Int): BigDecimal = dec12(math.log(2.0) / math.log(i + 1.0))
+    val dcg1 = (disc(1) + disc(3)).toDouble
+    val idcg1 = (disc(1) + disc(2) + disc(3)).toDouble
+    assert(out(0) == ((1L, 3L, 2L, 1L, 1.0, 2.0 / 3.0, dcg1 / idcg1)),
+      out(0).toString)
+    assert(out(1) == ((2L, 1L, 0L, 0L, 0.0, 0.0, 0.0)), out(1).toString)
+    assert(out(2) == ((3L, 0L, 0L, 0L, 0.0, 0.0, 0.0)), out(2).toString)
+    // perfect ranking: every metric pegged at 1
+    val perfect = graft.ops.Eval.retrievalMetrics(
+      Seq((9L, 1L, 1L), (9L, 2L, 2L)).toDF("query_id", "rank", "item_id"),
+      Seq((9L, 1L), (9L, 2L)).toDF("query_id", "item_id"), k = 3).collect()(0)
+    assert(perfect.getDouble(4) == 1.0 && perfect.getDouble(5) == 1.0 &&
+      perfect.getDouble(6) == 1.0, perfect.toString)
+  }
 }

@@ -391,6 +391,56 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming BM25 probe answers each query batch from the static lexical index") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c, _}
+
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val index = graft.ops.TextOps.bm25IndexBuild(docs, c("doc_id"), c("text"))
+    // query text: the first 4 tokens of docs 0/3/5 (the q174 recipe)
+    val qText = docs.where(c("doc_id").isin(0L, 3L, 5L))
+      .select(c("doc_id"),
+        array_join(slice(filter(split(c("text"), " "),
+          w => length(w) > 0), 1, 4), " ").as("q_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def expected(qids: Seq[Long]) = {
+      val qdf = qids.map(id => (id, qText(id))).toDF("query_id", "q_text")
+      graft.ops.TextOps.bm25Probe(index, qdf, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    }
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bm25_probe_ckpt").toString
+    val q = graft.streaming.Bm25ProbeJob.start(
+      mem.toDF().toDF("query_id", "q_text"), index,
+      out => got.synchronized {
+        out.collect().foreach(r => got += ((r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getDouble(3))))
+      },
+      ckpt, k = 5,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData((0L, qText(0L)), (3L, qText(3L)))
+      q.processAllAvailable()
+      assert(got.toSet == expected(Seq(0L, 3L)), s"batch1 got $got")
+      // a later batch probes the SAME index; earlier results untouched
+      mem.addData((5L, qText(5L)))
+      q.processAllAvailable()
+      assert(got.toSet == expected(Seq(0L, 3L, 5L)), s"batch2 got $got")
+      // exactly k=5 contiguously-ranked rows per query (the source doc
+      // itself need NOT surface: the corpus's first tokens are common
+      // words, and BM25's length norm favors shorter docs carrying them)
+      for (qid <- Seq(0L, 3L, 5L)) {
+        val rows = got.filter(_._1 == qid)
+        assert(rows.size == 5 && rows.map(_._2).toSeq.sorted == (1L to 5L),
+          s"$qid: $rows")
+      }
+    } finally q.stop()
+  }
+
   test("trending terms match the batch heavy_hitters aggregate on a fixed corpus") {
     import spark.implicits._
     implicit val s = spark
