@@ -325,8 +325,13 @@ object Eval {
     val disc = spark.range(1, k + 1L)
       .select(col("id").as("rank"),
         (log(lit(2.0)) / log((col("id") + 1).cast("double"))).cast(dec).as("disc"))
+    // dedup the relevance pairs: a duplicated (query, item) truth row would
+    // otherwise fan out result rows through the left join, silently
+    // double-counting hits in every metric (the labelPropagation-seeds
+    // lesson) — and inflating n_rel_total
+    val rel = truth.select(col("query_id"), col("item_id")).distinct()
     val marked = results.where(col("rank") <= k)
-      .join(truth.select(col("query_id"), col("item_id"), lit(1L).as("is_rel")),
+      .join(rel.withColumn("is_rel", lit(1L)),
         Seq("query_id", "item_id"), "left")
       .join(broadcast(disc), Seq("rank"))
     val perQ = marked.groupBy(col("query_id"))
@@ -336,7 +341,7 @@ object Eval {
           .as("first_rel_rank"),
         sum(when(col("is_rel") === 1L, col("disc"))
           .otherwise(lit(0).cast(dec))).as("dcg"))
-    val totals = truth.groupBy(col("query_id"))
+    val totals = rel.groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_rel_total"))
     // ideal DCG: the first min(k, |relevant|) discount rows per query —
     // a broadcast theta-join against the k-row discount table

@@ -261,6 +261,10 @@ object Mix {
     cands
       .select(group.as("grp"), candId.cast("long").as("cid"),
         reward.cast("long").as("r"))
+      // an unscoreable candidate (null reward, e.g. null text upstream)
+      // must not become a corner: struct min/max over a null field would
+      // give it an engine-defined rank instead of dropping it
+      .where(col("r").isNotNull)
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_cands"),
         max(struct(col("r"), (-col("cid")).as("nid"))).as("ch"),

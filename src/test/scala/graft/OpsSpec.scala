@@ -3191,6 +3191,18 @@ class OpsSpec extends AnyFunSuite {
     val withGap0 = graft.ops.Mix.preferencePairs(cands, col("grp"), col("cid"),
         col("r"), minGap = 0L).collect().map(_.getString(0)).toSet
     assert(withGap0 == Set("A", "B"), withGap0.toString) // D still drops: same corner
+
+    // null rewards (unscoreable candidates) never become a corner: with the
+    // null row dropped, group E has one candidate left and drops entirely
+    val withNulls = Seq(
+      ("E", 10L, Some(3L)), ("E", 11L, None),
+      ("F", 12L, Some(9L)), ("F", 13L, Some(1L)), ("F", 14L, None))
+      .map { case (g, id, r) => (g, id, r.map(java.lang.Long.valueOf).orNull) }
+      .toDF("grp", "cid", "r")
+    val outN = graft.ops.Mix.preferencePairs(withNulls, col("grp"), col("cid"),
+        col("r"), minGap = 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(outN.toSeq == Seq(("F", 2L, 12L, 13L)), outN.mkString(","))
   }
 
   // ---- MMR selection (q176) ----
@@ -3277,5 +3289,13 @@ class OpsSpec extends AnyFunSuite {
       Seq((9L, 1L), (9L, 2L)).toDF("query_id", "item_id"), k = 3).collect()(0)
     assert(perfect.getDouble(4) == 1.0 && perfect.getDouble(5) == 1.0 &&
       perfect.getDouble(6) == 1.0, perfect.toString)
+    // duplicated truth pairs neither fan out result rows nor inflate
+    // n_rel_total: metrics identical to the deduped table's
+    val dupTruth = truth.union(truth)
+    val outDup = graft.ops.Eval.retrievalMetrics(results, dupTruth, k = 3)
+      .orderBy(col("query_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(outDup.toSeq == out.toSeq, s"dup-truth drift: ${outDup.toSeq}")
   }
 }
