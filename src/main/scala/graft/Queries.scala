@@ -6134,6 +6134,41 @@ object Queries {
                   LEFT JOIN idcg i USING (query_id)
       ORDER BY p.query_id"""))
 
+  /** PER-BENCHMARK CONTAMINATION REPORT (Decontam.overlapReport): q48's
+    * any-hit decontamination resolved to WHICH eval doc and HOW MUCH of it
+    * — (doc, eval) distinct-gram hits + the fraction of the eval doc's
+    * grams covered, the per-benchmark contamination table model reports
+    * quote. Same broadcast-gram-join shape as q48; the oracle joins the
+    * literal gram strings (hash join == string join up to negligible
+    * collision mass, the q44/q48 argument).
+    */
+  private val q178 = Q("q178_contamination_report",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Decontam.overlapReport(
+        corpus = docs.filter(col("doc_id") % 97 =!= 0),
+        evalDocs = docs.filter(col("doc_id") % 97 === 0), w = 3)
+        .orderBy(col("doc_id"), col("eval_id"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS l
+                 FROM documents),
+      g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                   i -> array_to_string(l[i:least(i+2, len(l))], ' ')))) AS g FROM t),
+      ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % 97 = 0),
+      evc AS (SELECT eval_id, CAST(COUNT(*) AS BIGINT) AS eval_grams
+              FROM ev GROUP BY 1),
+      hits AS (
+        SELECT g.doc_id, ev.eval_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM g JOIN ev USING (g)
+        WHERE g.doc_id % 97 <> 0
+        GROUP BY 1, 2)
+      SELECT h.doc_id, h.eval_id, h.n_hits, evc.eval_grams,
+             CAST(h.n_hits AS DOUBLE) / CAST(evc.eval_grams AS DOUBLE)
+               AS overlap_frac
+      FROM hits h JOIN evc USING (eval_id)
+      ORDER BY h.doc_id, h.eval_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6149,7 +6184,7 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177)
+    q170, q171, q172, q173, q174, q175, q176, q177, q178)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

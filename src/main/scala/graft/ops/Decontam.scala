@@ -35,4 +35,40 @@ object Decontam {
         explode(graft.functions.gfn.shingle_hashes64(col("text"), w)).as("g"))
       .join(evalGrams(evalDocs, w), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+
+  /** PER-BENCHMARK CONTAMINATION REPORT — [[overlaps]] resolved to WHICH
+    * eval doc: (doc_id, eval_id, n_hits, eval_grams, overlap_frac), one row
+    * per (corpus doc, eval doc) sharing ≥1 distinct w-gram, where
+    * `overlap_frac = n_hits / eval_grams` is the fraction of the eval doc's
+    * distinct grams present in the corpus doc — the number contamination
+    * sections of model reports quote per benchmark, and the evidence row a
+    * scrub decision can be audited against (any-hit drop keeps the
+    * conservative policy; frac-thresholded drop is the usual relaxation).
+    *
+    * Scale shape: identical to [[overlaps]] — the eval side stays tiny and
+    * broadcasts (now carrying eval_id alongside each gram hash); the
+    * corpus is read once with no corpus-sized shuffle; the (doc, eval)
+    * aggregate is bounded by actual hits, and per-eval gram counts ride
+    * the same broadcast.
+    */
+  def overlapReport(corpus: DataFrame, evalDocs: DataFrame,
+                    w: Int = 5): DataFrame = {
+    // shingle_hashes64 emits DISTINCT hashes per doc, so (eval_id, g) is
+    // already unique — no cross-doc distinct needed (unlike evalGrams,
+    // which merges all eval docs into one probe set)
+    val ev = evalDocs.select(col("doc_id").as("eval_id"),
+      explode(graft.functions.gfn.shingle_hashes64(col("text"), w)).as("g"))
+    val evCounts = ev.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("eval_grams"))
+    corpus
+      .select(col("doc_id"),
+        explode(graft.functions.gfn.shingle_hashes64(col("text"), w)).as("g"))
+      .join(broadcast(ev), "g")
+      .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("n_hits"))
+      .join(broadcast(evCounts), "eval_id")
+      .withColumn("overlap_frac",
+        col("n_hits").cast("double") / col("eval_grams").cast("double"))
+      .select(col("doc_id"), col("eval_id"), col("n_hits"),
+        col("eval_grams"), col("overlap_frac"))
+  }
 }

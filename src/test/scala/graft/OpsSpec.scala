@@ -3112,6 +3112,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- contamination report (q178) ----
+
+  test("overlapReport: per-eval attribution, coverage fraction, hits-only rows") {
+    val corpus = Seq(
+      (1L, "a b c d e"),        // shares grams with eval 100 only
+      (2L, "x y z a b c"),      // shares with 100 (a b c) and 200 (x y z)
+      (3L, "q r s t u"))        // clean
+      .toDF("doc_id", "text")
+    val evals = Seq(
+      (100L, "a b c d"),        // grams(w=3): "a b c", "b c d"  -> 2
+      (200L, "x y z"))          // grams: "x y z"                -> 1
+      .toDF("doc_id", "text")
+    val out = graft.ops.Decontam.overlapReport(corpus, evals, w = 3)
+      .orderBy(col("doc_id"), col("eval_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 2L, 2L, 1.0),        // doc 1 covers ALL of eval 100
+      (2L, 100L, 1L, 2L, 0.5),        // doc 2 has "a b c" but not "b c d"
+      (2L, 200L, 1L, 1L, 1.0)),       // doc 2 fully covers eval 200
+      out.mkString(","))
+    // clean doc 3 emits nothing; n_hits sums match the any-hit op's
+    val anyHit = graft.ops.Decontam.overlaps(corpus, evals, w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!out.map(_._1).contains(3L) && !anyHit.contains(3L))
+    // overlaps counts distinct grams against the MERGED eval set, so a
+    // gram shared with two evals counts once there but once per eval here
+    assert(anyHit == Map(1L -> 2L, 2L -> 2L), anyHit.toString)
+  }
+
   // ---- BM25 retrieval (q174) ----
 
   test("bm25TopK: plain-Scala replica parity; rare-term and length-norm behavior") {

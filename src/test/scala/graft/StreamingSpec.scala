@@ -441,6 +441,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming decontam screens each ingest batch against the static benchmark set") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c}
+
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val evalDocs = docs.where(c("doc_id") % 97 === 0)
+      .select(c("doc_id"), c("text")).cache()
+    val corpusRows = docs.where(c("doc_id") % 97 =!= 0)
+      .select(c("doc_id"), c("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // expected: the batch overlapReport for the same corpus slice
+    def expected(ids: Set[Long]) = graft.ops.Decontam.overlapReport(
+        corpusRows.filter(r => ids(r._1)).toSeq.toDF("doc_id", "text"),
+        evalDocs, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("decontam_ckpt").toString
+    val q = graft.streaming.DecontamJob.start(
+      mem.toDF().toDF("doc_id", "text"), evalDocs,
+      out => got.synchronized {
+        out.collect().foreach(r => got += ((r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getDouble(4))))
+      },
+      ckpt, w = 3,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      val (batch1, batch2) = corpusRows.splitAt(corpusRows.length / 2)
+      mem.addData(batch1.toSeq)
+      q.processAllAvailable()
+      assert(got.toSet == expected(batch1.map(_._1).toSet), "batch1 drift")
+      mem.addData(batch2.toSeq)
+      q.processAllAvailable()
+      // after both batches: identical to screening the whole corpus at once
+      assert(got.toSet == expected(corpusRows.map(_._1).toSet), "union drift")
+      assert(got.nonEmpty, "fixture produced no contamination hits")
+    } finally { q.stop(); evalDocs.unpersist(blocking = false) }
+  }
+
   test("trending terms match the batch heavy_hitters aggregate on a fixed corpus") {
     import spark.implicits._
     implicit val s = spark
