@@ -6169,6 +6169,254 @@ object Queries {
       FROM hits h JOIN evc USING (eval_id)
       ORDER BY h.doc_id, h.eval_id"""))
 
+  /** SENTENCE BLEU + ROUGE-1/2 (Eval.bleuPairs): clipped 1/2-gram
+    * precisions + brevity penalty in log domain, plus reference-side
+    * ROUGE recall, over (candidate, reference) pairs — adjacent
+    * doc ids paired as a stand-in for distillation output vs source. Log
+    * domain because exp's final ulp is not pinned cross-engine; each ln
+    * goes through the DECIMAL(18,12) truncation, so the oracle replays the
+    * identical dag. One (pair, n, gram) shuffle; counts exact Longs.
+    */
+  private val q179 = Q("q179_bleu_eval",
+    (s, d) => {
+      val docs = docsSpread(s, d)
+      val ref = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("ref"))
+      val cand = docs.where(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("cand"))
+      graft.ops.Eval.bleuPairs(ref.join(cand, "pair_id"),
+          col("pair_id"), col("cand"), col("ref"))
+        .orderBy(col("pair_id"))
+    },
+    Some("""
+      WITH r AS (SELECT doc_id AS pair_id, text AS ref
+                 FROM documents WHERE doc_id % 2 = 0),
+      c AS (SELECT doc_id - 1 AS pair_id, text AS cand
+            FROM documents WHERE doc_id % 2 = 1),
+      tk AS (SELECT pair_id,
+               list_filter(regexp_split_to_array(lower(trim(cand)), '\s+'),
+                 w -> len(w) > 0) AS ct,
+               list_filter(regexp_split_to_array(lower(trim(ref)), '\s+'),
+                 w -> len(w) > 0) AS rt
+             FROM r JOIN c USING (pair_id)),
+      g1 AS (
+        SELECT pair_id, 1 AS n, unnest(ct) AS g, 1 AS c, 0 AS r FROM tk
+        UNION ALL SELECT pair_id, 1, unnest(rt), 0, 1 FROM tk
+        UNION ALL SELECT pair_id, 2,
+          unnest(list_transform(range(1, len(ct)),
+            i -> ct[i] || ' ' || ct[i+1])), 1, 0 FROM tk
+        UNION ALL SELECT pair_id, 2,
+          unnest(list_transform(range(1, len(rt)),
+            i -> rt[i] || ' ' || rt[i+1])), 0, 1 FROM tk),
+      cnt AS (SELECT pair_id, n, g, CAST(SUM(c) AS BIGINT) AS cc,
+                     CAST(SUM(r) AS BIGINT) AS rc
+              FROM g1 GROUP BY 1, 2, 3),
+      pn AS (SELECT pair_id, n, SUM(LEAST(cc, rc)) AS m,
+                    SUM(cc) AS ctot, SUM(rc) AS rtot
+             FROM cnt GROUP BY 1, 2),
+      w AS (SELECT pair_id,
+              CAST(SUM(CASE WHEN n = 1 THEN m ELSE 0 END) AS BIGINT) AS match_1,
+              CAST(SUM(CASE WHEN n = 1 THEN ctot ELSE 0 END) AS BIGINT) AS cand_len,
+              CAST(SUM(CASE WHEN n = 1 THEN rtot ELSE 0 END) AS BIGINT) AS ref_len,
+              CAST(SUM(CASE WHEN n = 2 THEN m ELSE 0 END) AS BIGINT) AS match_2,
+              CAST(SUM(CASE WHEN n = 2 THEN ctot ELSE 0 END) AS BIGINT) AS tot_2,
+              CAST(SUM(CASE WHEN n = 2 THEN rtot ELSE 0 END) AS BIGINT) AS rtot_2
+            FROM pn GROUP BY 1),
+      p AS (SELECT pair_id, cand_len, ref_len, match_1, match_2, tot_2,
+              CAST(match_1 + 1 AS DOUBLE) / CAST(cand_len + 1 AS DOUBLE) AS p1,
+              CAST(match_2 + 1 AS DOUBLE) / CAST(tot_2 + 1 AS DOUBLE) AS p2,
+              LEAST(0.0, 1.0 - CAST(ref_len AS DOUBLE) /
+                               CAST(cand_len AS DOUBLE)) AS log_bp,
+              CASE WHEN ref_len > 0
+                   THEN CAST(match_1 AS DOUBLE) / CAST(ref_len AS DOUBLE)
+              END AS rouge_1,
+              CASE WHEN rtot_2 > 0
+                   THEN CAST(match_2 AS DOUBLE) / CAST(rtot_2 AS DOUBLE)
+              END AS rouge_2
+            FROM w WHERE cand_len > 0)
+      SELECT pair_id, cand_len, ref_len, match_1, match_2, tot_2, p1, p2,
+             log_bp, rouge_1, rouge_2,
+             log_bp + CAST(CAST(ln(p1) AS DECIMAL(18,12)) +
+                           CAST(ln(p2) AS DECIMAL(18,12)) AS DOUBLE) / 2.0
+               AS log_bleu
+      FROM p ORDER BY pair_id"""))
+
+  /** DOREMI REWEIGHTING STEP (Mix.doremiWeights): one exponentiated-
+    * gradient update of the source mixture from per-domain mean excess
+    * loss (n_chars as the exact-integer loss proxy; swap in a real
+    * reference-model loss at the call site), smoothed 10% toward uniform.
+    * One partial-agg shuffle to G rows; exp truncated through
+    * DECIMAL(28,12) before the exact decimal normalizer sum.
+    */
+  private val q180 = Q("q180_doremi_weights",
+    (s, d) => graft.ops.Mix.doremiWeights(t(s, d, "documents"),
+        col("source"), col("n_chars"), eta = 1.0, epsMille = 100)
+      .orderBy(col("stratum")),
+    Some("""
+      WITH s AS (SELECT source AS stratum, COUNT(*) AS n_docs,
+                        CAST(SUM(n_chars) AS BIGINT) AS sl
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_all,
+                   CAST(SUM(sl) AS BIGINT) AS sl_all FROM s),
+      l AS (SELECT s.stratum, s.n_docs,
+              CAST(s.sl AS DOUBLE) / CAST(s.n_docs AS DOUBLE) AS avg_loss,
+              CAST(t.sl_all AS DOUBLE) / CAST(t.n_all AS DOUBLE) AS ref_loss
+            FROM s, t),
+      x AS (SELECT stratum, n_docs, avg_loss, ref_loss,
+              GREATEST(0.0, (avg_loss - ref_loss) / ref_loss) AS excess
+            FROM l),
+      e AS (SELECT stratum, n_docs, avg_loss, ref_loss, excess,
+              CAST(exp(1.0 * excess) AS DECIMAL(28,12)) AS ee
+            FROM x),
+      z AS (SELECT SUM(ee) AS z, COUNT(*) AS g FROM e)
+      SELECT e.stratum, e.n_docs, e.avg_loss, e.ref_loss, e.excess,
+             0.9 * (CAST(e.ee AS DOUBLE) / CAST(z.z AS DOUBLE)) +
+               0.1 / CAST(z.g AS DOUBLE) AS alpha
+      FROM e, z ORDER BY e.stratum"""))
+
+  /** ZIPF LAW FIT (TextOps.zipfFit): OLS of ln(freq) on ln(rank) over the
+    * top-200 terms — the lexical-health datacard number (natural text ≈
+    * slope −1). One term-count shuffle + bounded TakeOrdered(200); rank
+    * via array_sort of the collected top rows (no unpartitioned window);
+    * moment sums are exact decimals, the OLS a fixed double dag.
+    */
+  private val q181 = Q("q181_zipf_fit",
+    (s, d) => graft.ops.TextOps.zipfFit(docsSpread(s, d), col("text"),
+      topN = 200),
+    Some("""
+      WITH tok AS (SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               w -> len(w) > 0)) AS term
+             FROM documents),
+      cnt AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY 1),
+      rk AS (SELECT term, f, ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rank
+             FROM cnt),
+      top AS (SELECT rank, f FROM rk WHERE rank <= 200),
+      xy AS (SELECT CAST(ln(CAST(rank AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+                    CAST(ln(CAST(f AS DOUBLE)) AS DECIMAL(18,12)) AS y
+             FROM top),
+      s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM xy),
+      d AS (SELECT CAST(n AS BIGINT) AS n_terms, CAST(n AS DOUBLE) AS nn,
+                   CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                   CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+                   CAST(syy AS DOUBLE) AS syy
+            FROM s)
+      SELECT n_terms,
+             CAST(CAST((nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+                  AS DECIMAL(18,12)) AS DOUBLE) AS slope,
+             CAST(CAST((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn
+                  AS DECIMAL(18,12)) AS DOUBLE) AS intercept,
+             CAST(CAST(((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) /
+                       ((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+                  AS DECIMAL(18,12)) AS DOUBLE) AS r2
+      FROM d"""))
+
+  /** FILL-IN-THE-MIDDLE TRANSFORM (TextOps.fimSplit): deterministic
+    * two-cut PSM/SPM re-serialization of every document — the infilling
+    * augmentation at ingest. Purely narrow (three substrings + concat at
+    * the scan); the Knuth-arithmetic cut points replay exactly in SQL.
+    */
+  private val q182 = Q("q182_fim_transform",
+    (s, d) => graft.ops.TextOps.fimSplit(t(s, d, "documents"),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+               (((doc_id * 3 + 1) % 2147483648) * 2654435761) % 2147483648
+                 AS s1,
+               (((doc_id * 5 + 2) % 2147483648) * 2654435761) % 2147483648
+                 AS s2,
+               (((doc_id * 7 + 3) % 2147483648) * 2654435761) % 2147483648
+                 AS s3
+        FROM documents),
+      cuts AS (SELECT doc_id, text, len,
+                 LEAST(s1 % (len + 1), s2 % (len + 1)) AS cut_lo,
+                 GREATEST(s1 % (len + 1), s2 % (len + 1)) AS cut_hi,
+                 CASE WHEN s3 % 2048 < 1024 THEN 'psm' ELSE 'spm' END AS mode
+               FROM b),
+      parts AS (SELECT doc_id, len, cut_lo, cut_hi, mode,
+                  substr(text, 1, cut_lo) AS prefix,
+                  substr(text, cut_lo + 1, cut_hi - cut_lo) AS middle,
+                  substr(text, cut_hi + 1, len - cut_hi) AS suffix
+                FROM cuts)
+      SELECT doc_id, len, cut_lo, cut_hi, mode, prefix, middle, suffix,
+             CASE WHEN mode = 'psm'
+                  THEN '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle
+                  ELSE '<SUF>' || suffix || '<PRE>' || prefix || '<MID>' || middle
+             END AS fim_text
+      FROM parts ORDER BY doc_id"""))
+
+  /** ROUGE-L (Eval.rougeL): LCS precision/recall/F over the q179 pairing —
+    * the order-sensitive generation-overlap metric. The LCS is the
+    * codegen'd LcsTokens kernel (two-row DP, capped at 512 tokens/side);
+    * no SQL engine exposes LCS, so this is rows-only with a plain-Scala
+    * DP replay pinned in OpsSpec (the q113 BPE precedent).
+    */
+  private val q183 = Q("q183_rouge_l",
+    (s, d) => {
+      val docs = docsSpread(s, d)
+      val ref = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("ref"))
+      val cand = docs.where(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("cand"))
+      graft.ops.Eval.rougeL(ref.join(cand, "pair_id"),
+          col("pair_id"), col("cand"), col("ref"))
+        .orderBy(col("pair_id"))
+    },
+    None)
+
+  /** HEAPS' LAW FIT (TextOps.heapsFit): vocabulary-growth exponent β from
+    * V(n) at 8 doc-id prefix cuts — the datacard companion to q181's Zipf
+    * slope (β→0 = exhausted source, β→1 = id-noise tokens). One term →
+    * min(doc_id) shuffle; the 8-way prefix expansion runs on the
+    * ≤#docs-sized reduced frames, never corpus rows.
+    */
+  private val q184 = Q("q184_heaps_fit",
+    (s, d) => graft.ops.TextOps.heapsFit(docsSpread(s, d), col("doc_id"),
+      col("text"), points = 8),
+    Some("""
+      WITH toks AS (SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+             FROM documents),
+      perdoc AS (SELECT doc_id,
+                   CAST(len(list_filter(tk, w -> len(w) > 0)) AS BIGINT)
+                     AS ntok
+                 FROM toks),
+      firsts AS (SELECT term, MIN(doc_id) AS first_id
+                 FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+                 WHERE len(term) > 0 GROUP BY term),
+      fh AS (SELECT first_id, COUNT(*) AS c FROM firsts GROUP BY 1),
+      mx AS (SELECT MAX(doc_id) AS max_id FROM perdoc),
+      cuts AS (SELECT k, CAST(floor((max_id + 1) * k / 8.0) AS BIGINT) AS cut
+               FROM mx, range(1, 9) t(k)),
+      vk AS (SELECT k, CAST(SUM(c) AS BIGINT) AS v
+             FROM fh, cuts WHERE fh.first_id < cuts.cut GROUP BY 1),
+      nk AS (SELECT k, CAST(SUM(ntok) AS BIGINT) AS n_toks
+             FROM perdoc, cuts WHERE perdoc.doc_id < cuts.cut GROUP BY 1),
+      xy AS (SELECT CAST(ln(CAST(n_toks AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+                    CAST(ln(CAST(v AS DOUBLE)) AS DECIMAL(18,12)) AS y
+             FROM vk JOIN nk USING (k) WHERE v > 0 AND n_toks > 0),
+      s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM xy),
+      d AS (SELECT CAST(n AS BIGINT) AS n_points, CAST(n AS DOUBLE) AS nn,
+                   CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+                   CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+                   CAST(syy AS DOUBLE) AS syy
+            FROM s)
+      SELECT n_points,
+             CAST(CAST((nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+                  AS DECIMAL(18,12)) AS DOUBLE) AS beta,
+             CAST(CAST((sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx) / nn
+                  AS DECIMAL(18,12)) AS DOUBLE) AS intercept,
+             CAST(CAST(((nn * sxy - sx * sy) * (nn * sxy - sx * sy)) /
+                       ((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+                  AS DECIMAL(18,12)) AS DOUBLE) AS r2
+      FROM d"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6184,7 +6432,8 @@ object Queries {
     q135, q136, q137, q138, q139, q140, q141, q142, q143, q144,
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
-    q170, q171, q172, q173, q174, q175, q176, q177, q178)
+    q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
+    q181, q182, q183, q184)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -6241,5 +6490,8 @@ object Queries {
       "OpsSpec: video fingerprint matches a direct frame replay; JPEG re-encode dup is found"),
     "q143_compression_ratio" -> Seq(
       "OpsSpec: compression ratio orders repetition below prose below noise",
-      "OpsSpec: deflate_len is deterministic and tracks gzip minus its header"))
+      "OpsSpec: deflate_len is deterministic and tracks gzip minus its header"),
+    "q183_rouge_l" -> Seq(
+      "OpsSpec: rougeL matches a plain-Scala LCS replay; identity/disjoint/order corners",
+      "OpsSpec: rougeL cap truncates both sides and bounds the DP"))
 }

@@ -196,6 +196,26 @@ case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** Token-LCS length between two array<string> columns (the ROUGE-L core),
+  * capped at `cap` tokens per side (TextKernel.lcsLen's scale contract).
+  */
+case class LcsTokens(left: Expression, right: Expression, cap: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcs_tokens"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernel.lcsLen(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.TextKernel.lcsLen($l, $r, $cap);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsTokens =
+    copy(left = l, right = r)
+}
+
 /** Native hyperplane-LSH signature over an array<float> column. */
 case class HyperplaneSig(child: Expression, planes: Array[Double], nBits: Int, dim: Int)
     extends UnaryExpression {
@@ -481,6 +501,8 @@ object gfn {
     col(MinHashSig(ex(c), a, b))
   def vec_cosine(l: Column, r: Column): Column = col(VecCosine(ex(l), ex(r)))
   def quantized_dot(l: Column, r: Column): Column = col(QuantizedDot(ex(l), ex(r)))
+  def lcs_tokens(l: Column, r: Column, cap: Int = 512): Column =
+    col(LcsTokens(ex(l), ex(r), cap))
   def ngram_jaccard(l: Column, r: Column, w: Int = 3): Column =
     col(NgramJaccard(ex(l), ex(r), w))
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernel for text normalization (called from codegen'd NormalizeText).
@@ -81,5 +82,38 @@ object TextKernel {
     m = PhoneRe.matcher(t)
     while (m.find()) n += 1
     n
+  }
+
+  /** Token-sequence LCS length (the ROUGE-L core): classic two-row DP over
+    * the first `cap` tokens of each side — O(min(n,cap)·min(m,cap)) time,
+    * O(cap) space per row, one tight JVM loop callable from generated
+    * code. The cap is the operator's scale contract: per-row cost is
+    * bounded no matter how long a document is (standard ROUGE usage is
+    * summary-length sides anyway). UTF8String equality is byte equality —
+    * no copying, no decoding.
+    */
+  def lcsLen(a: ArrayData, b: ArrayData, cap: Int): Long = {
+    val n = math.min(a.numElements(), cap)
+    val m = math.min(b.numElements(), cap)
+    if (n == 0 || m == 0) return 0L
+    val bt = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bt(j) = b.getUTF8String(j); j += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i < n) {
+      val ai = a.getUTF8String(i)
+      j = 0
+      while (j < m) {
+        cur(j + 1) =
+          if (ai.equals(bt(j))) prev(j) + 1
+          else math.max(prev(j + 1), cur(j))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m).toLong
   }
 }

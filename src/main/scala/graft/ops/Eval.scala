@@ -364,6 +364,137 @@ object Eval {
           .otherwise(lit(0.0)).as("ndcg_at_k"))
   }
 
+  /** SENTENCE-LEVEL BLEU + ROUGE-N (Papineni et al. 2002; Lin 2004;
+    * smoothing per Chen & Cherry 2014 method 1 on every order): per
+    * (candidate, reference) pair, clipped n-gram precisions up to order 2
+    * plus the brevity penalty in LOG domain, and the same clipped counts
+    * re-normalized by the REFERENCE side as ROUGE-1/2 recall — the
+    * generation-overlap eval that grades distillation outputs, round-trip
+    * augmentation, and paraphrase-mined pairs before they enter a corpus.
+    *
+    *   match_n = Σ_g min(count_cand(g), count_ref(g))   (clipped)
+    *   p_n     = (match_n + 1) / (tot_n + 1)            (add-1 smoothing,
+    *             so log never hits −∞ on zero-overlap or short pairs)
+    *   log_bp  = min(0, 1 − ref_len/cand_len)
+    *   log_bleu = log_bp + (ln p_1 + ln p_2) / 2
+    *
+    * Kept in log domain deliberately: exp is the one libm op whose final
+    * ulp is NOT pinned cross-engine, while each ln here is truncated
+    * through DECIMAL(18,12) (the importanceWeights recipe) before the
+    * fixed-order FP dag — so the oracle replays bitwise. All counts are
+    * exact Longs; p_n is one IEEE division of exact integers.
+    *
+    * Scale shape: tokenization and gram construction are narrow; the one
+    * corpus-sized exchange is the (pair, n, gram) count shuffle, and the
+    * per-pair reduction is a partial-combined groupBy — no windows, no
+    * driver state. Pairs whose candidate tokenizes to zero tokens drop
+    * (cand_len = 0 has no defined brevity penalty).
+    */
+  def bleuPairs(pairs: DataFrame, pairId: Column, cand: Column,
+                ref: Column): DataFrame = {
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), w => length(w) > 0)
+    // exact n-grams only (none when the side has < n tokens): Spark's
+    // sequence(1, 0) counts DOWN, so the empty case needs the guard
+    def grams(tc: Column, n: Int): Column =
+      if (n == 1) tc
+      else when(size(tc) >= n,
+        transform(sequence(lit(1), size(tc) - (n - 1)),
+          i => array_join(slice(tc, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val base = pairs.select(pairId.cast("long").as("pair_id"),
+      toks(cand).as("ct"), toks(ref).as("rt"))
+    val ex = (1 to 2).map { n =>
+      base.select(col("pair_id"), lit(n).as("n"),
+        explode(concat(
+          transform(grams(col("ct"), n),
+            g => struct(g.as("g"), lit(1L).as("c"), lit(0L).as("r"))),
+          transform(grams(col("rt"), n),
+            g => struct(g.as("g"), lit(0L).as("c"), lit(1L).as("r"))))).as("x"))
+    }.reduce(_ unionByName _)
+    val perN = ex
+      .groupBy(col("pair_id"), col("n"), col("x.g"))
+      .agg(sum(col("x.c")).as("cc"), sum(col("x.r")).as("rc"))
+      .groupBy(col("pair_id"), col("n"))
+      .agg(sum(least(col("cc"), col("rc"))).as("m"),
+        sum(col("cc")).as("ct"), sum(col("rc")).as("rt"))
+    val wide = perN.groupBy(col("pair_id")).agg(
+      sum(when(col("n") === 1, col("m")).otherwise(lit(0L))).as("match_1"),
+      sum(when(col("n") === 1, col("ct")).otherwise(lit(0L))).as("cand_len"),
+      sum(when(col("n") === 1, col("rt")).otherwise(lit(0L))).as("ref_len"),
+      sum(when(col("n") === 2, col("m")).otherwise(lit(0L))).as("match_2"),
+      sum(when(col("n") === 2, col("ct")).otherwise(lit(0L))).as("tot_2"),
+      sum(when(col("n") === 2, col("rt")).otherwise(lit(0L))).as("rtot_2"))
+    def ln12(x: Column): Column = log(x).cast(Dec1812)
+    val p1 = (col("match_1") + 1).cast("double") / (col("cand_len") + 1).cast("double")
+    val p2 = (col("match_2") + 1).cast("double") / (col("tot_2") + 1).cast("double")
+    wide.where(col("cand_len") > 0)
+      .select(col("pair_id"), col("cand_len"), col("ref_len"),
+        col("match_1"), col("match_2"), col("tot_2"),
+        p1.as("p1"), p2.as("p2"),
+        least(lit(0.0), lit(1.0) -
+          col("ref_len").cast("double") / col("cand_len").cast("double"))
+          .as("log_bp"),
+        // ROUGE-N recall (Lin 2004): same clipped co-occurrence counts,
+        // reference-side denominator, unsmoothed (null when no ref grams)
+        when(col("ref_len") > 0,
+          col("match_1").cast("double") / col("ref_len").cast("double"))
+          .as("rouge_1"),
+        when(col("rtot_2") > 0,
+          col("match_2").cast("double") / col("rtot_2").cast("double"))
+          .as("rouge_2"))
+      .withColumn("log_bleu",
+        col("log_bp") +
+          (ln12(col("p1")) + ln12(col("p2"))).cast("double") / 2.0)
+  }
+
+  private val Dec1812 = org.apache.spark.sql.types.DecimalType(18, 12)
+
+  /** ROUGE-L (Lin 2004): longest-common-subsequence precision/recall/F per
+    * (candidate, reference) pair — the order-sensitive complement to
+    * [[bleuPairs]]' bag-of-grams metrics (a shuffled candidate keeps its
+    * ROUGE-1 but loses its ROUGE-L). The LCS runs in the codegen'd
+    * [[graft.functions.LcsTokens]] kernel — one tight two-row-DP JVM loop
+    * per pair, O(cap²) time / O(cap) space bounded by `maxTokens`
+    * (truncation is the documented scale contract; standard ROUGE operates
+    * on summary-length sides). Everything downstream of the integer LCS
+    * length is a single IEEE division (F1 = 2·lcs/(n+m) — the exact
+    * harmonic-mean identity, no intermediate P·R product), so results are
+    * deterministic; there is no SQL oracle because no SQL engine exposes
+    * LCS — OpsSpec pins a plain-Scala DP replay instead (rows-only).
+    *
+    * Scale shape: purely narrow per pair — tokenize, one kernel call,
+    * three divisions; no shuffle beyond whatever join built the pairs.
+    * Pairs where either side tokenizes empty emit 0-length LCS with null
+    * ratios for the empty side.
+    */
+  def rougeL(pairs: DataFrame, pairId: Column, cand: Column, ref: Column,
+             maxTokens: Int = 512): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), w => length(w) > 0)
+    pairs
+      .select(pairId.cast("long").as("pair_id"),
+        toks(cand).as("ct"), toks(ref).as("rt"))
+      .select(col("pair_id"),
+        least(size(col("ct")), lit(maxTokens)).cast("long").as("cand_tokens"),
+        least(size(col("rt")), lit(maxTokens)).cast("long").as("ref_tokens"),
+        graft.functions.gfn.lcs_tokens(col("ct"), col("rt"), maxTokens)
+          .as("lcs_len"))
+      .select(col("pair_id"), col("cand_tokens"), col("ref_tokens"),
+        col("lcs_len"),
+        when(col("cand_tokens") > 0,
+          col("lcs_len").cast("double") / col("cand_tokens").cast("double"))
+          .as("rouge_l_p"),
+        when(col("ref_tokens") > 0,
+          col("lcs_len").cast("double") / col("ref_tokens").cast("double"))
+          .as("rouge_l_r"),
+        when(col("cand_tokens") + col("ref_tokens") > 0,
+          lit(2.0) * col("lcs_len").cast("double") /
+            (col("cand_tokens") + col("ref_tokens")).cast("double"))
+          .as("rouge_l_f"))
+  }
+
   def bradleyTerry(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
     // both directions: (i, j, n_ij, w_ij = wins of i against j)

@@ -236,6 +236,72 @@ object Mix {
         (col("logw12").cast("double") / lit(1e12)).as("log_weight"))
   }
 
+  /** DOREMI DOMAIN-REWEIGHTING STEP (Xie et al. 2023, "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining"): one
+    * exponentiated-gradient update of the domain mixture from per-domain
+    * EXCESS LOSS, smoothed toward uniform —
+    *
+    *   λ_s = max(0, (L_s − L_ref) / L_ref)      (relative excess; L_s is
+    *         the domain's mean per-doc loss, L_ref the corpus mean — the
+    *         caller can substitute a real reference-model loss by passing
+    *         any exact-integer `loss` column, the preferencePairs
+    *         contract)
+    *   α̃_s ∝ exp(η·λ_s)
+    *   α_s = (1 − ε)·α̃_s + ε/G                 (uniform smoothing)
+    *
+    * Determinism: L_s, L_ref are single divisions of exact Long sums;
+    * exp(η·λ) is truncated through DECIMAL(28,12) BEFORE the normalizer
+    * sums it (decimal sums are exact and order-independent, so Z needs no
+    * ordered fold), and the final α is a fixed IEEE dag — the oracle
+    * replays every step.
+    *
+    * Scale shape: ONE partial-combined groupBy to G domain rows, a G-row
+    * aggregate for (Z, G), and two single-row broadcasts — corpus cost
+    * is the one aggregate at any size, the DoReMi point: the expensive
+    * proxy/reference losses are inputs, the reweighting itself is free.
+    */
+  def doremiWeights(df: DataFrame, stratum: Column, loss: Column,
+                    eta: Double = 1.0, epsMille: Int = 100): DataFrame =
+    doremiFromCells(lossCells(df, stratum, loss), eta, epsMille)
+
+  /** The mixture's MERGEABLE STATE: one row per stratum with exact Long
+    * (n_docs, sl) sums — cells merge across any partition of the corpus
+    * or stream ([[mergeLossCells]] == a one-shot pass over the
+    * concatenation), which is what the streaming mixture monitor
+    * ([[graft.streaming.MixtureMonitorJob]]) folds per trigger.
+    */
+  def lossCells(df: DataFrame, stratum: Column, loss: Column): DataFrame =
+    df.select(stratum.as("stratum"), loss.cast("long").as("l"))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("l")).as("sl"))
+
+  def mergeLossCells(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch).groupBy(col("stratum"))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sl")).as("sl"))
+
+  /** [[doremiWeights]]' assembly half over a prebuilt cell table. */
+  def doremiFromCells(perS: DataFrame, eta: Double = 1.0,
+                      epsMille: Int = 100): DataFrame = {
+    require(eta > 0, s"eta must be positive, got $eta")
+    require(epsMille >= 0 && epsMille <= 1000,
+      s"epsMille must be in [0, 1000], got $epsMille")
+    val Dec2812 = org.apache.spark.sql.types.DecimalType(28, 12)
+    val tot = perS.agg(sum(col("n_docs")).as("n_all"), sum(col("sl")).as("sl_all"))
+    val withE = perS.crossJoin(broadcast(tot))
+      .withColumn("avg_loss", col("sl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("ref_loss", col("sl_all").cast("double") / col("n_all").cast("double"))
+      .withColumn("excess",
+        greatest(lit(0.0), (col("avg_loss") - col("ref_loss")) / col("ref_loss")))
+      .withColumn("e", exp(lit(eta) * col("excess")).cast(Dec2812))
+    val z = withE.agg(sum(col("e")).as("z"), count(lit(1)).as("g"))
+    withE.crossJoin(broadcast(z))
+      .select(col("stratum"), col("n_docs"), col("avg_loss"), col("ref_loss"),
+        col("excess"),
+        (lit(1.0 - epsMille / 1000.0) *
+          (col("e").cast("double") / col("z").cast("double")) +
+          lit(epsMille / 1000.0) / col("g").cast("double")).as("alpha"))
+  }
+
   /** PREFERENCE-PAIR CONSTRUCTION (the DPO/RLHF data-assembly step): given
     * candidate rows scored by an exact integer `reward`, emit per group
     * (the "prompt") the best-of-n CHOSEN candidate and the worst REJECTED

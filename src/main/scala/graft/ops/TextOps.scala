@@ -1469,6 +1469,192 @@ object TextOps {
         col("col.id").as("doc_id"), col("col.score").as("score"))
   }
 
+  /** ZIPF LAW FIT (Zipf 1949; the corpus-health diagnostic of Heaps/Zipf
+    * lexical statistics): OLS regression of ln(frequency) on ln(rank)
+    * over the top-`topN` terms — natural text sits near slope −1, and a
+    * corpus whose slope drifts (template/boilerplate floods flatten it,
+    * aggressive dedup steepens it) fails the datacard check before any
+    * model sees it. Output is ONE row: (n_terms, slope, intercept, r2).
+    *
+    * Determinism: each ln is truncated through DECIMAL(18,12) (the
+    * importanceWeights recipe); Σx, Σy, Σxy, Σx², Σy² accumulate as
+    * exact decimal sums of exact (18,12)×(18,12) products (precision 37 —
+    * no silent scale drop), and the closed-form OLS runs as a fixed IEEE
+    * dag on their double casts. Rank ties break by term, so the ranking
+    * is total.
+    *
+    * Scale shape: the corpus pays one tokenize + one (term) count
+    * shuffle; the top-N cut is a bounded TakeOrdered (never a global
+    * sort), and the rank assignment is an array_sort + posexplode over
+    * the ≤ topN collected rows (the q105 vocab-rank recipe — no
+    * unpartitioned window). Everything after is a 1-row aggregate.
+    */
+  def zipfFit(docs: DataFrame, text: Column, topN: Int = 200): DataFrame = {
+    require(topN >= 3, s"need >= 3 points for a meaningful fit, got $topN")
+    val Dec1812 = org.apache.spark.sql.types.DecimalType(18, 12)
+    val top = docs
+      .select(explode(tokens(lower(text))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term")).limit(topN)
+    // rank = position in the (f desc, term asc) order of the <= topN rows:
+    // one bounded collect_list + array_sort, not a window
+    val ranked = top
+      .agg(sort_array(collect_list(struct((-col("f")).as("nf"),
+        col("term").as("term")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rank"), (-col("x.nf")).as("f"))
+    val terms = ranked.select(
+      log(col("rank").cast("double")).cast(Dec1812).as("x"),
+      log(col("f").cast("double")).cast(Dec1812).as("y"))
+    olsLogLog(terms, "n_terms", "slope")
+  }
+
+  /** Shared closed-form OLS over a tiny (x, y) frame of DECIMAL(18,12)
+    * ln's: exact decimal moment sums ((18,12)×(18,12) products are
+    * precision 37 — no silent scale drop), then the fixed double dag.
+    * dx = 0 (all x equal) nulls the fit; dy = 0 (flat y) nulls only r2 —
+    * ANSI mode makes unguarded 0-divisions errors, not NaNs.
+    *
+    * The three outputs are truncated through DECIMAL(18,12) (then cast
+    * back to double): when y is near-constant (a saturated-vocabulary
+    * Heaps fit, a flat frequency profile), num = nn·sxy − sx·sy is
+    * CATASTROPHICALLY CANCELLED — its value is rounding residue below the
+    * inputs' ulp, and the two engines' residues differ in the last bits
+    * (measured: beta −1.5543386130830816e-14 vs ...0333e-14 on the sf0.01
+    * corpus). Truncation collapses both residues to the same 12-decimal
+    * value (0 in the degenerate case) while leaving well-conditioned fits
+    * untouched at the precision every other catalog double carries.
+    */
+  private def olsLogLog(pts: DataFrame, nName: String,
+                        slopeName: String): DataFrame = {
+    val sums = pts.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    sums.select(
+        col("n").as(nName),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"), col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"))
+      .withColumn("nn", col(nName).cast("double"))
+      .withColumn("dx", col("nn") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("dy", col("nn") * col("syy") - col("sy") * col("sy"))
+      .withColumn("num", col("nn") * col("sxy") - col("sx") * col("sy"))
+      .select(col(nName),
+        when(col("dx") === 0.0, lit(null))
+          .otherwise(trunc12(col("num") / col("dx"))).as(slopeName),
+        when(col("dx") === 0.0, lit(null))
+          .otherwise(trunc12(
+            (col("sy") - (col("num") / col("dx")) * col("sx")) / col("nn")))
+          .as("intercept"),
+        when(col("dx") * col("dy") === 0.0, lit(null))
+          .otherwise(trunc12(
+            col("num") * col("num") / (col("dx") * col("dy")))).as("r2"))
+  }
+
+  private def trunc12(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.DecimalType(18, 12)).cast("double")
+
+  /** HEAPS' LAW FIT (Heaps 1978; the vocabulary-growth companion to
+    * [[zipfFit]]): V(n) ≈ K·n^β — distinct vocabulary size V as a function
+    * of tokens seen n, measured at `points` prefix cuts of the corpus in
+    * doc-id order, then OLS of ln V on ln n. Natural text sits at β ≈
+    * 0.4–0.6; β drifting toward 0 means the corpus has stopped
+    * contributing new vocabulary (template floods, exhausted source), β
+    * near 1 flags id/hash-like token noise. Output: one row
+    * (n_points, beta, intercept, r2) + the per-cut table folded in via
+    * the fit only (the datacard keeps the scalar).
+    *
+    * The trick that keeps this ONE pass: V(cut) = #{terms whose FIRST
+    * doc id < cut} — so the corpus-sized work is a single (term) →
+    * min(doc_id) aggregate (the zipfFit shuffle with min instead of
+    * count), reduced to a ≤#docs-sized (first_id, n_new_terms) frame, and
+    * the `points`-way prefix expansion happens on THAT and the doc-sized
+    * token-count frame, never on corpus rows. Cuts are integer fractions
+    * of (max_id + 1) — exact doubles, floor'd identically in SQL.
+    *
+    * Determinism: same DECIMAL(18,12) ln truncation + exact decimal
+    * moment sums + fixed-dag OLS as [[zipfFit]]; cuts with zero tokens or
+    * zero vocabulary drop from the fit (ln undefined).
+    */
+  def heapsFit(docs: DataFrame, id: Column, text: Column,
+               points: Int = 8): DataFrame = {
+    require(points >= 3, s"need >= 3 cuts for a fit, got $points")
+    val Dec1812 = org.apache.spark.sql.types.DecimalType(18, 12)
+    val toks = docs.select(id.cast("long").as("id"),
+      tokens(lower(text)).as("tk"))
+    val perDoc = toks.select(col("id"),
+      size(filter(col("tk"), w => length(w) > 0)).cast("long").as("ntok"))
+    val firsts = toks
+      .select(col("id"), explode(col("tk")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("term")).agg(min(col("id")).as("first_id"))
+      .groupBy(col("first_id")).agg(count(lit(1)).as("new_terms"))
+    val cuts = perDoc.agg(max(col("id")).as("max_id"))
+      .select(explode(sequence(lit(1), lit(points))).as("k"), col("max_id"))
+      .select(col("k"),
+        floor((col("max_id") + 1).cast("double") * col("k") / lit(points.toDouble))
+          .cast("long").as("cut"))
+    val vk = firsts.crossJoin(broadcast(cuts))
+      .where(col("first_id") < col("cut"))
+      .groupBy(col("k"), col("cut")).agg(sum(col("new_terms")).as("v"))
+    val nk = perDoc.crossJoin(broadcast(cuts))
+      .where(col("id") < col("cut"))
+      .groupBy(col("k")).agg(sum(col("ntok")).as("n_toks"))
+    val pts = vk.join(nk, "k")
+      .where(col("v") > 0 && col("n_toks") > 0)
+      .select(
+        log(col("n_toks").cast("double")).cast(Dec1812).as("x"),
+        log(col("v").cast("double")).cast(Dec1812).as("y"))
+    olsLogLog(pts, "n_points", "beta")
+  }
+
+  /** FILL-IN-THE-MIDDLE TRANSFORM (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): split each
+    * document at two DETERMINISTIC character positions into
+    * (prefix, middle, suffix) and re-serialize with sentinel tokens in
+    * PSM or SPM order (a hash-bit 50/50, per the paper's joint training) —
+    * the infilling-data augmentation applied to code/text corpora at
+    * ingest. Cut points come from the [[Mix.hashGate]] Knuth arithmetic
+    * on the doc id (three decorrelated streams via odd multipliers), not
+    * rand(): reproducible across runs, engines, and task retries, and
+    * SQL-replayable, so the oracle rebuilds every split bitwise.
+    *
+    * Purely narrow — three substrings and a concat per row, evaluated at
+    * the scan; no shuffle, no state. `prefix + middle + suffix == text`
+    * by construction (OpsSpec pins it).
+    */
+  def fimSplit(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val M31 = 2147483648L
+    val Knuth = 2654435761L
+    def stream(k: Int): Column =
+      pmod(pmod(id.cast("long") * (2 * k + 1) + k, lit(M31)) * lit(Knuth), lit(M31))
+    val len = length(text).cast("long")
+    val c1 = stream(1) % (len + 1)
+    val c2 = stream(2) % (len + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val prefix = text.substr(lit(1), lo.cast("int"))
+    val middle = text.substr((lo + 1).cast("int"), (hi - lo).cast("int"))
+    val suffix = text.substr((hi + 1).cast("int"), (len - hi).cast("int"))
+    docs.select(id.cast("long").as("doc_id"), len.as("len"),
+        lo.as("cut_lo"), hi.as("cut_hi"),
+        // bit 10 of the third stream, not bit 0: the low bit of a
+        // multiplicative hash mod 2^31 is just the input's parity
+        when(stream(3) % 2048 < 1024, lit("psm")).otherwise(lit("spm")).as("mode"),
+        prefix.as("prefix"), middle.as("middle"), suffix.as("suffix"))
+      .withColumn("fim_text",
+        when(col("mode") === "psm",
+          concat(lit("<PRE>"), col("prefix"), lit("<SUF>"), col("suffix"),
+            lit("<MID>"), col("middle")))
+        .otherwise(
+          concat(lit("<SUF>"), col("suffix"), lit("<PRE>"), col("prefix"),
+            lit("<MID>"), col("middle"))))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -3328,4 +3328,176 @@ class OpsSpec extends AnyFunSuite {
         r.getDouble(4), r.getDouble(5), r.getDouble(6)))
     assert(outDup.toSeq == out.toSeq, s"dup-truth drift: ${outDup.toSeq}")
   }
+
+  test("bleuPairs: identical pair scores 0 log-BLEU; clipping, brevity, disjoint floors") {
+    val pairs = Seq(
+      (1L, "the cat sat on the mat", "the cat sat on the mat"), // identical
+      (2L, "the the the the", "the cat"),                       // clipping
+      (3L, "alpha beta", "gamma delta"),                        // disjoint
+      (4L, "a b", "a b c d e f g h"))                           // short cand
+      .toDF("pair_id", "cand", "ref")
+    val res = graft.ops.Eval.bleuPairs(pairs, col("pair_id"), col("cand"),
+      col("ref")).orderBy(col("pair_id"))
+    val out = res.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(8), r.getDouble(11)))
+    // ROUGE recall: identical pair pegs both orders at 1; clipping caps
+    // the repeated-"the" pair at 1/2 unigram recall, 0/1 bigram
+    val rg = res.collect().map(r => (r.getDouble(9), r.getDouble(10)))
+    assert(rg(0) == ((1.0, 1.0)), rg(0).toString)
+    assert(rg(1) == ((0.5, 0.0)), rg(1).toString)
+    // identical: every gram matches, bp = 0, smoothed p_n = 1 => log_bleu 0
+    assert(out(0) == ((1L, 6L, 6L, 6L, 5L, 5L, 0.0, 0.0)), out(0).toString)
+    // clipping: cand has "the" x4 but ref only x1 => match_1 = 1, no bigram
+    // match; ref_len 2 < cand_len 4 => bp = 0
+    val (_, cl2, rl2, m12, m22, _, bp2, lb2) = out(1)
+    assert(cl2 == 4L && rl2 == 2L && m12 == 1L && m22 == 0L && bp2 == 0.0)
+    assert(lb2 < 0.0)
+    // disjoint: zero matches everywhere; smoothing keeps the score finite
+    val (_, _, _, m13, m23, _, _, lb3) = out(2)
+    assert(m13 == 0L && m23 == 0L && !lb3.isInfinite && lb3 < 0.0)
+    // short candidate: brevity penalty bites (ref 8 vs cand 2 => 1 - 4 = -3)
+    assert(out(3)._7 == 1.0 - 8.0 / 2.0, out(3).toString)
+  }
+
+  test("rougeL matches a plain-Scala LCS replay; identity/disjoint/order corners") {
+    // plain-Scala reference DP over the same tokenization
+    def lcsRef(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+                   else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length)
+    }
+    def tk(s: String): Seq[String] =
+      s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    // pseudo-random word-soup pairs, deterministic by construction
+    val words = Vector("the", "cat", "sat", "mat", "dog", "ran", "far", "saw")
+    val pairs = (0 until 40).map { i =>
+      def gen(seed: Int, n: Int): String =
+        (0 until n).map(k => words(((seed + 1) * 2654435761L % 97 * (k + 3) % words.length).toInt.abs % words.length)).mkString(" ")
+      (i.toLong, gen(i, 5 + i % 9), gen(i * 7 + 3, 4 + i % 11))
+    }
+    val df = pairs.toDF("pair_id", "cand", "ref")
+    val out = graft.ops.Eval.rougeL(df, col("pair_id"), col("cand"), col("ref"))
+      .orderBy(col("pair_id")).collect()
+    pairs.zip(out).foreach { case ((_, c, r), row) =>
+      val expect = lcsRef(tk(c), tk(r))
+      assert(row.getLong(3) == expect.toLong,
+        s"lcs mismatch for ($c | $r): got ${row.getLong(3)}, want $expect")
+      assert(row.getDouble(6) ==
+        2.0 * expect / (tk(c).length + tk(r).length), row.toString)
+    }
+    // corners: identity F=1; disjoint 0; reversal keeps only 1 token
+    val corners = Seq(
+      (1L, "a b c d", "a b c d"),
+      (2L, "a b c", "x y z"),
+      (3L, "a b c", "c b a"))
+      .toDF("pair_id", "cand", "ref")
+    val co = graft.ops.Eval.rougeL(corners, col("pair_id"), col("cand"),
+      col("ref")).orderBy(col("pair_id")).collect()
+    assert(co(0).getLong(3) == 4L && co(0).getDouble(6) == 1.0)
+    assert(co(1).getLong(3) == 0L && co(1).getDouble(6) == 0.0)
+    assert(co(2).getLong(3) == 1L)
+  }
+
+  test("rougeL cap truncates both sides and bounds the DP") {
+    val df = Seq((1L, "a b c d e f", "a b x x e f")).toDF("pair_id", "cand", "ref")
+    // full: lcs = a b e f = 4
+    val full = graft.ops.Eval.rougeL(df, col("pair_id"), col("cand"),
+      col("ref")).collect()(0)
+    assert(full.getLong(3) == 4L && full.getLong(1) == 6L)
+    // cap 2: only (a b) vs (a b) survive -> lcs 2, token counts clamp to 2
+    val capped = graft.ops.Eval.rougeL(df, col("pair_id"), col("cand"),
+      col("ref"), maxTokens = 2).collect()(0)
+    assert(capped.getLong(3) == 2L && capped.getLong(1) == 2L &&
+      capped.getLong(2) == 2L && capped.getDouble(6) == 1.0, capped.toString)
+  }
+
+  test("doremiWeights: uniform losses -> uniform alpha; hot domain upweighted; alphas sum to 1") {
+    val even = Seq(("a", 100L), ("a", 100L), ("b", 100L), ("b", 100L))
+      .toDF("src", "loss")
+    val u = graft.ops.Mix.doremiWeights(even, col("src"), col("loss"))
+      .orderBy(col("stratum")).collect()
+    assert(u.map(_.getDouble(5)).forall(a => math.abs(a - 0.5) < 1e-12),
+      u.toSeq.toString)
+    val skew = Seq(("a", 100L), ("a", 100L), ("b", 300L), ("b", 300L),
+      ("c", 100L), ("c", 100L)).toDF("src", "loss")
+    val out = graft.ops.Mix.doremiWeights(skew, col("src"), col("loss"),
+        eta = 1.0, epsMille = 100)
+      .orderBy(col("stratum")).collect()
+    val alphas = out.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    // b's excess = (300 - 500/3) / (500/3) = 0.8 > 0; a and c sit below the
+    // corpus mean (excess 0) and split the remainder equally
+    assert(alphas("b") > alphas("a") && alphas("a") == alphas("c"),
+      alphas.toString)
+    assert(math.abs(out.map(_.getDouble(5)).sum - 1.0) < 1e-12)
+    // excess column: max(0, relative excess); the cool domains clamp to 0
+    val ex = out.map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(ex("a") == 0.0 && ex("c") == 0.0 &&
+      math.abs(ex("b") - 0.8) < 1e-12, ex.toString)
+  }
+
+  test("zipfFit: exact power-law corpus recovers slope -1 with r2 ~ 1") {
+    // term t_r appears floor(720720 / r) times scaled down: use counts
+    // 720720/r for r in 1..12 (720720 = lcm(1..12) -> exact integer counts)
+    val rows = (1 to 12).flatMap { r =>
+      val c = 7207 / r // integer counts, near-exact 1/r law
+      Seq.fill(c)(s"t$r")
+    }
+    val df = Seq(rows.mkString(" ")).toDF("text")
+    val out = graft.ops.TextOps.zipfFit(df, col("text"), topN = 12).collect()(0)
+    assert(out.getLong(0) == 12L)
+    val slope = out.getDouble(1)
+    val r2 = out.getDouble(3)
+    assert(math.abs(slope + 1.0) < 0.02, s"slope $slope")
+    assert(r2 > 0.999, s"r2 $r2")
+    // flat corpus (every term equally frequent): slope 0
+    val flat = Seq((1 to 10).map(i => s"w$i w$i w$i").mkString(" ")).toDF("text")
+    val s2 = graft.ops.TextOps.zipfFit(flat, col("text"), topN = 10)
+      .collect()(0).getDouble(1)
+    assert(math.abs(s2) < 1e-12, s"flat slope $s2")
+  }
+
+  test("heapsFit: all-unique tokens give beta exactly 1; repeated vocab collapses beta to ~0") {
+    // every token globally unique => V(n) = n, so y == x at every cut and
+    // the OLS ratio is bitwise 1 (identical numerator/denominator dags)
+    val uniq = (0L until 32L).map(i =>
+      (i, (0 until 5).map(j => s"u${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val u = graft.ops.TextOps.heapsFit(uniq, col("doc_id"), col("text"),
+      points = 8).collect()(0)
+    assert(u.getLong(0) == 8L && u.getDouble(1) == 1.0 && u.getDouble(3) == 1.0,
+      u.toString)
+    // fixed tiny vocabulary: V flat after the first cut => beta near 0
+    val rep = (0L until 32L).map(i => (i, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = graft.ops.TextOps.heapsFit(rep, col("doc_id"), col("text"),
+      points = 8).collect()(0)
+    assert(math.abs(r.getDouble(1)) < 1e-12, r.toString)
+  }
+
+  test("fimSplit: parts reassemble the document; cuts in range; modes both occur; deterministic") {
+    val df = (0L until 64L).map(i => (i, s"doc $i " + ("x" * (i % 17).toInt)))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.fimSplit(df, col("doc_id"), col("text"))
+    val rows = out.collect()
+    assert(rows.length == 64)
+    val src = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (id, len, lo, hi) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(lo >= 0 && lo <= hi && hi <= len, r.toString)
+      val re = r.getString(5) + r.getString(6) + r.getString(7)
+      assert(re == src(id), s"doc $id reassembly mismatch")
+      val fim = r.getString(8)
+      if (r.getString(4) == "psm")
+        assert(fim == s"<PRE>${r.getString(5)}<SUF>${r.getString(7)}<MID>${r.getString(6)}")
+      else
+        assert(fim == s"<SUF>${r.getString(7)}<PRE>${r.getString(5)}<MID>${r.getString(6)}")
+    }
+    val modes = rows.map(_.getString(4)).toSet
+    assert(modes == Set("psm", "spm"), s"modes $modes")
+    // deterministic: a second run is identical row-for-row
+    val again = graft.ops.TextOps.fimSplit(df, col("doc_id"), col("text"))
+      .collect().map(_.toString).sorted
+    assert(again.toSeq == rows.map(_.toString).sorted.toSeq)
+  }
 }

@@ -694,6 +694,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
   }
 
+  test("streaming mixture monitor: folded DoReMi table equals the one-shot batch weights") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq(("web", 120L), ("web", 80L), ("code", 300L), ("books", 100L))
+    val batch2 = Seq(("web", 90L), ("code", 500L), ("code", 260L), ("books", 110L))
+    val mem = MemoryStream[(String, Long)]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    val ckpt = java.nio.file.Files.createTempDirectory("mixmon").toString
+    val q = graft.streaming.MixtureMonitorJob.start(
+      mem.toDF().toDF("stratum", "loss"),
+      out => last = out.orderBy(col("stratum")).collect(),
+      ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      val oneShot1 = graft.ops.Mix.doremiWeights(
+          batch1.toDF("stratum", "loss"), col("stratum"), col("loss"))
+        .orderBy(col("stratum")).collect().map(_.toSeq)
+      assert(last.map(_.toSeq).toSeq == oneShot1.toSeq)
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val oneShot = graft.ops.Mix.doremiWeights(
+          (batch1 ++ batch2).toDF("stratum", "loss"), col("stratum"), col("loss"))
+        .orderBy(col("stratum")).collect().map(_.toSeq)
+      assert(last.map(_.toSeq).toSeq == oneShot.toSeq,
+        s"stream ${last.toSeq} vs batch ${oneShot.toSeq}")
+      // code's losses dominate: its alpha must exceed the uniform share
+      val alphas = last.map(r => r.getString(0) -> r.getDouble(5)).toMap
+      assert(alphas("code") > 1.0 / 3.0, alphas.toString)
+    } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
+  }
+
   test("eval monitor restart: batch-id guard makes a replayed batch a no-op, counts stay exact") {
     import spark.implicits._
     implicit val s = spark
