@@ -6417,6 +6417,249 @@ object Queries {
                   AS DECIMAL(18,12)) AS DOUBLE) AS r2
       FROM d"""))
 
+  /** BLOCKLIST SCAN (TextOps.blocklistHits): Aho–Corasick multi-pattern
+    * occurrence counts in ONE automaton pass per document — the
+    * content-filter audit table. The pattern set deliberately includes a
+    * substring of another pattern ("hash" ⊂ "table hash") and a
+    * self-overlapping phrase, exercising the overlapping-occurrence
+    * semantics the oracle replays by probing every start position. Narrow
+    * codegen'd kernel; cost independent of pattern count.
+    */
+  private val q185 = Q("q185_blocklist_scan",
+    (s, d) => graft.ops.TextOps.blocklistHits(docsSpread(s, d),
+        col("doc_id"), col("text"), BlockPatterns)
+      .orderBy(col("doc_id"), col("pattern_id")),
+    Some("""
+      WITH pats(pattern_id, pattern) AS (VALUES
+        (0, 'table hash'), (1, 'hash'), (2, 'slow key'), (3, 'part filter'),
+        (4, 'merge order'), (5, 'key agg'), (6, 'er'), (7, 'scan slow')),
+      d AS (SELECT doc_id, lower(text) AS t FROM documents),
+      hits AS (
+        SELECT d.doc_id, p.pattern_id, p.pattern,
+               CAST(len(list_filter(range(1, len(t) - len(pattern) + 2),
+                 i -> substr(t, i, len(pattern)) = pattern)) AS BIGINT)
+                 AS n_hits
+        FROM d, pats p),
+      tot AS (SELECT doc_id, CAST(SUM(n_hits) AS BIGINT) AS total_hits
+              FROM hits GROUP BY 1)
+      SELECT h.doc_id, CAST(h.pattern_id AS BIGINT) AS pattern_id,
+             h.pattern, h.n_hits, t.total_hits
+      FROM hits h JOIN tot t USING (doc_id)
+      WHERE h.n_hits > 0
+      ORDER BY h.doc_id, h.pattern_id"""))
+
+  private val BlockPatterns = Seq("table hash", "hash", "slow key",
+    "part filter", "merge order", "key agg", "er", "scan slow")
+
+  /** chrF (Eval.chrF): character n-gram F-score (β=2, n=1..3) over the
+    * q179 pairing — the tokenization-free generation metric. Whitespace
+    * stripped per the sacrebleu default; per-order F is a fixed double
+    * dag over exact Long counts and the final mean a sorted-order fold,
+    * so the oracle replays bitwise. Same one-shuffle scale shape as q179.
+    */
+  private val q186 = Q("q186_chrf",
+    (s, d) => {
+      val docs = docsSpread(s, d)
+      val ref = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("ref"))
+      val cand = docs.where(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("cand"))
+      graft.ops.Eval.chrF(ref.join(cand, "pair_id"),
+          col("pair_id"), col("cand"), col("ref"))
+        .orderBy(col("pair_id"))
+    },
+    Some("""
+      WITH r AS (SELECT doc_id AS pair_id,
+                   regexp_replace(lower(trim(text)), '\s+', '', 'g') AS rs
+                 FROM documents WHERE doc_id % 2 = 0),
+      c AS (SELECT doc_id - 1 AS pair_id,
+              regexp_replace(lower(trim(text)), '\s+', '', 'g') AS cs
+            FROM documents WHERE doc_id % 2 = 1),
+      p AS (SELECT pair_id, cs, rs FROM r JOIN c USING (pair_id)),
+      gn AS (
+        SELECT pair_id, n.n AS n,
+               unnest(list_transform(range(1, len(cs) - n.n + 2),
+                 i -> substr(cs, i, n.n))) AS g,
+               1 AS c, 0 AS r
+        FROM p, (VALUES (1), (2), (3)) n(n) WHERE len(cs) >= n.n
+        UNION ALL
+        SELECT pair_id, n.n, unnest(list_transform(range(1, len(rs) - n.n + 2),
+                 i -> substr(rs, i, n.n))), 0, 1
+        FROM p, (VALUES (1), (2), (3)) n(n) WHERE len(rs) >= n.n),
+      cnt AS (SELECT pair_id, n, g, CAST(SUM(c) AS BIGINT) AS cc,
+                     CAST(SUM(r) AS BIGINT) AS rc
+              FROM gn GROUP BY 1, 2, 3),
+      pn AS (SELECT pair_id, n, SUM(LEAST(cc, rc)) AS m,
+                    SUM(cc) AS ct, SUM(rc) AS rt
+             FROM cnt GROUP BY 1, 2),
+      f AS (SELECT pair_id, n, m, ct, rt,
+              CASE WHEN ct > 0 AND rt > 0 AND m > 0
+                   THEN ((5.0 * (CAST(m AS DOUBLE) / CAST(ct AS DOUBLE)))
+                          * (CAST(m AS DOUBLE) / CAST(rt AS DOUBLE)))
+                        / (4.0 * (CAST(m AS DOUBLE) / CAST(ct AS DOUBLE))
+                           + (CAST(m AS DOUBLE) / CAST(rt AS DOUBLE)))
+                   ELSE 0.0 END AS f_n
+            FROM pn)
+      SELECT pair_id,
+             CAST(SUM(CASE WHEN n = 1 THEN ct ELSE 0 END) AS BIGINT)
+               AS cand_chars,
+             CAST(SUM(CASE WHEN n = 1 THEN rt ELSE 0 END) AS BIGINT)
+               AS ref_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             list_reduce(list(f_n ORDER BY n), (a, b) -> a + b)
+               / CAST(COUNT(*) AS DOUBLE) AS chrf
+      FROM f GROUP BY pair_id ORDER BY pair_id"""))
+
+  /** PRODUCT QUANTIZATION ANN (Pq.train/encode/search, Jégou et al. 2011):
+    * 64-dim vectors → 8 one-byte codes (32× compression) via per-subspace
+    * integer-lattice k-means, then ADC top-10 — exact-Long distance-table
+    * lookups, no float math per corpus row. The memory-scale ANN path that
+    * complements q28 (LSH) and q36 (IVF). Rows-only: OpsSpec pins a
+    * plain-Scala train+encode+ADC replay and a recall floor vs exact L2.
+    */
+  private val q187 = Q("q187_pq_ann",
+    (s, d) => {
+      implicit val sp: SparkSession = s
+      val emb = t(s, d, "embeddings")
+      val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+        nSub = 8, k = 16, iters = 2)
+      val codes = graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+      graft.ops.Pq.search(codes, emb.where(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", cb, n = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    None)
+
+  /** SFT CHAT RENDER (Chat.renderConversations): per-conversation ChatML
+    * serialization with exact char-level LOSS-MASK spans over assistant
+    * turns — the assembly step between raw interaction rows and a
+    * supervised-finetuning corpus. Events stand in as turns (user_id =
+    * conversation, event_id = order, interaction type = role). One
+    * conv-keyed shuffle serves both the offset window and the final
+    * aggregate; ord-sorted struct collects keep every array deterministic
+    * under any partitioning.
+    */
+  private val q188 = Q("q188_sft_render",
+    (s, d) => graft.ops.Chat.renderConversations(t(s, d, "events"),
+        col("user_id"), col("event_id"),
+        when(col("event_type").isin("click", "view"), lit("user"))
+          .otherwise(lit("assistant")),
+        concat(col("event_type"), lit(" "), col("props")))
+      .orderBy(col("conv_id")),
+    Some("""
+      WITH b AS (SELECT user_id AS conv_id, event_id AS ord,
+                   CASE WHEN event_type IN ('click', 'view') THEN 'user'
+                        ELSE 'assistant' END AS role,
+                   event_type || ' ' || props AS content
+                 FROM events),
+      p AS (SELECT conv_id, ord, role, content,
+              '<|' || role || '|>' || content || '<|end|>' AS piece FROM b),
+      o AS (SELECT conv_id, ord, role, content, piece,
+              CAST(COALESCE(SUM(CAST(length(piece) AS BIGINT)) OVER (
+                PARTITION BY conv_id ORDER BY ord
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS piece_off
+            FROM p),
+      o2 AS (SELECT *,
+               piece_off + CAST(length('<|' || role || '|>') AS BIGINT)
+                 AS loss_start,
+               piece_off + CAST(length('<|' || role || '|>') AS BIGINT)
+                 + CAST(length(content) AS BIGINT) AS loss_end
+             FROM o)
+      SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+             CAST(SUM(length(piece)) AS BIGINT) AS n_chars,
+             string_agg(piece, '' ORDER BY ord) AS rendered,
+             COALESCE(list(loss_start ORDER BY ord)
+               FILTER (WHERE role = 'assistant'),
+               CAST([] AS BIGINT[])) AS loss_starts,
+             COALESCE(list(loss_end ORDER BY ord)
+               FILTER (WHERE role = 'assistant'),
+               CAST([] AS BIGINT[])) AS loss_ends,
+             CAST(COALESCE(SUM(CASE WHEN role = 'assistant'
+               THEN length(content) ELSE 0 END), 0) AS BIGINT)
+               AS n_loss_chars
+      FROM o2 GROUP BY conv_id ORDER BY conv_id"""))
+
+  /** CROSS-SOURCE QUANTILE NORMALIZATION (Mix.quantileNormalize): equate
+    * per-source score scales by mapping each row's within-source
+    * percentile onto the pooled score distribution — the score-equating
+    * step before any single-threshold quality cut. Oracle is BITWISE: the
+    * SQL replays Spark's Percentile interpolation dag
+    * ((hi-pos)·s_lo + (pos-lo)·s_hi, pinned empirically in OpsSpec) over
+    * explicit order statistics, and the bucket interpolation mirrors the
+    * op's lo + (hi-lo)·frac dag term for term — no decimal truncation
+    * needed.
+    */
+  private val q189 = Q("q189_quantile_normalize",
+    (s, d) => graft.ops.Mix.quantileNormalize(t(s, d, "documents"),
+        col("source"), col("doc_id"), col("n_chars").cast("double"),
+        nGrid = 20)
+      .orderBy(col("stratum"), col("id")),
+    Some("""
+      WITH base AS (SELECT source AS stratum, doc_id AS id,
+                      CAST(n_chars AS DOUBLE) AS score
+                    FROM documents),
+      nn AS (SELECT COUNT(*) AS n FROM base),
+      srt AS (SELECT score,
+                CAST(row_number() OVER (ORDER BY score) - 1 AS DOUBLE) AS idx
+              FROM base),
+      gp AS (SELECT i, CAST(i AS DOUBLE) / 20.0
+                        * CAST(nn.n - 1 AS DOUBLE) AS pos
+             FROM range(0, 21) t(i), nn),
+      gv AS (SELECT gp.i,
+               CASE WHEN floor(gp.pos) = ceil(gp.pos) THEN slo.score
+                    ELSE (ceil(gp.pos) - gp.pos) * slo.score
+                         + (gp.pos - floor(gp.pos)) * shi.score END AS gval
+             FROM gp JOIN srt slo ON slo.idx = floor(gp.pos)
+                     JOIN srt shi ON shi.idx = ceil(gp.pos)),
+      ranked AS (SELECT stratum, id, score,
+                   percent_rank() OVER (PARTITION BY stratum
+                                        ORDER BY score, id) AS pct
+                 FROM base),
+      bkt AS (SELECT *, LEAST(CAST(floor(pct * 20) AS INT), 19) AS b
+              FROM ranked)
+      SELECT r.stratum, CAST(r.id AS BIGINT) AS id, r.score, r.pct,
+             glo.gval + (ghi.gval - glo.gval)
+               * (r.pct * 20 - CAST(r.b AS DOUBLE)) AS equated
+      FROM bkt r JOIN gv glo ON glo.i = r.b JOIN gv ghi ON ghi.i = r.b + 1
+      ORDER BY r.stratum, r.id"""))
+
+  /** TOKEN-BUDGET PREFIX SELECTION (Mix.budgetSelect): per-source "best
+    * docs first until the token budget is spent" curation cut — rows
+    * ranked by a quality density (chars per token), kept while the
+    * rank-order running token total stays within budget. Every row keeps
+    * its running total and verdict so the cut line is auditable.
+    */
+  private val q190 = Q("q190_budget_select",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")))
+      graft.ops.Mix.budgetSelect(docs, col("source"), col("doc_id"),
+          col("n_tokens"),
+          col("n_chars").cast("double") /
+            (col("n_tokens") + 1).cast("double"),
+          budget = 5000L)
+        .orderBy(col("stratum"), col("id"))
+    },
+    Some("""
+      WITH docs AS (SELECT source AS stratum, doc_id AS id,
+                      CAST(length(regexp_split_to_array(trim(text), '\s+'))
+                        AS BIGINT) AS toks,
+                      CAST(n_chars AS DOUBLE) /
+                        CAST(length(regexp_split_to_array(trim(text), '\s+'))
+                             + 1 AS DOUBLE) AS value
+                    FROM documents)
+      SELECT stratum, CAST(id AS BIGINT) AS id, toks, value,
+             CAST(SUM(toks) OVER (PARTITION BY stratum
+               ORDER BY value DESC, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens,
+             (SUM(toks) OVER (PARTITION BY stratum
+               ORDER BY value DESC, id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               <= 5000) AS kept
+      FROM docs ORDER BY stratum, id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6433,7 +6676,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -6493,5 +6736,8 @@ object Queries {
       "OpsSpec: deflate_len is deterministic and tracks gzip minus its header"),
     "q183_rouge_l" -> Seq(
       "OpsSpec: rougeL matches a plain-Scala LCS replay; identity/disjoint/order corners",
-      "OpsSpec: rougeL cap truncates both sides and bounds the DP"))
+      "OpsSpec: rougeL cap truncates both sides and bounds the DP"),
+    "q187_pq_ann" -> Seq(
+      "OpsSpec: PQ train/encode/ADC match a plain-Scala replay, code by code",
+      "OpsSpec: PQ ANN recall@10 vs exact L2 >= 0.5 avg on clustered vectors"))
 }

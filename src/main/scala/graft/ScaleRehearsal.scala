@@ -273,6 +273,20 @@ object ScaleRehearsal {
           .agg(count(lit(1)).as("n"), sum(col("x.p")).as("s_ij"),
             sum(col("x.vi")).as("s_i"), sum(col("x.vj")).as("s_j"))
           .orderBy(col("i"), col("j"))
+      // q187 with a FIXED 20-query probe set (ids 0,32,...,608 exist at
+      // both scales): the catalog's %100 gate would grow the query count
+      // with the corpus and blow the 64-query ADC bound at sf1 — here the
+      // corpus is the only variable, so the ratio measures index+scan.
+      case "q187_fixed_queries" =>
+        implicit val sp: SparkSession = spark
+        val emb = Tables(spark, dir, "embeddings")
+        val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+          nSub = 8, k = 16, iters = 2)
+        val codes = graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+        graft.ops.Pq.search(codes,
+            emb.where(col("vec_id") < 640 && col("vec_id") % 32 === 0),
+            "vec_id", "embedding", cb, n = 10)
+          .orderBy(col("query_id"), col("rank"))
       case _ => Queries.all.find(_.name == name).get.build(spark, dir)
     }
     def time(name: String, dir: String): Double = {

@@ -485,6 +485,35 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Aho–Corasick multi-pattern occurrence counts: one automaton walk per
+  * document counts every pattern at once (overlapping occurrences
+  * included) — the blocklist-scan kernel. The automaton compiles lazily
+  * once per expression instance (driver at codegen, or executor on
+  * deserialization for the interpreted path) and rides the codegen
+  * reference array; the scan is a narrow O(|text| + hits) loop inside
+  * whole-stage codegen.
+  */
+case class MultiPatternCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_pattern_counts"
+
+  @transient private lazy val auto = AhoCorasick.compile(patterns.toArray)
+
+  override def nullSafeEval(v: Any): Any =
+    AcKernel.counts(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], auto)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val autoRef = ctx.addReferenceObj("acAuto", auto,
+      classOf[AcAutomaton].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.AcKernel.counts($c, $autoRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternCounts =
+    copy(child = newChild)
+}
+
 /** Column-API + SQL surface for the custom expressions. */
 object gfn {
   private def col(e: Expression): Column = ColumnBridge.column(e)
@@ -516,6 +545,8 @@ object gfn {
     col(BpeMergePair(ex(c), a, b))
   def bpe_encode(c: Column, merges: Array[String]): Column =
     col(BpeEncode(ex(c), merges))
+  def multi_pattern_counts(c: Column, patterns: Seq[String]): Column =
+    col(MultiPatternCounts(ex(c), patterns))
   def redact_pii(c: Column): Column = col(RedactPii(ex(c)))
   def pii_count(c: Column): Column = col(PiiCount(ex(c)))
   def nearest_centroid(c: Column, cents: Array[Double], nList: Int, dim: Int): Column =

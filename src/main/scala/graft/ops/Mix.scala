@@ -63,6 +63,80 @@ object Mix {
       .filter(col("sample_rank") <= k)
   }
 
+  /** CROSS-SOURCE QUANTILE NORMALIZATION (score equating): per-source
+    * quality scores are not comparable (each classifier/heuristic has its
+    * own scale per domain), so a single global threshold over- or
+    * under-prunes whole sources. This maps every row to
+    *   pct      — its within-source percentile (percent_rank, id tiebreak)
+    *   equated  — the POOLED score distribution's value at that percentile,
+    *              linearly interpolated on a fixed (nGrid+1)-point exact
+    *              percentile grid of the pooled scores
+    * so "equated > t" cuts every source at the same pooled quantile — the
+    * standard rank-equating recipe.
+    *
+    * Scale shape: one partitioned (per-source) window for percent_rank +
+    * ONE exact-percentile aggregate reduced to a single (nGrid+1)-element
+    * broadcast row; the interpolation is narrow fixed-dag double math. At
+    * 100 TB swap `percentile` for `approx_percentile` (same plan shape,
+    * the q115 GK contract); the grid stays a 1-row broadcast either way.
+    */
+  def quantileNormalize(df: DataFrame, stratum: Column, id: Column,
+                        score: Column, nGrid: Int = 20): DataFrame = {
+    require(nGrid >= 1 && nGrid <= 1000, s"nGrid must be in 1..1000, got $nGrid")
+    val base = df.select(stratum.cast("string").as("stratum"),
+      id.cast("long").as("id"), score.cast("double").as("score"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("score"), col("id"))
+    val ranked = base.withColumn("pct", percent_rank().over(w))
+    val ps = (0 to nGrid).map(_.toDouble / nGrid)
+    val grid = base.agg(
+      expr(s"percentile(score, array(${ps.mkString(",")}))").as("grid"))
+    // bucket = floor(pct * nGrid) clamped; linear interpolation inside it.
+    // percent_rank is exactly 1.0 at the top row, so clamp keeps the index
+    // in range and the interpolation degenerates to the last grid point.
+    val b = least(floor(col("pct") * nGrid).cast("int"), lit(nGrid - 1))
+    val lo = element_at(col("grid"), b + 1)
+    val hi = element_at(col("grid"), b + 2)
+    val frac = col("pct") * nGrid - b.cast("double")
+    ranked.join(broadcast(grid))
+      .select(col("stratum"), col("id"), col("score"), col("pct"),
+        (lo + (hi - lo) * frac).as("equated"))
+  }
+
+  /** TOKEN-BUDGET PREFIX SELECTION: within each stratum, rows are ranked
+    * by `value` (descending, id tiebreak) and kept while the running
+    * token total stays within `budget` — the "best docs first until the
+    * budget is spent" curation cut. A row is kept iff the running sum
+    * INCLUDING it is <= budget; the first row that crosses the budget is
+    * dropped, and so is everything ranked after it (a PREFIX cut, the
+    * variant a window sum can express and a SQL oracle can replay —
+    * density-greedy "skip the oversized doc, keep fitting smaller ones"
+    * needs kept-only running state, which is sequential per stratum by
+    * definition). Every row is returned with its rank-order running
+    * total and the keep verdict, so the caller can audit the cut line.
+    *
+    * Scale shape: one per-stratum window (hash shuffle on the stratum
+    * key); O(1) running state per row. Like packShards, the unit of
+    * sequence is the stratum — at 100 TB budget per (source, shard).
+    */
+  def budgetSelect(df: DataFrame, stratum: Column, id: Column,
+                   tokens: Column, value: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val base = df.select(stratum.cast("string").as("stratum"),
+      id.cast("long").as("id"), tokens.cast("long").as("toks"),
+      value.cast("double").as("value"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("value").desc, col("id"))
+    // greedy-fit needs the running sum of KEPT rows only, which a plain
+    // window sum can't express; the prefix-cut approximation (cum <=
+    // budget on ALL rows) is the SQL-replayable contract here, and the
+    // doc that first crosses the budget is excluded like everything
+    // after it in rank order within its stratum.
+    base
+      .withColumn("cum_tokens",
+        sum(col("toks")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", (col("cum_tokens") <= budget).cast("boolean"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split is a deterministic hash
     * gate on a numeric GROUP id (the min doc_id of a content group, a
     * near-dup cluster_id from Components, a domain id) — never the row id —

@@ -1655,6 +1655,42 @@ object TextOps {
             lit("<MID>"), col("middle"))))
   }
 
+  /** BLOCKLIST SCAN (Aho–Corasick): per-document occurrence counts of a
+    * multi-pattern blocklist in ONE automaton pass — the content-filter
+    * primitive (bad-word/URL/license-string screens) that at 100 TB
+    * cannot afford k regex passes over the corpus. Patterns match as raw
+    * substrings of `lower(text)`, overlapping occurrences included (an
+    * occurrence = an end position where the pattern matches — the exact
+    * semantics the SQL oracle replays by probing every start position).
+    *
+    * Output: one row per (doc, matched pattern) with its count, plus the
+    * doc's total hits — the audit-table face; a keep/drop filter is
+    * `.where(total_hits == 0)` on the unexploded counts (same kernel).
+    *
+    * Scale shape: the automaton (size = total pattern chars) ships once
+    * as a codegen reference — the scan is narrow, stays inside
+    * whole-stage codegen, and the only exchange is whatever the caller
+    * does downstream. Cost O(|text| + hits) per doc, INDEPENDENT of
+    * pattern count — the entire point vs. k `contains` probes.
+    */
+  def blocklistHits(docs: DataFrame, id: Column, text: Column,
+                    patterns: Seq[String]): DataFrame = {
+    val pats = patterns.toArray
+    val counted = docs.select(id.cast("long").as("doc_id"),
+      graft.functions.gfn.multi_pattern_counts(lower(text), pats.toSeq)
+        .as("counts"))
+    counted
+      .select(col("doc_id"),
+        aggregate(col("counts"), lit(0L), (a, x) => a + x).as("total_hits"),
+        posexplode(col("counts")).as(Seq("pattern_id", "n_hits")))
+      .where(col("n_hits") > 0)
+      .select(col("doc_id"),
+        col("pattern_id").cast("long").as("pattern_id"),
+        element_at(typedLit(pats.toSeq), col("pattern_id").cast("int") + 1)
+          .as("pattern"),
+        col("n_hits"), col("total_hits"))
+  }
+
   /** Quality-score feature set as a projection. */
   def withQuality(df: DataFrame, text: Column): DataFrame = df
     .withColumn("len", length(text).cast("long"))

@@ -212,4 +212,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(redact("no pii here 12345") == "no pii here 12345")
     assert(npii("no pii here 12345") == 0)
   }
+
+  // ---- Aho–Corasick multi-pattern counts ----
+
+  private def acCounts(pats: Seq[String], text: String): Seq[Long] =
+    graft.functions.AhoCorasick.compile(pats.toArray).counts(text).toSeq
+
+  /** Brute-force truth: occurrences = start positions where the pattern
+    * matches (overlapping included) — the oracle-SQL semantics.
+    */
+  private def bruteCounts(pats: Seq[String], text: String): Seq[Long] =
+    pats.map { p =>
+      (0 to text.length - p.length)
+        .count(i => text.regionMatches(i, p, 0, p.length)).toLong
+    }
+
+  test("aho-corasick counts all overlapping occurrences of every pattern at once") {
+    // "aa" in "aaaa" -> 3 (overlapping); "aaa" -> 2; shared prefixes
+    assert(acCounts(Seq("aa", "aaa"), "aaaa") == Seq(3L, 2L))
+    // pattern inside another pattern: both fire from one walk
+    assert(acCounts(Seq("table hash", "hash"), "x table hash y hash")
+      == Seq(1L, 2L))
+    // fail-link transitions: "ab" then "ba" interleaved
+    assert(acCounts(Seq("ab", "ba", "aba"), "ababa") == Seq(2L, 2L, 2L))
+    // no match, empty text
+    assert(acCounts(Seq("zz"), "abc") == Seq(0L))
+    assert(acCounts(Seq("zz"), "") == Seq(0L))
+  }
+
+  test("aho-corasick matches a brute-force every-start-position replay on random text") {
+    val rnd = new scala.util.Random(42)
+    val pats = Seq("ab", "bba", "aab", "abab", "b", "cab")
+    (1 to 50).foreach { _ =>
+      val t = (1 to rnd.nextInt(60)).map(_ => "abc" (rnd.nextInt(3))).mkString
+      assert(acCounts(pats, t) == bruteCounts(pats, t), s"text=$t")
+    }
+  }
+
+  test("aho-corasick automaton survives java serialization (codegen reference path)") {
+    val auto = graft.functions.AhoCorasick.compile(Array("ab", "ba"))
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(auto)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.functions.AcAutomaton]
+    assert(back.counts("ababa").toSeq == Seq(2L, 2L))
+  }
 }

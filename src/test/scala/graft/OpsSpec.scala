@@ -404,6 +404,76 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 3L, 5L -> 3L, 6L -> 0L))
   }
 
+  test("quantile normalization matches a plain-Scala replay bitwise (pins the percentile dag)") {
+    import graft.ops.Mix
+    // two strata with different scales + a single-row stratum edge
+    val data = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 35.0), ("a", 3L, 20.0), ("a", 4L, 80.0),
+      ("a", 5L, 55.0),
+      ("b", 6L, 1000.0), ("b", 7L, 1300.0), ("b", 8L, 1100.0),
+      ("b", 9L, 2000.0),
+      ("c", 10L, 500.0))
+    val rows = data.toDF("src", "id", "score")
+    val nGrid = 4
+    val got = Mix.quantileNormalize(rows, col("src"), col("id"),
+        col("score"), nGrid = nGrid)
+      .orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+
+    // replay: pooled grid via Spark's Percentile interpolation dag
+    // ((hi-pos)*s_lo + (pos-lo)*s_hi) over order statistics
+    val sorted = data.map(_._3).sorted
+    val n = sorted.size
+    val grid = (0 to nGrid).map { i =>
+      val pos = i.toDouble / nGrid * (n - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else (hi - pos) * sorted(lo) + (pos - lo) * sorted(hi)
+    }
+    val expect = data.map(_._1).distinct.flatMap { s =>
+      val inS = data.filter(_._1 == s).sortBy(r => (r._3, r._2))
+      val nS = inS.size
+      inS.zipWithIndex.map { case ((_, id, _), idx) =>
+        val pct = if (nS > 1) idx.toDouble / (nS - 1).toDouble else 0.0
+        val b = math.min(math.floor(pct * nGrid).toInt, nGrid - 1)
+        val frac = pct * nGrid - b.toDouble
+        val eq = grid(b) + (grid(b + 1) - grid(b)) * frac
+        id -> (pct, eq)
+      }
+    }.toMap
+    assert(got.length == data.size)
+    for ((s, id, pct, eq) <- got) {
+      val (ePct, eEq) = expect(id)
+      assert(java.lang.Double.doubleToLongBits(pct) ==
+        java.lang.Double.doubleToLongBits(ePct), s"pct of $id")
+      assert(java.lang.Double.doubleToLongBits(eq) ==
+        java.lang.Double.doubleToLongBits(eEq), s"equated of $id in $s")
+    }
+    // equating pins: the top row of every stratum maps to the pooled max
+    assert(expect(4L)._2 == sorted.last && expect(9L)._2 == sorted.last)
+  }
+
+  test("budget selection is a rank-order prefix cut with id tiebreak") {
+    import graft.ops.Mix
+    val rows = Seq(
+      // stratum x, budget 10: ranked by value desc → ids 1,2,3,4
+      ("x", 1L, 4L, 10.0), ("x", 2L, 5L, 9.0), ("x", 3L, 3L, 8.0),
+      ("x", 4L, 1L, 7.0), // would fit after 3 overflowed — still dropped
+      // stratum y: equal values → id ascending order decides the cut
+      ("y", 5L, 6L, 5.0), ("y", 6L, 6L, 5.0), ("y", 7L, 6L, 5.0))
+      .toDF("src", "id", "toks", "value")
+    val got = Mix.budgetSelect(rows, col("src"), col("id"),
+        col("toks"), col("value"), budget = 10L)
+      .orderBy("id").collect()
+      .map(r => r.getLong(1) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(1L) == (4L, true) && got(2L) == (9L, true))
+    assert(got(3L) == (12L, false))
+    assert(got(4L) == (13L, false)) // prefix cut: no fit-after-overflow
+    assert(got(5L) == (6L, true) && got(6L) == (12L, false) &&
+      got(7L) == (18L, false))
+  }
+
   test("decontamination flags only docs overlapping the eval set") {
     import graft.ops.Decontam
     val evalDoc = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -3499,5 +3569,195 @@ class OpsSpec extends AnyFunSuite {
     val again = graft.ops.TextOps.fimSplit(df, col("doc_id"), col("text"))
       .collect().map(_.toString).sorted
     assert(again.toSeq == rows.map(_.toString).sorted.toSeq)
+  }
+
+  // ---- blocklist scan (Aho–Corasick) ----
+
+  test("blocklist scan: overlapping + nested patterns counted through codegen") {
+    val df = docs(
+      1L -> "Table HASH table hash x",   // 'table hash' x2 (lowercased), 'hash' x2
+      2L -> "nothing to see",
+      3L -> "ababa")                     // self-overlap via 'aba'
+    val out = TextOps.blocklistHits(df, col("doc_id"), col("text"),
+        Seq("table hash", "hash", "aba"))
+      .orderBy("doc_id", "pattern_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "table hash", 2L, 4L),
+      (1L, 1L, "hash", 2L, 4L),
+      (3L, 2L, "aba", 2L, 2L)))
+    // doc 2 has zero hits -> absent from the audit table
+    assert(!out.exists(_._1 == 2L))
+  }
+
+  test("chrF: hand-computed example, identity, disjoint, and empty-side corners") {
+    val pairs = Seq(
+      (1L, "abab", "abab"),   // identity -> F=1 at every order, chrf=1
+      (2L, "abc", "xyz"),     // disjoint -> chrf=0
+      (3L, "ab ab", "abab"),  // whitespace stripped -> identity again
+      (4L, "", "abc"),        // empty cand: f=0 all orders, ref-only rows
+      (5L, "aab", "ab"))      // partial: hand-computed below
+      .toDF("pair_id", "cand", "ref")
+    val out = graft.ops.Eval.chrF(pairs, col("pair_id"), col("cand"), col("ref"))
+      .orderBy("pair_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 3L, 1.0)))
+    assert(out(2L)._4 == 0.0)
+    assert(out(3L) == ((4L, 4L, 3L, 1.0)))
+    assert(out(4L) == ((0L, 3L, 3L, 0.0)))
+    // pair 5: cand "aab", ref "ab".
+    // n=1: m=2 (a:min(2,1)=1, b:1), ct=3, rt=2 -> P=2/3, R=1, F=5PR/(4P+R)
+    // n=2: grams cand {aa,ab}, ref {ab}: m=1, ct=2, rt=1 -> P=.5, R=1
+    // n=3: cand {aab}, ref none -> rt=0 -> F=0
+    val f1 = 5.0 * (2.0 / 3.0) * 1.0 / (4.0 * (2.0 / 3.0) + 1.0)
+    val f2 = 5.0 * 0.5 * 1.0 / (4.0 * 0.5 + 1.0)
+    assert(out(5L)._1 == 3L && out(5L)._2 == 2L && out(5L)._3 == 3L)
+    assert(math.abs(out(5L)._4 - (f1 + f2 + 0.0) / 3.0) < 1e-15)
+  }
+
+  test("blocklist scan plan is narrow: no exchange before the kernel projection") {
+    val df = docs(1L -> "a")
+    val plan = TextOps.blocklistHits(df, col("doc_id"), col("text"), Seq("a"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- SFT chat render ----
+
+  test("chat render: spans address exactly the assistant contents, any role mix") {
+    val turns = Seq(
+      (1L, 10L, "user", "hi"),
+      (1L, 20L, "assistant", "hello!"),
+      (1L, 30L, "user", "bye"),
+      (1L, 40L, "assistant", "later"),
+      (2L, 1L, "user", "lonely prompt"),       // no assistant -> empty spans
+      (3L, 2L, "assistant", "only answer"))
+      .toDF("cid", "ord", "role", "content")
+    val out = graft.ops.Chat.renderConversations(turns,
+        col("cid"), col("ord"), col("role"), col("content"))
+      .orderBy("conv_id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getString(3), r.getSeq[Long](4), r.getSeq[Long](5),
+        r.getLong(6))).toMap
+    val (n1, rend1, st1, en1, nl1) = byId(1L)
+    assert(n1 == 4L)
+    assert(rend1 == "<|user|>hi<|end|><|assistant|>hello!<|end|>" +
+      "<|user|>bye<|end|><|assistant|>later<|end|>")
+    // every span slices out exactly the assistant content
+    assert(st1.zip(en1).map { case (a, b) =>
+      rend1.substring(a.toInt, b.toInt) } == Seq("hello!", "later"))
+    assert(nl1 == "hello!".length + "later".length)
+    assert(byId(2L)._3.isEmpty && byId(2L)._4.isEmpty && byId(2L)._5 == 0L)
+    assert(byId(3L)._3.map(_.toInt) == Seq("<|assistant|>".length))
+    // offsets are 0-based from the conversation start, end exclusive
+    assert(st1.head == "<|user|>hi<|end|><|assistant|>".length)
+  }
+
+  test("chat render: one exchange serves both the offset window and the aggregate") {
+    val turns = Seq((1L, 1L, "user", "x")).toDF("cid", "ord", "role", "content")
+    val plan = graft.ops.Chat.renderConversations(turns,
+        col("cid"), col("ord"), col("role"), col("content"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
+  // ---- product quantization ----
+
+  /** Clustered synthetic vectors: `nClusters` seeded centers in [-1,1]^dim,
+    * members = center + small seeded jitter. PQ is graded on structured
+    * data (its design regime); pure-noise vectors are the known worst case.
+    */
+  private def clusteredVecs(n: Int, dim: Int, nClusters: Int, seed: Int)
+      : Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextDouble() * 2 - 1)
+    (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.toSeq.map(x => (x + (rnd.nextDouble() - 0.5) * 0.1).toFloat))
+    }
+  }
+
+  test("PQ train/encode/ADC match a plain-Scala replay, code by code") {
+    implicit val s = spark
+    val data = clusteredVecs(n = 60, dim = 16, nClusters = 6, seed = 7)
+    val emb = data.toDF("vec_id", "embedding")
+    val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+      nSub = 4, k = 4, iters = 2, scale = 1000)
+    // plain-Scala replay of the exact same integer-lattice Lloyd loop
+    val qv = data.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1000) + 1000L).toArray }
+    val subDim = 4
+    def sliceS(v: Array[Long], sub: Int) = v.slice(sub * subDim, (sub + 1) * subDim)
+    def d2(a: Array[Long], b: Array[Long]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var cents = Array.tabulate(4, 4)((sub, c) => sliceS(qv(c)._2, sub))
+    for (_ <- 1 to 2) {
+      val next = cents.map(_.map(_.clone()))
+      for (sub <- 0 until 4) {
+        val assign = qv.map { case (_, v) =>
+          val sv = sliceS(v, sub)
+          cents(sub).zipWithIndex.minBy { case (ct, i) => (d2(sv, ct), i) }._2 -> sv }
+        assign.groupBy(_._1).foreach { case (c, rows) =>
+          val sums = rows.map(_._2).transpose.map(_.sum)
+          next(sub)(c) = sums.map(_ / rows.length).toArray }
+      }
+      cents = next
+    }
+    for (sub <- 0 until 4; c <- 0 until 4)
+      assert(cb.cents(sub)(c).toSeq == cents(sub)(c).toSeq, s"sub=$sub c=$c")
+    // encode replay
+    val sparkCodes = graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    qv.foreach { case (id, v) =>
+      val expect = (0 until 4).map { sub =>
+        val sv = sliceS(v, sub)
+        cents(sub).zipWithIndex.minBy { case (ct, i) => (d2(sv, ct), i) }._2.toLong }
+      assert(sparkCodes(id) == expect, s"vec $id")
+    }
+    // ADC replay for one query
+    val out = graft.ops.Pq.search(
+        graft.ops.Pq.encode(emb, "vec_id", "embedding", cb),
+        emb.where(col("vec_id") === 0), "vec_id", "embedding", cb, n = 5)
+      .orderBy("rank").collect()
+    val q0 = qv.toMap.apply(0L)
+    val adc = qv.map { case (id, _) =>
+      id -> (0 until 4).map { sub =>
+        d2(sliceS(q0, sub), cents(sub)(sparkCodes(id)(sub).toInt)) }.sum }
+    val expectTop = adc.sortBy { case (id, d) => (d, id) }.take(5)
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq == expectTop)
+  }
+
+  test("PQ ANN recall@10 vs exact L2 >= 0.5 avg on clustered vectors") {
+    implicit val s = spark
+    val data = clusteredVecs(n = 300, dim = 32, nClusters = 15, seed = 11)
+    val emb = data.toDF("vec_id", "embedding")
+    val cb = graft.ops.Pq.train(emb, "vec_id", "embedding",
+      nSub = 8, k = 16, iters = 2)
+    val codes = graft.ops.Pq.encode(emb, "vec_id", "embedding", cb)
+    val queries = Seq(0L, 77L, 150L, 222L, 299L)
+    val got = graft.ops.Pq.search(codes,
+        emb.where(col("vec_id").isin(queries: _*)), "vec_id", "embedding",
+        cb, n = 10)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val vecs = data.toMap
+    def l2(a: Seq[Float], b: Seq[Float]) =
+      a.zip(b).map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+    val recalls = queries.map { q =>
+      val truth = data.map { case (id, v) => id -> l2(vecs(q), v) }
+        .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+      (got(q) & truth).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.5, s"avg recall@10 $avg, per-query $recalls")
+    // every hit comes from the query's own planted cluster (i % nClusters).
+    // NOTE the query itself need NOT appear: all ~20 cluster-mates share
+    // identical PQ codes, ADC ties break to lower ids, and a high-id query
+    // legitimately loses its own tie — the compression's documented limit.
+    queries.foreach { q =>
+      assert(got(q).forall(_ % 15 == q % 15),
+        s"query $q: hits ${got(q)} leave cluster ${q % 15}")
+    }
   }
 }

@@ -40,6 +40,16 @@ for name in sorted(os.listdir(out_dir)):
     if len(s) != len(o):
         results[name] = f"ROWS-MISMATCH spark={len(s)} oracle={len(o)}"
         continue
+    # array-typed columns (unhashable ndarrays) -> canonical strings so
+    # pandas can sort and compare them (the driver's gate stringifies too)
+    def canon(df):
+        import numpy as np
+        for c in df.columns:
+            if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+                df[c] = df[c].apply(lambda v: str(
+                    [x.item() if hasattr(x, "item") else x for x in v]))
+        return df
+    s, o = canon(s), canon(o)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
     o = o.sort_values(by=list(o.columns)).reset_index(drop=True)
     mismatch = None
