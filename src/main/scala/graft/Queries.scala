@@ -6660,6 +6660,64 @@ object Queries {
                <= 5000) AS kept
       FROM docs ORDER BY stratum, id"""))
 
+  /** MARGIN-BASED PAIR MINING (Similarity.marginMine, Artetxe & Schwenk
+    * 2019): best-margin candidate per left-side vector with the mutual
+    * flag — the CCMatrix bitext-mining criterion that demotes hub vectors
+    * raw similarity over-mines. Exact 64-bit margin numerators and ONE
+    * IEEE division make the oracle value-exact: DuckDB replays the full
+    * brute-force kNN, neighborhood sums and margins.
+    */
+  private val q191 = Q("q191_margin_mining",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMine(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), k = 4)
+        .orderBy(col("x_id"))
+    },
+    Some("""
+      WITH x AS (SELECT vec_id AS x_id, embedding FROM embeddings
+                 WHERE vec_id % 2 = 0),
+      y AS (SELECT vec_id AS y_id, embedding FROM embeddings
+            WHERE vec_id % 2 = 1),
+      d AS (SELECT x.x_id, y.y_id,
+              CAST(SUM(
+                CAST(round(CAST(x.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+                CAST(round(CAST(y.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT))
+                AS DOUBLE) AS dot
+            FROM x, y, range(1, 65) t(i) GROUP BY 1, 2),
+      fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+               ORDER BY dot DESC, y_id) AS r FROM d),
+      br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY y_id
+               ORDER BY dot DESC, x_id) AS r FROM d),
+      ax AS (SELECT x_id, SUM(dot) AS a_x, COUNT(*) AS n_x
+             FROM fr WHERE r <= 4 GROUP BY 1),
+      ay AS (SELECT y_id, SUM(dot) AS a_y, COUNT(*) AS n_y
+             FROM br WHERE r <= 4 GROUP BY 1),
+      fm AS (SELECT f.x_id, f.y_id, f.dot,
+               CASE WHEN ax.a_x + ay.a_y <> 0.0
+                    THEN CAST(ax.n_x + ay.n_y AS DOUBLE) * f.dot
+                         / (ax.a_x + ay.a_y) END AS margin
+             FROM fr f JOIN ax USING (x_id) JOIN ay USING (y_id)
+             WHERE f.r <= 4),
+      bm AS (SELECT b.x_id, b.y_id,
+               CASE WHEN ax.a_x + ay.a_y <> 0.0
+                    THEN CAST(ax.n_x + ay.n_y AS DOUBLE) * b.dot
+                         / (ax.a_x + ay.a_y) END AS margin
+             FROM br b JOIN ax USING (x_id) JOIN ay USING (y_id)
+             WHERE b.r <= 4),
+      fbest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                  ORDER BY margin DESC NULLS LAST, y_id) AS rn FROM fm),
+      bbest AS (SELECT x_id, y_id FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY y_id
+                    ORDER BY margin DESC NULLS LAST, x_id) AS rn FROM bm)
+                WHERE rn = 1)
+      SELECT f.x_id, f.y_id, f.dot, f.margin,
+             (b.x_id IS NOT NULL) AS mutual
+      FROM fbest f LEFT JOIN bbest b
+        ON b.x_id = f.x_id AND b.y_id = f.y_id
+      WHERE f.rn = 1
+      ORDER BY f.x_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6676,7 +6734,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

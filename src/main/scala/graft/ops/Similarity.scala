@@ -173,6 +173,71 @@ object Similarity {
       .withColumn("margin", col("pos_score") - col("neg_score"))
   }
 
+  /** MARGIN-BASED PAIR MINING (Artetxe & Schwenk ACL 2019, the CCMatrix /
+    * LASER bitext-mining criterion): raw similarity over-mines hubs —
+    * vectors close to EVERYTHING — so each candidate pair (x, y) is scored
+    * by its similarity RELATIVE to both sides' neighborhoods:
+    *
+    *   margin(x, y) = (n_x + n_y) · s(x, y) / (A_x + A_y)
+    *
+    * where A_x = Σ scores of x's top-k neighbors in Y (n_x = their count,
+    * = k away from set edges) and A_y symmetrically — the paper's "ratio"
+    * margin with the 1/2k averages cleared from the denominator. Scores
+    * are integer-quantized dots (the q26/q81 recipe), so sums and the
+    * n·s product are EXACT in 64 bits and the margin is ONE IEEE division
+    * — bitwise cross-engine. A zero denominator (pathological: neighbor
+    * scores summing to exactly 0) yields a NULL margin, sorted last.
+    *
+    * Output: for every x, its best-margin candidate among its top-k
+    * forward neighbors — (x_id, y_id, dot, margin, mutual), where
+    * `mutual` marks pairs that are ALSO y's best-margin candidate (the
+    * paper's strictest, highest-precision retrieval mode).
+    *
+    * Scale: two [[knnJoin]] passes (each: broadcast query side, one
+    * narrow scoring pass, bounded-heap map-side reduce — shuffle carries
+    * k rows per vector per partition); everything after runs on k·|X| /
+    * k·|Y|-row frames keyed by vector id. For corpus-sized sides swap the
+    * exact knn for [[annKnnJoin]] per leg (same downstream algebra).
+    */
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def side(df: DataFrame, idTo: String) = df.select(
+      col("vec_id").as(idTo), col("embedding"))
+    val fwd = knnJoin(side(ys, "vec_id"),
+      xs.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      k, quantizedDot)
+    val bwd = knnJoin(side(xs, "vec_id"),
+      ys.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      k, quantizedDot)
+    val aX = fwd.groupBy(col("query_id").as("x_id"))
+      .agg(sum(col("score")).as("a_x"), count(lit(1)).as("n_x"))
+    val aY = bwd.groupBy(col("query_id").as("y_id"))
+      .agg(sum(col("score")).as("a_y"), count(lit(1)).as("n_y"))
+    def margins(pairs: DataFrame): DataFrame = pairs
+      .join(aX, Seq("x_id")).join(aY, Seq("y_id"))
+      .withColumn("margin",
+        when(col("a_x") + col("a_y") =!= 0.0,
+          (col("n_x") + col("n_y")).cast("double") * col("score")
+            / (col("a_x") + col("a_y"))))
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("x_id"))
+      .orderBy(col("margin").desc_nulls_last, col("y_id"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("y_id"))
+      .orderBy(col("margin").desc_nulls_last, col("x_id"))
+    val fwdBest = margins(fwd.select(col("query_id").as("x_id"),
+        col("vec_id").as("y_id"), col("score")))
+      .withColumn("rn", row_number().over(wF)).where(col("rn") === 1)
+    val bwdBest = margins(bwd.select(col("query_id").as("y_id"),
+        col("vec_id").as("x_id"), col("score")))
+      .withColumn("rn", row_number().over(wB)).where(col("rn") === 1)
+      .select(col("x_id"), col("y_id"), lit(true).as("mutual"))
+    fwdBest
+      .join(bwdBest, Seq("x_id", "y_id"), "left")
+      .select(col("x_id"), col("y_id"), col("score").as("dot"),
+        col("margin"), coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
   /** The [[knnJoin]] plan with a candidate gate applied BEFORE the bounded
     * heap: gated rows never consume heap slots, so the k survivors are
     * exact under the constraint (not best-effort post-filtering).

@@ -749,6 +749,56 @@ class OpsSpec extends AnyFunSuite {
     assert(margin > 0) // 1 (same label) outscores 2 for anchor 0
   }
 
+  test("marginMine demotes the hub, picks mutual specific pairs, replays bitwise") {
+    // Y contains a HUB close to every X vector; raw dot would mine it for
+    // x2 (0.6 > 0.5) — the margin criterion must demote it
+    val xs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)))
+    val ys = Seq(
+      (1L, Seq(0.6f, 0.6f, 0.6f, 0f)),  // hub
+      (3L, Seq(0.9f, 0.1f, 0f, 0f)),    // specific to x0
+      (5L, Seq(0.1f, 0.9f, 0f, 0f)),    // specific to x2
+      (7L, Seq(0f, 0f, 0.5f, 0f)))      // weakly specific to x4
+    val out = graft.ops.Similarity.marginMine(
+        xs.toDF("vec_id", "embedding"), ys.toDF("vec_id", "embedding"), k = 2)
+      .orderBy("x_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4)))
+
+    // plain-Scala replay with the same dag: quantized dots, (dot DESC, id)
+    // top-k, exact Long-in-double sums, (n_x+n_y)*s/(a_x+a_y)
+    def qdot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (p, q) =>
+        math.round(p * 1000.0) * math.round(q * 1000.0) }.sum.toDouble
+    def topk(from: Seq[(Long, Seq[Float])], to: Seq[(Long, Seq[Float])]) =
+      from.map { case (id, v) =>
+        id -> to.map { case (jd, w) => (jd, qdot(v, w)) }
+          .sortBy { case (jd, s) => (-s, jd) }.take(2)
+      }.toMap
+    val fwd = topk(xs, ys)
+    val bwd = topk(ys, xs)
+    val aX = fwd.map { case (id, ns) => id -> (ns.map(_._2).sum, ns.size) }
+    val aY = bwd.map { case (id, ns) => id -> (ns.map(_._2).sum, ns.size) }
+    def margin(x: Long, y: Long, s: Double): Double =
+      (aX(x)._2 + aY(y)._2).toDouble * s / (aX(x)._1 + aY(y)._1)
+    val expBest = xs.map(_._1).map { x =>
+      val (y, s) = fwd(x).map { case (y, s) => ((y, s), margin(x, y, s)) }
+        .sortBy { case ((y, _), m) => (-m, y) }.head._1
+      (x, y, s, margin(x, y, s))
+    }
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      expBest.map(r => (r._1, r._2, r._3)))
+    for ((g, e) <- out.zip(expBest))
+      assert(java.lang.Double.doubleToLongBits(g._4) ==
+        java.lang.Double.doubleToLongBits(e._4), s"margin of ${g._1}")
+    // the hub (1) is x4's best RAW dot but never anyone's margin pick
+    assert(fwd(4L).head._1 == 1L)
+    assert(!out.map(_._2).contains(1L))
+    // every mined pair here is mutual (each y's best margin is its x)
+    assert(out.forall(_._5), out.mkString(","))
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
