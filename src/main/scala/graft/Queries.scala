@@ -6718,6 +6718,78 @@ object Queries {
       WHERE f.rn = 1
       ORDER BY f.x_id"""))
 
+  /** RECIPROCAL RANK FUSION (Eval.rrfFuse, Cormack et al. 2009): fuse
+    * three incomparable quality rankings (chars, tokens, type-token
+    * ratio) into one scale-free score — the standard signal-ensembling
+    * step before a single curation threshold. run_id-ordered reciprocal
+    * fold makes the fused score bitwise cross-engine.
+    */
+  private val q192 = Q("q192_rrf_fusion",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TextOps.tokenCount(col("text"))
+      val ttr = size(array_distinct(TextOps.tokens(col("text"))))
+        .cast("double") / toks.cast("double")
+      val runs = docs.select(lit("chars").as("run_id"), col("doc_id"),
+          col("n_chars").cast("double").as("score"))
+        .unionByName(docs.select(lit("toks").as("run_id"), col("doc_id"),
+          toks.cast("double").as("score")))
+        .unionByName(docs.select(lit("ttr").as("run_id"), col("doc_id"),
+          ttr.as("score")))
+      graft.ops.Eval.rrfFuse(runs, col("run_id"), col("doc_id"),
+          col("score"))
+        .orderBy(col("item_id"))
+    },
+    Some("""
+      WITH runs AS (
+        SELECT 'chars' AS run_id, doc_id, CAST(n_chars AS DOUBLE) AS score
+        FROM documents
+        UNION ALL
+        SELECT 'toks', doc_id,
+          CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        FROM documents
+        UNION ALL
+        SELECT 'ttr', doc_id,
+          CAST(length(list_distinct(regexp_split_to_array(trim(text), '\s+')))
+            AS DOUBLE)
+          / CAST(length(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)
+        FROM documents),
+      r AS (SELECT run_id, doc_id,
+              ROW_NUMBER() OVER (PARTITION BY run_id
+                ORDER BY score DESC, doc_id) AS rank
+            FROM runs)
+      SELECT doc_id AS item_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+             list_reduce(list(1.0 / CAST(rank + 60 AS DOUBLE)
+               ORDER BY run_id), (a, b) -> a + b) AS rrf
+      FROM r GROUP BY doc_id ORDER BY item_id"""))
+
+  /** TRUNCATED DISCOUNTED RETURNS (Sessions.discountedReturns): per-step
+    * training targets G_t = Σ γ^i·r_{t+i} over user event trajectories
+    * (γ = 1/2 dyadic, H = 16) — the RL/agentic-data reward-shaping step.
+    * Integer rewards × exact 2^-i weights keep every partial sum exact,
+    * so the oracle (a rank-offset self-join) replays bitwise.
+    */
+  private val q193 = Q("q193_discounted_returns",
+    (s, d) => graft.ops.Sessions.discountedReturns(t(s, d, "events"),
+        col("user_id"), col("event_id"),
+        floor(col("value")).cast("long") % 256, horizon = 16)
+      .orderBy(col("traj_id"), col("ord")),
+    Some("""
+      WITH b AS (SELECT user_id AS traj_id, event_id AS ord,
+                   CAST(floor(value) AS BIGINT) % 256 AS reward
+                 FROM events),
+      r AS (SELECT traj_id, ord, reward,
+              ROW_NUMBER() OVER (PARTITION BY traj_id ORDER BY ord) AS rn
+            FROM b)
+      SELECT a.traj_id, a.ord, a.reward,
+             CAST(COUNT(*) AS BIGINT) AS n_future,
+             SUM(CAST(f.reward AS DOUBLE)
+                 / CAST((1::BIGINT << (f.rn - a.rn)) AS DOUBLE)) AS ret
+      FROM r a JOIN r f ON f.traj_id = a.traj_id
+        AND f.rn >= a.rn AND f.rn < a.rn + 16
+      GROUP BY a.traj_id, a.ord, a.reward
+      ORDER BY a.traj_id, a.ord"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6734,7 +6806,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

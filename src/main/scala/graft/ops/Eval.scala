@@ -521,6 +521,53 @@ object Eval {
           / count(lit(1)).cast("double")).as("chrf"))
   }
 
+  /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher SIGIR 2009):
+    * fuse K rankings of the same items into one —
+    *   rrf(item) = Σ_runs 1 / (κ + rank_run(item))
+    * — the standard scale-free way to combine heterogeneous quality
+    * signals or retrieval runs (each run's scores are incomparable; only
+    * ranks matter). κ = 60 is the paper's constant. Items missing from a
+    * run simply contribute no term (the conventional treatment).
+    *
+    * Determinism: each reciprocal is one IEEE division of exact integers
+    * and the cross-run sum is a run_id-ORDERED fold (the chrF recipe), so
+    * the fused score is a fixed dag — bitwise cross-engine.
+    *
+    * Scale shape: ranking inside a run is a per-run window — a run-sized
+    * funnel, fine for eval suites and signal fusion over sampled corpora
+    * (the intended inputs). For corpus-sized runs, feed PRE-RANKED rows
+    * (rank already a column, e.g. from a distributed top-k or the
+    * pplBucketsByThreshold pattern) to [[rrfFuseRanked]], which skips the
+    * window entirely and pays only the item-keyed fuse shuffle.
+    */
+  def rrfFuse(runs: DataFrame, runId: Column, itemId: Column, score: Column,
+              kappa: Int = 60): DataFrame = {
+    require(kappa >= 1, s"kappa must be >= 1, got $kappa")
+    val base = runs.select(runId.cast("string").as("run_id"),
+      itemId.cast("long").as("item_id"), score.cast("double").as("score"))
+    val w = Window.partitionBy(col("run_id"))
+      .orderBy(col("score").desc, col("item_id"))
+    rrfFuseRanked(base.withColumn("rank", row_number().over(w).cast("long")),
+      col("run_id"), col("item_id"), col("rank"), kappa)
+  }
+
+  /** [[rrfFuse]] over pre-ranked rows — no window, ONE item-keyed
+    * partial-agg shuffle; the corpus-scale face.
+    */
+  def rrfFuseRanked(runs: DataFrame, runId: Column, itemId: Column,
+                    rank: Column, kappa: Int = 60): DataFrame = {
+    require(kappa >= 1, s"kappa must be >= 1, got $kappa")
+    runs.select(runId.cast("string").as("run_id"),
+        itemId.cast("long").as("item_id"), rank.cast("long").as("rank"))
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("n_runs"),
+        aggregate(
+          array_sort(collect_list(struct(col("run_id"), col("rank")))),
+          lit(0.0),
+          (acc, x) => acc + lit(1.0) /
+            (x.getField("rank") + kappa).cast("double")).as("rrf"))
+  }
+
   private val Dec1812 = org.apache.spark.sql.types.DecimalType(18, 12)
 
   /** ROUGE-L (Lin 2004): longest-common-subsequence precision/recall/F per

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -36,6 +36,45 @@ object Sessions {
       .groupBy(col("user_id"), col("sess_id"))
       .agg(count(lit(1)).as("n_events"),
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+  }
+
+  /** TRUNCATED DISCOUNTED RETURNS over trajectories — the RL/agentic-data
+    * prep step that turns per-step rewards into per-step training targets:
+    *
+    *   G_t = Σ_{i=0..H-1} γ^i · r_{t+i}     (γ = 1/2, horizon H)
+    *
+    * γ is FIXED at the dyadic 1/2 so every term r·2^-i is exact in a
+    * double (reward integral) and every partial sum is exact while
+    * reward-bits + H ≤ 52 — the sum is order-free and bitwise
+    * cross-engine, no libm pow. `require` enforces the bit budget on H;
+    * the caller bounds rewards (document: |r| < 2^12 with the default
+    * H = 16 leaves 24 bits of headroom).
+    *
+    * Scale shape: ONE trajectory-keyed shuffle; the window frame is
+    * bounded at H rows (state O(H) per row, arrays H-sized, narrow after
+    * the sort) — trajectories of any length stream through. Output keeps
+    * (traj_id, ord, reward, n_future, ret) so shorter-than-H tails are
+    * visible.
+    */
+  def discountedReturns(events: DataFrame, traj: Column, ord: Column,
+                        reward: Column, horizon: Int = 16): DataFrame = {
+    require(horizon >= 1 && horizon <= 40,
+      s"horizon must be in 1..40 (exactness bit budget), got $horizon")
+    val weights = (0 until horizon).map(i => 1.0 / (1L << i))
+    val w = Window.partitionBy(col("traj_id")).orderBy(col("ord"))
+      .rowsBetween(Window.currentRow, horizon - 1)
+    events
+      .select(traj.cast("long").as("traj_id"), ord.cast("long").as("ord"),
+        reward.cast("long").as("reward"))
+      .withColumn("future",
+        collect_list(struct(col("ord"), col("reward"))).over(w))
+      .select(col("traj_id"), col("ord"), col("reward"),
+        size(col("future")).cast("long").as("n_future"),
+        aggregate(
+          transform(array_sort(col("future")), (x, i) =>
+            x.getField("reward").cast("double") *
+              element_at(typedLit(weights), (i + 1).cast("int"))),
+          lit(0.0), (acc, t) => acc + t).as("ret"))
   }
 
   /** Built-in session_window aggregation (works batch + streaming). */

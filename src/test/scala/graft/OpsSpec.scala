@@ -799,6 +799,61 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(_._5), out.mkString(","))
   }
 
+  test("rrfFuse: run-ordered reciprocal fold, missing-run items, bitwise replay") {
+    import graft.ops.Eval
+    // item 1 wins runs a+b, item 2 wins run c; item 3 missing from run c
+    val runs = Seq(
+      ("a", 1L, 9.0), ("a", 2L, 5.0), ("a", 3L, 7.0),
+      ("b", 1L, 8.0), ("b", 2L, 8.0), ("b", 3L, 1.0), // tie -> id order
+      ("c", 1L, 2.0), ("c", 2L, 6.0))
+      .toDF("run", "item", "s")
+    val got = Eval.rrfFuse(runs, col("run"), col("item"), col("s"))
+      .orderBy("item_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // replay: ranks per run by (score desc, id), fold 0.0 + Σ 1/(rank+60)
+    // in run_id order
+    val ranks = Map(
+      1L -> Seq(("a", 1L), ("b", 1L), ("c", 2L)),
+      2L -> Seq(("a", 3L), ("b", 2L), ("c", 1L)),
+      3L -> Seq(("a", 2L), ("b", 3L)))
+    val exp = ranks.map { case (id, rs) =>
+      id -> rs.sortBy(_._1).foldLeft(0.0) { case (acc, (_, r)) =>
+        acc + 1.0 / (r + 60L).toDouble }
+    }
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    for ((id, n, v) <- got) {
+      assert(n == ranks(id).size.toLong)
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(exp(id)), s"rrf of $id")
+    }
+    // two firsts beat one first + lasts
+    assert(exp(1L) > exp(2L) && exp(2L) > exp(3L))
+  }
+
+  test("discountedReturns: exact dyadic targets, horizon truncation, order-proof") {
+    import graft.ops.Sessions
+    val ev = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 30L, 4L), (1L, 40L, 8L),
+      (2L, 5L, 255L)) // single-step trajectory
+      .toDF("u", "o", "r")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sessions.discountedReturns(df, col("u"), col("o"), col("r"), horizon = 2)
+        .orderBy("traj_id", "ord").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    val got = run(ev)
+    // H=2: G_t = r_t + r_{t+1}/2, exactly
+    assert(got.toSeq == Seq(
+      (1L, 10L, 2L, 1.0 + 2.0 / 2), (1L, 20L, 2L, 2.0 + 4.0 / 2),
+      (1L, 30L, 2L, 4.0 + 8.0 / 2), (1L, 40L, 1L, 8.0),
+      (2L, 5L, 1L, 255.0)))
+    // input row order must not matter (ord sorts inside the frame)
+    assert(run(ev.orderBy(rand(7))).toSeq == got.toSeq)
+    // full-horizon check at H=16: G_0 of trajectory 1 = 1 + 1 + 1 + 1
+    val h16 = Sessions.discountedReturns(ev, col("u"), col("o"), col("r"),
+        horizon = 16).orderBy("traj_id", "ord").collect()
+    assert(h16.head.getDouble(4) == 1.0 + 2.0 / 2 + 4.0 / 4 + 8.0 / 8)
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
