@@ -951,20 +951,28 @@ object TextOps {
     * libm `ln` to disagree in the last ulp.
     *
     * Plan shape at 100 TB: bigram extraction is a NARROW array expression
-    * (no posexplode self-join); the bigram count is one partial-combined
+    * (no posexplode self-join); the bigram count is ONE partial-combined
     * hash aggregate (the shuffle carries distinct bigrams, not token
-    * instances); both marginals are aggregates OVER THE BIGRAM TABLE
-    * (vocab-sized, not corpus-sized); the two marginal joins shuffle on
-    * w1 / w2 — vocab-keyed equi-joins; N is a 1-row broadcast. The final
-    * top-k is TakeOrderedAndProject — k rows per partition to the driver,
-    * never a global sort.
+    * instances), Caches-tracked because four consumers read it — without
+    * the persist Spark re-executes the corpus pass per consumer; both
+    * marginals are aggregates OVER THE CACHED BIGRAM TABLE (vocab-sized,
+    * not corpus-sized); the two marginal joins shuffle on w1 / w2 —
+    * vocab-keyed equi-joins; N is a 1-row broadcast. The final top-k is
+    * TakeOrderedAndProject — k rows per partition to the driver, never a
+    * global sort.
     */
   def pmiCollocations(docs: DataFrame, text: Column, minCount: Long = 5L,
                       k: Int = 50): DataFrame = {
     require(minCount >= 1 && k >= 1)
-    val bi = docs.select(explode(bigramStructs(arrToks(text))).as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c_ab"))
+    // the bigram table feeds FOUR consumers (filtered pairs, both
+    // marginals, N) — without a persist Spark re-executes the corpus
+    // explode + count shuffle once per consumer (measured: q147 was the
+    // slowest catalog query at 13.3 s before, 4 full corpus passes);
+    // Caches-tracked so ONE pass builds the vocab-sized frame
+    val bi = Caches.track(
+      docs.select(explode(bigramStructs(arrToks(text))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c_ab")))
     val left  = bi.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
     val right = bi.groupBy(col("w2")).agg(sum(col("c_ab")).as("c_b"))
     val total = bi.agg(sum(col("c_ab")).as("n_bigrams"))
