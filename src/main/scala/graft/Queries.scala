@@ -6790,6 +6790,33 @@ object Queries {
       GROUP BY a.traj_id, a.ord, a.reward
       ORDER BY a.traj_id, a.ord"""))
 
+  /** TEMPERATURE-SCALED MIXING WEIGHTS (Mix.temperatureWeights): the
+    * √-temperature source-sampling table (α = 1/2 of the p^α family,
+    * mBERT/XLM-R style) over per-source token counts with a 2M-token
+    * budget — heads down-weighted, tails up-weighted. sqrt is IEEE
+    * correctly-rounded and the denominator a source-ordered fold, so the
+    * oracle replays bitwise.
+    */
+  private val q194 = Q("q194_temperature_mix",
+    (s, d) => graft.ops.Mix.temperatureWeights(t(s, d, "documents"),
+        col("source"), TextOps.tokenCount(col("text")), budget = 2000000L)
+      .orderBy(col("source")),
+    Some("""
+      WITH s AS (SELECT source,
+                   CAST(SUM(length(regexp_split_to_array(trim(text), '\s+')))
+                     AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+              list_reduce(list(sqrt(CAST(n_tokens AS DOUBLE))
+                ORDER BY source), (a, b) -> a + b) AS denom
+            FROM s)
+      SELECT source, n_tokens,
+             CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) AS p,
+             sqrt(CAST(n_tokens AS DOUBLE)) / denom AS w,
+             sqrt(CAST(n_tokens AS DOUBLE)) / denom * 2000000.0
+               AS expected_tokens
+      FROM s, t ORDER BY source"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6806,7 +6833,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -137,6 +137,44 @@ object Mix {
       .withColumn("kept", (col("cum_tokens") <= budget).cast("boolean"))
   }
 
+  /** TEMPERATURE-SCALED SOURCE MIXING WEIGHTS (the α = 1/2 point of the
+    * p^α exponentiated-sampling family — the √-temperature upsampling of
+    * multilingual pretraining, mBERT / XLM-R style): head sources are
+    * down-weighted, tail sources up-weighted, by
+    *
+    *   w_i = √n_i / Σ_j √n_j,   p_i = n_i / N
+    *
+    * with `expected_tokens_i = w_i · budget` the per-source draw of a
+    * token budget. α is FIXED at 1/2 because `sqrt` is an IEEE
+    * correctly-rounded operation — with the source-ORDERED denominator
+    * fold every output is a fixed double dag, bitwise cross-engine;
+    * arbitrary α needs libm `pow`, whose last-ulp behavior differs across
+    * engines (the zipfFit lesson).
+    *
+    * Scale shape: ONE per-source partial-agg shuffle to a G-row frame
+    * (G = #sources), a single-row ordered fold, and a broadcast join back
+    * — the corpus pays exactly one pass regardless of G or budget.
+    */
+  def temperatureWeights(df: DataFrame, source: Column, tokens: Column,
+                         budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val bySrc = df.groupBy(source.cast("string").as("source"))
+      .agg(sum(tokens.cast("long")).as("n_tokens"))
+    val folded = bySrc.agg(
+      sum(col("n_tokens")).as("total"),
+      aggregate(
+        array_sort(collect_list(struct(col("source"), col("n_tokens")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double")))
+        .as("denom"))
+    bySrc.join(broadcast(folded))
+      .select(col("source"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total").cast("double")).as("p"),
+        (sqrt(col("n_tokens").cast("double")) / col("denom")).as("w"),
+        (sqrt(col("n_tokens").cast("double")) / col("denom")
+          * lit(budget.toDouble)).as("expected_tokens"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split is a deterministic hash
     * gate on a numeric GROUP id (the min doc_id of a content group, a
     * near-dup cluster_id from Components, a domain id) — never the row id —

@@ -854,6 +854,36 @@ class OpsSpec extends AnyFunSuite {
     assert(h16.head.getDouble(4) == 1.0 + 2.0 / 2 + 4.0 / 4 + 8.0 / 8)
   }
 
+  test("temperatureWeights: sqrt-temperature reweighting, bitwise replay, head/tail property") {
+    import graft.ops.Mix
+    val rows = Seq(("head", 1L, 900L), ("head", 2L, 700L),
+      ("mid", 3L, 300L), ("tail", 4L, 25L))
+      .toDF("src", "id", "toks")
+    val got = Mix.temperatureWeights(rows, col("src"), col("toks"),
+        budget = 1000L)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val n = Map("head" -> 1600L, "mid" -> 300L, "tail" -> 25L)
+    val total = 1925L
+    val denom = n.toSeq.sortBy(_._1)
+      .foldLeft(0.0) { case (a, (_, v)) => a + math.sqrt(v.toDouble) }
+    for ((s, nt, p, w, e) <- got) {
+      assert(nt == n(s))
+      assert(java.lang.Double.doubleToLongBits(p) ==
+        java.lang.Double.doubleToLongBits(nt.toDouble / total.toDouble))
+      assert(java.lang.Double.doubleToLongBits(w) ==
+        java.lang.Double.doubleToLongBits(math.sqrt(nt.toDouble) / denom))
+      assert(java.lang.Double.doubleToLongBits(e) ==
+        java.lang.Double.doubleToLongBits(math.sqrt(nt.toDouble) / denom * 1000.0))
+    }
+    val byS = got.map(r => r._1 -> (r._3, r._4)).toMap
+    // temperature flattens: head w < head p, tail w > tail p; order kept
+    assert(byS("head")._2 < byS("head")._1)
+    assert(byS("tail")._2 > byS("tail")._1)
+    assert(byS("head")._2 > byS("mid")._2 && byS("mid")._2 > byS("tail")._2)
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
