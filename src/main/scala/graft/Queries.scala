@@ -6817,6 +6817,92 @@ object Queries {
                AS expected_tokens
       FROM s, t ORDER BY source"""))
 
+  /** T5 SPAN CORRUPTION (TextOps.spanCorrupt, Raffel et al. 2020):
+    * deterministic denoising-pretraining transform — Knuth-hash span
+    * starts, spanLen-3 merged spans, sentinel inputs/targets whose
+    * concatenation reconstructs the source. Oracle replays the gate,
+    * both windows, sentinel numbering and the ordered string builds
+    * value-exact.
+    */
+  private val q195 = Q("q195_span_corrupt",
+    (s, d) => graft.ops.TextOps.spanCorrupt(docsSpread(s, d),
+        col("doc_id"), col("text"), spanLen = 3, rateMille = 50)
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0)
+                     AS toks
+                 FROM documents),
+      e AS (SELECT doc_id, toks[i] AS tok, CAST(i - 1 AS BIGINT) AS pos
+            FROM (SELECT doc_id, toks,
+                    unnest(range(1, len(toks) + 1)) AS i FROM t)),
+      g AS (SELECT doc_id, pos, tok,
+              CASE WHEN ((doc_id * 1000003 + pos) % 2147483648)
+                        * 2654435761 % 2147483648 % 1000 < 50
+                   THEN 1 ELSE 0 END AS s
+            FROM e),
+      m AS (SELECT *, MAX(s) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked
+            FROM g),
+      st AS (SELECT *, masked AND NOT COALESCE(
+               LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+               AS span_start
+             FROM m),
+      kk AS (SELECT *, SUM(CASE WHEN span_start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) - 1 AS k
+             FROM st),
+      p AS (SELECT doc_id, pos, masked, span_start,
+              CASE WHEN NOT masked THEN tok
+                   WHEN span_start THEN '<X_' || k || '>' END AS in_piece,
+              CASE WHEN span_start THEN '<X_' || k || '> ' || tok
+                   WHEN masked THEN tok END AS tgt_piece
+            FROM kk)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN span_start THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans,
+             CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+             COALESCE(string_agg(in_piece, ' ' ORDER BY pos), '') AS inputs,
+             COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos), '')
+               AS targets
+      FROM p GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** MARGIN MINING, ANN FACE (Similarity.marginMineAnn): the q191
+    * criterion over LSH-bucketed kNN legs with auto-sized signatures —
+    * the corpus-sized-sides path (exact legs are quadratic: measured 17x
+    * wall at 10x rows; this face rehearses ~linear). Approximate
+    * neighbor lists => rows-only; OpsSpec pins best-pair agreement with
+    * the exact face.
+    */
+  private val q196 = Q("q196_margin_mining_ann",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.marginMineAnn(emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1), k = 4)
+        .orderBy(col("x_id"))
+    },
+    None)
+
+  /** WORD ERROR RATE (Eval.wer): token-level Levenshtein / ref length
+    * over the q179 pairing — the ASR/generation edit metric (TER without
+    * shifts). Codegen'd two-row DP kernel, one division; rows-only (no
+    * SQL engine exposes token-level edit distance) — OpsSpec replays the
+    * DP in plain Scala.
+    */
+  private val q197 = Q("q197_wer",
+    (s, d) => {
+      val docs = docsSpread(s, d)
+      val ref = docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("text").as("ref"))
+      val hyp = docs.where(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1).as("pair_id"), col("text").as("hyp"))
+      graft.ops.Eval.wer(ref.join(hyp, "pair_id"),
+          col("pair_id"), col("hyp"), col("ref"))
+        .orderBy(col("pair_id"))
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6833,7 +6919,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —
@@ -6894,6 +6980,10 @@ object Queries {
     "q183_rouge_l" -> Seq(
       "OpsSpec: rougeL matches a plain-Scala LCS replay; identity/disjoint/order corners",
       "OpsSpec: rougeL cap truncates both sides and bounds the DP"),
+    "q196_margin_mining_ann" -> Seq(
+      "OpsSpec: marginMineAnn agrees with exact marginMine on best pairs (>=80%)"),
+    "q197_wer" -> Seq(
+      "OpsSpec: wer matches a plain-Scala Levenshtein replay; identity/disjoint/empty corners"),
     "q187_pq_ann" -> Seq(
       "OpsSpec: PQ train/encode/ADC match a plain-Scala replay, code by code",
       "OpsSpec: PQ ANN recall@10 vs exact L2 >= 0.5 avg on clustered vectors"))

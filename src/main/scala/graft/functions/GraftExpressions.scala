@@ -216,6 +216,26 @@ case class LcsTokens(left: Expression, right: Expression, cap: Int)
     copy(left = l, right = r)
 }
 
+/** Token-level Levenshtein distance, capped — the WER numerator (see
+  * TextKernel.editDist for the DP/truncation contract).
+  */
+case class EditTokens(left: Expression, right: Expression, cap: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "edit_tokens"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernel.editDist(l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.TextKernel.editDist($l, $r, $cap);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): EditTokens =
+    copy(left = l, right = r)
+}
+
 /** Native hyperplane-LSH signature over an array<float> column. */
 case class HyperplaneSig(child: Expression, planes: Array[Double], nBits: Int, dim: Int)
     extends UnaryExpression {
@@ -530,6 +550,8 @@ object gfn {
     col(MinHashSig(ex(c), a, b))
   def vec_cosine(l: Column, r: Column): Column = col(VecCosine(ex(l), ex(r)))
   def quantized_dot(l: Column, r: Column): Column = col(QuantizedDot(ex(l), ex(r)))
+  def edit_tokens(l: Column, r: Column, cap: Int = 512): Column =
+    col(EditTokens(ex(l), ex(r), cap))
   def lcs_tokens(l: Column, r: Column, cap: Int = 512): Column =
     col(LcsTokens(ex(l), ex(r), cap))
   def ngram_jaccard(l: Column, r: Column, w: Int = 3): Column =

@@ -92,6 +92,40 @@ object TextKernel {
     * summary-length sides anyway). UTF8String equality is byte equality —
     * no copying, no decoding.
     */
+  /** Token-level Levenshtein distance (insert/delete/substitute, unit
+    * costs), both sides truncated at `cap` — the WER numerator. Two-row
+    * DP: O(cap^2) time, O(cap) space, same bounded contract as lcsLen.
+    */
+  def editDist(a: ArrayData, b: ArrayData, cap: Int): Long = {
+    val n = math.min(a.numElements(), cap)
+    val m = math.min(b.numElements(), cap)
+    if (n == 0) return m.toLong
+    if (m == 0) return n.toLong
+    val bt = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bt(j) = b.getUTF8String(j); j += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 0
+    while (i < n) {
+      val ai = a.getUTF8String(i)
+      cur(0) = i + 1
+      j = 0
+      while (j < m) {
+        val sub = prev(j) + (if (ai.equals(bt(j))) 0 else 1)
+        val del = prev(j + 1) + 1
+        val ins = cur(j) + 1
+        cur(j + 1) = math.min(sub, math.min(del, ins))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m).toLong
+  }
+
   def lcsLen(a: ArrayData, b: ArrayData, cap: Int): Long = {
     val n = math.min(a.numElements(), cap)
     val m = math.min(b.numElements(), cap)

@@ -615,6 +615,38 @@ object Eval {
           .as("rouge_l_f"))
   }
 
+  /** WORD ERROR RATE: token-level Levenshtein distance / reference
+    * length — the standard ASR/generation edit metric (and the
+    * no-shifts simplification of TER). Both sides are lowercased,
+    * whitespace-tokenized and truncated at `maxTokens` (the rougeL
+    * truncation contract — it bounds the O(cap²) DP, and truncation IS
+    * the 100 TB answer to adversarially long rows). One codegen'd kernel
+    * call per pair (`functions/EditTokens`, two-row DP) plus one IEEE
+    * division; empty-reference rows emit a NULL wer (edits still
+    * reported). No SQL engine exposes token-level edit distance, so the
+    * catalog face is rows-only — OpsSpec replays the DP in plain Scala.
+    *
+    * Scale shape: purely narrow — tokenize + kernel + divide per pair; no
+    * shuffle beyond the caller's pairing join.
+    */
+  def wer(pairs: DataFrame, pairId: Column, hyp: Column, ref: Column,
+          maxTokens: Int = 512): DataFrame = {
+    require(maxTokens >= 1, s"maxTokens must be positive, got $maxTokens")
+    def toks(c: Column): Column =
+      filter(split(lower(trim(c)), "\\s+"), w => length(w) > 0)
+    pairs
+      .select(pairId.cast("long").as("pair_id"),
+        toks(hyp).as("ht"), toks(ref).as("rt"))
+      .select(col("pair_id"),
+        least(size(col("ht")), lit(maxTokens)).cast("long").as("hyp_tokens"),
+        least(size(col("rt")), lit(maxTokens)).cast("long").as("ref_tokens"),
+        graft.functions.gfn.edit_tokens(col("ht"), col("rt"), maxTokens)
+          .as("edits"))
+      .withColumn("wer",
+        when(col("ref_tokens") > 0,
+          col("edits").cast("double") / col("ref_tokens").cast("double")))
+  }
+
   def bradleyTerry(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 50, "fixed small iteration count")
     // both directions: (i, j, n_ij, w_ij = wins of i against j)

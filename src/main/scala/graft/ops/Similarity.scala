@@ -196,19 +196,46 @@ object Similarity {
     * Scale: two [[knnJoin]] passes (each: broadcast query side, one
     * narrow scoring pass, bounded-heap map-side reduce — shuffle carries
     * k rows per vector per partition); everything after runs on k·|X| /
-    * k·|Y|-row frames keyed by vector id. For corpus-sized sides swap the
-    * exact knn for [[annKnnJoin]] per leg (same downstream algebra).
+    * k·|Y|-row frames keyed by vector id. The exact legs score |X|·|Y|
+    * pairs — fine for probe/eval-sized sides, QUADRATIC for corpus-sized
+    * ones (measured 17× wall at 10× rows): use [[marginMineAnn]] there
+    * (same downstream algebra over LSH-bucketed legs).
     */
-  def marginMine(xs: DataFrame, ys: DataFrame, k: Int = 4): DataFrame = {
+  def marginMine(xs: DataFrame, ys: DataFrame, k: Int = 4): DataFrame =
+    marginCore(xs, ys, k, knnJoin(_, _, _, quantizedDot))
+
+  /** [[marginMine]] with LSH-bucketed kNN legs — the corpus-sized-sides
+    * face: the exact legs score |X|·|Y| pairs (measured 17× wall at 10×
+    * rows — quadratic), while the LSH legs only score within-bucket
+    * candidates and the margin algebra downstream is IDENTICAL (same
+    * quantized-dot scores, so sums stay exact and the margins bitwise).
+    * Neighbor lists are approximate ⇒ rows-only; OpsSpec pins best-pair
+    * agreement with the exact face on clustered vectors. `nBits < 0`
+    * auto-sizes each leg's signature to its corpus (`autoBits`, the q35
+    * lesson — fixed bits go quadratic again as buckets fill).
+    */
+  def marginMineAnn(xs: DataFrame, ys: DataFrame, k: Int = 4,
+                    nBits: Int = -1, dim: Int = 64,
+                    nTables: Int = 8): DataFrame =
+    marginCore(xs, ys, k, (c, q, kk) =>
+      // per-leg auto-sizing: each leg's corpus is a different side; the
+      // count is a bounded aggregate (the cosineNearDupsAuto contract)
+      annKnnJoin(c, q, kk,
+        if (nBits > 0) nBits else autoBits(c.count(), 64),
+        dim, nTables, quantizedDot))
+
+  private def marginCore(xs: DataFrame, ys: DataFrame, k: Int,
+                         knn: (DataFrame, DataFrame, Int) => DataFrame)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def side(df: DataFrame, idTo: String) = df.select(
       col("vec_id").as(idTo), col("embedding"))
-    val fwd = knnJoin(side(ys, "vec_id"),
+    val fwd = knn(side(ys, "vec_id"),
       xs.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      k, quantizedDot)
-    val bwd = knnJoin(side(xs, "vec_id"),
+      k)
+    val bwd = knn(side(xs, "vec_id"),
       ys.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      k, quantizedDot)
+      k)
     val aX = fwd.groupBy(col("query_id").as("x_id"))
       .agg(sum(col("score")).as("a_x"), count(lit(1)).as("n_x"))
     val aY = bwd.groupBy(col("query_id").as("y_id"))
@@ -331,7 +358,8 @@ object Similarity {
     * query. Expected scored fraction ≈ nTables·(nBits+1)/2^nBits per query.
     */
   def annKnnJoin(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nBits: Int = 8, dim: Int = 64, nTables: Int = 8): DataFrame = {
+                 nBits: Int = 8, dim: Int = 64, nTables: Int = 8,
+                 scorer: (Column, Column) => Column = cosine): DataFrame = {
     val bucketed = corpus.select(col("vec_id"), col("embedding"),
       explode(array((0 until nTables).map { t =>
         struct(lit(t).as("tbl"),
@@ -353,7 +381,7 @@ object Similarity {
     bucketed.join(probes, Seq("tbl", "sig"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"),
-        cosine(col("embedding"), col("q_emb")).cast("double").as("score"))
+        scorer(col("embedding"), col("q_emb")).cast("double").as("score"))
       .groupBy(col("query_id"))
       .agg(graft.functions.gfn.topk_by_score(col("score"), col("vec_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline, over
@@ -1661,6 +1662,71 @@ object TextOps {
         .otherwise(
           concat(lit("<SUF>"), col("suffix"), lit("<PRE>"), col("prefix"),
             lit("<MID>"), col("middle"))))
+  }
+
+  /** T5 SPAN CORRUPTION (Raffel et al. JMLR 2020 §3.1.4, deterministic
+    * replay variant): the denoising-pretraining transform — mask token
+    * spans, emit `inputs` with one sentinel per span and `targets` =
+    * sentinel + the masked tokens, so stripping sentinels from
+    * (inputs ∥ targets) reconstructs the source exactly (OpsSpec pins
+    * this). T5 samples spans IID; here span STARTS are a Knuth hash gate
+    * on (doc_id, position) — `rateMille`/1000 per position, span length
+    * fixed at `spanLen`, overlapping spans merging into longer ones —
+    * so the corruption is a pure function of the row (retry-stable,
+    * split-invariant, and replayable by the SQL oracle).
+    *
+    * Per position: masked = any start in the trailing `spanLen` window;
+    * span_start = masked ∧ ¬masked(prev); sentinel id = running count of
+    * span starts (0-based, "<X_k>").
+    *
+    * Scale shape: ONE doc-keyed shuffle serves the position windows AND
+    * the final per-doc aggregate (same key — exchange reuse, the q188
+    * contract); state per row is O(1) (the window frame is spanLen rows),
+    * and the ord-sorted struct collects keep inputs/targets deterministic
+    * under any partitioning. Whitespace-only docs have no tokens and drop
+    * out (same on both engines).
+    */
+  def spanCorrupt(docs: DataFrame, id: Column, text: Column,
+                  spanLen: Int = 3, rateMille: Int = 50): DataFrame = {
+    require(spanLen >= 1 && spanLen <= 64, s"spanLen in 1..64, got $spanLen")
+    require(rateMille >= 1 && rateMille < 1000,
+      s"rateMille in 1..999, got $rateMille")
+    val M31 = 2147483648L
+    val Knuth = 2654435761L
+    val toks = docs.select(id.cast("long").as("doc_id"),
+        posexplode(arrToks(text)).as(Seq("pos", "tok")))
+      .withColumn("s",
+        (pmod(pmod(col("doc_id") * 1000003L + col("pos"), lit(M31))
+          * lit(Knuth), lit(M31)) % 1000 < rateMille).cast("int"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = toks
+      .withColumn("masked",
+        max(col("s")).over(w.rowsBetween(-(spanLen - 1), 0)) === 1)
+      .withColumn("span_start",
+        col("masked") && !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+      .withColumn("k",
+        sum(col("span_start").cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+    val sentinel = concat(lit("<X_"), col("k"), lit(">"))
+    marked
+      .withColumn("in_piece",
+        when(!col("masked"), col("tok"))
+          .when(col("span_start"), sentinel))
+      .withColumn("tgt_piece",
+        when(col("span_start"), concat(sentinel, lit(" "), col("tok")))
+          .when(col("masked"), col("tok")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("span_start").cast("long")).as("n_spans"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(when(col("in_piece").isNotNull,
+            struct(col("pos"), col("in_piece").as("p"))))),
+          x => x.getField("p")), " ").as("inputs"),
+        array_join(transform(
+          array_sort(collect_list(when(col("tgt_piece").isNotNull,
+            struct(col("pos"), col("tgt_piece").as("p"))))),
+          x => x.getField("p")), " ").as("targets"))
   }
 
   /** BLOCKLIST SCAN (Aho–Corasick): per-document occurrence counts of a

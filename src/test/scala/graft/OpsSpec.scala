@@ -884,6 +884,109 @@ class OpsSpec extends AnyFunSuite {
     assert(byS("head")._2 > byS("mid")._2 && byS("mid")._2 > byS("tail")._2)
   }
 
+  test("spanCorrupt: sentinel reconstruction, span structure, determinism") {
+    import graft.ops.TextOps
+    val d = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextOps.spanCorrupt(d, col("doc_id"), col("text"),
+      spanLen = 3, rateMille = 120).collect()
+    assert(out.nonEmpty)
+    var sawSpan = false
+    for (r <- out) {
+      val (nTok, nSpans, nMasked) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (inputs, targets) = (r.getString(4), r.getString(5))
+      assert(nMasked >= nSpans && nMasked <= nTok)
+      if (nSpans > 0) sawSpan = true
+      // sentinels appear exactly once in inputs AND once in targets, in order
+      val sents = (0L until nSpans).map(k => s"<X_$k>")
+      for (s <- sents) {
+        assert(inputs.split(" ").count(_ == s) == 1, s"$s in inputs")
+        assert(targets.split(" ").count(_ == s) == 1, s"$s in targets")
+      }
+      // RECONSTRUCTION: replace each sentinel in inputs by its target span
+      val tgtToks = targets.split(" ").filter(_.nonEmpty)
+      val spanOf = scala.collection.mutable.Map[String, Vector[String]]()
+      var cur: String = null
+      for (t <- tgtToks) {
+        if (t.startsWith("<X_")) { cur = t; spanOf(cur) = Vector() }
+        else spanOf(cur) = spanOf(cur) :+ t
+      }
+      val rebuilt = inputs.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<X_")) spanOf(t) else Vector(t) }
+      val orig = d.where(col("doc_id") === r.getLong(0))
+        .select(col("text")).head().getString(0)
+        .split(" ").filter(_.nonEmpty).toSeq
+      assert(rebuilt.toSeq == orig, s"doc ${r.getLong(0)} reconstruction")
+    }
+    assert(sawSpan, "corpus produced no spans at rate 120/1000")
+    // pure function of the row: a second run is identical
+    val again = TextOps.spanCorrupt(d.orderBy(rand(3)), col("doc_id"),
+      col("text"), spanLen = 3, rateMille = 120).collect()
+    assert(again.map(_.toSeq).toSet == out.map(_.toSeq).toSet)
+  }
+
+  test("marginMineAnn agrees with exact marginMine on best pairs (>=80%)") {
+    import graft.ops.Similarity
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val xs = emb.where(col("vec_id") % 2 === 0)
+    val ys = emb.where(col("vec_id") % 2 === 1)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(4))).toMap
+    val exact = pairs(Similarity.marginMine(xs, ys, k = 4))
+    val ann = pairs(Similarity.marginMineAnn(xs, ys, k = 4))
+    // every x gets a pair from both faces, and the ANN pick agrees with
+    // the exact one for most x (LSH can drop a true neighbor from a leg)
+    assert(ann.keySet == exact.keySet)
+    val agree = exact.count { case (x, (y, _)) => ann(x)._1 == y }
+    assert(agree.toDouble / exact.size >= 0.8,
+      s"$agree of ${exact.size} best pairs agree")
+    // where the pair agrees, the margin is the same exact arithmetic, so
+    // mutual flags can only diverge via the OTHER side's candidate lists
+    val mutualAgree = exact.count { case (x, (y, m)) =>
+      ann(x)._1 == y && ann(x)._2 == m }
+    assert(mutualAgree.toDouble / agree >= 0.8)
+  }
+
+  test("wer matches a plain-Scala Levenshtein replay; identity/disjoint/empty corners") {
+    import graft.ops.Eval
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    def sent(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val gen = (1L to 40L).map(i => (i, sent(3 + rnd.nextInt(12)),
+      sent(3 + rnd.nextInt(12))))
+    val pairs = (gen ++ Seq(
+      (100L, "same same tokens here", "same same tokens here"), // identity
+      (101L, "aa bb cc", "xx yy zz ww"),                        // disjoint
+      (102L, "some hyp tokens", "   "),                         // empty ref
+      (103L, " ", "ref side only")))                            // empty hyp
+      .toDF("pid", "hyp", "ref")
+    val got = Eval.wer(pairs, col("pid"), col("hyp"), col("ref"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).toMap
+    def lev(a: Seq[String], b: Seq[String]): Long = {
+      val d = Array.tabulate(a.size + 1, b.size + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.size; j <- 1 to b.size)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.size)(b.size).toLong
+    }
+    def tok(s: String) = s.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    for ((pid, hyp, ref) <- gen ++ Seq((100L, "same same tokens here",
+        "same same tokens here"), (101L, "aa bb cc", "xx yy zz ww"))) {
+      val (ht, rt, e, w) = got(pid)
+      val exp = lev(tok(hyp), tok(ref))
+      assert(e == exp, s"edits of $pid")
+      assert(ht == tok(hyp).size && rt == tok(ref).size)
+      assert(w == exp.toDouble / rt)
+    }
+    assert(got(100L)._3 == 0L && got(100L)._4 == 0.0)
+    assert(got(101L)._3 == 4L) // len-diff inserts + substitutions
+    assert(got(102L)._3 == 3L && got(102L)._4.isNaN)   // null wer, edits = |hyp|
+    assert(got(103L)._3 == 3L && got(103L)._4 == 1.0)  // all inserts
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
