@@ -147,6 +147,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(200L -> 100L), s"got $got")
   }
 
+  test("streaming blocklist monitor: totals accumulate and match the batch scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("bad word", "word", "spam")
+    val b1 = Seq("a bad word here", "clean text", "spam spam spam")
+    val b2 = Seq("another bad word and a word", "clean again")
+
+    val mem = MemoryStream[String]
+    val out = graft.streaming.BlocklistMonitorJob.counts(
+      mem.toDF().toDF("text"), pats)
+    val q = out.writeStream.format("memory").queryName("blocklist")
+      .outputMode("complete").start()
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      val t1 = spark.table("blocklist").collect()
+        .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      // "word" matches inside "bad word" too (overlapping occurrences)
+      assert(t1("bad word") == (1L, 1L) && t1("word") == (1L, 1L))
+      assert(t1("spam") == (3L, 1L))
+
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val t2 = spark.table("blocklist").collect()
+        .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(t2("bad word") == (2L, 2L), t2.toString)
+      assert(t2("word") == (3L, 2L), t2.toString)
+      assert(t2("spam") == (3L, 1L), t2.toString)
+
+      // batch parity: streaming totals == the one-shot batch aggregate
+      val batch = graft.streaming.BlocklistMonitorJob.counts(
+        (b1 ++ b2).toDF("text"), pats).collect()
+        .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(batch == t2, s"stream $t2 vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming trending terms: state accumulates across micro-batches") {
     import spark.implicits._
     implicit val s = spark
