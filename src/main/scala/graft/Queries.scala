@@ -6903,6 +6903,35 @@ object Queries {
     },
     None)
 
+  /** SEMANTIC DECONTAMINATION (Decontam.semanticOverlaps): embedding-
+    * space train-vs-eval screen — every (corpus, eval-probe) pair whose
+    * integer-quantized dot clears the threshold; catches the paraphrased
+    * leakage the n-gram screens (q46/q178) are blind to. Eval side
+    * broadcasts; corpus pays one narrow filtered pass — no shuffle.
+    * Exact integer similarity => value-exact brute-force oracle.
+    */
+  private val q198 = Q("q198_semantic_decontam",
+    (s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.ops.Decontam.semanticOverlaps(
+          emb.where(col("vec_id") % 100 =!= 0),
+          emb.where(col("vec_id") % 100 === 0), threshold = 250000L)
+        .orderBy(col("vec_id"), col("eval_id"))
+    },
+    Some("""
+      WITH x AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE vec_id % 100 <> 0),
+      y AS (SELECT vec_id AS eval_id, embedding AS e_emb FROM embeddings
+            WHERE vec_id % 100 = 0)
+      SELECT x.vec_id, y.eval_id,
+             CAST(SUM(
+               CAST(round(CAST(x.embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) *
+               CAST(round(CAST(y.e_emb[t.i] AS DOUBLE) * 1000) AS BIGINT))
+               AS BIGINT) AS dot
+      FROM x, y, range(1, 65) t(i)
+      GROUP BY 1, 2 HAVING dot >= 250000
+      ORDER BY x.vec_id, y.eval_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6919,7 +6948,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -36,6 +36,31 @@ object Decontam {
       .join(evalGrams(evalDocs, w), "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
 
+  /** SEMANTIC DECONTAMINATION (embedding-space screen): every (corpus,
+    * eval) vector pair whose similarity clears `threshold` — the screen
+    * that catches paraphrased/translated eval leakage n-gram overlap
+    * ([[overlaps]]) is blind to; running both is the standard recipe.
+    * Similarity is the integer-quantized dot (the q26/q81 recipe) against
+    * an integer threshold, so the pair set is exact and the DuckDB oracle
+    * replays it value-exact — no ANN recall caveat on the catalog face.
+    *
+    * Scale shape: the eval side is small by construction (benchmarks) —
+    * it BROADCASTS, and the corpus pays one narrow scoring pass with the
+    * threshold filter applied before anything leaves the scan: no
+    * corpus-sized shuffle at all, output bounded by actual hits. A
+    * corpus-sized "eval" side is the near-dup problem — use
+    * [[Similarity.marginMineAnn]]'s legs or `cosineNearDupsAuto` instead.
+    */
+  def semanticOverlaps(corpus: DataFrame, evalEmb: DataFrame,
+                       threshold: Long): DataFrame =
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(evalEmb.select(col("vec_id").as("eval_id"),
+        col("embedding").as("e_emb"))))
+      .select(col("vec_id"), col("eval_id"),
+        graft.ops.Similarity.quantizedDot(col("embedding"), col("e_emb"))
+          .as("dot"))
+      .where(col("dot") >= threshold)
+
   /** PER-BENCHMARK CONTAMINATION REPORT — [[overlaps]] resolved to WHICH
     * eval doc: (doc_id, eval_id, n_hits, eval_grams, overlap_frac), one row
     * per (corpus doc, eval doc) sharing ≥1 distinct w-gram, where

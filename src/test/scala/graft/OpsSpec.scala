@@ -987,6 +987,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(103L)._3 == 3L && got(103L)._4 == 1.0)  // all inserts
   }
 
+  test("semanticOverlaps: threshold pairs exact, eval side broadcast, no corpus shuffle") {
+    import graft.ops.Decontam
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (3L, Seq(0f, 0f, 1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val evalE = Seq((100L, Seq(1f, 0f, 0f, 0f)), (200L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val out = Decontam.semanticOverlaps(corpus, evalE, threshold = 800000L)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // dots: (1,100)=1e6, (2,100)=9e5, (2,200)=1e5, (3,*)=0
+    assert(got == Set((1L, 100L, 1000000L), (2L, 100L, 900000L)), got)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
