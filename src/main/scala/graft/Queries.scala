@@ -6932,6 +6932,66 @@ object Queries {
       GROUP BY 1, 2 HAVING dot >= 250000
       ORDER BY x.vec_id, y.eval_id"""))
 
+  /** DETERMINISTIC EPOCH SHUFFLE (Mix.epochShuffle): reproducible
+    * per-epoch training order as (shard, ord) sort keys from
+    * epoch-decorrelated Knuth streams — pure function of (id, epoch), so
+    * retries/partitioning never change the order (what orderBy(rand())
+    * can't promise). No global sort; writers bucket by shard.
+    */
+  private val q199 = Q("q199_epoch_shuffle",
+    (s, d) => graft.ops.Mix.epochShuffle(t(s, d, "documents"),
+        col("doc_id"), epochs = 2, nShards = 8)
+      .orderBy(col("epoch"), col("doc_id")),
+    Some("""
+      WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+      h AS (SELECT d.doc_id, e.epoch,
+              ((doc_id % 2147483648) * (2 * e.epoch + 3) + e.epoch)
+                % 2147483648 * 2654435761 % 2147483648 AS h
+            FROM documents d, e)
+      SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+             CAST(h % 8 AS BIGINT) AS shard, CAST(h AS BIGINT) AS ord
+      FROM h ORDER BY epoch, doc_id"""))
+
+  /** CURRICULUM STAGING (Mix.curriculumStages): 4 difficulty stages by
+    * exact pooled percentile cutoffs over a chars-per-token difficulty
+    * proxy — stage = #{cutoffs < difficulty}. The cutoff interpolation
+    * replays Spark's Percentile dag over order statistics (the q189
+    * recipe), so the oracle is value-exact.
+    */
+  private val q200 = Q("q200_curriculum_stages",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("toks", TextOps.tokenCount(col("text")))
+      graft.ops.Mix.curriculumStages(docs, col("doc_id"),
+          col("n_chars").cast("double") / (col("toks") + 1).cast("double"),
+          nStages = 4)
+        .orderBy(col("id"))
+    },
+    Some("""
+      WITH base AS (SELECT doc_id AS id,
+              CAST(n_chars AS DOUBLE) /
+                CAST(length(regexp_split_to_array(trim(text), '\s+'))
+                     + 1 AS DOUBLE) AS difficulty
+            FROM documents),
+      nn AS (SELECT COUNT(*) AS n FROM base),
+      srt AS (SELECT difficulty AS v,
+                CAST(row_number() OVER (ORDER BY difficulty) - 1 AS DOUBLE)
+                  AS idx
+              FROM base),
+      gp AS (SELECT i, CAST(i AS DOUBLE) / 4.0
+                        * CAST(nn.n - 1 AS DOUBLE) AS pos
+             FROM range(1, 4) t(i), nn),
+      gv AS (SELECT gp.i,
+               CASE WHEN floor(gp.pos) = ceil(gp.pos) THEN slo.v
+                    ELSE (ceil(gp.pos) - gp.pos) * slo.v
+                         + (gp.pos - floor(gp.pos)) * shi.v END AS cut
+             FROM gp JOIN srt slo ON slo.idx = floor(gp.pos)
+                     JOIN srt shi ON shi.idx = ceil(gp.pos))
+      SELECT b.id, b.difficulty,
+             CAST((SELECT SUM(CASE WHEN b.difficulty > gv.cut THEN 1
+                                   ELSE 0 END) FROM gv) AS BIGINT) AS stage
+      FROM base b ORDER BY b.id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -6948,7 +7008,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

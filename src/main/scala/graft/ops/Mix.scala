@@ -175,6 +175,67 @@ object Mix {
           * lit(budget.toDouble)).as("expected_tokens"))
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE: the reproducible global training order
+    * — each (row, epoch) draws a pseudorandom position from a
+    * per-epoch-decorrelated Knuth stream (the fimSplit stream recipe), so
+    * the order is a PURE FUNCTION of (id, epoch): retry-stable,
+    * partitioning-invariant, and resumable mid-epoch from a (shard, ord)
+    * bookmark — the properties `orderBy(rand())` loses the moment a task
+    * retries. Every epoch is a different permutation (stream multiplier
+    * 2·epoch+3 differs per epoch).
+    *
+    * Scale shape: NO global sort and no window — the order is
+    * materialized as (shard, ord) SORT KEYS; the writer buckets by shard
+    * and sorts within each (the q98 layout story), so the only exchange
+    * is the nShards-way write partitioning. Ties on ord (hash collisions)
+    * break by doc_id downstream.
+    */
+  def epochShuffle(df: DataFrame, id: Column, epochs: Int,
+                   nShards: Int): DataFrame = {
+    require(epochs >= 1 && epochs <= 100, s"epochs in 1..100, got $epochs")
+    require(nShards >= 1, s"nShards must be positive, got $nShards")
+    df.select(id.cast("long").as("doc_id"))
+      .withColumn("epoch",
+        explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("h",
+        pmod(pmod(pmod(col("doc_id"), lit(M31)) * (col("epoch") * 2 + 3)
+          + col("epoch"), lit(M31)) * lit(Knuth), lit(M31)))
+      .select(col("epoch"), col("doc_id"),
+        pmod(col("h"), lit(nShards.toLong)).as("shard"),
+        col("h").as("ord"))
+  }
+
+  /** CURRICULUM STAGING: assign each row to one of `nStages` difficulty
+    * stages by EXACT pooled percentile cutoffs (stage 0 = easiest
+    * quarter, ...) — the data-side half of curriculum learning: step t of
+    * training unlocks stages 0..f(t), and this table is the deterministic
+    * membership those unlocks read. stage = #{cutoffs < difficulty}
+    * (strict, so boundary rows fall in the lower stage).
+    *
+    * Determinism: the cutoffs come from Spark's exact `percentile` whose
+    * interpolation dag the q189 oracle replays bitwise over order
+    * statistics; the comparison is then exact double equality territory —
+    * value-exact cross-engine.
+    *
+    * Scale shape: ONE percentile aggregate reduced to a 1-row broadcast
+    * + a narrow comparison pass — one corpus pass total; swap in
+    * `approx_percentile` at 100 TB (the q115 GK contract).
+    */
+  def curriculumStages(df: DataFrame, id: Column, difficulty: Column,
+                       nStages: Int = 4): DataFrame = {
+    require(nStages >= 2 && nStages <= 100, s"nStages in 2..100, got $nStages")
+    val base = df.select(id.cast("long").as("id"),
+      difficulty.cast("double").as("difficulty"))
+    val ps = (1 until nStages).map(_.toDouble / nStages)
+    val cuts = base.agg(
+      expr(s"percentile(difficulty, array(${ps.mkString(",")}))").as("cuts"))
+    base.join(broadcast(cuts))
+      .select(col("id"), col("difficulty"),
+        aggregate(col("cuts"), lit(0L),
+          (acc, c) => acc + when(col("difficulty") > c, 1L).otherwise(0L))
+          .as("stage"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split is a deterministic hash
     * gate on a numeric GROUP id (the min doc_id of a content group, a
     * near-dup cluster_id from Components, a domain id) — never the row id —

@@ -1006,6 +1006,45 @@ class OpsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("epochShuffle: pure function of (id, epoch), decorrelated epochs, shards in range") {
+    import graft.ops.Mix
+    val ids = (1L to 200L).toDF("doc_id")
+    def run() = Mix.epochShuffle(ids, col("doc_id"), epochs = 3, nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val a = run()
+    assert(a.size == 600)
+    assert(a == run()) // deterministic
+    assert(a.values.forall { case (s, _) => s >= 0 && s < 8 })
+    assert(a.forall { case ((_, _), (s, o)) => s == o % 8 })
+    // epochs are different permutations: the doc order by ord differs
+    def order(e: Long) = a.collect { case ((ep, id), (_, o)) if ep == e =>
+      (o, id) }.toSeq.sorted.map(_._2)
+    assert(order(0L) != order(1L) && order(1L) != order(2L))
+    // every shard is hit in every epoch (200 ids over 8 shards)
+    for (e <- 0L to 2L)
+      assert(a.collect { case ((ep, _), (s, _)) if ep == e => s }
+        .toSet.size == 8)
+  }
+
+  test("curriculumStages: percentile cutoffs replayed, stages monotone in difficulty") {
+    import graft.ops.Mix
+    val rows = (1L to 101L).map(i => (i, i.toDouble)).toDF("id", "diff")
+    val got = Mix.curriculumStages(rows, col("id"), col("diff"), nStages = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    // cutoffs of 1..101 at p=.25/.5/.75 are exactly 26, 51, 76
+    for ((id, d, st) <- got) {
+      val exp = Seq(26.0, 51.0, 76.0).count(_ < d)
+      assert(st == exp, s"stage of $id")
+    }
+    // stage sizes: 26 / 25 / 25 / 25 (boundary rows fall low — strict >)
+    assert(got.count(_._3 == 0L) == 26 && got.count(_._3 == 1L) == 25)
+    // monotone: sorting by difficulty never decreases the stage
+    val stagesByDiff = got.sortBy(_._2).map(_._3)
+    assert(stagesByDiff.zip(stagesByDiff.tail).forall { case (x, y) => x <= y })
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
