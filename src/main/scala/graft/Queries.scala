@@ -6992,6 +6992,38 @@ object Queries {
                                    ELSE 0 END) FROM gv) AS BIGINT) AS stage
       FROM base b ORDER BY b.id"""))
 
+  /** FILTER YIELD CURVE (Mix.yieldCurve): docs/tokens surviving each
+    * candidate quality threshold — the quality-vs-quantity Pareto table a
+    * threshold decision is read off. One corpus pass + suffix sums over
+    * the grid-sized frame; includes a keep-all and a keep-none cutoff.
+    */
+  private val q201 = Q("q201_yield_curve",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+        .withColumn("toks", TextOps.tokenCount(col("text")))
+      graft.ops.Mix.yieldCurve(docs,
+          col("n_chars").cast("double") / (col("toks") + 1).cast("double"),
+          col("toks"),
+          cutoffs = Seq(0.0, 4.0, 4.5, 5.0, 5.5, 6.0, 100.0))
+        .orderBy(col("cutoff"))
+    },
+    Some("""
+      WITH d AS (SELECT
+              CAST(n_chars AS DOUBLE) /
+                CAST(length(regexp_split_to_array(trim(text), '\s+'))
+                     + 1 AS DOUBLE) AS score,
+              CAST(length(regexp_split_to_array(trim(text), '\s+'))
+                AS BIGINT) AS toks
+            FROM documents),
+      g(cutoff) AS (VALUES (0.0), (4.0), (4.5), (5.0), (5.5), (6.0),
+                           (100.0))
+      SELECT g.cutoff,
+             CAST(COUNT(*) FILTER (WHERE d.score >= g.cutoff) AS BIGINT)
+               AS n_docs_kept,
+             CAST(COALESCE(SUM(d.toks) FILTER (WHERE d.score >= g.cutoff),
+               0) AS BIGINT) AS n_tokens_kept
+      FROM g CROSS JOIN d GROUP BY g.cutoff ORDER BY g.cutoff"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7008,7 +7040,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -236,6 +236,54 @@ object Mix {
           .as("stage"))
   }
 
+  /** FILTER YIELD CURVE: for each candidate quality threshold, how many
+    * docs and tokens survive "score >= t" — the quality-vs-quantity
+    * Pareto table every threshold decision is read off (pick t where the
+    * token yield still covers the training budget). Cutoffs are the
+    * caller's explicit grid (data-derived grids: feed `percentile`
+    * output).
+    *
+    * Scale shape: one narrow bucket assignment (index of the largest
+    * cutoff <= score — a fixed dag over the literal grid), ONE
+    * partial-agg shuffle to a (grid+1)-row frame, then
+    * suffix-sums by window over that G-sized frame — the corpus is read
+    * once and never re-scanned per threshold (the naive grid × corpus
+    * crossJoin is what this avoids).
+    */
+  def yieldCurve(df: DataFrame, score: Column, tokens: Column,
+                 cutoffs: Seq[Double]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.size <= 1000, "1..1000 cutoffs")
+    require(cutoffs == cutoffs.sorted && cutoffs.distinct == cutoffs,
+      "cutoffs must be strictly increasing")
+    val base = df.select(score.cast("double").as("score"),
+      tokens.cast("long").as("toks"))
+    // bucket i = #{cutoffs <= score}: 0 = below the lowest cutoff
+    val bucket = aggregate(typedLit(cutoffs), lit(0L),
+      (acc, c) => acc + when(col("score") >= c, 1L).otherwise(0L))
+    val perBucket = base
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+    // complete bucket spine 0..G (empty buckets = 0), then suffix sums:
+    // survivors of cutoff i are exactly the rows in buckets >= i. The
+    // unpartitioned window runs over the (G+1)-row aggregated frame, not
+    // the corpus (the q107 marginals pattern).
+    val grid = df.sparkSession.createDataFrame(
+      cutoffs.zipWithIndex.map { case (c, i) => (i + 1L, c) })
+      .toDF("bucket", "cutoff")
+    val spine = df.sparkSession.createDataFrame(
+      (0L to cutoffs.size.toLong).map(Tuple1(_))).toDF("bucket")
+    val w = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    spine.join(perBucket, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+      .withColumn("n_docs_kept", sum(col("n_docs")).over(w))
+      .withColumn("n_tokens_kept", sum(col("n_tokens")).over(w))
+      .join(grid, Seq("bucket"))
+      .select(col("cutoff"), col("n_docs_kept"), col("n_tokens_kept"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split is a deterministic hash
     * gate on a numeric GROUP id (the min doc_id of a content group, a
     * near-dup cluster_id from Components, a domain id) — never the row id —

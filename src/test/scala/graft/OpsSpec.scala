@@ -1045,6 +1045,22 @@ class OpsSpec extends AnyFunSuite {
     assert(stagesByDiff.zip(stagesByDiff.tail).forall { case (x, y) => x <= y })
   }
 
+  test("yieldCurve: per-cutoff survivors exact, empty buckets and keep-none covered") {
+    import graft.ops.Mix
+    val rows = Seq((1.0, 10L), (2.5, 20L), (2.5, 5L), (7.0, 40L))
+      .toDF("score", "toks")
+    val got = Mix.yieldCurve(rows, col("score"), col("toks"),
+        cutoffs = Seq(0.0, 2.0, 2.5, 5.0, 9.0))
+      .orderBy("cutoff").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0.0, 4L, 75L),   // keep all
+      (2.0, 3L, 65L),   // drops score 1.0
+      (2.5, 3L, 65L),   // >= is inclusive
+      (5.0, 1L, 40L),   // only 7.0 survives (empty bucket between 5 and 9)
+      (9.0, 0L, 0L)))   // keep none
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =

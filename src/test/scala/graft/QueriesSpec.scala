@@ -81,8 +81,12 @@ class QueriesSpec extends AnyFunSuite {
     //     score HISTOGRAM (rows = distinct integer scores, the score
     //     resolution), after the corpus-sized groupBy(score) aggregate
     //     (ops/Eval scaladoc).
+    //   q201_yield_curve  — the suffix sums run over the (grid+1)-row
+    //     bucket frame (<= 1001 rows by the op's require), after the
+    //     corpus-sized bucket aggregate (ops/Mix.yieldCurve scaladoc).
     val allow = Set("q98_zorder_layout", "q56_resample_fill",
-      "q107_chi_square", "q126_exact_auc", "q127_roc_curve")
+      "q107_chi_square", "q126_exact_auc", "q127_roc_curve",
+      "q201_yield_curve")
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = for {
       q <- Queries.all if !allow(q.name)
