@@ -7024,6 +7024,64 @@ object Queries {
                0) AS BIGINT) AS n_tokens_kept
       FROM g CROSS JOIN d GROUP BY g.cutoff ORDER BY g.cutoff"""))
 
+  /** KNESER-NEY LM SCORE (TextOps.knBigramScore): interpolated KN bigram
+    * cross-entropy with continuation-count backoff, D = 3/4 exact dyadic,
+    * add-one continuation floor for OOV totality — the stronger LM
+    * quality filter next to q135's add-k. Oracle replays counts,
+    * marginals, the fixed P dag and the DECIMAL(28,12) ln sum
+    * value-exact.
+    */
+  private val q202 = Q("q202_kneser_ney",
+    (s, d) => graft.ops.TextOps.knBigramScore(
+        docsSpread(s, d), col("doc_id"), col("text"),
+        trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 500)
+      .select(col("doc_id"), col("is_train").cast("long").as("is_train"),
+        col("n_bigrams"), col("kn_xent"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               ((doc_id % 2147483648) * 2654435761 % 2147483648 % 1000 < 500)
+                 AS is_train,
+               list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      e AS (SELECT doc_id, is_train, toks, unnest(range(1, len(toks))) AS i
+            FROM t),
+      g AS (SELECT doc_id, is_train, toks[i] AS w1, toks[i + 1] AS w2
+            FROM e),
+      big AS (SELECT w1, w2, COUNT(*) AS c12 FROM g WHERE is_train
+              GROUP BY 1, 2),
+      ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                CAST(COUNT(*) AS BIGINT) AS n1pl
+              FROM big GROUP BY 1),
+      cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pr
+               FROM big GROUP BY 1),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big),
+      voc AS (SELECT CAST(COUNT(DISTINCT wv) AS BIGINT) AS v FROM (
+                SELECT w1 AS wv FROM big UNION ALL SELECT w2 FROM big)),
+      terms AS (
+        SELECT doc_id,
+               CAST(ln(
+                 CASE WHEN c1 IS NOT NULL THEN
+                   GREATEST(CAST(COALESCE(c12, 0) AS DOUBLE) - 0.75, 0.0)
+                     / CAST(c1 AS DOUBLE)
+                   + (0.75 * CAST(n1pl AS DOUBLE) / CAST(c1 AS DOUBLE))
+                     * (CAST(COALESCE(n1pr, 0) + 1 AS DOUBLE)
+                        / CAST(n_types + v + 1 AS DOUBLE))
+                 ELSE CAST(COALESCE(n1pr, 0) + 1 AS DOUBLE)
+                      / CAST(n_types + v + 1 AS DOUBLE) END)
+                 AS DECIMAL(28,12)) AS term
+        FROM g LEFT JOIN big USING (w1, w2) LEFT JOIN ctx USING (w1)
+        LEFT JOIN cont USING (w2) CROSS JOIN tot CROSS JOIN voc),
+      sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(term) AS s
+             FROM terms GROUP BY 1)
+      SELECT t.doc_id, CAST(is_train AS BIGINT) AS is_train,
+             COALESCE(n_bigrams, 0) AS n_bigrams,
+             CASE WHEN n_bigrams IS NULL THEN 0.0
+                  ELSE -CAST(s AS DOUBLE) / n_bigrams END AS kn_xent
+      FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7040,7 +7098,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -642,6 +642,73 @@ object TextOps {
         col("xent_nats"))
   }
 
+  /** KNESER–NEY bigram LM cross-entropy (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999) — the stronger sibling of
+    * the add-k score ([[bigramLmScore]], q135): continuation counts make
+    * a word's unigram backoff proportional to how many DISTINCT contexts
+    * it follows, not how often it occurs ("San Francisco" inflates
+    * c(Francisco) but not N1+(·,Francisco)):
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + (D·N1+(w1,·)/c1) · Pcont(w2)
+    *   Pcont(w2) = (N1+(·,w2) + 1) / (nBigramTypes + V + 1)
+    *
+    * with discount D FIXED at the exact dyadic 3/4 (the Chen–Goodman
+    * ballpark; a dyadic constant keeps c12 − D exact) and add-one on the
+    * continuation distribution so OOV words keep P > 0 (the totality
+    * floor — unseen w1 backs off to Pcont alone). Every count is an exact
+    * Long, each P a FIXED double dag, and each ln truncated through
+    * DECIMAL(28,12) (the q83/q135 recipe) so the per-doc sum is
+    * order-free and the oracle replays value-exact.
+    *
+    * Plan shape = [[bigramLmScore]]: one corpus pass to the Caches-tracked
+    * bigram TYPE table; ctx/continuation/type-count marginals derive from
+    * that vocab-sized frame; scoring is one (w1,w2) equi-join + a w1 and a
+    * w2 vocab-keyed join + two 1-row broadcasts; per-doc sum partial-aggs.
+    */
+  def knBigramScore(docs: DataFrame, docId: Column, text: Column,
+                    trainGate: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val D = 0.75
+    val grams = docs.filter(trainGate)
+      .select(explode(bigramStructs(arrToks(text))).as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val big = Caches.track(grams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")))
+    val ctx = big.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1pl"))
+    val cont = big.groupBy(col("w2")).agg(count(lit(1)).as("n1pr"))
+    val types = big.agg(count(lit(1)).as("n_types"))
+    val vocab = big.select(col("w1").as("wv"))
+      .union(big.select(col("w2").as("wv")))
+      .agg(countDistinct(col("wv")).as("v"))
+    val pcont = (coalesce(col("n1pr"), lit(0L)) + 1L).cast("double") /
+      (col("n_types") + col("v") + 1L).cast("double")
+    val p = when(col("c1").isNotNull,
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - D, lit(0.0))
+        / col("c1").cast("double")
+        + (lit(D) * col("n1pl").cast("double") / col("c1").cast("double"))
+          * pcont)
+      .otherwise(pcont)
+    val terms = docs
+      .select(docId.as("doc_id"),
+        explode(bigramStructs(arrToks(text))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(cont, Seq("w2"), "left")
+      .crossJoin(broadcast(types)).crossJoin(broadcast(vocab))
+      .withColumn("term", log(p).cast(DecimalType(28, 12)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("s"))
+    docs.select(docId.as("doc_id"), trainGate.as("is_train"))
+      .join(terms, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("kn_xent",
+        when(col("s").isNull, lit(0.0))
+          .otherwise(-(col("s").cast("double")) / col("n_bigrams")))
+      .drop("s")
+  }
+
   /** A trained bigram LM: the bigram-type count table, its per-context
     * marginals, the one-row vocab size, and the smoothing constant. `big`
     * is Caches-tracked (it feeds ctx, V and every scoring join); like

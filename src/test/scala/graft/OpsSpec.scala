@@ -2776,6 +2776,31 @@ class OpsSpec extends AnyFunSuite {
     graft.ops.Caches.drainAll(spark)
   }
 
+  test("Kneser-Ney: hand-computed xent exact; continuation beats raw frequency") {
+    // train: "a b", "c b", "d b", "e e e e e" ->
+    //   big: (a,b)(c,b)(d,b) c12=1 each; (e,e) c12=4 -> n_types=4
+    //   ctx: a/c/d: c1=1,n1pl=1; e: c1=4,n1pl=1
+    //   cont: b: n1pr=3 ; e: n1pr=1 ; vocab V={a,b,c,d,e}=5
+    // Pcont(b)=(3+1)/(4+5+1)=0.4 ; Pcont(e)=(1+1)/10=0.2 — b's THREE
+    // distinct contexts beat e's four raw occurrences (the KN point)
+    val d = docs(0L -> "a b", 1L -> "c b", 2L -> "d b", 3L -> "e e e e e",
+      4L -> "a b", 5L -> "x e")
+    val out = TextOps.knBigramScore(d, col("doc_id"), col("text"),
+        trainGate = col("doc_id") <= 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    def t(p: Double) = BigDecimal(math.log(p))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    // doc 4 "a b": seen pair: max(1-.75,0)/1 + (.75*1/1)*0.4 = .25+.3 = .55
+    val p4 = math.max(1.0 - 0.75, 0.0) / 1.0 + (0.75 * 1.0 / 1.0) * 0.4
+    assert(out(4L)._1 == 1L)
+    assert(math.abs(out(4L)._2 - -(t(p4)).toDouble) < 1e-12, out(4L))
+    // doc 5 "x e": unseen context x -> pure continuation Pcont(e) = 0.2
+    assert(math.abs(out(5L)._2 - -(t(0.2)).toDouble) < 1e-12, out(5L))
+    // continuation ordering: Pcont(b) > Pcont(e) despite c(e) > c(b)
+    assert(0.4 > 0.2)
+    graft.ops.Caches.drainAll(spark)
+  }
+
   // ---- distinct-n diversity (q144) ----
 
   test("distinct-n: hand-computed ratios; template flood collapses distinct-2") {
