@@ -186,5 +186,9 @@ object Bench {
     "q147_pmi_collocations", "q150_kcenter_diverse", "q155_personalized_pagerank",
     "q160_bradley_terry", "q165_embed_covariance",
     "q170_dsir_importance", "q173_triplet_mine",
-    "q174_bm25_topk", "q176_mmr_select")
+    "q174_bm25_topk", "q176_mmr_select",
+    // round-9 additions: blocklist kernel, margin mining (both faces),
+    // span corruption, KN LM — the round's heaviest/newest families
+    "q185_blocklist_scan", "q191_margin_mining", "q196_margin_mining_ann",
+    "q195_span_corrupt", "q202_kneser_ney")
 }
