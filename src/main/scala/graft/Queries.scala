@@ -7082,6 +7082,57 @@ object Queries {
       FROM t LEFT JOIN sc ON t.doc_id = sc.doc_id
       ORDER BY t.doc_id"""))
 
+  /** QUALITY-AWARE CANONICAL DEDUP (Dedup.qualityKeepers): keep the
+    * highest-quality copy of every exact-near-dup cluster (chars as the
+    * quality proxy, doc_id tiebreak) — the cleanest-rendering variant of
+    * q47's lowest-id keeper. Same recursive-CTE components oracle plus a
+    * quality argmax.
+    */
+  private val q203 = Q("q203_quality_keepers",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = Dedup.exactNearDups(docs, threshold = 0.5)
+        .select(col("a_id"), col("b_id"))
+      graft.ops.Dedup.qualityKeepers(pairs, docs, col("doc_id"),
+          col("n_chars").cast("double"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      t AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS quality,
+              regexp_split_to_array(lower(trim(text)), '\s+') AS l
+            FROM documents),
+      sh AS (SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(l)-2,1)+1),
+                 i -> array_to_string(l[i:least(i+2, len(l))], ' '))) AS s
+             FROM t),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.s, b.s))
+              >= 0.5 * len(list_distinct(a.s || b.s))),
+      edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+                UNION SELECT b_id, a_id FROM pairs),
+      walk AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+        WHERE e.v <> w.u),
+      labels AS (
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM walk GROUP BY u),
+      lab AS (SELECT t.doc_id, t.quality,
+                COALESCE(l.cluster_id, t.doc_id) AS cluster_id
+              FROM t LEFT JOIN labels l USING (doc_id))
+      SELECT doc_id, quality, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+               AS cluster_size,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY quality DESC, doc_id) AS BIGINT) AS rank_in_cluster,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster_id
+               ORDER BY quality DESC, doc_id) = 1 AS INT) AS is_keeper
+      FROM lab ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7098,7 +7149,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

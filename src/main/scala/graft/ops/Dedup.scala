@@ -18,6 +18,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** QUALITY-AWARE CANONICAL SELECTION: given near-dup pair edges and a
+    * per-doc quality score, keep the BEST copy of every duplicate cluster
+    * (quality desc, doc_id tiebreak) instead of the lowest id — the dedup
+    * variant that retains the cleanest rendering of each duplicated page
+    * (boilerplate-stripped > raw, longer > truncated). Docs in no pair
+    * are their own singleton cluster and always keep. Output keeps
+    * (cluster_id, cluster_size, rank_in_cluster, is_keeper) so drop lists
+    * AND audit tables read off the same frame.
+    *
+    * Scale shape: connected components is the audited large-star /
+    * small-star loop ([[Components.connectedComponents]]); after it,
+    * everything is two windows over the SAME cluster key (one exchange,
+    * two sorts) on the doc-sized labeled frame. Pair generation is the
+    * caller's (exact posting-list join, MinHash-LSH, SimHash… — any
+    * (a_id, b_id) frame).
+    */
+  def qualityKeepers(pairs: DataFrame, docs: DataFrame, id: Column,
+                     quality: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = Components.connectedComponents(
+      pairs.select(col("a_id"), col("b_id")))
+      .withColumnRenamed("id", "doc_id")
+    val base = docs.select(id.cast("long").as("doc_id"),
+      quality.cast("double").as("quality"))
+    val withC = base.join(labeled, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val wRank = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    val wSize = Window.partitionBy(col("cluster_id"))
+    withC
+      .withColumn("cluster_size", count(lit(1)).over(wSize))
+      .withColumn("rank_in_cluster", row_number().over(wRank).cast("long"))
+      .withColumn("is_keeper", (col("rank_in_cluster") === 1L).cast("int"))
+  }
+
   /** Exact dedup: keep the lowest doc_id per identical text. */
   def exactGroups(docs: DataFrame): DataFrame = docs
     .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))

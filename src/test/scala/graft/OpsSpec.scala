@@ -1061,6 +1061,26 @@ class OpsSpec extends AnyFunSuite {
       (9.0, 0L, 0L)))   // keep none
   }
 
+  test("qualityKeepers: best copy kept per cluster, singletons keep, quality tie -> id") {
+    import graft.ops.Dedup
+    // cluster {1,2,3} (chain), singleton 4, tie cluster {5,6}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val docs = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (4L, 5.0),
+      (5L, 7.0), (6L, 7.0)).toDF("doc_id", "q")
+    val got = Dedup.qualityKeepers(pairs, docs, col("doc_id"), col("q"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    // cluster 1: doc 2 (q=30) keeps; ranks 2>3>1
+    assert(got(2L) == (1L, 3L, 1L, 1) && got(3L) == (1L, 3L, 2L, 0)
+      && got(1L) == (1L, 3L, 3L, 0))
+    // singleton keeps itself
+    assert(got(4L) == (4L, 1L, 1L, 1))
+    // equal quality: lower id wins
+    assert(got(5L)._4 == 1 && got(6L)._4 == 0)
+    // exactly one keeper per cluster
+    assert(got.values.count(_._4 == 1) == 3)
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
