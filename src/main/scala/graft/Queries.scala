@@ -7133,6 +7133,54 @@ object Queries {
                ORDER BY quality DESC, doc_id) = 1 AS INT) AS is_keeper
       FROM lab ORDER BY doc_id"""))
 
+  /** POPULATION STABILITY INDEX (Eval.psi): doc-length drift between the
+    * English and non-English corpus slices over a fixed 7-edge bucket
+    * grid with add-one smoothing — the standard "did the distribution
+    * move" alarm between snapshots. Counts exact, each ln through
+    * DECIMAL(28,12), bucket-ordered fold => bitwise oracle.
+    */
+  private val q204 = Q("q204_psi_drift",
+    (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.ops.Eval.psi(docs.where(col("lang") === "en"),
+          docs.where(col("lang") =!= "en"),
+          col("n_chars").cast("double"),
+          edges = Seq(100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 450.0))
+    },
+    Some("""
+      WITH e(edge) AS (VALUES (100.0), (150.0), (200.0), (250.0), (300.0),
+                              (350.0), (450.0)),
+      a AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+            WHERE lang = 'en'),
+      b AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+            WHERE lang <> 'en'),
+      ab AS (SELECT v, (SELECT COUNT(*) FROM e WHERE v >= edge) AS bucket,
+               1 AS ia, 0 AS ib FROM a
+             UNION ALL
+             SELECT v, (SELECT COUNT(*) FROM e WHERE v >= edge), 0, 1
+             FROM b),
+      spine AS (SELECT unnest(range(0, 8)) AS bucket),
+      cnt AS (SELECT s.bucket,
+                CAST(COALESCE(SUM(ia), 0) AS BIGINT) AS ca,
+                CAST(COALESCE(SUM(ib), 0) AS BIGINT) AS cb
+              FROM spine s LEFT JOIN ab ON ab.bucket = s.bucket
+              GROUP BY s.bucket),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                     CAST(SUM(cb) AS BIGINT) AS nb FROM cnt),
+      terms AS (SELECT bucket, na, nb,
+                  (CAST(ca + 1 AS DOUBLE) / CAST(na + 8 AS DOUBLE)
+                   - CAST(cb + 1 AS DOUBLE) / CAST(nb + 8 AS DOUBLE))
+                  * CAST(CAST(ln((CAST(ca + 1 AS DOUBLE)
+                                  / CAST(na + 8 AS DOUBLE))
+                                 / (CAST(cb + 1 AS DOUBLE)
+                                    / CAST(nb + 8 AS DOUBLE)))
+                          AS DECIMAL(28,12)) AS DOUBLE) AS term
+                FROM cnt CROSS JOIN tot)
+      SELECT na AS n_a, nb AS n_b, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             list_reduce(list(term ORDER BY bucket), (x, y) -> x + y)
+               AS psi
+      FROM terms GROUP BY na, nb"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7149,7 +7197,7 @@ object Queries {
     q145, q146, q147, q148, q149, q150, q151, q152, q153, q154, q155, q156,
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
-    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203)
+    q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -568,6 +568,69 @@ object Eval {
             (x.getField("rank") + kappa).cast("double")).as("rrf"))
   }
 
+  /** POPULATION STABILITY INDEX (the standard production drift metric
+    * between two corpus snapshots — Karakoulas 2004 credit-scoring
+    * lineage, now the default "did my feature distribution move" alarm):
+    *
+    *   PSI = Σ_buckets (p_i − q_i) · ln(p_i / q_i)
+    *
+    * over the caller's explicit bucket edges (bucket = #{edges ≤ v};
+    * data-derived edges: feed `percentile` output), with add-one
+    * smoothing on both sides so empty buckets stay finite:
+    * p_i = (cA_i + 1)/(nA + E + 1). Rule-of-thumb thresholds: < 0.1
+    * stable, 0.1–0.25 drifting, > 0.25 shifted.
+    *
+    * Determinism: counts are exact Longs, each p/q one division, each ln
+    * truncated through DECIMAL(28,12) (the q135 recipe), each bucket term
+    * a fixed dag, and the cross-bucket sum a bucket-ORDERED fold — the
+    * oracle replays the value bit-for-bit.
+    *
+    * Scale shape: one narrow bucket dag + ONE partial-agg shuffle per
+    * side to (edges+1)-row frames; everything after runs on the bucket
+    * spine (≤ 1001 rows). Output: one row
+    * (n_a, n_b, n_buckets, psi).
+    */
+  def psi(a: DataFrame, b: DataFrame, value: Column,
+          edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges.size <= 1000, "1..1000 edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      "edges must be strictly increasing")
+    import org.apache.spark.sql.types.DecimalType
+    val nB = edges.size + 1
+    def bucketed(df: DataFrame, cnt: String) = df
+      .select(value.cast("double").as("v"))
+      .groupBy(aggregate(typedLit(edges), lit(0L),
+        (acc, e) => acc + when(col("v") >= e, 1L).otherwise(0L))
+        .as("bucket"))
+      .agg(count(lit(1)).as(cnt))
+    val spark = a.sparkSession
+    val spine = spark.createDataFrame((0L until nB.toLong).map(Tuple1(_)))
+      .toDF("bucket")
+    val joined = spine
+      .join(bucketed(a, "ca"), Seq("bucket"), "left")
+      .join(bucketed(b, "cb"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // Laplace add-one per bucket: denominator = n + #buckets
+    val p = (col("ca") + 1L).cast("double") /
+      (col("na") + lit(nB.toLong)).cast("double")
+    val q = (col("cb") + 1L).cast("double") /
+      (col("nb") + lit(nB.toLong)).cast("double")
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("na"), col("nb"),
+        ((p - q) * log(p / q).cast(DecimalType(28, 12)).cast("double"))
+          .as("term"))
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_buckets"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+            col("term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("psi"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        col("n_buckets"), col("psi"))
+  }
+
   private val Dec1812 = org.apache.spark.sql.types.DecimalType(18, 12)
 
   /** ROUGE-L (Lin 2004): longest-common-subsequence precision/recall/F per

@@ -1081,6 +1081,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got.values.count(_._4 == 1) == 3)
   }
 
+  test("psi: zero on identical distributions, hand-replay on a shifted one") {
+    import graft.ops.Eval
+    val a = Seq(1.0, 2.0, 5.0, 8.0, 9.0).toDF("v")
+    val same = Eval.psi(a, a, col("v"), edges = Seq(3.0, 7.0)).head()
+    assert(same.getLong(0) == 5L && same.getLong(1) == 5L)
+    assert(same.getLong(2) == 3L && same.getDouble(3) == 0.0)
+
+    // shifted snapshot: counts A = [2,1,2], B = [0,1,4] over 3 buckets
+    val b = Seq(4.0, 8.0, 8.5, 9.0, 9.5).toDF("v")
+    val got = Eval.psi(a, b, col("v"), edges = Seq(3.0, 7.0)).head().getDouble(3)
+    def t(x: Double) = BigDecimal(math.log(x))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (na, nb, k) = (5.0 + 3, 5.0 + 3, 0)
+    val exp = Seq((2L, 0L), (1L, 1L), (2L, 4L)).foldLeft(0.0) {
+      case (acc, (ca, cb)) =>
+        val p = (ca + 1).toDouble / na; val q = (cb + 1).toDouble / nb
+        acc + (p - q) * t(p / q)
+    }
+    assert(java.lang.Double.doubleToLongBits(got) ==
+      java.lang.Double.doubleToLongBits(exp), s"$got vs $exp")
+    assert(got > 0.1) // the shift is visible on the rule-of-thumb scale
+  }
+
   test("exact near-dup strategies agree: count == prefix == full (values included)") {
     val d = Tables(spark, "/root/testdata/sf0.001", "documents")
     def all(st: String, t: Double) =
