@@ -76,6 +76,40 @@ object Bench {
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
     val failed = scala.collection.mutable.Set.empty[String]
 
+    // ---- shuffle/spill annex (r10) ----
+    // The r9 official bench degraded the LM family 10-40x with nothing in
+    // the artifact to attribute it; these per-query task-metric deltas
+    // (shuffle write/read, memory/disk spill bytes) make "which queries
+    // carry shuffle+spill surface" READABLE from BENCH_r{N}.json itself.
+    // Listener events are asynchronous — the snapshot is taken after the
+    // wall clock stops and the next query's Caches.drainAll + System.gc
+    // gives stragglers time to land, so attribution error is at most a few
+    // straggler tasks, fine for an order-of-magnitude annex.
+    val ioAcc = new java.util.concurrent.atomic.AtomicLongArray(4)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            ioAcc.addAndGet(0, m.shuffleWriteMetrics.bytesWritten)
+            ioAcc.addAndGet(1, m.shuffleReadMetrics.totalBytesRead)
+            ioAcc.addAndGet(2, m.memoryBytesSpilled)
+            ioAcc.addAndGet(3, m.diskBytesSpilled)
+          }
+        }
+      })
+    def ioSnap(): Array[Long] = Array.tabulate(4)(ioAcc.get)
+    // per query, per pass: [shuffle_write, shuffle_read, spill_mem, spill_disk]
+    val ioSamples = scala.collection.mutable.Map.empty[String, Vector[Array[Long]]]
+    def ioMedians(name: String): Array[Long] =
+      ioSamples.get(name).filter(_.nonEmpty) match {
+        case None => Array.fill(4)(-1L)
+        case Some(v) => Array.tabulate(4) { i =>
+          val s = v.map(_(i)).sorted; s((s.length - 1) / 2)
+        }
+      }
+
     // median of the samples collected so far (lower-middle for even counts)
     // — partial JSON stays valid if the run is killed between passes
     def stats(name: String): (Double, Double, Double) =
@@ -95,9 +129,15 @@ object Bench {
       val total = rows.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
       val cal = calibrations
         .map { case (s1, sn) => f"[$s1%.3f,$sn%.3f]" }.mkString("[", ",", "]")
+      // median-of-passes [shuffle_write, shuffle_read, spill_mem, spill_disk]
+      // bytes per query — the attribution annex (r10)
+      val io = done.map { n =>
+        "\"" + n + "\":[" + ioMedians(n).mkString(",") + "]"
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread_min_max":$spread,"runs_per_query":$passes,"stat":"median",""" +
         s""""calibration_single_allcore_sec_per_pass":$cal,""" +
+        s""""io_bytes_shufw_shufr_spillmem_spilldisk":$io,""" +
         s""""order":"shuffled_per_pass","failed":${failed.size},"sf":"$sfDir"}"""
     }
     // The LAST stdout line, and the one the harness is meant to parse:
@@ -151,14 +191,19 @@ object Bench {
         graft.ops.Caches.drainAll(spark)
         System.gc()
         try {
+          val io0 = ioSnap()
           val t0 = System.nanoTime()
           run(q)
           val sec = (System.nanoTime() - t0) / 1e9
           samples(q.name) = samples.getOrElse(q.name, Vector.empty) :+ sec
+          val io1 = ioSnap()
+          ioSamples(q.name) = ioSamples.getOrElse(q.name, Vector.empty) :+
+            Array.tabulate(4)(i => io1(i) - io0(i))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           failed += q.name
           samples.remove(q.name)
+          ioSamples.remove(q.name)
         }
         writeJson(renderJson())
       }
@@ -190,5 +235,7 @@ object Bench {
     // round-9 additions: blocklist kernel, margin mining (both faces),
     // span corruption, KN LM — the round's heaviest/newest families
     "q185_blocklist_scan", "q191_margin_mining", "q196_margin_mining_ann",
-    "q195_span_corrupt", "q202_kneser_ney")
+    "q195_span_corrupt", "q202_kneser_ney",
+    // round-10 additions: the gram-heaviest new op and the chrF rewrite
+    "q205_soft_dedup", "q186_chrf")
 }

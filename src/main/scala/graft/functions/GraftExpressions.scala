@@ -236,6 +236,49 @@ case class EditTokens(left: Expression, right: Expression, cap: Int)
     copy(left = l, right = r)
 }
 
+/** Luhn-validated payment-card-shaped digit-run count per string — the
+  * checksum-gated PII detector (TextKernel.luhnCount).
+  */
+case class LuhnCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "luhn_count"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.luhnCount(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.luhnCount($c);")
+
+  override protected def withNewChildInternal(c: Expression): LuhnCount =
+    copy(child = c)
+}
+
+/** Per-order clipped char n-gram stats (m, ct, rt) for n = 1..maxN between
+  * two string columns — the chrF core, row-local (TextKernel.clippedGrams);
+  * orders beyond both lengths are absent from the array.
+  */
+case class ClippedGrams(left: Expression, right: Expression, maxN: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("m", LongType, nullable = false),
+    StructField("ct", LongType, nullable = false),
+    StructField("rt", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "clipped_grams"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    TextKernel.clippedGrams(
+      l.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.TextKernel.clippedGrams($l, $r, $maxN);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ClippedGrams =
+    copy(left = l, right = r)
+}
+
 /** Native hyperplane-LSH signature over an array<float> column. */
 case class HyperplaneSig(child: Expression, planes: Array[Double], nBits: Int, dim: Int)
     extends UnaryExpression {
@@ -554,6 +597,9 @@ object gfn {
     col(EditTokens(ex(l), ex(r), cap))
   def lcs_tokens(l: Column, r: Column, cap: Int = 512): Column =
     col(LcsTokens(ex(l), ex(r), cap))
+  def clipped_grams(l: Column, r: Column, maxN: Int = 3): Column =
+    col(ClippedGrams(ex(l), ex(r), maxN))
+  def luhn_count(c: Column): Column = col(LuhnCount(ex(c)))
   def ngram_jaccard(l: Column, r: Column, w: Int = 3): Column =
     col(NgramJaccard(ex(l), ex(r), w))
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =

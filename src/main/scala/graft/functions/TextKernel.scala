@@ -150,4 +150,85 @@ object TextKernel {
     }
     prev(m).toLong
   }
+
+  /** Count maximal ASCII-digit runs of length 13..19 that pass the Luhn
+    * checksum (ISO/IEC 7812) — the payment-card detector the PII regexes
+    * can't express: a 16-digit run is only a live card number when its
+    * check digit validates, and counting only validated runs cuts the
+    * false-positive rate on ids/timestamps by 10×. One pass, O(|text|);
+    * runs longer than 19 digits are NOT cards (and not sub-scanned — the
+    * maximal-run contract the SQL oracle replays with a split on
+    * non-digits).
+    */
+  def luhnCount(s: UTF8String): Long = {
+    val str = s.toString
+    var count = 0L
+    var i = 0
+    val n = str.length
+    while (i < n) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        var j = i
+        while (j < n && str.charAt(j) >= '0' && str.charAt(j) <= '9') j += 1
+        val len = j - i
+        if (len >= 13 && len <= 19) {
+          var sum = 0
+          var k = 0
+          while (k < len) {
+            val d = str.charAt(j - 1 - k) - '0' // k-th digit from the right
+            sum += (if (k % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t }
+                    else d)
+            k += 1
+          }
+          if (sum % 10 == 0) count += 1L
+        }
+        i = j
+      } else i += 1
+    }
+    count
+  }
+
+  /** Per-order clipped char n-gram statistics between two strings — the
+    * chrF core (Popović 2015), computed ROW-LOCALLY: for n = 1..min(maxN,
+    * max(|a|,|b|)) return struct(m, ct, rt) where ct/rt are the two sides'
+    * gram counts and m = Σ_g min(count_a(g), count_b(g)) is the clipped
+    * match. Orders beyond both lengths are absent (the caller's
+    * either-side-has-grams contract); both-empty input returns an empty
+    * array. Codepoint-based (Spark substr / DuckDB substr semantics) so
+    * the SQL oracle replays value-exact. One HashMap of the ref side per
+    * order — O(maxN·len) time, O(distinct grams) space; this kernel is
+    * what lets chrF run with ZERO shuffle (both sides live on one row).
+    */
+  def clippedGrams(a: UTF8String, b: UTF8String, maxN: Int): ArrayData = {
+    val cs = a.toString.codePoints().toArray
+    val rs = b.toString.codePoints().toArray
+    val lc = cs.length
+    val lr = rs.length
+    val nOrders = math.min(maxN, math.max(lc, lr))
+    val rows = new Array[Any](nOrders)
+    var n = 1
+    while (n <= nOrders) {
+      val ct = math.max(0, lc - n + 1)
+      val rt = math.max(0, lr - n + 1)
+      val counts = new java.util.HashMap[String, Integer](rt * 2 + 4)
+      var j = 0
+      while (j < rt) {
+        val g = new String(rs, j, n)
+        val c = counts.get(g)
+        counts.put(g, if (c == null) 1 else c + 1)
+        j += 1
+      }
+      var m = 0L
+      var i2 = 0
+      while (i2 < ct) {
+        val g = new String(cs, i2, n)
+        val c = counts.get(g)
+        if (c != null && c > 0) { m += 1L; counts.put(g, c - 1) }
+        i2 += 1
+      }
+      rows(n - 1) = org.apache.spark.sql.catalyst.InternalRow(m, ct.toLong, rt.toLong)
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
 }

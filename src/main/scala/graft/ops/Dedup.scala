@@ -58,6 +58,62 @@ object Dedup {
     .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
     .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** SOFT DEDUPLICATION WEIGHTS (the SoftDeDup idea — He et al. 2024:
+    * reweight common text down instead of deleting it): per document, the
+    * mean corpus frequency of its k-token grams ("commonness") and the
+    * sampling weight 1/commonness. A unique document scores commonness 1
+    * → weight 1; a document whose content appears m times corpus-wide
+    * scores ≈ m → weight ≈ 1/m, so the EXPECTED sampled copies of any
+    * duplicated content is ~1 without the hard keep/drop cliff (partial
+    * overlaps degrade smoothly — the case where cluster-based dedup must
+    * pick a side). Formula, exact in 64-bit integers up to one final IEEE
+    * division:
+    *
+    *   commonness(d) = Σ_g m_{d,g}·c_g / Σ_g m_{d,g},  weight = 1/commonness
+    *
+    * with m_{d,g} the gram's multiplicity in d and c_g its corpus
+    * instance count. Docs shorter than k tokens have no grams and weight
+    * 1 (nothing sharable).
+    *
+    * Scale shape: one gram pass partial-agged TWICE — corpus (gram →
+    * count) type table AND per-doc (doc, gram) → m type rows (the r10 LM
+    * lesson: the equi-join shuffles doc-gram TYPES, never instances) —
+    * then one (gram) equi-join and a per-doc sum. Work is linear in
+    * corpus tokens; the join keys are uniform hashes (AQE territory).
+    */
+  def softDedupWeights(docs: DataFrame, id: Column, text: Column,
+                       k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 64, s"k in 1..64, got $k")
+    val grams = docs
+      .select(id.cast("long").as("doc_id"),
+        filter(split(text, " "), t => length(t) > 0).as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $k), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+        .as("gram_hash"))
+    val docGrams = Caches.track(
+      grams.groupBy(col("doc_id"), col("gram_hash"))
+        .agg(count(lit(1)).as("m")))
+    val corpus = docGrams.groupBy(col("gram_hash"))
+      .agg(sum(col("m")).as("c"))
+    val perDoc = docGrams
+      .join(corpus, Seq("gram_hash"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_grams"),
+        sum(col("m") * col("c")).as("mass"))
+    docs.select(id.cast("long").as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("n_grams").isNull, lit(1.0))
+          .otherwise(col("mass").cast("double") / col("n_grams").cast("double"))
+          .as("mean_gram_freq"),
+        when(col("n_grams").isNull, lit(1.0))
+          .otherwise(col("n_grams").cast("double") / col("mass").cast("double"))
+          .as("weight"))
+  }
+
   // ---- MinHash LSH ----
 
   /** Deterministic permutation constants (fixed seed — reproducible runs).

@@ -466,59 +466,43 @@ object Eval {
     * each F_n is a fixed double dag and the final mean a fixed-order sum —
     * deterministic cross-engine, no libm beyond division.
     *
-    * Scale shape: identical to [[bleuPairs]] — narrow gram construction,
-    * ONE (pair, n, gram) count shuffle with partial combine, then a
-    * per-pair reduction; char grams are ≤ maxN chars so shuffle bytes
-    * stay small without hashing.
+    * Scale shape: ZERO shuffle — both sides of a pair live on one row, so
+    * the clipped gram counting is a single codegen'd kernel call per pair
+    * (`functions/ClippedGrams`, one ref-side HashMap per order) and the
+    * per-order F's fold narrowly over the resulting array. The previous
+    * (pair, n, gram) explode-and-count shape shuffled/spilled the whole
+    * gram stream for a computation that never crosses rows — this is the
+    * round-10 fix for the official-bench q186 blowup. Value-exact with the
+    * old plan: same counts, same fixed ascending-n IEEE summation dag.
     */
   def chrF(pairs: DataFrame, pairId: Column, cand: Column, ref: Column,
            maxN: Int = 3, beta: Double = 2.0): DataFrame = {
     require(maxN >= 1 && maxN <= 6, s"maxN must be in 1..6, got $maxN")
     def strip(c: Column): Column =
       regexp_replace(lower(trim(c)), "\\s+", "")
-    // sequence(1, 0) counts DOWN (the bleuPairs lesson), so the short
-    // side needs the empty-array guard at every order
-    def grams(tc: Column, n: Int): Column =
-      when(length(tc) >= n,
-        transform(sequence(lit(1), length(tc) - (n - 1)),
-          i => tc.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-    val base = pairs.select(pairId.cast("long").as("pair_id"),
-      strip(cand).as("cs"), strip(ref).as("rs"))
-    val ex = (1 to maxN).map { n =>
-      base.select(col("pair_id"), lit(n).as("n"),
-        explode(concat(
-          transform(grams(col("cs"), n),
-            g => struct(g.as("g"), lit(1L).as("c"), lit(0L).as("r"))),
-          transform(grams(col("rs"), n),
-            g => struct(g.as("g"), lit(0L).as("c"), lit(1L).as("r"))))).as("x"))
-    }.reduce(_ unionByName _)
-    val perN = ex
-      .groupBy(col("pair_id"), col("n"), col("x.g"))
-      .agg(sum(col("x.c")).as("cc"), sum(col("x.r")).as("rc"))
-      .groupBy(col("pair_id"), col("n"))
-      .agg(sum(least(col("cc"), col("rc"))).as("m"),
-        sum(col("cc")).as("ct"), sum(col("rc")).as("rt"))
     val b2 = beta * beta
-    val fN = when(col("ct") > 0 && col("rt") > 0 && col("m") > 0,
-      {
-        val p = col("m").cast("double") / col("ct").cast("double")
-        val r = col("m").cast("double") / col("rt").cast("double")
-        lit(1.0 + b2) * p * r / (lit(b2) * p + r)
-      }).otherwise(lit(0.0))
-    perN
-      .select(col("pair_id"), col("n"), col("m"), col("ct"), col("rt"),
-        fN.as("f_n"))
-      .groupBy(col("pair_id"))
-      .agg(
-        sum(when(col("n") === 1, col("ct")).otherwise(lit(0L))).as("cand_chars"),
-        sum(when(col("n") === 1, col("rt")).otherwise(lit(0L))).as("ref_chars"),
-        count(lit(1)).as("n_orders"),
-        // fixed summation order (by n) so the double sum is one IEEE dag
-        (aggregate(
-          array_sort(collect_list(struct(col("n"), col("f_n")))),
-          lit(0.0), (acc, x) => acc + x.getField("f_n"))
-          / count(lit(1)).cast("double")).as("chrf"))
+    def fN(x: Column): Column = {
+      val p = x.getField("m").cast("double") / x.getField("ct").cast("double")
+      val r = x.getField("m").cast("double") / x.getField("rt").cast("double")
+      when(x.getField("ct") > 0 && x.getField("rt") > 0 && x.getField("m") > 0,
+        lit(1.0 + b2) * p * r / (lit(b2) * p + r)).otherwise(lit(0.0))
+    }
+    pairs
+      .select(pairId.cast("long").as("pair_id"),
+        strip(cand).as("cs"), strip(ref).as("rs"))
+      .select(col("pair_id"),
+        graft.functions.gfn.clipped_grams(col("cs"), col("rs"), maxN).as("cg"))
+      // both-sides-empty pairs have no gram order at all and drop (the
+      // original explode shape emitted no rows for them)
+      .where(size(col("cg")) > 0)
+      .select(col("pair_id"),
+        element_at(col("cg"), 1).getField("ct").as("cand_chars"),
+        element_at(col("cg"), 1).getField("rt").as("ref_chars"),
+        size(col("cg")).cast("long").as("n_orders"),
+        // fixed summation order (ascending n) so the double sum is one
+        // IEEE dag — the kernel's array is already n-ordered
+        (aggregate(col("cg"), lit(0.0), (acc, x) => acc + fN(x))
+          / size(col("cg")).cast("double")).as("chrf"))
   }
 
   /** RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher SIGIR 2009):
@@ -629,6 +613,257 @@ object Eval {
           lit(0.0), (acc, x) => acc + x.getField("t")).as("psi"))
       .select(col("na").as("n_a"), col("nb").as("n_b"),
         col("n_buckets"), col("psi"))
+  }
+
+  /** WASSERSTEIN-1 DISTANCE between two score distributions over an
+    * explicit bucket grid — the drift metric that, unlike [[psi]] or KL,
+    * is scale-aware: it weighs HOW FAR mass moved, not just that bucket
+    * probabilities changed (a one-bucket shift and a ten-bucket shift
+    * give the same KL on disjoint support, but 10× the W1). The pair of
+    * (psi, w1) distinguishes "noisy rebalance" from "systematic drift".
+    *
+    * Convention (documented, exact): values are clamped to the grid and
+    * each bucket's mass sits at its LEFT edge, so
+    *   W1 = Σ_{j=1..k-1} |F_a(e_j) − F_b(e_j)| · (e_j − e_{j−1})
+    * with F(e_j) = (# values in buckets 0..j−1)/n — the exact discrete
+    * transport cost on those support points. `w1_buckets` is the same sum
+    * with unit spacing (drift measured in buckets — grid-scale-free).
+    * Every count is an exact Long; each term is one fixed IEEE dag and
+    * the sum a bucket-ORDERED fold (the psi recipe) — bitwise
+    * cross-engine, no libm at all.
+    *
+    * Scale shape = [[psi]]: one narrow bucket dag + ONE partial-agg
+    * shuffle per side to (edges+1)-row frames; cumulative sums and the
+    * fold run on the ≤1001-row spine (the q107 allowlisted-window
+    * pattern). Output: 1 row (n_a, n_b, n_buckets, w1, w1_buckets).
+    */
+  def wasserstein1(a: DataFrame, b: DataFrame, value: Column,
+                   edges: Seq[Double]): DataFrame = {
+    require(edges.size >= 2 && edges.size <= 1000, "2..1000 edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      "edges must be strictly increasing")
+    import org.apache.spark.sql.expressions.Window
+    val nB = edges.size + 1
+    def bucketed(df: DataFrame, cnt: String) = df
+      .select(value.cast("double").as("v"))
+      .groupBy(aggregate(typedLit(edges), lit(0L),
+        (acc, e) => acc + when(col("v") >= e, 1L).otherwise(0L))
+        .as("bucket"))
+      .agg(count(lit(1)).as(cnt))
+    val spark = a.sparkSession
+    val spine = spark.createDataFrame((0L until nB.toLong).map(Tuple1(_)))
+      .toDF("bucket")
+    val widths = edges.sliding(2).map(p => p(1) - p(0)).toSeq
+    val joined = spine
+      .join(bucketed(a, "ca"), Seq("bucket"), "left")
+      .join(bucketed(b, "cb"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // ≤1001-row spine: the unpartitioned window is bounded by construction
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val terms = joined
+      .withColumn("cca", sum(col("ca")).over(w))
+      .withColumn("ccb", sum(col("cb")).over(w))
+      .where(col("bucket") >= 1 && col("bucket") <= nB - 2)
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        col("na"), col("nb"),
+        abs(col("cca").cast("double") / col("na").cast("double")
+          - col("ccb").cast("double") / col("nb").cast("double")).as("gap"),
+        element_at(typedLit(widths), col("bucket").cast("int")).as("width"))
+    terms
+      .groupBy(col("na"), col("nb"))
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+            (col("gap") * col("width")).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("w1"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+            col("gap").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("w1_buckets"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        lit(nB.toLong).as("n_buckets"), col("w1"), col("w1_buckets"))
+  }
+
+  /** Sparse bucket counts of `value` over the explicit edge grid — the
+    * MERGEABLE state behind [[psi]]/[[wasserstein1]]: exact Longs summed
+    * per bucket, so folding per-batch counts ([[mergeBucketCounts]]) is
+    * bit-identical to one pass over the concatenation. ≤ edges+1 rows.
+    */
+  def bucketCounts(df: DataFrame, value: Column,
+                   edges: Seq[Double]): DataFrame = {
+    require(edges.nonEmpty && edges.size <= 1000, "1..1000 edges")
+    df.select(value.cast("double").as("v"))
+      .groupBy(aggregate(typedLit(edges), lit(0L),
+        (acc, e) => acc + when(col("v") >= e, 1L).otherwise(0L))
+        .as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold a batch's bucket counts into state (both the [[bucketCounts]]
+    * schema). Exact by integer-sum mergeability.
+    */
+  def mergeBucketCounts(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch).groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Both drift metrics ([[psi]] + [[wasserstein1]]) off two COUNT frames
+    * — the face a streaming monitor calls per trigger on its mergeable
+    * state instead of rescanning raw values. Identical dags to the raw
+    * faces (add-one-smoothed PSI terms, left-edge-mass W1 transport,
+    * bucket-ORDERED folds), so StreamingSpec can pin stream == batch
+    * bitwise. One output row: (n_a, n_b, n_buckets, psi, w1, w1_buckets).
+    */
+  def driftFromCounts(aCnt: DataFrame, bCnt: DataFrame,
+                      edges: Seq[Double]): DataFrame = {
+    require(edges.size >= 2 && edges.size <= 1000, "2..1000 edges")
+    require(edges == edges.sorted && edges.distinct == edges,
+      "edges must be strictly increasing")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val nB = edges.size + 1
+    val spark = aCnt.sparkSession
+    val spine = spark.createDataFrame((0L until nB.toLong).map(Tuple1(_)))
+      .toDF("bucket")
+    val widths = edges.sliding(2).map(p => p(1) - p(0)).toSeq
+    val joined = spine
+      .join(aCnt.withColumnRenamed("cnt", "ca"), Seq("bucket"), "left")
+      .join(bCnt.withColumnRenamed("cnt", "cb"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = joined.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val p = (col("ca") + 1L).cast("double") /
+      (col("na") + lit(nB.toLong)).cast("double")
+    val q = (col("cb") + 1L).cast("double") /
+      (col("nb") + lit(nB.toLong)).cast("double")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val terms = joined
+      .withColumn("cca", sum(col("ca")).over(w))
+      .withColumn("ccb", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"), col("na"), col("nb"),
+        ((p - q) * log(p / q).cast(DecimalType(28, 12)).cast("double"))
+          .as("psi_term"),
+        when(col("bucket") >= 1 && col("bucket") <= nB - 2,
+          abs(col("cca").cast("double") / col("na").cast("double")
+            - col("ccb").cast("double") / col("nb").cast("double")))
+          .otherwise(lit(0.0)).as("gap"),
+        // index clamped into the widths array even on the when-false rows:
+        // ANSI element_at throws on out-of-range, and codegen may evaluate
+        // the branch speculatively
+        when(col("bucket") >= 1 && col("bucket") <= nB - 2,
+          element_at(typedLit(widths),
+            least(greatest(col("bucket"), lit(1L)), lit((nB - 2).toLong))
+              .cast("int")))
+          .otherwise(lit(0.0)).as("width"))
+    terms
+      .groupBy(col("na"), col("nb"))
+      .agg(count(lit(1)).as("n_buckets"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+            col("psi_term").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("psi"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+            (col("gap") * col("width")).as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("w1"),
+        aggregate(array_sort(collect_list(struct(col("bucket"),
+            col("gap").as("t")))),
+          lit(0.0), (acc, x) => acc + x.getField("t")).as("w1_buckets"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"), col("n_buckets"),
+        col("psi"), col("w1"), col("w1_buckets"))
+  }
+
+  /** SPLIT-CONFORMAL THRESHOLD (Vovk et al. 2005; Angelopoulos & Bates
+    * 2023 tutorial): per group, the finite-sample calibrated cutoff
+    *   q̂ = the ⌈(n+1)(1−α)⌉-th smallest nonconformity score
+    * — future scores fall ≤ q̂ with probability ≥ 1−α, distribution-free.
+    * The quality-gate calibration step: pick α, read the threshold off
+    * held-out scores, cut the corpus with a narrow comparison. Groups
+    * with n < ⌈(n+1)(1−α)⌉ (too few calibration rows — the guarantee
+    * needs rank ≤ n) emit a NULL threshold. α is the rational aNum/aDen
+    * so the rank arithmetic is EXACT integer (⌈(n+1)·(aDen−aNum)/aDen⌉
+    * via integer division) — no FP rank, bitwise cross-engine.
+    *
+    * Scale shape: one per-group sort window for the order statistic (the
+    * q41 exact-quantile funnel — calibration sets are sampled/bounded by
+    * construction; a corpus-sized group swaps in approx_percentile, the
+    * q115 GK contract) + a group-row reduce. Output: (group, n_cal,
+    * rank, threshold).
+    */
+  def conformalThreshold(cal: DataFrame, group: Column, score: Column,
+                         aNum: Int = 1, aDen: Int = 10): DataFrame = {
+    require(aNum > 0 && aNum < aDen && aDen <= 1000,
+      "alpha = aNum/aDen must sit in (0, 1)")
+    import org.apache.spark.sql.expressions.Window
+    val wRank = Window.partitionBy(col("grp")).orderBy(col("s"), col("doc"))
+    val wAll = Window.partitionBy(col("grp"))
+    // ⌈(n+1)·(aDen−aNum)/aDen⌉: the numerator stays far under 2^53 for any
+    // real calibration set (aDen ≤ 1000), so the double division is exact
+    // and floor(...) is true integer ceiling division
+    val target = floor(((col("n_cal") + 1L) * (aDen - aNum) + (aDen - 1))
+      / lit(aDen.toLong)).cast("long")
+    cal
+      .select(group.as("grp"), score.cast("double").as("s"),
+        monotonically_increasing_id().as("doc"))
+      .withColumn("rnk", row_number().over(wRank).cast("long"))
+      .withColumn("n_cal", count(lit(1)).over(wAll))
+      .withColumn("rank", target)
+      .groupBy(col("grp"))
+      .agg(max(col("n_cal")).as("n_cal"), max(col("rank")).as("rank"),
+        // the unique row whose rank hits the target, null when rank > n
+        max(when(col("rnk") === col("rank"), col("s"))).as("threshold"))
+      .select(col("grp").as("group"), col("n_cal"), col("rank"),
+        col("threshold"))
+  }
+
+  /** TRAINING-DYNAMICS CARTOGRAPHY (Swayamdipta et al. EMNLP 2020,
+    * "Dataset Cartography"): per training example, the mean model
+    * confidence and its variability across epochs/checkpoints, plus the
+    * map region — `easy` (high, stable confidence: learnable, candidates
+    * for downsampling), `hard` (low, stable: mislabeled or genuinely
+    * hard — the label-noise audit queue), `ambiguous` (high variability:
+    * the examples that most improve generalization when kept). The data
+    * selection signal that needs only logged per-epoch confidences, no
+    * gradients.
+    *
+    * Determinism: confidences sum through DECIMAL(28,12) (order-free),
+    * mean/variance are fixed IEEE dags over those exact sums, variance
+    * clamps at 0 before the correctly-rounded sqrt, and the region
+    * thresholds are plain double literals — the SQL oracle replays
+    * value-exact.
+    *
+    * Scale shape: ONE partial-combined groupBy on example — per-task
+    * state is three numbers per example, the shuffle carries examples
+    * (not observations). Output: (example, n_obs, mean_conf, variability,
+    * region).
+    */
+  def cartography(runs: DataFrame, example: Column, conf: Column,
+                  loThr: Double = 0.34, hiThr: Double = 0.66,
+                  varThr: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(loThr < hiThr, "loThr must be < hiThr")
+    val c = conf.cast("double")
+    val a = runs
+      .select(example.as("example"), c.as("c"))
+      .groupBy(col("example"))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("c").cast(DecimalType(28, 12))).cast("double").as("s1"),
+        sum((col("c") * col("c")).cast(DecimalType(28, 12))).cast("double")
+          .as("s2"))
+    val mean = col("s1") / col("n_obs").cast("double")
+    val variability = sqrt(greatest(
+      col("s2") / col("n_obs").cast("double") - mean * mean, lit(0.0)))
+    a.select(col("example"), col("n_obs"),
+        mean.as("mean_conf"), variability.as("variability"))
+      .withColumn("region",
+        when(col("mean_conf") >= hiThr && col("variability") <= varThr,
+          lit("easy"))
+        .when(col("mean_conf") <= loThr && col("variability") <= varThr,
+          lit("hard"))
+        .otherwise(lit("ambiguous")))
   }
 
   private val Dec1812 = org.apache.spark.sql.types.DecimalType(18, 12)

@@ -72,4 +72,52 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(outDir)
+
+  /** EXACT ntile(n) over a global sort order WITHOUT the single-task
+    * global sort: range-partition on the sort keys (parallel sample +
+    * exchange), rank within each range partition, then lift local ranks
+    * to global ones by adding the preceding partitions' row counts — a
+    * P-row aggregate broadcast back as a literal map. The chunk id then
+    * follows from the global rank by ntile's arithmetic (first N mod n
+    * tiles take one extra row), so the result is bit-identical to
+    * `ntile(n).over(Window.orderBy(keys))` while every stage stays
+    * parallel. Requires the sort keys to be a total order (ties would
+    * make range-boundary placement ambiguous).
+    *
+    * This is the 100 TB shape for layout chunking (q98): the old global
+    * ntile funneled the corpus through one task; here the only
+    * non-parallel step is the P-row count collect.
+    */
+  def exactNtileByRange(df: DataFrame, sortCols: Seq[Column], n: Int,
+                        chunkName: String = "chunk",
+                        partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    val ranged = Caches.track(
+      df.repartitionByRange(p, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // one row per range partition — tiny
+    val cnts = ranged.groupBy(col("__pid")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = cnts.values.sum
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      (0 until p).map { pid =>
+        val o = pid -> acc; acc += cnts.getOrElse(pid, 0L); o
+      }.toMap
+    }
+    val base = total / n
+    val rem = total % n
+    val w = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val rank = row_number().over(w).cast("long") +
+      coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L))
+    val cut = rem * (base + 1) // rows 1..cut sit in the base+1-sized tiles
+    val chunk =
+      when(rank <= cut, (rank - 1) / (base + 1) + 1)
+        .otherwise(lit(rem) + (rank - cut - 1) / greatest(lit(base), lit(1L)) + 1)
+    ranged.withColumn(chunkName, chunk.cast("int")).drop("__pid")
+  }
 }

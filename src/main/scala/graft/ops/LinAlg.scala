@@ -231,6 +231,104 @@ object LinAlg {
     (n, c)
   }
 
+  /** LINEAR EMBEDDING ALIGNMENT (least-squares probe): fit W minimizing
+    * ‖XW − Y‖² over paired vector columns and report the per-output-dim
+    * residual — the standard cross-encoder audit ("how much of encoder
+    * B's space is a linear function of encoder A's", Conneau et al. 2018's
+    * linear-mapping baseline; also the probe behind embedding-drift
+    * attribution and cross-model distillation checks). r² per output dim
+    * reads directly as "linearly explained fraction"; uniform high r²
+    * means a rotation/rescale relates the spaces, low r² dims localize
+    * genuinely new information.
+    *
+    * Distributed work is ONE GramMatrix aggregate over the CONCATENATED
+    * quantized pair [x ∥ y] (state = (dx+dy)(dx+dy+3)/2 longs, merged
+    * pairwise): its blocks are exactly XᵀX, XᵀY, YᵀY — all the normal
+    * equations need. The solve ((XᵀX + λI)W = XᵀY, Gaussian elimination
+    * with partial pivoting, fixed pivot order) and the residual algebra
+    *   sse_j = (YᵀY)_jj − 2·w_jᵀ(XᵀY)_j + w_jᵀ(XᵀX)w_j
+    * are dim³ DRIVER arithmetic on exact integer moments — the same
+    * "matrix is distributed, factorization is a driver triviality"
+    * contract as [[embedCovariance]]. Uncentered (fit an offset by
+    * appending a constant feature upstream if wanted); sse reported in
+    * ORIGINAL units (lattice / scale²). Rows-only (no SQL engine inverts
+    * a matrix); OpsSpec pins exact recovery of a planted linear map and a
+    * plain-Scala replay. Output: (out_dim, n, sse, rms, r2).
+    */
+  def linearAlign(pairs: DataFrame, xCol: String, yCol: String,
+                  dx: Int, dy: Int, scale: Int = 1000,
+                  ridge: Double = 0.0): DataFrame = {
+    require(dx >= 1 && dy >= 1 && dx + dy <= 512, "dx+dy <= 512")
+    val d = dx + dy
+    val m = pairs
+      .select(gfn.gram_matrix(
+        concat(quantize(col(xCol), scale), quantize(col(yCol), scale)), d)
+        .as("m"))
+      .select(col("m.n"), col("m.g")).collect()(0)
+    val n = m.getLong(0)
+    val g = m.getSeq[Long](1).toArray
+    // mirror the flat upper triangle (offset(i) = i·(2d−i+1)/2) to full
+    val full = Array.ofDim[Double](d, d)
+    var i = 0
+    var idx = 0
+    while (i < d) {
+      var j = i
+      while (j < d) { full(i)(j) = g(idx).toDouble; full(j)(i) = full(i)(j)
+        j += 1; idx += 1 }
+      i += 1
+    }
+    val a = Array.tabulate(dx, dx)((r, c) =>
+      full(r)(c) + (if (r == c) ridge else 0.0)) // XᵀX + λI
+    val b = Array.tabulate(dx, dy)((r, c) => full(r)(dx + c)) // XᵀY
+    // Gaussian elimination with partial pivoting, all dy RHS at once —
+    // fixed pivot scan order, deterministic
+    val aug = Array.tabulate(dx)(r => a(r) ++ b(r))
+    var c0 = 0
+    while (c0 < dx) {
+      var p = c0
+      var r = c0 + 1
+      while (r < dx) { if (math.abs(aug(r)(c0)) > math.abs(aug(p)(c0))) p = r
+        r += 1 }
+      val t = aug(c0); aug(c0) = aug(p); aug(p) = t
+      val piv = aug(c0)(c0)
+      require(math.abs(piv) > 1e-12, s"singular normal matrix at col $c0 " +
+        "(degenerate X; add ridge)")
+      r = 0
+      while (r < dx) {
+        if (r != c0 && aug(r)(c0) != 0.0) {
+          val f = aug(r)(c0) / piv
+          var c = c0
+          while (c < dx + dy) { aug(r)(c) -= f * aug(c0)(c); c += 1 }
+        }
+        r += 1
+      }
+      c0 += 1
+    }
+    val w = Array.tabulate(dx, dy)((r, c) => aug(r)(dx + c) / aug(r)(r))
+    val s2 = scale.toDouble * scale.toDouble
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    (0 until dy).map { j =>
+      val yty = full(dx + j)(dx + j)
+      var xtyw = 0.0
+      var wxxw = 0.0
+      var r = 0
+      while (r < dx) {
+        xtyw += w(r)(j) * b(r)(j)
+        var c = 0
+        var acc = 0.0
+        // residual uses the UN-ridged XᵀX — ridge only stabilizes the solve
+        while (c < dx) { acc += full(c)(r) * w(c)(j); c += 1 }
+        wxxw += w(r)(j) * acc
+        r += 1
+      }
+      val sse = math.max(0.0, (yty - 2.0 * xtyw + wxxw) / s2)
+      val rms = if (n > 0) math.sqrt(sse / n) else 0.0
+      val r2 = if (yty > 0) 1.0 - (yty - 2.0 * xtyw + wxxw) / yty else 1.0
+      (j, n, sse, rms, r2)
+    }.toDF("out_dim", "n", "sse", "rms", "r2")
+  }
+
   /** Fixed-order power iteration: left-to-right matvec folds, max-abs
     * normalization with the smallest-index tie rule. Returns (direction
     * with v_m = 1, Rayleigh top-eigenvalue estimate).

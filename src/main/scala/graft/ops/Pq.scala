@@ -94,7 +94,11 @@ object Pq {
           .collect()
         val next = cents.map(_.map(_.clone())) // empty code keeps its centroid
         sums.foreach { r =>
-          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getLong(3) / r.getLong(4)
+          // floorDiv, not Long '/': negative sums (embedding component
+          // < -1 after quantization) would otherwise truncate toward zero
+          // and diverge from the documented floor semantics (advice fix)
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            Math.floorDiv(r.getLong(3), r.getLong(4))
         }
         cents = next
       }

@@ -224,8 +224,8 @@ object Similarity {
         if (nBits > 0) nBits else autoBits(c.count(), 64),
         dim, nTables, quantizedDot))
 
-  private def marginCore(xs: DataFrame, ys: DataFrame, k: Int,
-                         knn: (DataFrame, DataFrame, Int) => DataFrame)
+  private[graft] def marginCore(xs: DataFrame, ys: DataFrame, k: Int,
+                                knn: (DataFrame, DataFrame, Int) => DataFrame)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def side(df: DataFrame, idTo: String) = df.select(
@@ -240,8 +240,16 @@ object Similarity {
       .agg(sum(col("score")).as("a_x"), count(lit(1)).as("n_x"))
     val aY = bwd.groupBy(col("query_id").as("y_id"))
       .agg(sum(col("score")).as("a_y"), count(lit(1)).as("n_y"))
+    // LEFT joins: in the ANN face a vector with zero bucket collisions on
+    // one leg has no aX/aY row — an inner join would silently delete every
+    // pair involving it (round-10 advice fix); missing marginals coalesce
+    // to (0, 0), degrading the margin instead of dropping the pair
     def margins(pairs: DataFrame): DataFrame = pairs
-      .join(aX, Seq("x_id")).join(aY, Seq("y_id"))
+      .join(aX, Seq("x_id"), "left").join(aY, Seq("y_id"), "left")
+      .withColumn("a_x", coalesce(col("a_x"), lit(0.0)))
+      .withColumn("n_x", coalesce(col("n_x"), lit(0L)))
+      .withColumn("a_y", coalesce(col("a_y"), lit(0.0)))
+      .withColumn("n_y", coalesce(col("n_y"), lit(0L)))
       .withColumn("margin",
         when(col("a_x") + col("a_y") =!= 0.0,
           (col("n_x") + col("n_y")).cast("double") * col("score")

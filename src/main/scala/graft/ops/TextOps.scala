@@ -436,6 +436,58 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Unicode script classes for [[scriptMix]]: name → character class,
+    * in the FIXED priority order the dominant-script tie rule reads
+    * (earlier wins ties). BMP ranges only, written so the Java regex
+    * (Spark) and RE2 (DuckDB oracle, `\x{…}` escapes) agree codepoint
+    * for codepoint.
+    */
+  val scriptClasses: Seq[(String, String, String)] = Seq(
+    ("latin", "[A-Za-z\\u00C0-\\u024F]", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("digit", "[0-9]", "[0-9]"),
+    ("cyrillic", "[\\u0400-\\u04FF]", "[\\x{0400}-\\x{04FF}]"),
+    ("cjk", "[\\u3040-\\u30FF\\u4E00-\\u9FFF]",
+      "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]"),
+    ("arabic", "[\\u0600-\\u06FF]", "[\\x{0600}-\\x{06FF}]"),
+    ("space", "[ \\t\\n\\r]", "[ \\t\\n\\r]"))
+
+  /** SCRIPT-MIX PROFILE: per-document character counts by Unicode script
+    * class (Latin incl. the Latin-1/Extended supplements, digits,
+    * Cyrillic, Japanese kana + CJK ideographs, Arabic, whitespace, other)
+    * plus the dominant script under a fixed priority tie rule and the
+    * non-space dominant ratio. The router upstream of language ID
+    * ([[langPred]] assumes Latin text; a Cyrillic or CJK document needs a
+    * different marker set) and the standard mixed-script/transliteration
+    * spam signal (high `other` or no dominant majority).
+    *
+    * Purely narrow — `regexp_count` per class at the scan, no shuffle, no
+    * state; counts are exact and the DuckDB oracle replays the same
+    * codepoint classes via RE2.
+    */
+  def scriptMix(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    val counted = docs.select(
+      (docId.cast("long").as("doc_id") +:
+        length(text).cast("long").as("n_chars") +:
+        scriptClasses.map { case (n, jre, _) =>
+          regexp_count(text, lit(jre)).cast("long").as(n)
+        }): _*)
+    val classCols = scriptClasses.map(_._1)
+    val other = classCols.map(col).foldLeft(col("n_chars"))(_ - _).as("other")
+    val nonSpace = classCols.filterNot(_ == "space")
+    // dominant = first class (priority order) achieving the max count
+    // over the non-space classes; empty/space-only docs → "none"
+    val mx = greatest(nonSpace.map(col): _*)
+    val dominant = nonSpace.foldRight(lit("none")) { (n, rest) =>
+      when(col(n) === mx && mx > 0, lit(n)).otherwise(rest)
+    }
+    counted
+      .withColumn("other", other)
+      .withColumn("dominant", dominant)
+      .withColumn("dominant_ratio",
+        when(mx > 0, mx.cast("double") /
+          nonSpace.map(col).reduce(_ + _).cast("double")))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * Stable across engines (md5 hex lowercase in both).
     */
@@ -689,17 +741,22 @@ object TextOps {
         + (lit(D) * col("n1pl").cast("double") / col("c1").cast("double"))
           * pcont)
       .otherwise(pcont)
+    // (doc_id, gram) -> multiplicity pre-agg before the joins — see
+    // [[scoreBigramLm]]: the shuffle carries per-doc gram types, not
+    // instances; m × the truncated decimal term is value-exact.
     val terms = docs
       .select(docId.as("doc_id"),
         explode(bigramStructs(arrToks(text))).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
       .join(big, Seq("w1", "w2"), "left")
       .join(ctx, Seq("w1"), "left")
       .join(cont, Seq("w2"), "left")
       .crossJoin(broadcast(types)).crossJoin(broadcast(vocab))
       .withColumn("term", log(p).cast(DecimalType(28, 12)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("s"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m").cast(DecimalType(9, 0)) * col("term")).as("s"))
     docs.select(docId.as("doc_id"), trainGate.as("is_train"))
       .join(terms, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
@@ -749,9 +806,19 @@ object TextOps {
   def scoreBigramLm(docs: DataFrame, docId: Column, text: Column,
                     lm: BigramLm): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Pre-aggregate doc-grams to (doc_id, gram) -> multiplicity BEFORE the
+    // type-table joins: the shuffle then carries per-doc gram TYPES, not
+    // instances — the per-doc repetition factor comes straight off every
+    // scoring join's shuffle (and its spill surface). Value-exact: each ln
+    // term is truncated to DECIMAL(28,12) first, and m × an exact decimal
+    // equals summing m identical truncated instances. m enters the product
+    // as DECIMAL(9,0): (9,0)×(28,12) is exactly precision 38 / scale 12 —
+    // a long multiplicand would push past 38 and Spark would cut the scale
+    // to 6 (allowPrecisionLoss), breaking the bitwise oracle.
     val terms = docs
       .select(docId.as("doc_id"), explode(bigramStructs(arrToks(text))).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .agg(count(lit(1)).as("m"))
       .join(lm.big, Seq("w1", "w2"), "left")
       .join(lm.ctx, Seq("w1"), "left")
       .crossJoin(broadcast(lm.vocab))
@@ -760,7 +827,8 @@ object TextOps {
             (coalesce(col("c1"), lit(0L)) + lit(lm.addK) * col("v")).cast("double"))
           .cast(DecimalType(28, 12)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("s"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m").cast(DecimalType(9, 0)) * col("term")).as("s"))
     docs.withColumn("doc_id", docId)
       .join(terms, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
@@ -905,10 +973,14 @@ object TextOps {
       docs.filter(trainGate).select(text.as("text")), col("text"), alpha)
     val withId = docs.select(docId.as("doc_id"), trainGate.as("is_train"),
       text.as("text"))
+    // (doc_id, trigram) -> multiplicity pre-agg before the five scoring
+    // joins — see [[scoreBigramLm]]: the repetition factor comes off every
+    // join's shuffle; m × the truncated decimal term is value-exact.
     val terms = withId
       .select(col("doc_id"), explode(trigramStructs(arrToks(col("text")))).as("g"))
-      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
         col("g.w3").as("w3"))
+      .agg(count(lit(1)).as("m"))
       .join(lm.tri, Seq("w1", "w2", "w3"), "left")
       .join(lm.big, Seq("w1", "w2"), "left")
       .join(lm.big.select(col("w1").as("w2"), col("w2").as("w3"),
@@ -927,7 +999,8 @@ object TextOps {
             (col("n_tokens") + col("v")).cast("double")))
           .cast(DecimalType(28, 12)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_trigrams"), sum(col("term")).as("s"))
+      .agg(sum(col("m")).as("n_trigrams"),
+        sum(col("m").cast(DecimalType(9, 0)) * col("term")).as("s"))
     withId.drop("text")
       .join(terms, Seq("doc_id"), "left")
       .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))
@@ -1709,8 +1782,11 @@ object TextOps {
     def stream(k: Int): Column =
       pmod(pmod(id.cast("long") * (2 * k + 1) + k, lit(M31)) * lit(Knuth), lit(M31))
     val len = length(text).cast("long")
-    val c1 = stream(1) % (len + 1)
-    val c2 = stream(2) % (len + 1)
+    // shift off the 11 low bits before the modulus: 2654435761 ≡ 1 (mod 8),
+    // so h's low bits echo the input's — the same artifact the mode bit
+    // below dodges by reading bit 10 (round-10 advice fix)
+    val c1 = shiftright(stream(1), 11) % (len + 1)
+    val c2 = shiftright(stream(2), 11) % (len + 1)
     val lo = least(c1, c2)
     val hi = greatest(c1, c2)
     val prefix = text.substr(lit(1), lo.cast("int"))
@@ -1763,8 +1839,12 @@ object TextOps {
     val toks = docs.select(id.cast("long").as("doc_id"),
         posexplode(arrToks(text)).as(Seq("pos", "tok")))
       .withColumn("s",
-        (pmod(pmod(col("doc_id") * 1000003L + col("pos"), lit(M31))
-          * lit(Knuth), lit(M31)) % 1000 < rateMille).cast("int"))
+        // div 2048 first: the multiplicative hash's low bits echo the
+        // input's (2654435761 ≡ 1 mod 8), so % 1000 straight off the hash
+        // made mask-start probability oscillate ±10% with a period-8
+        // position pattern; bits 11+ are well mixed (round-10 advice fix)
+        (shiftright(pmod(pmod(col("doc_id") * 1000003L + col("pos"), lit(M31))
+          * lit(Knuth), lit(M31)), 11) % 1000 < rateMille).cast("int"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val marked = toks
       .withColumn("masked",

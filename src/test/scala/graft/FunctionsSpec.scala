@@ -249,6 +249,37 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("luhn scan: validated cards count, near-misses and wrong lengths do not") {
+    import graft.functions.TextKernel
+    def n(s: String) = TextKernel.luhnCount(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // classic test numbers (valid Luhn): Visa 4111..., Amex 15-digit
+    assert(n("pay with 4111111111111111 now") == 1L)
+    assert(n("378282246310005 and 4111111111111111") == 2L)
+    // check-digit off by one → invalid
+    assert(n("4111111111111112") == 0L)
+    // 12 digits (too short) and 20 digits (too long, maximal-run rule)
+    assert(n("411111111111") == 0L)
+    assert(n("41111111111111110000") == 0L)
+    // separators break the run: each side too short
+    assert(n("4111-1111-1111-1111") == 0L)
+    assert(n("") == 0L && n("no digits at all") == 0L)
+    // Luhn replay on random runs: every valid count matches a direct check
+    val rnd = new scala.util.Random(9)
+    (1 to 100).foreach { _ =>
+      val len = 13 + rnd.nextInt(7)
+      val digits = Seq.fill(len)(rnd.nextInt(10))
+      val expectValid = {
+        val s = digits.reverse.zipWithIndex.map { case (d, k) =>
+          if (k % 2 == 1) { val t = d * 2; if (t > 9) t - 9 else t } else d
+        }.sum
+        s % 10 == 0
+      }
+      assert(n(digits.mkString) == (if (expectValid) 1L else 0L),
+        s"digits ${digits.mkString}")
+    }
+  }
+
   test("aho-corasick automaton survives java serialization (codegen reference path)") {
     val auto = graft.functions.AhoCorasick.compile(Array("ab", "ba"))
     val bos = new java.io.ByteArrayOutputStream()

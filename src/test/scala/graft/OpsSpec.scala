@@ -946,6 +946,34 @@ class OpsSpec extends AnyFunSuite {
     assert(mutualAgree.toDouble / agree >= 0.8)
   }
 
+  test("marginCore: a y-side vector with zero backward neighbors degrades, not drops") {
+    // The ANN face's legs auto-size independently, so a y can have bucket
+    // collisions as a CORPUS vector (forward leg) yet none as a QUERY
+    // (backward leg) — stub the legs to that exact asymmetry: fwd finds
+    // (x=1 -> y=7), bwd finds nothing. Before the r10 left-join fix the
+    // inner join to the missing aY marginal deleted x's entire output row.
+    import graft.ops.Similarity
+    val xs = Seq((1L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val ys = Seq((7L, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    var call = 0
+    val stub: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Int)
+        => org.apache.spark.sql.DataFrame = (_, _, _) => {
+      call += 1
+      if (call == 1) // forward: x=1 sees y=7 at rank 1
+        Seq((1L, 1L, 7L, 10.0)).toDF("query_id", "rank", "vec_id", "score")
+      else // backward: y=7 got zero collisions
+        Seq.empty[(Long, Long, Long, Double)]
+          .toDF("query_id", "rank", "vec_id", "score")
+    }
+    val out = Similarity.marginCore(xs, ys, k = 2, stub).collect()
+    assert(out.length == 1, s"x row dropped: ${out.mkString(";")}")
+    val r = out.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 7L)
+    // missing backward marginal coalesces to (0, 0): margin =
+    // (n_x + 0) * score / (a_x + 0) = 1 * 10 / 10 = 1.0, mutual = false
+    assert(r.getDouble(3) == 1.0 && !r.getBoolean(4))
+  }
+
   test("wer matches a plain-Scala Levenshtein replay; identity/disjoint/empty corners") {
     import graft.ops.Eval
     val rnd = new scala.util.Random(11)
@@ -4138,6 +4166,285 @@ class OpsSpec extends AnyFunSuite {
     queries.foreach { q =>
       assert(got(q).forall(_ % 15 == q % 15),
         s"query $q: hits ${got(q)} leave cluster ${q % 15}")
+    }
+  }
+
+  // ---- round-10 ops ----
+
+  test("wasserstein1: zero on identical, exact hand value on a shift, psi-blind cases split") {
+    import graft.ops.Eval
+    val a = Seq(10.0, 10.0, 30.0, 30.0).toDF("v")
+    val edges = Seq(0.0, 20.0, 40.0, 60.0, 80.0)
+    val same = Eval.wasserstein1(a, a, col("v"), edges).collect()(0)
+    assert(same.getDouble(3) == 0.0 && same.getDouble(4) == 0.0)
+    // b = a shifted +40: buckets a={1:2, 2:2}, b={3:2, 4:2}
+    // cum fractions at interior edges (idx 1..3): a: 0.5,1,1  b: 0,0,0.5
+    // gaps 0.5,1,0.5 × widths 20,20,20 → w1 = 40; w1_buckets = 2
+    val b = Seq(50.0, 50.0, 70.0, 70.0).toDF("v")
+    val r = Eval.wasserstein1(a, b, col("v"), edges).collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 4L && r.getLong(2) == 6L)
+    assert(r.getDouble(3) == 40.0, s"w1 ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 2.0, s"w1_buckets ${r.getDouble(4)}")
+    // a one-bucket vs three-bucket move: same PSI shape (all mass moved),
+    // very different W1 — the metric's reason to exist
+    val near = Seq(30.0, 30.0, 50.0, 50.0).toDF("v")
+    val w1Near = Eval.wasserstein1(a, near, col("v"), edges)
+      .collect()(0).getDouble(3)
+    assert(w1Near < r.getDouble(3), s"near $w1Near !< far ${r.getDouble(3)}")
+  }
+
+  test("conformalThreshold: exact order statistic, small-group null, tie stability") {
+    import graft.ops.Eval
+    // group g: scores 1..10, alpha=1/10 → rank ceil(11·9/10)=10 → threshold 10
+    // group h: scores 1..4, rank ceil(5·9/10)=5 > 4 → NULL
+    val cal = ((1 to 10).map(i => ("g", i.toDouble)) ++
+      (1 to 4).map(i => ("h", i.toDouble))).toDF("grp0", "s0")
+    val out = Eval.conformalThreshold(cal, col("grp0"), col("s0"), 1, 10)
+      .orderBy("group").collect()
+    assert(out(0).getString(0) == "g" && out(0).getLong(1) == 10L &&
+      out(0).getLong(2) == 10L && out(0).getDouble(3) == 10.0)
+    assert(out(1).getString(0) == "h" && out(1).getLong(2) == 5L &&
+      out(1).isNullAt(3))
+    // alpha=1/2 on g: rank ceil(11/2)=6 → threshold 6
+    val mid = Eval.conformalThreshold(cal.where(col("grp0") === "g"),
+      col("grp0"), col("s0"), 1, 2).collect()(0)
+    assert(mid.getLong(2) == 6L && mid.getDouble(3) == 6.0)
+    // ties at the target rank: value is deterministic regardless of order
+    val tied = Seq(("t", 1.0), ("t", 2.0), ("t", 2.0), ("t", 2.0))
+      .toDF("grp0", "s0")
+    val tv = Eval.conformalThreshold(tied, col("grp0"), col("s0"), 1, 2)
+      .collect()(0)
+    assert(tv.getLong(2) == 3L && tv.getDouble(3) == 2.0)
+  }
+
+  test("kAnonymity: classes, risky rollup, worst linkage — hand example") {
+    import graft.ops.Privacy
+    val df = Seq(
+      ("a", 1, 101L), ("a", 1, 102L), ("a", 1, 103L), ("a", 1, 104L),
+      ("a", 1, 105L), // class (a,1) size 5 — safe at k=5
+      ("a", 2, 106L), ("a", 2, 107L), // class (a,2) size 2 — risky
+      ("b", 1, 108L)) // class (b,1) size 1 — risky
+      .toDF("qa", "qb", "id")
+    val cls = Privacy.kAnonymityClasses(df, Seq(col("qa"), col("qb")), k = 5)
+      .orderBy("qa", "qb").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(cls.toSeq == Seq(("a", 1, 5L, 0), ("a", 2, 2L, 1), ("b", 1, 1L, 1)))
+    val sum = Privacy.kAnonymitySummary(df, Seq(col("qa"), col("qb")),
+        col("qa"), k = 5)
+      .orderBy("slice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(sum.toSeq == Seq(("a", 2L, 1L, 2L, 2L, 0.5),
+      ("b", 1L, 1L, 1L, 1L, 1.0)))
+  }
+
+  test("softDedupWeights: exact duplicate halves the weight, unique and short docs keep 1.0") {
+    import graft.ops.Dedup
+    val eight = "w1 w2 w3 w4 w5 w6 w7 w8" // exactly one 8-gram
+    val unique = "u1 u2 u3 u4 u5 u6 u7 u8"
+    val out = Dedup.softDedupWeights(
+        docs(1L -> eight, 2L -> eight, 3L -> unique, 4L -> "too short"),
+        col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // docs 1,2: their single gram occurs twice corpus-wide → commonness 2
+    assert(out(0) == ((1L, 1L, 2.0, 0.5)) && out(1) == ((2L, 1L, 2.0, 0.5)))
+    assert(out(2) == ((3L, 1L, 1.0, 1.0))) // unique
+    assert(out(3) == ((4L, 0L, 1.0, 1.0))) // < k tokens: no grams, weight 1
+    // in-doc repetition counts multiplicities: "a"*9 tokens has two 8-grams,
+    // both the same text → m=2 for one gram type, c=2 → commonness 2
+    val rep = Dedup.softDedupWeights(
+        docs(9L -> "a a a a a a a a a"), col("doc_id"), col("text"), k = 8)
+      .collect()(0)
+    assert(rep.getLong(1) == 2L && rep.getDouble(2) == 2.0 &&
+      rep.getDouble(3) == 0.5)
+  }
+
+  test("scriptMix: per-class counts, priority tie rule, space-only doc") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "abc 123 ЖЖ"),       // latin 3, digit 3, cyrillic 2
+      (2L, "中文ア ok"),      // cjk 3, latin 2
+      (3L, "   "),                        // space only → dominant none
+      (4L, "ab 12"))                      // latin 2 == digit 2 → latin wins
+      .toDF("doc_id", "text")
+    val out = TextOps.scriptMix(df, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def row(i: Int) = out(i)
+    val r1 = row(0)
+    assert(r1.getLong(2) == 3L && r1.getLong(3) == 3L && r1.getLong(4) == 2L,
+      r1.toString) // latin, digit, cyrillic
+    assert(r1.getLong(7) == 2L && r1.getLong(8) == 0L) // space, other
+    assert(r1.getString(9) == "latin") // 3 == 3 tie → priority order
+    val r2 = row(1)
+    assert(r2.getLong(5) == 3L && r2.getLong(2) == 2L &&
+      r2.getString(9) == "cjk")
+    assert(r2.getDouble(10) == 3.0 / 5.0)
+    val r3 = row(2)
+    assert(r3.getString(9) == "none" && r3.isNullAt(10))
+    assert(row(3).getString(9) == "latin")
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged, null-safe compares, summary rollup") {
+    import graft.ops.Diff
+    val a = Seq((1L, Some("x"), 10.0), (2L, Some("y"), 20.0),
+      (3L, None: Option[String], 30.0), (4L, Some("z"), 40.0))
+      .toDF("k", "c1", "c2")
+    val b = Seq((1L, Some("x"), 10.0),  // unchanged
+      (2L, Some("y2"), 21.0),           // both columns changed
+      (3L, Some("now"), 30.0),          // NULL → value counts as change
+      (5L, Some("new"), 50.0))          // added; 4 removed
+      .toDF("k", "c1", "c2")
+    val d = Diff.snapshotDiff(a, b, "k", Seq("c1", "c2"))
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(d.toSeq == Seq(
+      (1L, "unchanged", 0L, ""),
+      (2L, "changed", 2L, "c1,c2"),
+      (3L, "changed", 1L, "c1"),
+      (4L, "removed", 0L, ""),
+      (5L, "added", 0L, "")))
+    val s = Diff.snapshotDiffSummary(a, b, "k", Seq("c1", "c2"))
+      .orderBy("status").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(s.toSeq == Seq(
+      ("added", 1L, 0L, "c1=0,c2=0"),
+      ("changed", 2L, 3L, "c1=2,c2=1"),
+      ("removed", 1L, 0L, "c1=0,c2=0"),
+      ("unchanged", 1L, 0L, "c1=0,c2=0")))
+  }
+
+  test("cartography: exact moments, region boundaries, single-observation example") {
+    import graft.ops.Eval
+    val runs = Seq(
+      ("e1", 0.9), ("e1", 0.8), ("e1", 0.85),   // easy: high mean, low var
+      ("e2", 0.1), ("e2", 0.2), ("e2", 0.15),   // hard: low mean, low var
+      ("e3", 0.1), ("e3", 0.9), ("e3", 0.5),    // ambiguous: high var
+      ("e4", 0.5))                               // mid mean → ambiguous
+      .toDF("ex", "conf")
+    val out = Eval.cartography(runs, col("ex"), col("conf"))
+      .orderBy("example").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getString(4))).toSeq
+    assert(out.map(_._1) == Seq("e1", "e2", "e3", "e4"))
+    assert(out(0)._5 == "easy" && out(1)._5 == "hard" &&
+      out(2)._5 == "ambiguous" && out(3)._5 == "ambiguous")
+    // exact replay of e1's moments through the same decimal-truncation dag
+    def t12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val s1 = (t12(0.9) + t12(0.8) + t12(0.85)).toDouble
+    val s2 = (t12(0.9 * 0.9) + t12(0.8 * 0.8) + t12(0.85 * 0.85)).toDouble
+    val mean = s1 / 3.0
+    assert(out(0)._3 == mean)
+    assert(out(0)._4 == math.sqrt(math.max(s2 / 3.0 - mean * mean, 0.0)))
+    // single observation: variability exactly 0, region from the mean alone
+    assert(out(3)._2 == 1L && out(3)._4 == 0.0)
+  }
+
+  test("driftFromCounts equals the raw psi and wasserstein1 faces bitwise") {
+    import graft.ops.Eval
+    val edges = Seq(0.0, 25.0, 50.0, 75.0)
+    val a = Seq(10.0, 30.0, 30.0, 60.0, 80.0, -5.0).toDF("v")
+    val b = Seq(20.0, 20.0, 55.0, 90.0).toDF("v")
+    val fused = Eval.driftFromCounts(
+      Eval.bucketCounts(a, col("v"), edges),
+      Eval.bucketCounts(b, col("v"), edges), edges).collect()(0)
+    val psi = Eval.psi(a, b, col("v"), edges).collect()(0)
+    val w1 = Eval.wasserstein1(a, b, col("v"), edges).collect()(0)
+    assert(fused.getLong(0) == psi.getLong(0) &&
+      fused.getLong(1) == psi.getLong(1))
+    assert(fused.getDouble(3) == psi.getDouble(3), "psi mismatch")
+    assert(fused.getDouble(4) == w1.getDouble(3), "w1 mismatch")
+    assert(fused.getDouble(5) == w1.getDouble(4), "w1_buckets mismatch")
+    // mergeability: two half-batches fold to the one-shot counts
+    val a1 = Seq(10.0, 30.0).toDF("v")
+    val a2 = Seq(30.0, 60.0, 80.0, -5.0).toDF("v")
+    val merged = Eval.mergeBucketCounts(
+      Eval.bucketCounts(a1, col("v"), edges),
+      Eval.bucketCounts(a2, col("v"), edges))
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val oneShot = Eval.bucketCounts(a, col("v"), edges)
+      .orderBy("bucket").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.toSeq == oneShot.toSeq)
+  }
+
+  test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
+    import graft.ops.LinAlg
+    // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
+    // rms == 0 bitwise (quantize(A·x) == A·quantize(x) for integer A and
+    // x already on the lattice)
+    val dim = 4
+    val a = Array(
+      Array(1.0, 0.0, 0.0, 2.0),
+      Array(0.0, -1.0, 0.0, 0.0),
+      Array(3.0, 0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 0.0, 1.0))
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(200)(Array.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0f))
+    val pairs = xs.map { x =>
+      val y = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => a(i)(j) * x(j)).sum.toFloat)
+      (x.toSeq, y.toSeq)
+    }.toDF("x", "y")
+    val out = LinAlg.linearAlign(pairs, "x", "y", dim, dim)
+      .orderBy("out_dim").collect()
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(4) - 1.0) < 1e-9, s"r2 ${r.getDouble(4)}")
+      assert(r.getDouble(3) < 1e-6, s"rms ${r.getDouble(3)}")
+    }
+    // nonlinear target |x|: linear fit must leave residual (r2 < 1) but
+    // stay sane (0 <= r2 <= 1)
+    val nl = xs.map(x => (x.toSeq, x.map(math.abs).toSeq)).toDF("x", "y")
+    val out2 = LinAlg.linearAlign(nl, "x", "y", dim, dim)
+      .orderBy("out_dim").collect()
+    out2.foreach { r =>
+      val r2 = r.getDouble(4)
+      assert(r2 > 0.0 && r2 < 0.999, s"nonlinear r2 $r2")
+    }
+  }
+
+  test("linearAlign matches a plain-Scala normal-equations replay") {
+    import graft.ops.LinAlg
+    val dim = 3
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(60)((
+      Array.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0f).toSeq,
+      Array.fill(dim)((rnd.nextInt(2001) - 1000) / 1000.0f).toSeq))
+    val out = LinAlg.linearAlign(rows.toDF("x", "y"), "x", "y", dim, dim,
+        scale = 1000)
+      .orderBy("out_dim").collect()
+    // replay on the same quantized lattice in plain Scala
+    def q(v: Double) = math.floor(v * 1000 + 0.5)
+    val qx = rows.map(_._1.map(v => q(v.toDouble)).toArray)
+    val qy = rows.map(_._2.map(v => q(v.toDouble)).toArray)
+    val xtx = Array.tabulate(dim, dim)((i, j) =>
+      qx.map(r => r(i) * r(j)).sum)
+    val xty = Array.tabulate(dim, dim)((i, j) =>
+      qx.zip(qy).map { case (r, t) => r(i) * t(j) }.sum)
+    val yty = Array.tabulate(dim)(j => qy.map(r => r(j) * r(j)).sum)
+    // solve xtx w_j = xty_j by Gaussian elimination
+    def solve(bcol: Array[Double]): Array[Double] = {
+      val m = Array.tabulate(dim)(r => xtx(r).clone() :+ bcol(r))
+      for (c <- 0 until dim) {
+        val p = (c until dim).maxBy(r => math.abs(m(r)(c)))
+        val t = m(c); m(c) = m(p); m(p) = t
+        for (r <- 0 until dim if r != c) {
+          val f = m(r)(c) / m(c)(c)
+          for (cc <- c to dim) m(r)(cc) -= f * m(c)(cc)
+        }
+      }
+      Array.tabulate(dim)(r => m(r)(dim) / m(r)(r))
+    }
+    for (j <- 0 until dim) {
+      val w = solve(Array.tabulate(dim)(r => xty(r)(j)))
+      val xtyw = (0 until dim).map(r => w(r) * xty(r)(j)).sum
+      val wxxw = (0 until dim).map(r => (0 until dim)
+        .map(c => w(c) * xtx(c)(r)).sum * w(r)).sum
+      val sse = math.max(0.0, (yty(j) - 2 * xtyw + wxxw) / 1e6)
+      val r2 = 1.0 - (yty(j) - 2 * xtyw + wxxw) / yty(j)
+      assert(math.abs(out(j).getDouble(2) - sse) < 1e-6 * (1 + sse),
+        s"dim $j sse ${out(j).getDouble(2)} vs $sse")
+      assert(math.abs(out(j).getDouble(4) - r2) < 1e-9,
+        s"dim $j r2 ${out(j).getDouble(4)} vs $r2")
     }
   }
 }

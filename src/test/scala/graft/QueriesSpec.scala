@@ -62,8 +62,6 @@ class QueriesSpec extends AnyFunSuite {
     // A Window with an empty partition spec moves EVERY row through one
     // task — the q105 scale-killer the round-5 verdict flagged. Allowlist
     // (each carries an in-code justification at its definition):
-    //   q98_zorder_layout — ntile over the z-coded frame is the stand-in
-    //     for the range-partitioned chunk assignment the real writer uses;
     //   q56_resample_fill — the forward-fill window sorts the generated
     //     GRID (time-range/step rows, ~526k/year at 1 min), not the events;
     //     event-sized work ended at the per-bucket aggregate (ops/Resample
@@ -84,9 +82,16 @@ class QueriesSpec extends AnyFunSuite {
     //   q201_yield_curve  — the suffix sums run over the (grid+1)-row
     //     bucket frame (<= 1001 rows by the op's require), after the
     //     corpus-sized bucket aggregate (ops/Mix.yieldCurve scaladoc).
-    val allow = Set("q98_zorder_layout", "q56_resample_fill",
+    //   q206_wasserstein_drift — the CDF cumulative sums run over the
+    //     (edges+1)-row bucket spine (<= 1001 rows by the op's require),
+    //     after the corpus-sized bucket aggregates (ops/Eval.wasserstein1
+    //     scaladoc).
+    // q98_zorder_layout is deliberately NO LONGER here: its former global
+    // ntile now routes through Layout.exactNtileByRange (range partition +
+    // offset-lifted per-partition ranks — no unpartitioned window).
+    val allow = Set("q56_resample_fill",
       "q107_chi_square", "q126_exact_auc", "q127_roc_curve",
-      "q201_yield_curve")
+      "q201_yield_curve", "q206_wasserstein_drift")
     import org.apache.spark.sql.execution.window.WindowExec
     val offenders = for {
       q <- Queries.all if !allow(q.name)

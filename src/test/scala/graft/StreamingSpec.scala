@@ -871,6 +871,71 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q2.stop(); graft.ops.Caches.drainAll(spark) }
   }
 
+  test("streaming score-drift monitor: folded (psi, w1) equal the one-shot batch pair") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val edges = Seq(10.0, 20.0, 30.0, 40.0)
+    val ref = Seq(5.0, 15.0, 15.0, 25.0, 35.0, 45.0).toDF("v")
+    val refCounts = graft.ops.Eval.bucketCounts(ref, col("v"), edges)
+      .persist()
+    val batch1 = Seq(12.0, 22.0, 22.0, 8.0)
+    val batch2 = Seq(33.0, 41.0, 22.0)
+    val mem = MemoryStream[Double]
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    @volatile var savedId = Long.MinValue
+    @volatile var savedCounts: Seq[(Long, Long)] = Seq.empty
+    val q = graft.streaming.ScoreDriftJob.start(
+      mem.toDF().toDF("score"), refCounts, edges,
+      out => last = out.collect(),
+      java.nio.file.Files.createTempDirectory("scoredrift").toString,
+      countsSink = Some((id, cdf) => {
+        savedId = id
+        savedCounts = cdf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      }),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // one-shot truth: both metrics off the raw faces over the union
+      val all = (batch1 ++ batch2).toDF("v")
+      val psiRef = graft.ops.Eval.psi(all, ref, col("v"), edges)
+        .collect()(0).getDouble(3)
+      val w1Ref = graft.ops.Eval.wasserstein1(all, ref, col("v"), edges)
+        .collect()(0)
+      assert(last.length == 1)
+      val r = last(0)
+      assert(r.getLong(0) == 7L && r.getLong(1) == 6L)
+      assert(r.getDouble(3) == psiRef, s"psi ${r.getDouble(3)} vs $psiRef")
+      assert(r.getDouble(4) == w1Ref.getDouble(3),
+        s"w1 ${r.getDouble(4)} vs ${w1Ref.getDouble(3)}")
+      assert(r.getDouble(5) == w1Ref.getDouble(4))
+      assert(savedId == 1L && savedCounts.map(_._2).sum == 7L)
+    } finally { q.stop(); graft.ops.Caches.drainAll(spark) }
+
+    // restart: rehydrated counts + batch-id guard — replay is a no-op
+    val mem2 = MemoryStream[Double]
+    val q2 = graft.streaming.ScoreDriftJob.start(
+      mem2.toDF().toDF("score"), refCounts, edges,
+      out => last = out.collect(),
+      java.nio.file.Files.createTempDirectory("scoredrift2").toString,
+      initialCounts = Some(savedCounts.toDF("bucket", "cnt")),
+      initialBatchId = savedId,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(batch1: _*); q2.processAllAvailable() // id 0 <= 1: skipped
+      mem2.addData(batch2: _*); q2.processAllAvailable() // id 1 <= 1: skipped
+      mem2.addData(Seq(18.0, 28.0): _*); q2.processAllAvailable() // id 2: merged
+      val all = (batch1 ++ batch2 ++ Seq(18.0, 28.0)).toDF("v")
+      val w1Ref = graft.ops.Eval.wasserstein1(all, ref, col("v"), edges)
+        .collect()(0)
+      assert(last(0).getLong(0) == 9L, "replayed batch must not double-count")
+      assert(last(0).getDouble(4) == w1Ref.getDouble(3))
+    } finally {
+      q2.stop(); refCounts.unpersist(); graft.ops.Caches.drainAll(spark)
+    }
+  }
+
   test("source-overlap sketch restart: cellsSink snapshot rehydrates to the uninterrupted run") {
     import spark.implicits._
     implicit val s = spark

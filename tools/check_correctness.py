@@ -45,9 +45,13 @@ for name in sorted(os.listdir(out_dir)):
     def canon(df):
         import numpy as np
         for c in df.columns:
-            if len(df) and isinstance(df[c].iloc[0], (list, np.ndarray)):
+            # ANY cell may be an array (first row can be None/scalar in a
+            # nullable array column) — scan the whole column, not iloc[0]
+            if len(df) and df[c].map(
+                    lambda v: isinstance(v, (list, np.ndarray))).any():
                 df[c] = df[c].apply(lambda v: str(
-                    [x.item() if hasattr(x, "item") else x for x in v]))
+                    [x.item() if hasattr(x, "item") else x for x in v])
+                    if isinstance(v, (list, np.ndarray)) else str(v))
         return df
     s, o = canon(s), canon(o)
     s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
