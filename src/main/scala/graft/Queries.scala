@@ -7539,6 +7539,141 @@ object Queries {
                   ELSE 'ambiguous' END AS region
       FROM m ORDER BY example"""))
 
+  /** GOPHER QUALITY RULES (TextOps.gopherRules, Rae et al. 2021 App. A):
+    * the standard pre-model web-curation rule table — token count, mean
+    * word length, symbol ratio, alphabetic-word fraction, stopword
+    * evidence, bullet-line fraction, and the AND-of-all keep flag. Exact
+    * integer counts + single IEEE divisions => value-exact oracle.
+    */
+  private val q214 = Q("q214_gopher_rules",
+    (s, d) => graft.ops.TextOps.gopherRules(docsSpread(s, d),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0)
+                     AS toks,
+                   list_filter(string_split(text, chr(10)),
+                     l -> len(trim(l)) > 0) AS lines,
+                   text
+                 FROM documents),
+      b AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(COALESCE(list_sum(list_transform(toks, w -> len(w))), 0)
+                AS BIGINT) AS word_chars,
+              CAST(len(regexp_extract_all(text, '[#…]')) AS BIGINT)
+                AS n_symbols,
+              CAST(len(list_filter(toks,
+                w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+                AS n_alpha_words,
+              CAST(len(list_filter(toks, w -> list_contains(
+                ['the','be','to','of','and','that','have','with'],
+                lower(w)))) AS BIGINT) AS n_stopwords,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(len(list_filter(lines,
+                l -> regexp_matches(trim(l), '^[•*-]'))) AS BIGINT)
+                AS n_bullet_lines
+            FROM t),
+      m AS (SELECT *,
+              CASE WHEN n_tokens > 0
+                THEN CAST(word_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS mean_word_len,
+              CASE WHEN n_tokens > 0
+                THEN CAST(n_symbols AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS symbol_ratio,
+              CASE WHEN n_tokens > 0
+                THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS alpha_frac,
+              CASE WHEN n_lines > 0
+                THEN CAST(n_bullet_lines AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                ELSE 0.0 END AS bullet_frac
+            FROM b),
+      fl AS (SELECT *,
+               CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT) AS r1_len,
+               CAST(mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS INT)
+                 AS r2_word_len,
+               CAST(symbol_ratio <= 0.1 AS INT) AS r3_symbols,
+               CAST(alpha_frac >= 0.8 AS INT) AS r4_alpha,
+               CAST(n_stopwords >= 2 AS INT) AS r5_stops,
+               CAST(bullet_frac <= 0.9 AS INT) AS r6_bullets
+             FROM m)
+      SELECT doc_id, n_tokens, word_chars, n_symbols, n_alpha_words,
+             n_stopwords, n_lines, n_bullet_lines, mean_word_len,
+             symbol_ratio, alpha_frac, bullet_frac,
+             r1_len, r2_word_len, r3_symbols, r4_alpha, r5_stops,
+             r6_bullets,
+             CAST(r1_len = 1 AND r2_word_len = 1 AND r3_symbols = 1
+               AND r4_alpha = 1 AND r5_stops = 1 AND r6_bullets = 1
+               AS INT) AS keep
+      FROM fl ORDER BY doc_id"""))
+
+  /** FLESCH READING EASE (TextOps.fleschScore): vowel-group syllable
+    * heuristic + sentence runs into the classic readability dag — the
+    * boilerplate/legalese-vs-fragment screen. Exact counts, one fixed FP
+    * expression => value-exact oracle.
+    */
+  private val q215 = Q("q215_flesch_readability",
+    (s, d) => graft.ops.TextOps.fleschScore(docsSpread(s, d),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                   list_filter(string_split(text, ' '), w -> len(w) > 0)
+                     AS toks, text
+                 FROM documents),
+      b AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_words,
+              CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+              CAST(COALESCE(list_sum(list_transform(toks, w ->
+                greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')), 1)
+                )), 0) AS BIGINT) AS n_syllables
+            FROM t)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             206.835
+               - 1.015 * (CAST(n_words AS DOUBLE)
+                          / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (CAST(n_syllables AS DOUBLE)
+                         / CAST(n_words AS DOUBLE)) AS flesch
+      FROM b WHERE n_words > 0 ORDER BY doc_id"""))
+
+  /** JOIN CARDINALITY FORECAST (JoinStats): exact inner-join output size
+    * Σ c_a·c_b + skew profile from the two KEY histograms — the planning
+    * query before an expensive join (max_key_share ⇒ salt; distinct keys
+    * ⇒ broadcast). Two partial-agg count shuffles over keys, TakeOrdered
+    * hot-key list; all counts exact.
+    */
+  private val q216 = Q("q216_join_forecast",
+    (s, d) => {
+      val ev = t(s, d, "events")
+      val a = ev.where(col("event_type") === "click")
+      val b = ev.where(col("event_type") === "purchase")
+      graft.ops.JoinStats.hotKeys(a, b, col("user_id"), k = 10)
+        .crossJoin(broadcast(
+          graft.ops.JoinStats.joinForecast(a, b, col("user_id"))))
+        .orderBy(col("pairs").desc, col("key"))
+    },
+    Some("""
+      WITH ca AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS c_a
+                  FROM events WHERE event_type = 'click' GROUP BY 1),
+      cb AS (SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS c_b
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      c AS (SELECT key, c_a, c_b, c_a * c_b AS pairs
+            FROM ca JOIN cb USING (key)),
+      f AS (SELECT CAST(SUM(pairs) AS BIGINT) AS est_rows,
+              CAST(COUNT(*) AS BIGINT) AS n_matching_keys,
+              CAST(MAX(pairs) AS BIGINT) AS max_key_pairs,
+              CAST(SUM(c_a) AS BIGINT) AS a_matched_rows,
+              CAST(SUM(c_b) AS BIGINT) AS b_matched_rows
+            FROM c)
+      SELECT c.key, c.c_a, c.c_b, c.pairs, f.est_rows, f.n_matching_keys,
+             f.max_key_pairs, f.a_matched_rows, f.b_matched_rows,
+             CASE WHEN f.est_rows > 0
+               THEN CAST(f.max_key_pairs AS DOUBLE)
+                    / CAST(f.est_rows AS DOUBLE)
+               ELSE 0.0 END AS max_key_share
+      FROM c, f ORDER BY c.pairs DESC, c.key LIMIT 10"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7556,7 +7691,7 @@ object Queries {
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
-    q205, q206, q207, q208, q209, q210, q211, q212, q213)
+    q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

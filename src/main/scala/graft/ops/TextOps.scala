@@ -488,6 +488,105 @@ object TextOps {
           nonSpace.map(col).reduce(_ + _).cast("double")))
   }
 
+  /** English stopword evidence set for [[gopherRules]]' "has common
+    * words" rule — the Gopher paper's 8-word list.
+    */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** GOPHER QUALITY RULES (Rae et al. 2021, MassiveText filtering —
+    * Appendix A): the standard rule table a web-scale curation pass
+    * applies BEFORE any model-based scoring. Per document, each rule's
+    * measurement and flag, plus `keep` = AND of all flags:
+    *
+    *   R1 token count in [minTokens, maxTokens]
+    *   R2 mean word length in [3, 10] chars
+    *   R3 symbol-to-word ratio (# and …) ≤ 0.1
+    *   R4 fraction of words containing an alphabetic char ≥ 0.8
+    *   R5 stopword evidence: ≥ 2 of the 8 common English words
+    *   R6 fraction of lines starting with a bullet (•, -, *) ≤ 0.9
+    *
+    * Every measurement is exact integer counting + one IEEE division;
+    * flags are plain comparisons — the SQL oracle replays value-exact.
+    * Scale shape: purely narrow at the scan (token array + regex dags);
+    * zero shuffle. The audit-table face; a filter is `.where(keep === 1)`.
+    */
+  def gopherRules(docs: DataFrame, docId: Column, text: Column,
+                  minTokens: Int = 10, maxTokens: Int = 100000): DataFrame = {
+    val toks = arrToks(text)
+    val lines = filter(split(text, "\n"), l => length(trim(l)) > 0)
+    val base = docs.select(docId.cast("long").as("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).as("word_chars"),
+      regexp_count(text, lit("[#…]")).cast("long").as("n_symbols"),
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long")
+        .as("n_alpha_words"),
+      size(filter(toks, w =>
+        array_contains(typedLit(gopherStops), lower(w)))).cast("long")
+        .as("n_stopwords"),
+      size(lines).cast("long").as("n_lines"),
+      size(filter(lines, l => trim(l).rlike("^[•*-]"))).cast("long")
+        .as("n_bullet_lines"))
+    base
+      .withColumn("mean_word_len",
+        when(col("n_tokens") > 0,
+          col("word_chars").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("symbol_ratio",
+        when(col("n_tokens") > 0,
+          col("n_symbols").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_frac",
+        when(col("n_tokens") > 0,
+          col("n_alpha_words").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("bullet_frac",
+        when(col("n_lines") > 0,
+          col("n_bullet_lines").cast("double") / col("n_lines").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("r1_len",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens)
+          .cast("int"))
+      .withColumn("r2_word_len",
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+          .cast("int"))
+      .withColumn("r3_symbols", (col("symbol_ratio") <= 0.1).cast("int"))
+      .withColumn("r4_alpha", (col("alpha_frac") >= 0.8).cast("int"))
+      .withColumn("r5_stops", (col("n_stopwords") >= 2).cast("int"))
+      .withColumn("r6_bullets", (col("bullet_frac") <= 0.9).cast("int"))
+      .withColumn("keep",
+        (col("r1_len") === 1 && col("r2_word_len") === 1 &&
+          col("r3_symbols") === 1 && col("r4_alpha") === 1 &&
+          col("r5_stops") === 1 && col("r6_bullets") === 1).cast("int"))
+  }
+
+  /** FLESCH READING EASE (Flesch 1948): 206.835 − 1.015·(words/sentences)
+    * − 84.6·(syllables/word) — the classic readability screen (very low =
+    * legalese/boilerplate, very high = fragment spam; curation keeps the
+    * broad middle). Syllables are the standard vowel-GROUP heuristic
+    * (runs of [aeiouy] in the lowercased word, min 1 per word) — crude
+    * but deterministic and SQL-replayable; sentences are [.!?]+ runs,
+    * floored at 1. Exact integer counts into one fixed FP dag. Purely
+    * narrow at the scan; zero shuffle.
+    */
+  def fleschScore(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    val toks = arrToks(text)
+    docs.select(docId.cast("long").as("doc_id"),
+        size(toks).cast("long").as("n_words"),
+        greatest(regexp_count(text, lit("[.!?]+")), lit(1)).cast("long")
+          .as("n_sentences"),
+        aggregate(toks, lit(0L), (acc, w) =>
+          acc + greatest(regexp_count(lower(w), lit("[aeiouy]+")), lit(1)))
+          .as("n_syllables"))
+      .where(col("n_words") > 0)
+      .withColumn("flesch",
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double")
+            / col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double")))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * Stable across engines (md5 hex lowercase in both).
     */
@@ -741,22 +840,24 @@ object TextOps {
         + (lit(D) * col("n1pl").cast("double") / col("c1").cast("double"))
           * pcont)
       .otherwise(pcont)
-    // (doc_id, gram) -> multiplicity pre-agg before the joins — see
-    // [[scoreBigramLm]]: the shuffle carries per-doc gram types, not
-    // instances; m × the truncated decimal term is value-exact.
+    // hashed join keys, instance rows — see [[scoreBigramLm]] for the
+    // measured rationale (8-byte keys cut the exchange/spill bytes; a
+    // doc-gram pre-agg was tried and reverted)
     val terms = docs
       .select(docId.as("doc_id"),
         explode(bigramStructs(arrToks(text))).as("g"))
-      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .agg(count(lit(1)).as("m"))
-      .join(big, Seq("w1", "w2"), "left")
-      .join(ctx, Seq("w1"), "left")
-      .join(cont, Seq("w2"), "left")
+      .select(col("doc_id"), xxhash64(col("g.w1"), col("g.w2")).as("h12"),
+        xxhash64(col("g.w1")).as("h1"), xxhash64(col("g.w2")).as("h2"))
+      .join(big.select(xxhash64(col("w1"), col("w2")).as("h12"), col("c12")),
+        Seq("h12"), "left")
+      .join(ctx.select(xxhash64(col("w1")).as("h1"), col("c1"), col("n1pl")),
+        Seq("h1"), "left")
+      .join(cont.select(xxhash64(col("w2")).as("h2"), col("n1pr")),
+        Seq("h2"), "left")
       .crossJoin(broadcast(types)).crossJoin(broadcast(vocab))
       .withColumn("term", log(p).cast(DecimalType(28, 12)))
       .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_bigrams"),
-        sum(col("m").cast(DecimalType(9, 0)) * col("term")).as("s"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("s"))
     docs.select(docId.as("doc_id"), trainGate.as("is_train"))
       .join(terms, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
@@ -806,29 +907,33 @@ object TextOps {
   def scoreBigramLm(docs: DataFrame, docId: Column, text: Column,
                     lm: BigramLm): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    // Pre-aggregate doc-grams to (doc_id, gram) -> multiplicity BEFORE the
-    // type-table joins: the shuffle then carries per-doc gram TYPES, not
-    // instances — the per-doc repetition factor comes straight off every
-    // scoring join's shuffle (and its spill surface). Value-exact: each ln
-    // term is truncated to DECIMAL(28,12) first, and m × an exact decimal
-    // equals summing m identical truncated instances. m enters the product
-    // as DECIMAL(9,0): (9,0)×(28,12) is exactly precision 38 / scale 12 —
-    // a long multiplicand would push past 38 and Spark would cut the scale
-    // to 6 (allowPrecisionLoss), breaking the bitwise oracle.
+    // Scoring joins are keyed by xxhash64 of the gram, not the word tuple:
+    // the doc-gram frame the 2-3 join exchanges carry is (long, long) —
+    // ~8-10x fewer shuffle/spill bytes than word strings, which is the
+    // surface the r9 official bench punished. Collision-safe by the
+    // q44/q179 negligible-mass argument (the ORACLE-checked BLEU face has
+    // hashed its count shuffle since r9), and no output column carries a
+    // gram. NOTE a (doc_id, gram)->multiplicity pre-agg was measured here
+    // first and REVERTED: per-doc gram repetition in natural text is only
+    // ~1.2x, so the near-unique-key partial aggregate cost a full extra
+    // instance shuffle + a spilling hash map and ran the q140 family 3-4x
+    // SLOWER (bench_r10_run1 18.7s vs r9's 4-8s) — key narrowing attacks
+    // the same byte surface without a new exchange.
     val terms = docs
       .select(docId.as("doc_id"), explode(bigramStructs(arrToks(text))).as("g"))
-      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
-      .agg(count(lit(1)).as("m"))
-      .join(lm.big, Seq("w1", "w2"), "left")
-      .join(lm.ctx, Seq("w1"), "left")
+      .select(col("doc_id"), xxhash64(col("g.w1"), col("g.w2")).as("h12"),
+        xxhash64(col("g.w1")).as("h1"))
+      .join(lm.big.select(xxhash64(col("w1"), col("w2")).as("h12"),
+        col("c12")), Seq("h12"), "left")
+      .join(lm.ctx.select(xxhash64(col("w1")).as("h1"), col("c1")),
+        Seq("h1"), "left")
       .crossJoin(broadcast(lm.vocab))
       .withColumn("term",
         log((coalesce(col("c12"), lit(0L)) + lit(lm.addK)).cast("double") /
             (coalesce(col("c1"), lit(0L)) + lit(lm.addK) * col("v")).cast("double"))
           .cast(DecimalType(28, 12)))
       .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_bigrams"),
-        sum(col("m").cast(DecimalType(9, 0)) * col("term")).as("s"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("s"))
     docs.withColumn("doc_id", docId)
       .join(terms, Seq("doc_id"), "left")
       .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
@@ -973,20 +1078,28 @@ object TextOps {
       docs.filter(trainGate).select(text.as("text")), col("text"), alpha)
     val withId = docs.select(docId.as("doc_id"), trainGate.as("is_train"),
       text.as("text"))
-    // (doc_id, trigram) -> multiplicity pre-agg before the five scoring
-    // joins — see [[scoreBigramLm]]: the repetition factor comes off every
-    // join's shuffle; m × the truncated decimal term is value-exact.
+    // hashed join keys, instance rows — see [[scoreBigramLm]] for the
+    // measured rationale: the five scoring exchanges carry a 6-long frame
+    // (~8-10x fewer bytes than the word-tuple keys the r9 official bench
+    // spilled on); a doc-gram pre-agg was tried and reverted (3-4x slower)
     val terms = withId
       .select(col("doc_id"), explode(trigramStructs(arrToks(col("text")))).as("g"))
-      .groupBy(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
-        col("g.w3").as("w3"))
-      .agg(count(lit(1)).as("m"))
-      .join(lm.tri, Seq("w1", "w2", "w3"), "left")
-      .join(lm.big, Seq("w1", "w2"), "left")
-      .join(lm.big.select(col("w1").as("w2"), col("w2").as("w3"),
-        col("c12").as("c23")), Seq("w2", "w3"), "left")
-      .join(lm.uni.select(col("w").as("w2"), col("c1").as("c2")), Seq("w2"), "left")
-      .join(lm.uni.select(col("w").as("w3"), col("c1").as("c3")), Seq("w3"), "left")
+      .select(col("doc_id"),
+        xxhash64(col("g.w1"), col("g.w2"), col("g.w3")).as("h123"),
+        xxhash64(col("g.w1"), col("g.w2")).as("h12"),
+        xxhash64(col("g.w2"), col("g.w3")).as("h23"),
+        xxhash64(col("g.w2")).as("h2"), xxhash64(col("g.w3")).as("h3"))
+      .join(lm.tri.select(
+        xxhash64(col("w1"), col("w2"), col("w3")).as("h123"), col("c123")),
+        Seq("h123"), "left")
+      .join(lm.big.select(xxhash64(col("w1"), col("w2")).as("h12"),
+        col("c12")), Seq("h12"), "left")
+      .join(lm.big.select(xxhash64(col("w1"), col("w2")).as("h23"),
+        col("c12").as("c23")), Seq("h23"), "left")
+      .join(lm.uni.select(xxhash64(col("w")).as("h2"), col("c1").as("c2")),
+        Seq("h2"), "left")
+      .join(lm.uni.select(xxhash64(col("w")).as("h3"), col("c1").as("c3")),
+        Seq("h3"), "left")
       .crossJoin(broadcast(lm.totals))
       .withColumn("term",
         log(
@@ -999,8 +1112,7 @@ object TextOps {
             (col("n_tokens") + col("v")).cast("double")))
           .cast(DecimalType(28, 12)))
       .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_trigrams"),
-        sum(col("m").cast(DecimalType(9, 0)) * col("term")).as("s"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("term")).as("s"))
     withId.drop("text")
       .join(terms, Seq("doc_id"), "left")
       .withColumn("n_trigrams", coalesce(col("n_trigrams"), lit(0L)))

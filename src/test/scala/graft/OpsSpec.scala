@@ -4367,6 +4367,68 @@ class OpsSpec extends AnyFunSuite {
     assert(merged.toSeq == oneShot.toSeq)
   }
 
+  test("gopherRules: each rule trips on its designed offender, clean doc keeps") {
+    import graft.ops.TextOps
+    val clean = "the quick brown fox jumps over that lazy dog to have fun with it"
+    val short = "the of"                                  // R1: too few tokens
+    val longWords = "the of " + Seq.fill(10)("supercalifragilistic").mkString(" ")
+    val symbols = "the of " + Seq.fill(10)("# x").mkString(" ")  // R3
+    val numeric = "the of " + Seq.fill(20)("12345").mkString(" ") // R4
+    val noStops = "quick brown fox jumps over lazy dog again and again more words here"
+    val bullets = "the of list\n" + Seq.fill(10)("- item\n").mkString // R6
+    val out = TextOps.gopherRules(
+        docs(1L -> clean, 2L -> short, 3L -> longWords, 4L -> symbols,
+          5L -> numeric, 6L -> noStops, 7L -> bullets),
+        col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def r(i: Int) = out(i)
+    assert(r(0).getAs[Int]("keep") == 1, r(0).toString)
+    assert(r(1).getAs[Int]("r1_len") == 0 && r(1).getAs[Int]("keep") == 0)
+    assert(r(2).getAs[Int]("r2_word_len") == 0)
+    assert(r(3).getAs[Int]("r3_symbols") == 0)
+    assert(r(4).getAs[Int]("r4_alpha") == 0)
+    assert(r(5).getAs[Int]("r5_stops") == 0) // only 1 stopword ("and")
+    assert(r(6).getAs[Int]("r6_bullets") == 0,
+      s"bullet_frac ${r(6).getAs[Double]("bullet_frac")}")
+  }
+
+  test("fleschScore: hand-computed value, sentence floor, empty doc drops") {
+    import graft.ops.TextOps
+    // "the cat sat. it ran!" -> 5 words, 2 sentences, 5 syllable groups
+    val out = TextOps.fleschScore(
+        docs(1L -> "the cat sat. it ran!", 2L -> "   "),
+        col("doc_id"), col("text")).collect()
+    assert(out.length == 1) // empty doc dropped
+    val r = out(0)
+    assert(r.getLong(1) == 5L && r.getLong(2) == 2L && r.getLong(3) == 5L)
+    val expect = 206.835 - 1.015 * (5.0 / 2.0) - 84.6 * (5.0 / 5.0)
+    assert(r.getDouble(4) == expect)
+    // no terminator: sentence count floors at 1
+    val one = TextOps.fleschScore(docs(3L -> "no end here"),
+      col("doc_id"), col("text")).collect()(0)
+    assert(one.getLong(2) == 1L)
+    // "beautiful" = eau+i+u... vowel groups: eau, i, u -> 3
+    val syl = TextOps.fleschScore(docs(4L -> "beautiful"),
+      col("doc_id"), col("text")).collect()(0)
+    assert(syl.getLong(3) == 3L)
+  }
+
+  test("joinStats: exact pair forecast, skew share, hot-key order") {
+    import graft.ops.JoinStats
+    val a = Seq(1L, 1L, 1L, 2L, 3L, 9L).toDF("k")   // 9 unmatched in b
+    val b = Seq(1L, 1L, 2L, 4L).toDF("k")           // 4 unmatched in a
+    val f = JoinStats.joinForecast(a, b, col("k")).collect()(0)
+    // pairs: key1 3*2=6, key2 1*1=1 -> est 7; truth check vs a real join
+    assert(f.getLong(0) == 7L && f.getLong(1) == 2L && f.getLong(2) == 6L)
+    assert(f.getLong(3) == 4L && f.getLong(4) == 3L) // matched rows a/b
+    assert(f.getDouble(5) == 6.0 / 7.0)
+    val actual = a.join(b, "k").count()
+    assert(actual == f.getLong(0), "forecast must equal the real join size")
+    val hot = JoinStats.hotKeys(a, b, col("k"), 1).collect()
+    assert(hot.length == 1 && hot(0).getLong(0) == 1L &&
+      hot(0).getLong(3) == 6L)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
