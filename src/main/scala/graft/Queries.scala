@@ -7674,6 +7674,199 @@ object Queries {
                ELSE 0.0 END AS max_key_share
       FROM c, f ORDER BY c.pairs DESC, c.key LIMIT 10"""))
 
+  /** GOPHER REPETITION, line/paragraph half (TextOps.lineRepetition):
+    * count- and CHAR-weighted duplicate-line/paragraph fractions — the
+    * boilerplate gates of Rae et al. 2021 §A1.1. Exact longs + one IEEE
+    * division each => value-exact oracle. Purely narrow; zero shuffle.
+    */
+  private val q217 = Q("q217_line_repetition",
+    (s, d) => graft.ops.TextOps.lineRepetition(docsSpread(s, d),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+          list_filter(list_transform(string_split(text, chr(10)),
+            l -> trim(l)), l -> len(l) > 0) AS lines,
+          list_filter(list_transform(string_split(text,
+            chr(10) || chr(10)), p -> trim(p)), p -> len(p) > 0) AS paras
+        FROM documents),
+      b AS (SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(lines) - len(list_distinct(lines)) AS BIGINT)
+            AS n_dup_lines,
+          CAST(COALESCE(list_sum(list_transform(lines, x -> len(x))), 0)
+            AS BIGINT) AS lines_chars,
+          CAST(COALESCE(list_sum(list_transform(lines, x -> len(x))), 0)
+            - COALESCE(list_sum(list_transform(list_distinct(lines),
+                x -> len(x))), 0) AS BIGINT) AS dup_lines_chars,
+          CAST(len(paras) AS BIGINT) AS n_paras,
+          CAST(len(paras) - len(list_distinct(paras)) AS BIGINT)
+            AS n_dup_paras,
+          CAST(COALESCE(list_sum(list_transform(paras, x -> len(x))), 0)
+            AS BIGINT) AS paras_chars,
+          CAST(COALESCE(list_sum(list_transform(paras, x -> len(x))), 0)
+            - COALESCE(list_sum(list_transform(list_distinct(paras),
+                x -> len(x))), 0) AS BIGINT) AS dup_paras_chars
+        FROM t)
+      SELECT *,
+        CASE WHEN n_lines > 0 THEN CAST(n_dup_lines AS DOUBLE)
+          / CAST(n_lines AS DOUBLE) ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN lines_chars > 0 THEN CAST(dup_lines_chars AS DOUBLE)
+          / CAST(lines_chars AS DOUBLE) ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN n_paras > 0 THEN CAST(n_dup_paras AS DOUBLE)
+          / CAST(n_paras AS DOUBLE) ELSE 0.0 END AS dup_para_frac,
+        CASE WHEN paras_chars > 0 THEN CAST(dup_paras_chars AS DOUBLE)
+          / CAST(paras_chars AS DOUBLE) ELSE 0.0 END AS dup_para_char_frac
+      FROM b ORDER BY doc_id"""))
+
+  /** GOPHER REPETITION, n-gram half (TextOps.gramRepetition): per (doc, n)
+    * for n = 2..10, the char mass of the most frequent n-gram and of all
+    * duplicated n-grams — Table A1's top-/dup-gram gates, long format.
+    * One explode -> (doc, n, gram) counts -> per-doc agg; ties on the top
+    * gram break (count, len) so no gram identity reaches the output.
+    */
+  private val q218 = Q("q218_gram_repetition",
+    (s, d) => graft.ops.TextOps.gramRepetition(docsSpread(s, d),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id"), col("n")),
+    Some("""
+      WITH t AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+          list_filter(string_split(text, ' '), w -> len(w) > 0) AS toks
+        FROM documents),
+      gr AS (SELECT doc_id, n_chars, ns.n AS n,
+          list_transform(generate_series(1, len(toks) - ns.n + 1),
+            i -> array_to_string(toks[i:i+ns.n-1], ' ')) AS grams
+        FROM t, (SELECT unnest(generate_series(2, 10)) AS n) ns
+        WHERE len(toks) >= ns.n),
+      inst AS (SELECT doc_id, n_chars, n, unnest(grams) AS gram FROM gr),
+      cnt AS (SELECT doc_id, n_chars, n, gram,
+          CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(len(gram) AS BIGINT) AS glen
+        FROM inst GROUP BY doc_id, n_chars, n, gram),
+      mx AS (SELECT doc_id, n, MAX(m) AS mm FROM cnt GROUP BY doc_id, n),
+      agg AS (SELECT c.doc_id, c.n_chars, c.n,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(c.m) AS BIGINT) AS n_grams,
+          CAST(ANY_VALUE(x.mm) AS BIGINT) AS top_m,
+          CAST(MAX(CASE WHEN c.m = x.mm THEN c.glen END) AS BIGINT)
+            AS top_glen,
+          CAST(SUM(CASE WHEN c.m >= 2 THEN c.m * c.glen ELSE 0 END)
+            AS BIGINT) AS dup_chars
+        FROM cnt c JOIN mx x USING (doc_id, n)
+        GROUP BY c.doc_id, c.n_chars, c.n)
+      SELECT doc_id, n, n_chars, n_types, n_grams, top_m,
+        top_m * top_glen AS top_chars, dup_chars,
+        CASE WHEN n_chars > 0 THEN CAST(top_m * top_glen AS DOUBLE)
+          / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS top_char_frac,
+        CASE WHEN n_chars > 0 THEN CAST(dup_chars AS DOUBLE)
+          / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS dup_char_frac
+      FROM agg ORDER BY doc_id, n"""))
+
+  /** C4 LINE CLEANING (TextOps.c4Clean, Raffel et al. 2020 §2.2):
+    * terminal-punct / min-words / "javascript" line gates, lorem-ipsum /
+    * brace / min-sentences doc gates, and the cleaned text itself.
+    * Purely narrow; exact counts => value-exact oracle.
+    */
+  private val q219 = Q("q219_c4_clean",
+    (s, d) => graft.ops.TextOps.c4Clean(docsSpread(s, d),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id, text,
+          list_filter(list_transform(string_split(text, chr(10)),
+            l -> trim(l)), l -> len(l) > 0) AS lines
+        FROM documents),
+      k AS (SELECT doc_id, text, lines,
+          list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+            AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+            AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM t),
+      b AS (SELECT doc_id,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          CAST(COALESCE(list_sum(list_transform(kept,
+            l -> len(regexp_extract_all(l, '[.!?]+')))), 0) AS BIGINT)
+            AS n_sentences,
+          CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,
+          CAST(contains(text, '{') AS INT) AS has_brace,
+          array_to_string(kept, chr(10)) AS joined
+        FROM k)
+      SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+        has_brace,
+        CAST(has_lorem = 0 AND has_brace = 0 AND n_sentences >= 3
+          AND n_kept_lines > 0 AS INT) AS keep,
+        CASE WHEN has_lorem = 0 AND has_brace = 0 AND n_sentences >= 3
+          AND n_kept_lines > 0 THEN joined END AS clean_text
+      FROM b ORDER BY doc_id"""))
+
+  /** MEDIAN/MAD OUTLIERS (Robust.madOutliers, Hampel k=3.5) on event
+    * values per type: the robust metric screen — exact interpolated
+    * percentiles in both engines share the lo+(hi−lo)·f dag, so the
+    * oracle replays bit-identically.
+    */
+  private val q220 = Q("q220_mad_outliers",
+    (s, d) => graft.ops.Robust.madOutliers(t(s, d, "events"),
+        col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("grp"), col("id")),
+    Some("""
+      WITH base AS (SELECT event_type AS grp, event_id AS id,
+          CAST(value AS DOUBLE) AS x FROM events),
+      med AS (SELECT grp, quantile_cont(x, 0.5) AS med
+              FROM base GROUP BY grp),
+      dev AS (SELECT b.grp, b.id, b.x, m.med, abs(b.x - m.med) AS absdev
+              FROM base b JOIN med m USING (grp)),
+      mad AS (SELECT grp, quantile_cont(absdev, 0.5) AS mad
+              FROM dev GROUP BY grp)
+      SELECT d.grp, d.id, d.x, d.med, a.mad,
+        d.absdev / (1.4826 * a.mad) AS robust_z
+      FROM dev d JOIN mad a USING (grp)
+      WHERE a.mad > 0.0 AND d.absdev / (1.4826 * a.mad) > 3.5
+      ORDER BY d.grp, d.id"""))
+
+  /** BENFORD FIRST-DIGIT AUDIT (Robust.benfordAudit) over extended
+    * prices per nation-region of the supplier: digit counts, observed vs
+    * expected fractions (shared 6-dp literals — no engine log10), and the
+    * per-group χ². String-extracted first digit => engine-agnostic.
+    */
+  private val q221 = Q("q221_benford_audit",
+    (s, d) => graft.ops.Robust.benfordAudit(
+        t(s, d, "lineitem").join(t(s, d, "supplier"),
+          col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("s_nationkey") === col("n_nationkey")),
+        col("n_name"), col("l_extendedprice"))
+      .orderBy(col("grp"), col("digit")),
+    Some("""
+      WITH j AS (SELECT n.n_name AS grp,
+          regexp_extract(CAST(l.l_extendedprice AS VARCHAR), '[1-9]')
+            AS dch
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey),
+      c AS (SELECT grp, CAST(dch AS INT) AS digit,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM j WHERE dch <> '' GROUP BY grp, digit),
+      e AS (SELECT digit, CAST(exp_frac AS DOUBLE) AS exp_frac
+        FROM (VALUES (1, 0.301030), (2, 0.176091),
+          (3, 0.124939), (4, 0.096910), (5, 0.079181), (6, 0.066947),
+          (7, 0.057992), (8, 0.051153), (9, 0.045757)) AS t(digit, exp_frac)),
+      w AS (SELECT c.grp, c.digit, c.n,
+          CAST(SUM(c.n) OVER (PARTITION BY c.grp) AS BIGINT) AS total,
+          e.exp_frac
+        FROM c JOIN e USING (digit)),
+      x AS (SELECT *,
+          CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS obs_frac,
+          (CAST(n AS DOUBLE) - exp_frac * CAST(total AS DOUBLE))
+            * (CAST(n AS DOUBLE) - exp_frac * CAST(total AS DOUBLE))
+            / (exp_frac * CAST(total AS DOUBLE)) AS chi2_term
+        FROM w),
+      f AS (SELECT grp,
+          list_reduce(list(chi2_term ORDER BY digit), (a, b) -> a + b)
+            AS chi2
+        FROM x GROUP BY grp)
+      SELECT x.grp, x.digit, x.n, x.total, x.obs_frac, x.exp_frac, f.chi2
+      FROM x JOIN f USING (grp) ORDER BY x.grp, x.digit"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7691,7 +7884,8 @@ object Queries {
     q157, q158, q159, q160, q161, q162, q163, q164, q165, q166, q167, q168, q169,
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
-    q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216)
+    q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
+    q217, q218, q219, q220, q221)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust statistics + distribution audits over numeric columns — the
+  * data-quality screens a pipeline runs on metrics/prices/scores BEFORE
+  * trusting them for mixing or filtering decisions.
+  */
+object Robust {
+
+  /** MEDIAN/MAD OUTLIER DETECTION (Hampel filter, the robust alternative
+    * to mean±kσ — one wild value cannot drag the threshold the way it
+    * drags a standard deviation): per group, the exact median, the median
+    * absolute deviation, and every row whose
+    * `|x − median| / (1.4826·MAD)` exceeds `k` (1.4826 makes MAD a
+    * consistent σ estimate under normality; k=3.5 is the classic Hampel
+    * cut). Rows in groups with MAD = 0 (over half the group identical)
+    * are never flagged — documented, matches the estimator's breakdown.
+    *
+    * Exactness: `percentile(_, 0.5)` is Spark's EXACT interpolated
+    * percentile and DuckDB's `quantile_cont` uses the same
+    * `lo + (hi − lo)·frac` dag, so the oracle replays bit-identically.
+    *
+    * Scale shape: two grouped EXACT percentiles (each buffers its group's
+    * values — right while groups are few and fit an executor; the 100 TB
+    * escape for huge groups is `percentile_approx`, same plan shape) +
+    * two broadcast joins of the tiny per-group stats back onto the rows;
+    * the row-side frame is never shuffled beyond its scan partitioning.
+    */
+  def madOutliers(df: DataFrame, group: Column, id: Column, value: Column,
+                  k: Double = 3.5): DataFrame = {
+    val base = df.select(group.as("grp"), id.as("id"),
+      value.cast("double").as("x"))
+    val med = base.groupBy(col("grp"))
+      .agg(percentile(col("x"), lit(0.5)).as("med"))
+    val dev = base.join(broadcast(med), Seq("grp"))
+      .withColumn("absdev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("grp"))
+      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .withColumn("robust_z",
+        when(col("mad") > 0.0,
+          col("absdev") / (lit(1.4826) * col("mad"))))
+      .where(col("robust_z") > k)
+      .select(col("grp"), col("id"), col("x"), col("med"), col("mad"),
+        col("robust_z"))
+  }
+
+  /** Benford first-digit expectations log10(1 + 1/d), d = 1..9, rounded
+    * to 6 dp so the Spark and SQL faces share LITERAL constants (no
+    * engine-log10 in the compared dag).
+    */
+  val benfordExpected: Seq[Double] = Seq(
+    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  /** BENFORD FIRST-DIGIT AUDIT: the classic fabricated-/truncated-data
+    * screen — natural multiplicative quantities (prices, populations,
+    * counts) put ~30.1% of first significant digits at 1; uniform or
+    * hand-typed data does not. Per group: each digit's count, observed
+    * fraction, the Benford expectation, and the group's χ² statistic
+    * (Σ (n_d − e_d·N)² / (e_d·N) over OBSERVED digits — an absent digit
+    * contributes no term; with 9 cells and real N they are all present).
+    *
+    * The first significant digit is extracted from the value's STRING
+    * form (first [1-9] char) — exact and engine-agnostic, no log10
+    * round-trip; pass a decimal/integer column (double→string notation
+    * differs across engines).
+    *
+    * Scale shape: one partial-combined groupBy on (group, digit) — ≤9
+    * rows per group out of the shuffle — then per-group windows over ≤9
+    * rows. The χ² and fractions are fixed FP dags over exact longs.
+    */
+  def benfordAudit(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val digit = regexp_extract(value.cast("string"), "[1-9]", 0)
+    val counts = df
+      .select(group.as("grp"), digit.as("d"))
+      .where(col("d") =!= "")
+      .groupBy(col("grp"), col("d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp"))
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("obs_frac",
+        col("n").cast("double") / col("total").cast("double"))
+      .withColumn("exp_frac",
+        element_at(typedLit(benfordExpected), col("digit")))
+      .withColumn("chi2_term", {
+        val e = col("exp_frac") * col("total").cast("double")
+        (col("n").cast("double") - e) * (col("n").cast("double") - e) / e
+      })
+      // FP addition is order-sensitive and a window SUM's partition order
+      // is engine-dependent (and double→decimal casts round differently
+      // across engines: Spark via the shortest string repr, others via the
+      // binary value) — so the χ² is a LEFT FOLD of the ≤9 terms in digit
+      // order: bit-identical terms + fixed order = bit-identical sum
+      .withColumn("chi2",
+        aggregate(
+          array_sort(
+            collect_list(struct(col("digit"), col("chi2_term"))).over(w)),
+          lit(0.0), (a, x) => a + x.getField("chi2_term")))
+      .drop("chi2_term")
+  }
+}

@@ -587,6 +587,156 @@ object TextOps {
             / col("n_words").cast("double")))
   }
 
+  /** GOPHER REPETITION RULES, line/paragraph half (Rae et al. 2021
+    * §A1.1): documents dominated by repeated lines or paragraphs are
+    * boilerplate (navigation chrome, templated listings). Per document:
+    * the count-based duplicate fraction (instances beyond the first
+    * occurrence / instances) and the CHARACTER-weighted one (chars in
+    * duplicate instances / chars in all instances — Gopher's actual
+    * gate, which catches one huge repeated block that the count
+    * fraction under-weights), for both lines (`\n`) and paragraphs
+    * (`\n\n`), blanks dropped, whitespace-trimmed.
+    *
+    * dup chars = Σ len(instances) − Σ len(distinct types): exact longs,
+    * one IEEE division each. Purely NARROW — array expressions in one
+    * projection, zero shuffle, scan parallelism is the operator's.
+    */
+  def lineRepetition(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    def stats(arr: Column, pfx: String): Seq[Column] = {
+      val n = size(arr).cast("long").as(s"n_$pfx")
+      val nDup = (size(arr) - size(array_distinct(arr))).cast("long")
+        .as(s"n_dup_$pfx")
+      val chars = aggregate(arr, lit(0L), (a, x) => a + length(x))
+        .as(s"${pfx}_chars")
+      val dupChars = (aggregate(arr, lit(0L), (a, x) => a + length(x))
+        - aggregate(array_distinct(arr), lit(0L), (a, x) => a + length(x)))
+        .as(s"dup_${pfx}_chars")
+      Seq(n, nDup, chars, dupChars)
+    }
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val paras = filter(transform(split(text, "\n\n"), p => trim(p)),
+      p => length(p) > 0)
+    docs.select(docId.cast("long").as("doc_id") +:
+        (stats(lines, "lines") ++ stats(paras, "paras")): _*)
+      .withColumn("dup_line_frac",
+        when(col("n_lines") > 0,
+          col("n_dup_lines").cast("double") / col("n_lines").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_line_char_frac",
+        when(col("lines_chars") > 0,
+          col("dup_lines_chars").cast("double")
+            / col("lines_chars").cast("double")).otherwise(lit(0.0)))
+      .withColumn("dup_para_frac",
+        when(col("n_paras") > 0,
+          col("n_dup_paras").cast("double") / col("n_paras").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_para_char_frac",
+        when(col("paras_chars") > 0,
+          col("dup_paras_chars").cast("double")
+            / col("paras_chars").cast("double")).otherwise(lit(0.0)))
+  }
+
+  /** GOPHER REPETITION RULES, n-gram half (Rae et al. 2021 §A1.1, Table
+    * A1): per document and per n in [minN, maxN], the character mass of
+    * the MOST FREQUENT n-gram (`top_char_frac` — the n=2..4 gates) and
+    * of ALL duplicated n-grams, every occurrence counted
+    * (`dup_char_frac` — the n=5..10 gates; overlapping occurrences are
+    * NOT position-deduped, a documented upper-bound approximation of the
+    * paper's positional coverage, so the fraction can exceed 1 on
+    * degenerate repeats). Denominator is the doc's total char count.
+    * Long format: (doc_id, n) rows — wide pivots and keep flags are one
+    * `groupBy(doc_id).pivot(n)` away.
+    *
+    * Top gram ties break by (count, gram length) max — gram identity
+    * never reaches the output, so the struct-max is deterministic and
+    * SQL-replayable.
+    *
+    * Scale shape: ONE explode of all gram orders (Σ ≈ (maxN−minN+1)·|toks|
+    * instances) → partial-combined groupBy (doc_id, n, gram) → per-doc
+    * groupBy. Both aggregations are clustered by doc_id, so a doc_id-
+    * partitioned input makes the second exchange free. At 100 TB the
+    * gram strings in the first shuffle are the cost; the hash-key
+    * narrowing of [[scoreBigramLm]] applies verbatim if profiles demand
+    * it (counts are hash-invariant; the output carries no gram).
+    */
+  def gramRepetition(docs: DataFrame, docId: Column, text: Column,
+                     minN: Int = 2, maxN: Int = 10): DataFrame = {
+    require(minN >= 1 && maxN >= minN, s"bad gram range [$minN, $maxN]")
+    val toks = arrToks(text)
+    def gramsOf(n: Int): Column =
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+    val tagged = flatten(array((minN to maxN).map(n =>
+      transform(gramsOf(n), g => struct(lit(n).as("n"), g.as("gram")))): _*))
+    docs
+      .select(docId.cast("long").as("doc_id"),
+        length(text).cast("long").as("n_chars"), explode(tagged).as("g"))
+      .groupBy(col("doc_id"), col("n_chars"), col("g.n").as("n"),
+        col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("doc_id"), col("n_chars"), col("n"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("m")).as("n_grams"),
+        max(struct(col("m"), length(col("gram")).cast("long").as("glen")))
+          .as("top"),
+        sum(when(col("m") >= 2, col("m") * length(col("gram")).cast("long"))
+          .otherwise(lit(0L))).as("dup_chars"))
+      .select(col("doc_id"), col("n"), col("n_chars"), col("n_types"),
+        col("n_grams"),
+        col("top.m").as("top_m"),
+        (col("top.m") * col("top.glen")).as("top_chars"),
+        col("dup_chars"))
+      .withColumn("top_char_frac",
+        when(col("n_chars") > 0,
+          col("top_chars").cast("double") / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("dup_char_frac",
+        when(col("n_chars") > 0,
+          col("dup_chars").cast("double") / col("n_chars").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /** C4 LINE-LEVEL CLEANING (Raffel et al. 2020 §2.2): the heuristics
+    * that turned Common Crawl into C4, per document —
+    *   keep a line iff it ends in terminal punctuation (. ! ? "),
+    *     has ≥ `minLineWords` words, and does not mention "javascript";
+    *   drop the whole document if it contains "lorem ipsum" or a curly
+    *     brace, or retains fewer than `minSentences` sentences
+    *     (terminal-punct runs in the kept lines).
+    * Output: per-doc counters, each drop reason as its own flag, the
+    * final `keep`, and `clean_text` = kept lines re-joined (null when
+    * dropped). Purely NARROW — one projection of array/regex dags over
+    * trimmed non-blank lines; zero shuffle; exact integer counts.
+    */
+  def c4Clean(docs: DataFrame, docId: Column, text: Column,
+              minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, " "), w => length(w) > 0)) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    docs
+      .select(docId.cast("long").as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept_lines"),
+        aggregate(kept, lit(0L),
+          (a, l) => a + regexp_count(l, lit("[.!?]+"))).as("n_sentences"),
+        lower(text).contains("lorem ipsum").cast("int").as("has_lorem"),
+        text.contains("{").cast("int").as("has_brace"),
+        array_join(kept, "\n").as("joined"))
+      .withColumn("keep",
+        (col("has_lorem") === 0 && col("has_brace") === 0 &&
+          col("n_sentences") >= minSentences && col("n_kept_lines") > 0)
+          .cast("int"))
+      .withColumn("clean_text",
+        when(col("keep") === 1, col("joined")))
+      .drop("joined")
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * Stable across engines (md5 hex lowercase in both).
     */

@@ -4429,6 +4429,110 @@ class OpsSpec extends AnyFunSuite {
       hot(0).getLong(3) == 6L)
   }
 
+  test("lineRepetition: hand-counted dup line/paragraph count and char fractions") {
+    val text = "a b\nc d\na b\n\nPARA\n\nPARA"
+    // lines: [a b, c d, a b, PARA, PARA] -> 5, dup 2; chars 17, dup 7
+    // paras: [a b\nc d\na b, PARA, PARA] -> 3, dup 1; chars 11+4+4=19, dup 4
+    val r = TextOps.lineRepetition(docs(1L -> text), col("doc_id"),
+      col("text")).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 5L && r.getAs[Long]("n_dup_lines") == 2L)
+    assert(r.getAs[Long]("lines_chars") == 17L &&
+      r.getAs[Long]("dup_lines_chars") == 7L)
+    assert(r.getAs[Double]("dup_line_frac") == 2.0 / 5.0)
+    assert(r.getAs[Double]("dup_line_char_frac") == 7.0 / 17.0)
+    assert(r.getAs[Long]("n_paras") == 3L && r.getAs[Long]("n_dup_paras") == 1L)
+    assert(r.getAs[Long]("paras_chars") == 19L &&
+      r.getAs[Long]("dup_paras_chars") == 4L)
+    assert(r.getAs[Double]("dup_para_char_frac") == 4.0 / 19.0)
+  }
+
+  test("gramRepetition: top/dup gram char mass, tie-break, >1 overlap case") {
+    // toks [x y x y x], n_chars 9. n=2: "x y"x2 "y x"x2 -> top (2,3),
+    // dup 12 (frac > 1: overlapping repeats, documented); n=3: "x y x"x2
+    // "y x y"x1 -> top (2,5) dup 10; n=5: single gram m=1 -> dup 0.
+    val out = TextOps.gramRepetition(docs(1L -> "x y x y x"),
+      col("doc_id"), col("text")).orderBy(col("n")).collect()
+    assert(out.map(_.getAs[Int]("n")).toSeq == Seq(2, 3, 4, 5))
+    val n2 = out(0)
+    assert(n2.getAs[Long]("n_types") == 2L && n2.getAs[Long]("n_grams") == 4L)
+    assert(n2.getAs[Long]("top_m") == 2L && n2.getAs[Long]("top_chars") == 6L)
+    assert(n2.getAs[Long]("dup_chars") == 12L)
+    assert(n2.getAs[Double]("dup_char_frac") == 12.0 / 9.0) // > 1 by design
+    val n3 = out(1)
+    assert(n3.getAs[Long]("top_m") == 2L && n3.getAs[Long]("top_chars") == 10L)
+    assert(n3.getAs[Long]("dup_chars") == 10L)
+    val n5 = out(3)
+    assert(n5.getAs[Long]("top_m") == 1L && n5.getAs[Long]("dup_chars") == 0L)
+    // tie on count broken by gram LENGTH: "aa bb" vs "c d" both m=1;
+    // top struct must pick glen 5 ("aa bb")
+    val tie = TextOps.gramRepetition(docs(2L -> "aa bb . c d"),
+        col("doc_id"), col("text"), minN = 2, maxN = 2).collect()(0)
+    assert(tie.getAs[Long]("top_chars") == 5L)
+  }
+
+  test("c4Clean: line gates, doc gates, cleaned text") {
+    val good = Seq(
+      "This is a good long sentence.",
+      "Another perfectly fine long sentence!",
+      "short one.",                            // < 5 words -> dropped
+      "no terminal punctuation in this line",  // no [.!?\"] end -> dropped
+      "This line mentions javascript and is dropped.",
+      "A third keeper line ends right here?").mkString("\n")
+    val r = TextOps.c4Clean(docs(1L -> good), col("doc_id"), col("text"))
+      .collect()(0)
+    assert(r.getAs[Long]("n_lines") == 6L && r.getAs[Long]("n_kept_lines") == 3L)
+    assert(r.getAs[Long]("n_sentences") == 3L && r.getAs[Int]("keep") == 1)
+    assert(r.getAs[String]("clean_text").split("\n").length == 3)
+    // doc gates: lorem ipsum, brace, < 3 sentences
+    val dropped = TextOps.c4Clean(docs(
+        2L -> ("Lorem Ipsum dolor sit amet line here.\n" + good),
+        3L -> ("val x = { yes }\n" + good),
+        4L -> "Only one keeper sentence lives here."),
+      col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    assert(dropped.forall(_.getAs[Int]("keep") == 0))
+    assert(dropped.forall(_.getAs[String]("clean_text") == null))
+    assert(dropped(0).getAs[Int]("has_lorem") == 1)
+    assert(dropped(1).getAs[Int]("has_brace") == 1)
+  }
+
+  test("madOutliers: Hampel flag on the planted spike, MAD=0 group silent, even-count interpolation") {
+    import graft.ops.Robust
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 100.0),                       // med 3, mad 1 -> z ~ 65.4
+      ("b", 6L, 7.0), ("b", 7L, 7.0), ("b", 8L, 7.0), ("b", 9L, 7.0)
+    ).toDF("g", "id", "v")
+    val out = Robust.madOutliers(df, col("g"), col("id"), col("v")).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("id") == 5L)
+    assert(out(0).getAs[Double]("med") == 3.0 && out(0).getAs[Double]("mad") == 1.0)
+    assert(out(0).getAs[Double]("robust_z") == 97.0 / (1.4826 * 1.0))
+    // even count: percentile(0.5) interpolates the middle pair
+    val ev = Seq(("c", 1L, 1.0), ("c", 2L, 2.0), ("c", 3L, 3.0),
+      ("c", 4L, 10.0)).toDF("g", "id", "v")
+    val med = ev.groupBy(col("g"))
+      .agg(percentile(col("v"), lit(0.5)).as("m")).collect()(0)
+    assert(med.getAs[Double]("m") == 2.5)
+  }
+
+  test("benfordAudit: string-extracted first digits, exact fractions, chi2 replay") {
+    import graft.ops.Robust
+    val df = Seq(("x", BigDecimal("123.00")), ("x", BigDecimal("19.50")),
+      ("x", BigDecimal("2.50")), ("x", BigDecimal("0.03")),
+      ("x", BigDecimal("900.00"))).toDF("g", "v")
+    val out = Robust.benfordAudit(df, col("g"), col("v"))
+      .orderBy(col("digit")).collect()
+    // digits: 1,1,2,3,9
+    assert(out.map(r => (r.getAs[Int]("digit"), r.getAs[Long]("n"))).toSeq ==
+      Seq((1, 2L), (2, 1L), (3, 1L), (9, 1L)))
+    assert(out.forall(_.getAs[Long]("total") == 5L))
+    assert(out(0).getAs[Double]("obs_frac") == 0.4)
+    assert(out(0).getAs[Double]("exp_frac") == 0.301030)
+    val chi2 = Seq((2.0, 0.301030), (1.0, 0.176091), (1.0, 0.124939),
+      (1.0, 0.045757)).map { case (n, e) =>
+        val ex = e * 5.0; (n - ex) * (n - ex) / ex }.sum
+    assert(math.abs(out(0).getAs[Double]("chi2") - chi2) < 1e-12)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
