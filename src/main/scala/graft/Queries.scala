@@ -7867,6 +7867,141 @@ object Queries {
       SELECT x.grp, x.digit, x.n, x.total, x.obs_frac, x.exp_frac, f.chi2
       FROM x JOIN f USING (grp) ORDER BY x.grp, x.digit"""))
 
+  /** VOCABULARY COVERAGE / OOV CURVE (TextOps.coverageCurve): token-mass
+    * coverage of the top-K types at K ∈ {256..4096} — the UNK rate a
+    * K-entry vocab would pay; where the curve flattens, growing the
+    * vocab stops paying. Integer-exact cumulative counts; ranks break
+    * ties by term, so the curve is total-ordered and value-exact.
+    */
+  private val q222 = Q("q222_coverage_curve",
+    (s, d) => graft.ops.TextOps.coverageCurve(docsSpread(s, d),
+        col("text"), cuts = Seq(4, 8, 16, 24))
+      .orderBy(col("vocab_size")),
+    Some("""
+      WITH tf AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+        FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                t -> len(t) > 0)) AS w
+              FROM documents)
+        GROUP BY w),
+      tot AS (SELECT CAST(SUM(f) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types FROM tf),
+      r AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rank
+        FROM tf QUALIFY rank <= 24),
+      c AS (SELECT rank, f,
+          CAST(SUM(f) OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_f
+        FROM r)
+      SELECT c.rank AS vocab_size, c.f AS kth_freq, c.cum_f,
+        t.n_tokens, t.n_types,
+        CAST(c.cum_f AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS coverage,
+        1.0 - CAST(c.cum_f AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+          AS oov_rate
+      FROM c, tot t
+      WHERE c.rank IN (4, 8, 16, 24)
+      ORDER BY vocab_size"""))
+
+  /** VOCABULARY RICHNESS (TextOps.vocabRichness): TTR, hapax fraction,
+    * Simpson repeat-rate per source — exact type counts, fixed divisions.
+    */
+  private val q223 = Q("q223_vocab_richness",
+    (s, d) => graft.ops.TextOps.vocabRichness(docsSpread(s, d),
+        col("source"), col("text"))
+      .orderBy(col("grp")),
+    Some("""
+      WITH tf AS (SELECT grp, w, CAST(COUNT(*) AS BIGINT) AS m
+        FROM (SELECT source AS grp,
+                unnest(list_filter(string_split(text, ' '),
+                  t -> len(t) > 0)) AS w
+              FROM documents)
+        GROUP BY grp, w),
+      a AS (SELECT grp,
+          CAST(SUM(m) AS BIGINT) AS n_tokens,
+          CAST(COUNT(*) AS BIGINT) AS n_types,
+          CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+          CAST(SUM(m * (m - 1)) AS BIGINT) AS rep_pairs
+        FROM tf GROUP BY grp)
+      SELECT grp, n_tokens, n_types, n_hapax, rep_pairs,
+        CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+        CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_frac,
+        CASE WHEN n_tokens > 1
+          THEN CAST(rep_pairs AS DOUBLE)
+               / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))
+          ELSE 0.0 END AS simpson
+      FROM a ORDER BY grp"""))
+
+  /** COLUMN PROFILE (Profile.columnProfile) over orders: null share,
+    * distinct count, and the dominant value per column — the audit that
+    * precedes filter/join decisions. One scan, one (column, value)
+    * partial-agg shuffle; no per-column pass.
+    */
+  private val q224 = Q("q224_column_profile",
+    (s, d) => graft.ops.Profile.columnProfile(t(s, d, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_totalprice",
+          "o_orderdate", "o_custkey"))
+      .orderBy(col("column")),
+    Some("""
+      WITH u AS (
+        SELECT 'o_orderstatus' AS "column",
+               CAST(o_orderstatus AS VARCHAR) AS v FROM orders
+        UNION ALL SELECT 'o_orderpriority',
+               CAST(o_orderpriority AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_totalprice',
+               CAST(o_totalprice AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_orderdate',
+               CAST(o_orderdate AS VARCHAR) FROM orders
+        UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+      c AS (SELECT "column", v, CAST(COUNT(*) AS BIGINT) AS m
+        FROM u GROUP BY "column", v),
+      mx AS (SELECT "column",
+          MAX(m) FILTER (WHERE v IS NOT NULL) AS mm
+        FROM c GROUP BY "column"),
+      a AS (SELECT c."column",
+          CAST(SUM(c.m) AS BIGINT) AS n_rows,
+          CAST(SUM(CASE WHEN c.v IS NOT NULL THEN c.m ELSE 0 END)
+            AS BIGINT) AS n_nonnull,
+          CAST(COUNT(c.v) AS BIGINT) AS n_distinct,
+          CAST(ANY_VALUE(x.mm) AS BIGINT) AS top_freq,
+          MAX(CASE WHEN c.m = x.mm AND c.v IS NOT NULL THEN c.v END)
+            AS top_value
+        FROM c JOIN mx x USING ("column") GROUP BY c."column")
+      SELECT "column", n_rows, n_rows - n_nonnull AS n_null, n_distinct,
+        top_value, top_freq,
+        CAST(n_rows - n_nonnull AS DOUBLE) / CAST(n_rows AS DOUBLE)
+          AS null_frac,
+        CAST(top_freq AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_frac
+      FROM a ORDER BY "column""""))
+
+  /** ACCENT/UNICODE NORMALIZATION (gfn.strip_accents, a codegen'd NFD →
+    * drop-Mn → NFC kernel): the corpus is ASCII, so the query PLANTS
+    * diacritics deterministically (translate aeiou → áéíóü) and checks
+    * the strip recovers the original byte-exactly against DuckDB's
+    * utf8proc strip_accents — a cross-engine parity test of the whole
+    * normalize path, not a trivial pass-through. Purely narrow.
+    */
+  private val q225 = Q("q225_accent_normalize",
+    (s, d) => {
+      val acc = translate(col("text"), "aeiou",
+        "áéíóü")
+      docsSpread(s, d).select(col("doc_id"),
+          acc.as("accented"),
+          graft.functions.gfn.strip_accents(acc).as("stripped"),
+          (graft.functions.gfn.strip_accents(acc) === col("text"))
+            .cast("int").as("roundtrip_ok"),
+          length(acc).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id,
+        translate(text, 'aeiou', 'áéíóü') AS accented,
+        strip_accents(translate(text, 'aeiou', 'áéíóü'))
+          AS stripped,
+        CAST(strip_accents(translate(text, 'aeiou',
+          'áéíóü')) = text AS INT) AS roundtrip_ok,
+        CAST(len(translate(text, 'aeiou', 'áéíóü'))
+          AS BIGINT) AS n_chars
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -7885,7 +8020,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -498,6 +498,24 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Accent stripping via NFD → drop-Mn → NFC (see TextKernel.stripAccents);
+  * parity target is utf8proc-style `strip_accents` in SQL engines.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.stripAccents(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.stripAccents($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
 /** Native PII redaction: emails / IPv4 literals / phone-shaped numbers →
   * typed placeholders, fixed pass order (see TextKernel.redactPii).
   */
@@ -606,6 +624,7 @@ object gfn {
     col(HyperplaneSig(ex(c), planes, nBits, dim))
   def simhash64(c: Column): Column = col(SimHash64(ex(c)))
   def normalize_text(c: Column): Column = col(NormalizeText(ex(c)))
+  def strip_accents(c: Column): Column = col(StripAccents(ex(c)))
   def bpe_init_symbols(c: Column): Column = col(BpeInitSymbols(ex(c)))
   def bpe_merge_batch(c: Column, flatPairs: Array[String]): Column =
     col(BpeMergeBatch(ex(c), flatPairs))

@@ -42,6 +42,28 @@ object TextKernel {
     UTF8String.fromString(sb.toString) // trailing pendingSpace never emitted
   }
 
+  /** Accent/diacritic stripping: NFD-decompose, drop combining marks
+    * (general category Mn), NFC-recompose. The Unicode-canonical route —
+    * 'á' → 'a', 'ü' → 'u'; base letters without decompositions ('ø',
+    * 'ß') pass through unchanged, matching utf8proc-based engines'
+    * `strip_accents`.
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val d = java.text.Normalizer.normalize(s.toString,
+      java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(d.length)
+    var i = 0
+    while (i < d.length) {
+      val cp = d.codePointAt(i)
+      if (java.lang.Character.getType(cp) !=
+          java.lang.Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += java.lang.Character.charCount(cp)
+    }
+    UTF8String.fromString(java.text.Normalizer.normalize(sb.toString,
+      java.text.Normalizer.Form.NFC))
+  }
+
   // ---- PII redaction ----
   // Patterns are deliberately RE2-safe (no backrefs, no lookaround) so a
   // DuckDB regexp_replace oracle is byte-identical. Applied in a fixed

@@ -737,6 +737,75 @@ object TextOps {
       .drop("joined")
   }
 
+  /** VOCABULARY COVERAGE / OOV CURVE: for each vocabulary-size cut K,
+    * the fraction of corpus TOKEN MASS covered by the top-K most
+    * frequent types (ties: term asc) — i.e. the UNK rate a K-entry
+    * word-level vocabulary would pay. The tokenizer-design query: where
+    * the curve flattens is where growing the vocab stops paying.
+    * Entirely integer-exact (counts, cumulative counts) + one final
+    * division, so the oracle replays value-exactly — no FP-order hazard.
+    *
+    * Scale shape: one (term) count shuffle; the top-maxK cut is a
+    * bounded TakeOrdered (never a global sort — the [[zipfFit]] recipe);
+    * ranking + running sum happen on the collected ≤ maxK rows (bounded
+    * single-partition window, same class as the histogram windows).
+    */
+  def coverageCurve(docs: DataFrame, text: Column,
+                    cuts: Seq[Int] = Seq(256, 512, 1024, 2048, 4096)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(cuts.nonEmpty && cuts.forall(_ > 0), s"bad cuts $cuts")
+    val tf = docs.select(explode(arrToks(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    val totals = tf.agg(sum(col("f")).as("n_tokens"),
+      count(lit(1)).as("n_types"))
+    val top = tf.orderBy(col("f").desc, col("w")).limit(cuts.max)
+    val ranked = top
+      .agg(sort_array(collect_list(struct((-col("f")).as("nf"),
+        col("w").as("w")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("pos", "x")))
+      .select((col("pos") + 1).cast("long").as("rank"), (-col("x.nf")).as("f"))
+    val cw = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .withColumn("cum_f", sum(col("f")).over(cw))
+      .where(col("rank").isin(cuts.map(_.toLong): _*))
+      .crossJoin(broadcast(totals))
+      .select(col("rank").as("vocab_size"), col("f").as("kth_freq"),
+        col("cum_f"), col("n_tokens"), col("n_types"))
+      .withColumn("coverage",
+        col("cum_f").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("oov_rate", lit(1.0) - col("coverage"))
+  }
+
+  /** VOCABULARY RICHNESS per corpus slice: token count, type count,
+    * type-token ratio, hapax-legomena fraction (types seen once — high
+    * in natural text, collapses under templating), and Simpson's
+    * repeat-rate Σ m(m−1) / (N(N−1)) (the probability two random tokens
+    * are the same type — the inverse-diversity lens). All counts exact
+    * longs; the three fractions are fixed IEEE divisions (the Simpson
+    * denominator multiplies as DOUBLE — N² overflows a long at real
+    * corpus scale). One (grp, term) count shuffle, then a per-group agg.
+    */
+  def vocabRichness(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    docs.select(group.as("grp"), explode(arrToks(text)).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("m"))
+      .groupBy(col("grp"))
+      .agg(sum(col("m")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("m") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
+        sum(col("m") * (col("m") - 1)).as("rep_pairs"))
+      .withColumn("ttr",
+        col("n_types").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("hapax_frac",
+        col("n_hapax").cast("double") / col("n_types").cast("double"))
+      .withColumn("simpson",
+        when(col("n_tokens") > 1,
+          col("rep_pairs").cast("double") /
+            (col("n_tokens").cast("double")
+              * (col("n_tokens") - 1).cast("double")))
+          .otherwise(lit(0.0)))
+  }
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * Stable across engines (md5 hex lowercase in both).
     */

@@ -4533,6 +4533,76 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out(0).getAs[Double]("chi2") - chi2) < 1e-12)
   }
 
+  test("coverageCurve: exact cumulative token mass at each vocab cut") {
+    // freqs a=4, b=2, c=1; total 7 -> coverage 4/7, 6/7, 1.0
+    val out = TextOps.coverageCurve(docs(1L -> "a a a a b b c"),
+      col("text"), cuts = Seq(1, 2, 3)).orderBy(col("vocab_size")).collect()
+    assert(out.map(_.getAs[Long]("vocab_size")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("cum_f")).toSeq == Seq(4L, 6L, 7L))
+    assert(out.forall(r => r.getAs[Long]("n_tokens") == 7L &&
+      r.getAs[Long]("n_types") == 3L))
+    assert(out(0).getAs[Double]("coverage") == 4.0 / 7.0)
+    assert(out(2).getAs[Double]("coverage") == 1.0 &&
+      out(2).getAs[Double]("oov_rate") == 0.0)
+    // a cut beyond the vocabulary yields no row (both engines agree)
+    val sparse = TextOps.coverageCurve(docs(1L -> "a a b"),
+      col("text"), cuts = Seq(2, 100)).collect()
+    assert(sparse.length == 1 && sparse(0).getAs[Long]("vocab_size") == 2L)
+    // frequency tie breaks by term asc: "b" and "c" both 1 -> rank1 is "b"
+    val tie = TextOps.coverageCurve(docs(1L -> "b c"),
+      col("text"), cuts = Seq(1)).collect()(0)
+    assert(tie.getAs[Long]("kth_freq") == 1L && tie.getAs[Long]("cum_f") == 1L)
+  }
+
+  test("vocabRichness: exact TTR, hapax fraction, Simpson repeat-rate") {
+    val out = TextOps.vocabRichness(docs(1L -> "a a b c"),
+      col("doc_id") * 0, col("text")).collect()(0)
+    assert(out.getAs[Long]("n_tokens") == 4L && out.getAs[Long]("n_types") == 3L)
+    assert(out.getAs[Long]("n_hapax") == 2L && out.getAs[Long]("rep_pairs") == 2L)
+    assert(out.getAs[Double]("ttr") == 0.75)
+    assert(out.getAs[Double]("hapax_frac") == 2.0 / 3.0)
+    assert(out.getAs[Double]("simpson") == 2.0 / 12.0)
+  }
+
+  test("columnProfile: nulls, distincts, dominant value, tie by max string") {
+    import graft.ops.Profile
+    val df = Seq((1L, Option("x")), (2L, None), (3L, Option("x")),
+      (4L, Option("y"))).toDF("id", "s")
+    val p = Profile.columnProfile(df, Seq("s")).collect()(0)
+    assert(p.getAs[Long]("n_rows") == 4L && p.getAs[Long]("n_null") == 1L)
+    assert(p.getAs[Long]("n_distinct") == 2L)
+    assert(p.getAs[String]("top_value") == "x" && p.getAs[Long]("top_freq") == 2L)
+    assert(p.getAs[Double]("null_frac") == 0.25 && p.getAs[Double]("top_frac") == 0.5)
+    // tie on frequency -> max string wins (deterministic)
+    val tie = Profile.columnProfile(Seq(("x"), ("y")).toDF("s"), Seq("s"))
+      .collect()(0)
+    assert(tie.getAs[String]("top_value") == "y")
+    // a second profiled column shares the single scan
+    val two = Profile.columnProfile(df, Seq("id", "s")).collect()
+    assert(two.length == 2 &&
+      two.map(_.getAs[String]("column")).toSet == Set("id", "s"))
+  }
+
+  test("stripAccents: NFD-drop-Mn-NFC kernel, pass-through for bare letters, translate roundtrip") {
+    import graft.functions.gfn
+    val df = Seq("café", "naïve", "über", "øß plain")
+      .toDF("t")
+    val out = df.select(gfn.strip_accents(col("t")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("cafe", "naive", "uber", "øß plain"))
+    // decomposed input (a + combining acute) strips to the same base
+    val dec = Seq("a\u0301").toDF("t")
+      .select(gfn.strip_accents(col("t"))).collect()(0).getString(0)
+    assert(dec == "a")
+    // the q225 face: plant accents with translate, strip recovers original
+    val orig = "the quick brown fox"
+    val rt = Seq(orig).toDF("t")
+      .select(gfn.strip_accents(
+        translate(col("t"), "aeiou", "áéíóü")))
+      .collect()(0).getString(0)
+    assert(rt == orig)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
