@@ -8002,6 +8002,126 @@ object Queries {
           AS BIGINT) AS n_chars
       FROM documents ORDER BY doc_id"""))
 
+  /** CHAT/SFT CURATION STATS (Chat.chatStats) over the q188 synthetic
+    * conversations: role composition, alternation violations, empty
+    * turns, opening role, assistant char share, and the keep gate that
+    * precedes template rendering. Exact counts + one division.
+    */
+  private val q226 = Q("q226_chat_stats",
+    (s, d) => graft.ops.Chat.chatStats(t(s, d, "events"),
+        col("user_id"), col("event_id"),
+        when(col("event_type").isin("click", "view"), lit("user"))
+          .otherwise(lit("assistant")),
+        concat(col("event_type"), lit(" "), col("props")))
+      .orderBy(col("conv_id")),
+    Some("""
+      WITH b AS (SELECT user_id AS conv_id, event_id AS ord,
+          CASE WHEN event_type IN ('click', 'view') THEN 'user'
+               ELSE 'assistant' END AS role,
+          event_type || ' ' || props AS content
+        FROM events),
+      l AS (SELECT *,
+          lag(role) OVER (PARTITION BY conv_id ORDER BY ord) AS prev_role
+        FROM b)
+      SELECT conv_id,
+        CAST(COUNT(*) AS BIGINT) AS n_turns,
+        CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_user,
+        CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_assistant,
+        CAST(SUM(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_violations,
+        CAST(SUM(CASE WHEN len(trim(content)) = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_empty,
+        arg_min(role, ord) AS first_role,
+        CAST(SUM(CASE WHEN role = 'assistant' THEN len(content) ELSE 0 END)
+          AS BIGINT) AS assistant_chars,
+        CAST(SUM(len(content)) AS BIGINT) AS content_chars,
+        CASE WHEN SUM(len(content)) > 0
+          THEN CAST(SUM(CASE WHEN role = 'assistant' THEN len(content)
+                 ELSE 0 END) AS DOUBLE) / CAST(SUM(len(content)) AS DOUBLE)
+          ELSE 0.0 END AS assistant_char_share,
+        CAST(arg_min(role, ord) = 'user'
+          AND SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) >= 1
+          AND SUM(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                THEN 1 ELSE 0 END) = 0
+          AND SUM(CASE WHEN len(trim(content)) = 0 THEN 1 ELSE 0 END) = 0
+          AS INT) AS keep
+      FROM l GROUP BY conv_id ORDER BY conv_id"""))
+
+  /** DEDUP SAVINGS REPORT (Dedup.dedupSavings): per source, the payoff
+    * of an exact-dedup pass — dup docs, char mass before/after, largest
+    * cluster — computed WITHOUT running the dedup. One (grp, content)
+    * partial-agg shuffle.
+    */
+  private val q227 = Q("q227_dedup_savings",
+    (s, d) => graft.ops.Dedup.dedupSavings(t(s, d, "documents"),
+        col("source"), col("text"))
+      .orderBy(col("grp")),
+    Some("""
+      WITH c AS (SELECT source AS grp, text AS t,
+          CAST(COUNT(*) AS BIGINT) AS m
+        FROM documents GROUP BY grp, t),
+      b AS (SELECT grp, m, CAST(len(t) AS BIGINT) AS b FROM c)
+      SELECT grp,
+        CAST(SUM(m) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(MAX(m) AS BIGINT) AS max_cluster,
+        CAST(SUM(m * b) AS BIGINT) AS total_chars,
+        CAST(SUM(b) AS BIGINT) AS distinct_chars,
+        CAST(SUM(m) - COUNT(*) AS BIGINT) AS dup_docs,
+        CASE WHEN SUM(m * b) > 0
+          THEN CAST(SUM(m * b) - SUM(b) AS DOUBLE)
+               / CAST(SUM(m * b) AS DOUBLE)
+          ELSE 0.0 END AS savings_frac
+      FROM b GROUP BY grp ORDER BY grp"""))
+
+  /** χ² INDEPENDENCE AUDIT (Robust.independenceAudit): order status ×
+    * priority contingency — full grid with zero cells, expected counts,
+    * per-cell contributions, table χ²/dof/Cramér's V. χ² folds in cell
+    * order (engine-order-proof).
+    */
+  private val q228 = Q("q228_independence_audit",
+    (s, d) => graft.ops.Robust.independenceAudit(t(s, d, "orders"),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy(col("a"), col("b")),
+    Some("""
+      WITH c AS (SELECT CAST(o_orderstatus AS VARCHAR) AS a,
+          CAST(o_orderpriority AS VARCHAR) AS b,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY a, b),
+      g AS (SELECT da.a, db.b, COALESCE(c.n, 0) AS n
+        FROM (SELECT DISTINCT a FROM c) da
+        CROSS JOIN (SELECT DISTINCT b FROM c) db
+        LEFT JOIN c USING (a, b)),
+      m AS (SELECT *,
+          CAST(SUM(n) OVER (PARTITION BY a) AS BIGINT) AS row_total,
+          CAST(SUM(n) OVER (PARTITION BY b) AS BIGINT) AS col_total,
+          CAST(SUM(n) OVER () AS BIGINT) AS grand_total,
+          CAST((SELECT COUNT(DISTINCT a) FROM c) AS BIGINT) AS n_a,
+          CAST((SELECT COUNT(DISTINCT b) FROM c) AS BIGINT) AS n_b
+        FROM g),
+      x AS (SELECT *,
+          CAST(row_total AS DOUBLE) * CAST(col_total AS DOUBLE)
+            / CAST(grand_total AS DOUBLE) AS expected
+        FROM m),
+      y AS (SELECT *,
+          CASE WHEN expected > 0.0
+            THEN (CAST(n AS DOUBLE) - expected)
+                 * (CAST(n AS DOUBLE) - expected) / expected
+            ELSE 0.0 END AS contrib
+        FROM x),
+      f AS (SELECT list_reduce(list(contrib ORDER BY a, b),
+          (p, q) -> p + q) AS chi2 FROM y)
+      SELECT y.a, y.b, y.n, y.row_total, y.col_total, y.grand_total,
+        y.expected, y.contrib, f.chi2,
+        (y.n_a - 1) * (y.n_b - 1) AS dof,
+        CASE WHEN y.grand_total > 0 AND least(y.n_a, y.n_b) > 1
+          THEN sqrt(f.chi2 / (CAST(y.grand_total AS DOUBLE)
+               * CAST(least(y.n_a, y.n_b) - 1 AS DOUBLE)))
+        END AS cramers_v
+      FROM y, f ORDER BY y.a, y.b"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8020,7 +8140,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221, q222, q223, q224, q225)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

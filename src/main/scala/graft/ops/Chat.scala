@@ -70,4 +70,54 @@ object Chat {
         length(col("content")).cast("long")).otherwise(lit(0L)))
         .as("n_loss_chars"))
   }
+
+  /** CHAT/SFT CURATION STATS — the quality gate BEFORE
+    * [[renderConversations]]: per conversation, role composition,
+    * alternation violations (consecutive same-role turns in `order`
+    * order — template renderers and most trainers assume strict
+    * alternation), empty-content turns, the opening role, and the
+    * assistant share of content chars; `keep` = starts with a user turn,
+    * has ≥ 1 assistant turn, alternates cleanly, no empty turns. All
+    * counts exact; the share is one IEEE division.
+    *
+    * Scale shape: one hash shuffle on the conversation key serves both
+    * the lag window and the aggregate (same partitioning, exchange
+    * reused — the renderConversations plan); state never exceeds one
+    * conversation.
+    */
+  def chatStats(turns: DataFrame, convId: Column, order: Column,
+                role: Column, content: Column): DataFrame = {
+    val base = turns.select(convId.cast("long").as("conv_id"),
+      order.cast("long").as("ord"), role.cast("string").as("role"),
+      content.cast("string").as("content"))
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ord"))
+    base
+      .withColumn("prev_role", lag(col("role"), 1).over(w))
+      .withColumn("alt_violation",
+        (col("prev_role").isNotNull && col("prev_role") === col("role"))
+          .cast("long"))
+      .withColumn("is_empty",
+        (length(trim(col("content"))) === 0).cast("long"))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum((col("role") === "user").cast("long")).as("n_user"),
+        sum((col("role") === "assistant").cast("long")).as("n_assistant"),
+        sum(col("alt_violation")).as("n_alt_violations"),
+        sum(col("is_empty")).as("n_empty"),
+        min(struct(col("ord"), col("role"))).getField("role")
+          .as("first_role"),
+        sum(when(col("role") === "assistant",
+          length(col("content")).cast("long")).otherwise(lit(0L)))
+          .as("assistant_chars"),
+        sum(length(col("content")).cast("long")).as("content_chars"))
+      .withColumn("assistant_char_share",
+        when(col("content_chars") > 0,
+          col("assistant_chars").cast("double")
+            / col("content_chars").cast("double")).otherwise(lit(0.0)))
+      .withColumn("keep",
+        (col("first_role") === "user" && col("n_assistant") >= 1 &&
+          col("n_alt_violations") === 0 && col("n_empty") === 0)
+          .cast("int"))
+  }
 }

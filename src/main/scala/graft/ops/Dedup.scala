@@ -58,6 +58,36 @@ object Dedup {
     .groupBy(md5(to_binary(col("text"), lit("utf-8"))).as("h"))
     .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** DEDUP SAVINGS REPORT — the payoff estimate run BEFORE committing to
+    * an exact-dedup pass: per group (source/snapshot), document count,
+    * distinct-content count, duplicate count, char mass before/after
+    * keeping one copy per content, the savings fraction, and the largest
+    * duplicate cluster. Exact longs + one IEEE division.
+    *
+    * Scale shape: one partial-combined groupBy on (grp, content) — the
+    * map-side combine collapses repeats before the shuffle — then a tiny
+    * per-group agg. The catalog face groups by the content string; at
+    * 100 TB the key is `xxhash64(text)` (the [[scoreBigramLm]] narrowing;
+    * counts are hash-invariant, the content never reaches the output).
+    */
+  def dedupSavings(docs: DataFrame, group: Column, text: Column): DataFrame =
+    docs.select(group.as("grp"), text.as("t"))
+      .groupBy(col("grp"), col("t"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("grp"), col("m"), length(col("t")).cast("long").as("b"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("m")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        max(col("m")).as("max_cluster"),
+        sum(col("m") * col("b")).as("total_chars"),
+        sum(col("b")).as("distinct_chars"))
+      .withColumn("dup_docs", col("n_docs") - col("n_distinct"))
+      .withColumn("savings_frac",
+        when(col("total_chars") > 0,
+          (col("total_chars") - col("distinct_chars")).cast("double")
+            / col("total_chars").cast("double")).otherwise(lit(0.0)))
+
   /** SOFT DEDUPLICATION WEIGHTS (the SoftDeDup idea — He et al. 2024:
     * reweight common text down instead of deleting it): per document, the
     * mean corpus frequency of its k-token grams ("commonness") and the

@@ -55,6 +55,68 @@ object Robust {
     0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
     0.066947, 0.057992, 0.051153, 0.045757)
 
+  /** χ² INDEPENDENCE AUDIT over two categorical columns — "is my quality
+    * flag correlated with my source?" is the question every mixing
+    * decision should ask before trusting a per-slice filter rate. Emits
+    * the FULL contingency grid (distinct(a) × distinct(b), zero cells
+    * materialized — a zero cell still contributes its expectation to χ²),
+    * each cell's observed count, expected count (row·col/N marginals) and
+    * contribution, plus the table-level χ², degrees of freedom and
+    * Cramér's V.
+    *
+    * Exactness: counts exact; expected/contribution are fixed IEEE dags;
+    * the χ² total is a LEFT FOLD over (a, b)-ordered cells (the q221
+    * lesson — engine-order-proof), and V = sqrt of that one double.
+    *
+    * Scale shape: one partial-combined groupBy on (a, b); the grid is
+    * |A|·|B| cells — categorical by assumption (an id column here is a
+    * usage error, same contract as any contingency test). Marginals ride
+    * tiny windows over the grid.
+    */
+  def independenceAudit(df: DataFrame, a: Column, b: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(a.cast("string").as("a"), b.cast("string").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+    val grid = counts.select(col("a")).distinct()
+      .crossJoin(counts.select(col("b")).distinct())
+      .join(counts, Seq("a", "b"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val wa = Window.partitionBy(col("a"))
+    val wb = Window.partitionBy(col("b"))
+    val wAll = Window.partitionBy()
+    val cells = grid
+      .withColumn("row_total", sum(col("n")).over(wa))
+      .withColumn("col_total", sum(col("n")).over(wb))
+      .withColumn("grand_total", sum(col("n")).over(wAll))
+      .withColumn("n_a",
+        size(collect_set(col("a")).over(wAll)).cast("long"))
+      .withColumn("n_b",
+        size(collect_set(col("b")).over(wAll)).cast("long"))
+      .withColumn("expected",
+        col("row_total").cast("double") * col("col_total").cast("double")
+          / col("grand_total").cast("double"))
+      .withColumn("contrib",
+        when(col("expected") > 0.0, {
+          val d = col("n").cast("double") - col("expected")
+          d * d / col("expected")
+        }).otherwise(lit(0.0)))
+    cells
+      .withColumn("chi2",
+        aggregate(
+          array_sort(
+            collect_list(struct(col("a"), col("b"), col("contrib")))
+              .over(wAll)),
+          lit(0.0), (acc, x) => acc + x.getField("contrib")))
+      .withColumn("dof", (col("n_a") - 1) * (col("n_b") - 1))
+      .withColumn("cramers_v",
+        when(col("grand_total") > 0 && least(col("n_a"), col("n_b")) > 1,
+          sqrt(col("chi2") / (col("grand_total").cast("double")
+            * (least(col("n_a"), col("n_b")) - 1).cast("double")))))
+      .select(col("a"), col("b"), col("n"), col("row_total"),
+        col("col_total"), col("grand_total"), col("expected"),
+        col("contrib"), col("chi2"), col("dof"), col("cramers_v"))
+  }
+
   /** BENFORD FIRST-DIGIT AUDIT: the classic fabricated-/truncated-data
     * screen — natural multiplicative quantities (prices, populations,
     * counts) put ~30.1% of first significant digits at 1; uniform or

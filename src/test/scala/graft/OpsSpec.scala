@@ -4603,6 +4603,74 @@ class OpsSpec extends AnyFunSuite {
     assert(rt == orig)
   }
 
+  test("chatStats: alternation, empties, first role, assistant share, keep gate") {
+    import graft.ops.Chat
+    val turns = Seq(
+      // conv 1: clean user/assistant alternation
+      (1L, 1L, "user", "hi there"), (1L, 2L, "assistant", "hello!"),
+      (1L, 3L, "user", "bye"), (1L, 4L, "assistant", "ok"),
+      // conv 2: double assistant + empty turn -> rejected
+      (2L, 1L, "user", "q"), (2L, 2L, "assistant", "a1"),
+      (2L, 3L, "assistant", "a2"), (2L, 4L, "user", "   "),
+      // conv 3: opens with assistant -> rejected
+      (3L, 1L, "assistant", "unprompted"), (3L, 2L, "user", "?")
+    ).toDF("c", "o", "r", "t")
+    val out = Chat.chatStats(turns, col("c"), col("o"), col("r"), col("t"))
+      .orderBy(col("conv_id")).collect()
+    val c1 = out(0)
+    assert(c1.getAs[Long]("n_turns") == 4L && c1.getAs[Long]("n_user") == 2L)
+    assert(c1.getAs[Long]("n_alt_violations") == 0L &&
+      c1.getAs[Long]("n_empty") == 0L)
+    assert(c1.getAs[String]("first_role") == "user" &&
+      c1.getAs[Int]("keep") == 1)
+    assert(c1.getAs[Double]("assistant_char_share") == 8.0 / 19.0)
+    val c2 = out(1)
+    assert(c2.getAs[Long]("n_alt_violations") == 1L &&
+      c2.getAs[Long]("n_empty") == 1L && c2.getAs[Int]("keep") == 0)
+    val c3 = out(2)
+    assert(c3.getAs[String]("first_role") == "assistant" &&
+      c3.getAs[Int]("keep") == 0)
+  }
+
+  test("dedupSavings: exact char accounting and cluster sizes") {
+    // src x: "aaaa" x3 + "bb" -> 4 docs, 2 distinct, total 14, distinct 6
+    val d = docs(1L -> "aaaa", 2L -> "aaaa", 3L -> "aaaa", 4L -> "bb")
+      .withColumn("src", lit("x"))
+    val r = Dedup.dedupSavings(d, col("src"), col("text")).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4L && r.getAs[Long]("n_distinct") == 2L)
+    assert(r.getAs[Long]("max_cluster") == 3L && r.getAs[Long]("dup_docs") == 2L)
+    assert(r.getAs[Long]("total_chars") == 14L &&
+      r.getAs[Long]("distinct_chars") == 6L)
+    assert(r.getAs[Double]("savings_frac") == 8.0 / 14.0)
+  }
+
+  test("independenceAudit: zero cells materialized, marginals, chi2 replay, perfect-dependence V=1") {
+    import graft.ops.Robust
+    // 2x2 with an empty cell: a1/b1 x2, a1/b2 x1, a2/b1 x1, a2/b2 x0
+    val df = Seq(("a1", "b1"), ("a1", "b1"), ("a1", "b2"), ("a2", "b1"))
+      .toDF("u", "v")
+    val out = Robust.independenceAudit(df, col("u"), col("v"))
+      .orderBy(col("a"), col("b")).collect()
+    assert(out.length == 4) // the zero cell (a2, b2) is present
+    val z = out(3)
+    // row_total(a2)=1, col_total(b2)=1, N=4 -> expected 0.25
+    assert(z.getAs[Long]("n") == 0L && z.getAs[Double]("expected") == 0.25)
+    // chi2 replay in cell order with the same dag
+    val cells = out.map(r => (r.getAs[Long]("n").toDouble,
+      r.getAs[Double]("expected")))
+    var chi2 = 0.0
+    cells.foreach { case (n, e) =>
+      if (e > 0.0) { val d0 = n - e; chi2 += d0 * d0 / e } }
+    assert(out(0).getAs[Double]("chi2") == chi2)
+    assert(out(0).getAs[Long]("dof") == 1L)
+    // perfect dependence -> Cramer's V == 1
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("u", "v")
+    val v = Robust.independenceAudit(dep, col("u"), col("v"))
+      .collect()(0).getAs[Double]("cramers_v")
+    assert(math.abs(v - 1.0) < 1e-15)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
