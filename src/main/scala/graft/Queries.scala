@@ -8122,6 +8122,44 @@ object Queries {
         END AS cramers_v
       FROM y, f ORDER BY y.a, y.b"""))
 
+  /** EXACT-COUNT STRATIFIED QUOTAS (Mix.quotaSelect, Hamilton
+    * apportionment): a 137-doc budget split proportionally across
+    * sources with largest-remainder rounding (quotas sum to EXACTLY the
+    * budget — rate gates only hit it in expectation), membership by
+    * hash-order rank. All integer arithmetic; the hashGate dag replays
+    * in SQL.
+    */
+  private val q229 = Q("q229_quota_select",
+    (s, d) => graft.ops.Mix.quotaSelect(t(s, d, "documents"),
+        col("source"), col("doc_id"), n = 137)
+      .orderBy(col("stratum"), col("id")),
+    Some("""
+      WITH b AS (SELECT source AS stratum, doc_id AS id FROM documents),
+      c AS (SELECT stratum, CAST(COUNT(*) AS BIGINT) AS c
+        FROM b GROUP BY stratum),
+      t AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c),
+      q0 AS (SELECT stratum, c,
+          CAST((137 * c) // t.t AS BIGINT) AS base,
+          CAST(137 * c - ((137 * c) // t.t) * t.t AS BIGINT) AS rem
+        FROM c, t),
+      q1 AS (SELECT *,
+          CAST(137 - SUM(base) OVER () AS BIGINT) AS leftover,
+          CAST(row_number() OVER (ORDER BY rem DESC, stratum) AS BIGINT)
+            AS bonus_rank
+        FROM q0),
+      q AS (SELECT stratum,
+          CAST(base + CASE WHEN bonus_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS quota
+        FROM q1),
+      r AS (SELECT stratum, id,
+          CAST(row_number() OVER (PARTITION BY stratum
+            ORDER BY (id % 2147483648) * 2654435761 % 2147483648 % 1000,
+              id) AS BIGINT) AS rank
+        FROM b)
+      SELECT r.stratum, r.id, r.rank, q.quota,
+        CAST(r.rank <= q.quota AS INT) AS kept
+      FROM r JOIN q USING (stratum) ORDER BY stratum, id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8140,7 +8178,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

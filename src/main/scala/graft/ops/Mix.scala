@@ -25,6 +25,69 @@ object Mix {
   def hashGate(id: Column, buckets: Int = 1000): Column =
     pmod(pmod(id, lit(M31)) * lit(Knuth), lit(M31)) % buckets
 
+  /** EXACT-COUNT STRATIFIED QUOTAS — Hamilton / largest-remainder
+    * apportionment: split a document budget `n` across strata
+    * PROPORTIONALLY to their sizes such that the integer quotas sum to
+    * EXACTLY `n` (rate-based gates like [[stratifiedSample]] only hit a
+    * budget in expectation). Per stratum s with count c_s and corpus
+    * total T:
+    *
+    *   base_s = ⌊n·c_s / T⌋,  then the n − Σ base_s leftover seats go to
+    *   the strata with the largest remainders n·c_s − base_s·T
+    *   (ties: stratum asc — total order, engine-replayable).
+    *
+    * All arithmetic exact in longs (n·c_s needs n·c_s < 2^63 — at corpus
+    * scale promote the product to DECIMAL(38,0), same dag). Quota never
+    * exceeds c_s because n ≤ T is required.
+    *
+    * Scale shape: one per-stratum count shuffle to a G-row frame, then
+    * G-row windows — the corpus pays one pass.
+    */
+  def quotaApportion(df: DataFrame, stratum: Column, n: Long): DataFrame = {
+    require(n >= 0, s"budget must be non-negative, got $n")
+    val counts = df.groupBy(stratum.cast("string").as("stratum"))
+      .agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum(col("c")).as("t"))
+    // floor division via the pmod identity: (p − p mod t) is exactly
+    // divisible by t, so the IEEE quotient is the exact integer (Spark's
+    // `/` on longs is TRUE division to double — not a floor div)
+    val prod = lit(n) * col("c")
+    val based = counts.crossJoin(broadcast(tot))
+      .withColumn("base",
+        ((prod - pmod(prod, col("t"))) / col("t")).cast("long"))
+      .withColumn("rem", pmod(prod, col("t")))
+    val w = Window.orderBy(col("rem").desc, col("stratum"))
+    val wAll = Window.partitionBy()
+    based
+      .withColumn("leftover", lit(n) - sum(col("base")).over(wAll))
+      .withColumn("bonus_rank", row_number().over(w).cast("long"))
+      .withColumn("quota",
+        col("base") + (col("bonus_rank") <= col("leftover")).cast("long"))
+      .select(col("stratum"), col("c"), col("base"), col("rem"),
+        col("quota"))
+  }
+
+  /** Apply [[quotaApportion]]: keep, per stratum, exactly its quota of
+    * rows — membership by hash-order rank ([[hashGate]] bucket, then id;
+    * deterministic, quasi-random, and stable under corpus growth within
+    * a bucket's resolution). Returns every row with its rank and verdict
+    * so the cut line is auditable. One per-stratum window (the
+    * [[budgetSelect]] shape).
+    */
+  def quotaSelect(df: DataFrame, stratum: Column, id: Column,
+                  n: Long): DataFrame = {
+    val quotas = quotaApportion(df, stratum, n)
+      .select(col("stratum"), col("quota"))
+    val base = df.select(stratum.cast("string").as("stratum"),
+      id.cast("long").as("id"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(hashGate(col("id")), col("id"))
+    base
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), Seq("stratum"))
+      .withColumn("kept", (col("rank") <= col("quota")).cast("int"))
+  }
+
   /** Keep each row iff its id-hash bucket falls under its stratum's rate.
     * Unlisted strata use `defaultRate`. Rates are in [0, 1] with 1/1000
     * resolution (the gate granularity).

@@ -8,34 +8,36 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** COLUMN PROFILE: for each named column — row count, null count and
-    * fraction, distinct non-null value count, and the most frequent
-    * non-null value with its frequency and share (ties break by max
-    * string, deterministic). The standard data-quality audit: a column
-    * that is 40% null, or whose top value holds 95% of rows, changes
-    * every downstream filter/join decision.
-    *
-    * Values are compared in their STRING form (cast once at the scan) —
-    * profile semantics, and the only way one output schema fits every
-    * column type.
-    *
-    * Scale shape: ONE scan — each row explodes to |cols| (column, value)
-    * entries — then one partial-combined groupBy on (column, value)
-    * (map-side combine collapses repeats before the shuffle) and a tiny
-    * per-column agg. No per-column pass over the table; no driver loop.
-    * A near-unique column (a key) makes the first aggregate carry ~|rows|
-    * groups for that column — the same cost any COUNT(DISTINCT) pays;
-    * the huge-table escape is approx_count_distinct + a sampled mode,
-    * same plan shape.
+  /** The profile's MERGEABLE STATE: one row per (column, value) with an
+    * exact Long count — cells merge across any partition of the corpus
+    * or stream ([[mergeProfileCells]] == a one-shot pass over the
+    * concatenation), which is what [[graft.streaming.ProfileMonitorJob]]
+    * folds per trigger. Values travel in STRING form (cast once at the
+    * scan); a null cell row carries the column's null count.
     */
-  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "columnProfile needs at least one column")
+  def profileCells(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
     val entries = array(cols.map(c =>
       struct(lit(c).as("column"), col(c).cast("string").as("v"))): _*)
     df.select(explode(entries).as("e"))
       .select(col("e.column").as("column"), col("e.v").as("v"))
       .groupBy(col("column"), col("v"))
       .agg(count(lit(1)).as("m"))
+  }
+
+  /** Merge two cell tables (exact count addition — order-free). */
+  def mergeProfileCells(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(batch)
+      .groupBy(col("column"), col("v"))
+      .agg(sum(col("m")).as("m"))
+
+  /** Assemble the per-column summary from a cell table: row count, null
+    * count and fraction, distinct non-null value count, and the most
+    * frequent non-null value with its frequency and share (ties break by
+    * max string, deterministic).
+    */
+  def profileFromCells(cells: DataFrame): DataFrame =
+    cells
       .groupBy(col("column"))
       .agg(
         sum(col("m")).as("n_rows"),
@@ -51,5 +53,23 @@ object Profile {
         col("n_null").cast("double") / col("n_rows").cast("double"))
       .withColumn("top_frac",
         col("top_freq").cast("double") / col("n_rows").cast("double"))
-  }
+
+  /** COLUMN PROFILE: for each named column — row count, null count and
+    * fraction, distinct non-null value count, and the most frequent
+    * non-null value with its frequency and share (ties break by max
+    * string, deterministic). The standard data-quality audit: a column
+    * that is 40% null, or whose top value holds 95% of rows, changes
+    * every downstream filter/join decision.
+    *
+    * Scale shape: ONE scan — each row explodes to |cols| (column, value)
+    * entries — then one partial-combined groupBy on (column, value)
+    * (map-side combine collapses repeats before the shuffle) and a tiny
+    * per-column agg. No per-column pass over the table; no driver loop.
+    * A near-unique column (a key) makes the first aggregate carry ~|rows|
+    * groups for that column — the same cost any COUNT(DISTINCT) pays;
+    * the huge-table escape is approx_count_distinct + a sampled mode,
+    * same plan shape.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame =
+    profileFromCells(profileCells(df, cols))
 }

@@ -4671,6 +4671,33 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(v - 1.0) < 1e-15)
   }
 
+  test("quotaApportion: Hamilton quotas sum exactly to the budget, largest remainders win") {
+    import graft.ops.Mix
+    // strata sizes 5, 3, 2 (T=10), budget 7: exact shares 3.5, 2.1, 1.4
+    // -> bases 3, 2, 1 (sum 6), leftover 1 goes to the largest remainder
+    // (a: rem 7*5-3*10=5; b: 7*3-2*10=1; c: 7*2-1*10=4) -> a gets it
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("s", "id")
+    val q = Mix.quotaApportion(df, col("s"), 7L)
+      .orderBy(col("stratum")).collect()
+    assert(q.map(r => (r.getAs[String]("stratum"), r.getAs[Long]("quota")))
+      .toSeq == Seq(("a", 4L), ("b", 2L), ("c", 1L)))
+    assert(q.map(_.getAs[Long]("quota")).sum == 7L)
+    // selection keeps exactly the quota per stratum, ranks deterministic
+    val sel = Mix.quotaSelect(df, col("s"), col("id"), 7L)
+    val kept = sel.where(col("kept") === 1).groupBy(col("stratum"))
+      .count().orderBy(col("stratum")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(kept == Seq(("a", 4L), ("b", 2L), ("c", 1L)))
+    // idempotent: same ids always resolve the same way
+    val again = Mix.quotaSelect(df, col("s"), col("id"), 7L)
+      .where(col("kept") === 1).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val first = sel.where(col("kept") === 1).select(col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and

@@ -994,4 +994,63 @@ class StreamingSpec extends AnyFunSuite {
         s"rehydrated resume $last differs from uninterrupted $oneShot")
     } finally { q2.stop(); graft.ops.Caches.drainAll(spark) }
   }
+
+  test("profile monitor: stream == batch bitwise, replayed batch a no-op after restart") {
+    import spark.implicits._
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val batch1 = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option("x")))
+    val batch2 = Seq((4L, Option("y")), (5L, Option("x")))
+    @volatile var last: Array[org.apache.spark.sql.Row] = Array.empty
+    @volatile var savedId = Long.MinValue
+    @volatile var savedCells: Seq[(String, Option[String], Long)] = Seq.empty
+
+    val mem1 = MemoryStream[(Long, Option[String])]
+    val q1 = graft.streaming.ProfileMonitorJob.start(
+      mem1.toDF().toDF("id", "sval"), Seq("sval"),
+      out => last = out.orderBy(col("column")).collect(),
+      java.nio.file.Files.createTempDirectory("profmon_r1").toString,
+      cellsSink = Some((id, cells) => {
+        savedId = id
+        savedCells = cells.collect()
+          .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+          .toSeq
+      }),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem1.addData(batch1: _*); q1.processAllAvailable()
+      val oneShot1 = graft.ops.Profile.columnProfile(
+          batch1.toDF("id", "sval"), Seq("sval"))
+        .orderBy(col("column")).collect().map(_.toSeq)
+      assert(last.map(_.toSeq).toSeq == oneShot1.toSeq,
+        s"stream ${last.toSeq} vs batch ${oneShot1.toSeq}")
+    } finally { q1.stop() }
+    assert(savedId == 0L && savedCells.nonEmpty)
+
+    // restart after "snapshot persisted, offset not": batch 1 replays as
+    // id 0 — the guard must skip its merge, else null/top counts double
+    val mem2 = MemoryStream[(Long, Option[String])]
+    val q2 = graft.streaming.ProfileMonitorJob.start(
+      mem2.toDF().toDF("id", "sval"), Seq("sval"),
+      out => last = out.orderBy(col("column")).collect(),
+      java.nio.file.Files.createTempDirectory("profmon_r2").toString,
+      initialCells = Some(savedCells.toDF("column", "v", "m")),
+      initialBatchId = savedId,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    try {
+      mem2.addData(batch1: _*); q2.processAllAvailable() // replayed: skipped
+      mem2.addData(batch2: _*); q2.processAllAvailable() // new: merged
+      val oneShot = graft.ops.Profile.columnProfile(
+          (batch1 ++ batch2).toDF("id", "sval"), Seq("sval"))
+        .orderBy(col("column")).collect().map(_.toSeq)
+      assert(last.map(_.toSeq).toSeq == oneShot.toSeq,
+        s"replayed batch must not double-count: ${last.toSeq} vs ${oneShot.toSeq}")
+      // the merged profile sees both batches: 5 rows, 1 null, top x(3)
+      val r = last(0)
+      assert(r.getAs[Long]("n_rows") == 5L && r.getAs[Long]("n_null") == 1L)
+      assert(r.getAs[String]("top_value") == "x" &&
+        r.getAs[Long]("top_freq") == 3L)
+    } finally { q2.stop(); graft.ops.Caches.drainAll(spark) }
+  }
 }
