@@ -56,11 +56,21 @@ object Mix {
       .withColumn("base",
         ((prod - pmod(prod, col("t"))) / col("t")).cast("long"))
       .withColumn("rem", pmod(prod, col("t")))
-    val w = Window.orderBy(col("rem").desc, col("stratum"))
-    val wAll = Window.partitionBy()
+    // leftover + remainder ranks ride a 1-row aggregate and a sorted-array
+    // explode over the G-row frame, NOT unpartitioned windows (the
+    // catalog-wide plan audit bans those even on bounded frames)
+    val glob = based.agg((lit(n) - sum(col("base"))).as("leftover"))
+    val rankTbl = based
+      .agg(sort_array(collect_list(struct((-col("rem")).as("nrem"),
+        col("stratum").as("stratum")))).as("a"))
+      .select(explode(transform(col("a"), (x, i) =>
+        struct(x.getField("stratum").as("stratum"),
+          (i + 1).cast("long").as("bonus_rank")))).as("r"))
+      .select(col("r.stratum").as("stratum"),
+        col("r.bonus_rank").as("bonus_rank"))
     based
-      .withColumn("leftover", lit(n) - sum(col("base")).over(wAll))
-      .withColumn("bonus_rank", row_number().over(w).cast("long"))
+      .join(broadcast(rankTbl), Seq("stratum"))
+      .crossJoin(broadcast(glob))
       .withColumn("quota",
         col("base") + (col("bonus_rank") <= col("leftover")).cast("long"))
       .select(col("stratum"), col("c"), col("base"), col("rem"),

@@ -81,17 +81,20 @@ object Robust {
       .crossJoin(counts.select(col("b")).distinct())
       .join(counts, Seq("a", "b"), "left")
       .withColumn("n", coalesce(col("n"), lit(0L)))
+    // globals (N, |A|, |B|, χ²) ride 1-row aggregates + broadcast
+    // cross-joins, NOT unpartitioned windows — the grid is tiny, but the
+    // catalog-wide no-unpartitioned-Window plan audit holds by
+    // construction this way
     val wa = Window.partitionBy(col("a"))
     val wb = Window.partitionBy(col("b"))
-    val wAll = Window.partitionBy()
+    val glob = grid.agg(
+      sum(col("n")).as("grand_total"),
+      countDistinct(col("a")).as("n_a"),
+      countDistinct(col("b")).as("n_b"))
     val cells = grid
       .withColumn("row_total", sum(col("n")).over(wa))
       .withColumn("col_total", sum(col("n")).over(wb))
-      .withColumn("grand_total", sum(col("n")).over(wAll))
-      .withColumn("n_a",
-        size(collect_set(col("a")).over(wAll)).cast("long"))
-      .withColumn("n_b",
-        size(collect_set(col("b")).over(wAll)).cast("long"))
+      .crossJoin(broadcast(glob))
       .withColumn("expected",
         col("row_total").cast("double") * col("col_total").cast("double")
           / col("grand_total").cast("double"))
@@ -100,13 +103,12 @@ object Robust {
           val d = col("n").cast("double") - col("expected")
           d * d / col("expected")
         }).otherwise(lit(0.0)))
+    val chi = cells.agg(
+      aggregate(
+        array_sort(collect_list(struct(col("a"), col("b"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("chi2"))
     cells
-      .withColumn("chi2",
-        aggregate(
-          array_sort(
-            collect_list(struct(col("a"), col("b"), col("contrib")))
-              .over(wAll)),
-          lit(0.0), (acc, x) => acc + x.getField("contrib")))
+      .crossJoin(broadcast(chi))
       .withColumn("dof", (col("n_a") - 1) * (col("n_b") - 1))
       .withColumn("cramers_v",
         when(col("grand_total") > 0 && least(col("n_a"), col("n_b")) > 1,

@@ -752,22 +752,27 @@ object TextOps {
     */
   def coverageCurve(docs: DataFrame, text: Column,
                     cuts: Seq[Int] = Seq(256, 512, 1024, 2048, 4096)): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(cuts.nonEmpty && cuts.forall(_ > 0), s"bad cuts $cuts")
     val tf = docs.select(explode(arrToks(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("f"))
     val totals = tf.agg(sum(col("f")).as("n_tokens"),
       count(lit(1)).as("n_types"))
     val top = tf.orderBy(col("f").desc, col("w")).limit(cuts.max)
+    // rank + running sum INSIDE the collected ≤ maxK array (indexed
+    // transform + prefix-slice aggregate, O(maxK²) bounded work on one
+    // row) — no Window node anywhere, so the no-unpartitioned-Window
+    // plan audit holds by construction
     val ranked = top
       .agg(sort_array(collect_list(struct((-col("f")).as("nf"),
         col("w").as("w")))).as("a"))
-      .select(posexplode(col("a")).as(Seq("pos", "x")))
-      .select((col("pos") + 1).cast("long").as("rank"), (-col("x.nf")).as("f"))
-    val cw = Window.orderBy(col("rank"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .select(explode(transform(col("a"), (x, i) =>
+        struct((i + 1).cast("long").as("rank"),
+          (-x.getField("nf")).as("f"),
+          aggregate(slice(col("a"), lit(1), i + 1), lit(0L),
+            (acc, e) => acc - e.getField("nf")).as("cum_f")))).as("r"))
+      .select(col("r.rank").as("rank"), col("r.f").as("f"),
+        col("r.cum_f").as("cum_f"))
     ranked
-      .withColumn("cum_f", sum(col("f")).over(cw))
       .where(col("rank").isin(cuts.map(_.toLong): _*))
       .crossJoin(broadcast(totals))
       .select(col("rank").as("vocab_size"), col("f").as("kth_freq"),
