@@ -8160,6 +8160,42 @@ object Queries {
         CAST(r.rank <= q.quota AS INT) AS kept
       FROM r JOIN q USING (stratum) ORDER BY stratum, id"""))
 
+  /** L-DIVERSITY AUDIT (Privacy.lDiversity): does released order metadata
+    * (status × priority) reveal the customer's market segment? Per
+    * equivalence class: size, distinct sensitive values, the dominant
+    * value's share (homogeneity-attack probability), and the ≥l=3 flag.
+    * The k-anonymity (q207) complement. Exact counts + one division.
+    */
+  private val q230 = Q("q230_l_diversity",
+    (s, d) => graft.ops.Privacy.lDiversity(
+        t(s, d, "orders").join(t(s, d, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        Seq(col("o_orderstatus"), col("o_orderpriority")),
+        col("c_mktsegment"), l = 3)
+      .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+    Some("""
+      WITH j AS (SELECT o.o_orderstatus, o.o_orderpriority,
+          CAST(c.c_mktsegment AS VARCHAR) AS s
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      cells AS (SELECT o_orderstatus, o_orderpriority, s,
+          CAST(COUNT(*) AS BIGINT) AS m
+        FROM j GROUP BY o_orderstatus, o_orderpriority, s),
+      mx AS (SELECT o_orderstatus, o_orderpriority, MAX(m) AS mm
+        FROM cells GROUP BY o_orderstatus, o_orderpriority),
+      a AS (SELECT c.o_orderstatus, c.o_orderpriority,
+          CAST(SUM(c.m) AS BIGINT) AS class_size,
+          CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+          MAX(CASE WHEN c.m = x.mm THEN c.s END) AS top_value,
+          CAST(ANY_VALUE(x.mm) AS BIGINT) AS top_freq
+        FROM cells c JOIN mx x USING (o_orderstatus, o_orderpriority)
+        GROUP BY c.o_orderstatus, c.o_orderpriority)
+      SELECT o_orderstatus, o_orderpriority, class_size, n_sensitive,
+        top_value, top_freq,
+        CAST(top_freq AS DOUBLE) / CAST(class_size AS DOUBLE)
+          AS dominant_share,
+        CAST(n_sensitive >= 3 AS INT) AS diverse
+      FROM a ORDER BY o_orderstatus, o_orderpriority"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8178,7 +8214,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

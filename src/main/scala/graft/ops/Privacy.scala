@@ -54,4 +54,40 @@ object Privacy {
         min(col("class_size")).as("min_size"))
       .withColumn("worst_linkage",
         lit(1.0) / col("min_size").cast("double"))
+
+  /** L-DIVERSITY (Machanavajjhala et al. 2007): k-anonymity's blind spot
+    * is the HOMOGENEITY attack — a class can be large yet reveal the
+    * sensitive attribute because every member shares it. Per
+    * quasi-identifier equivalence class: its size, the number of DISTINCT
+    * sensitive values (distinct l-diversity; the class is diverse iff
+    * ≥ l), and the dominant sensitive value's share (the direct
+    * homogeneity-attack success probability; ties break by max value
+    * string, deterministic).
+    *
+    * Scale shape: one partial-combined groupBy on (quasi…, sensitive) —
+    * the shuffle carries (class, value) CELLS, not rows — then a per-class
+    * rollup on the same clustering. Exact counts + one IEEE division.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[Column], sensitive: Column,
+                 l: Int = 3): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2, got $l")
+    val qNames = df.select(quasi: _*).columns.toSeq
+    require(qNames.distinct.size == qNames.size && !qNames.contains("s"),
+      s"quasi columns must be uniquely named and not 's': $qNames")
+    val cells = df.select(quasi :+ sensitive.cast("string").as("s"): _*)
+      .groupBy((qNames :+ "s").map(col): _*)
+      .agg(count(lit(1)).as("m"))
+    cells
+      .groupBy(qNames.map(col): _*)
+      .agg(
+        sum(col("m")).as("class_size"),
+        count(lit(1)).as("n_sensitive"),
+        max(struct(col("m"), col("s"))).as("top"))
+      .select(qNames.map(col) ++ Seq(col("class_size"), col("n_sensitive"),
+        col("top.s").as("top_value"), col("top.m").as("top_freq")): _*)
+      .withColumn("dominant_share",
+        col("top_freq").cast("double") / col("class_size").cast("double"))
+      .withColumn("diverse", (col("n_sensitive") >= l).cast("int"))
+  }
 }

@@ -4698,6 +4698,33 @@ class OpsSpec extends AnyFunSuite {
     assert(again == first)
   }
 
+  test("lDiversity: homogeneity attack caught in a big-but-uniform class, tie by max value") {
+    import graft.ops.Privacy
+    val df = Seq(
+      // class (a, p1): 4 rows, all sensitive "X" -> k-anonymous, NOT diverse
+      ("a", "p1", "X"), ("a", "p1", "X"), ("a", "p1", "X"), ("a", "p1", "X"),
+      // class (a, p2): 3 rows, 3 distinct -> diverse, dominant share 1/3
+      ("a", "p2", "X"), ("a", "p2", "Y"), ("a", "p2", "Z"),
+      // class (b, p1): tie X=1, Y=1 -> top_value "Y" (max string)
+      ("b", "p1", "X"), ("b", "p1", "Y")
+    ).toDF("q1", "q2", "sens")
+    val out = Privacy.lDiversity(df, Seq(col("q1"), col("q2")),
+        col("sens"), l = 3)
+      .orderBy(col("q1"), col("q2")).collect()
+    val c1 = out(0)
+    assert(c1.getAs[Long]("class_size") == 4L &&
+      c1.getAs[Long]("n_sensitive") == 1L)
+    assert(c1.getAs[Double]("dominant_share") == 1.0 &&
+      c1.getAs[Int]("diverse") == 0)
+    val c2 = out(1)
+    assert(c2.getAs[Long]("n_sensitive") == 3L &&
+      c2.getAs[Int]("diverse") == 1)
+    assert(c2.getAs[Double]("dominant_share") == 1.0 / 3.0)
+    val c3 = out(2)
+    assert(c3.getAs[String]("top_value") == "Y" &&
+      c3.getAs[Long]("top_freq") == 1L)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
