@@ -8196,6 +8196,63 @@ object Queries {
         CAST(n_sensitive >= 3 AS INT) AS diverse
       FROM a ORDER BY o_orderstatus, o_orderpriority"""))
 
+  /** LINE-LEVEL LANGUAGE MIXING (TextOps.lineLangMix): per-doc line-lang
+    * composition + adjacent-line switch count — the code-switch /
+    * concatenation-artifact screen doc-level langid (q23) cannot see.
+    * Same marker-score dag as q23, per line, padded one space each side.
+    */
+  private val q231 = Q("q231_line_lang_mix",
+    (s, d) => graft.ops.TextOps.lineLangMix(docsSpread(s, d),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some {
+      val scores = graft.ops.TextOps.langMarkers.map { case (l, ws) =>
+        val sum = ws.map(w =>
+          s"(length(padded) - length(replace(padded, '$w', '')))")
+          .mkString(" + ")
+        s"($sum) AS s_$l"
+      }.mkString(",\n          ")
+      s"""
+      WITH t AS (SELECT doc_id,
+          list_filter(list_transform(string_split(text, chr(10)),
+            l -> trim(l)), l -> len(l) > 0) AS lines
+        FROM documents),
+      p AS (SELECT doc_id, x.pos - 1 AS pos,
+          ' ' || x.line || ' ' AS padded
+        FROM (SELECT doc_id, unnest(list_transform(lines, (l, i) ->
+            struct_pack(pos := i, line := l))) AS x FROM t)),
+      sc AS (SELECT doc_id, pos,
+          $scores
+        FROM p),
+      lng AS (SELECT doc_id, pos,
+          CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+               WHEN s_de >= s_fr THEN 'de'
+               ELSE 'fr' END AS lang
+        FROM sc),
+      lagd AS (SELECT *,
+          lag(lang) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM lng),
+      g AS (SELECT doc_id, lang,
+          CAST(COUNT(*) AS BIGINT) AS cnt,
+          CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> lang
+            THEN 1 ELSE 0 END) AS BIGINT) AS sw
+        FROM lagd GROUP BY doc_id, lang),
+      mx AS (SELECT doc_id, MAX(cnt) AS mm FROM g GROUP BY doc_id),
+      a AS (SELECT g.doc_id,
+          CAST(SUM(g.cnt) AS BIGINT) AS n_lines,
+          CAST(COUNT(*) AS BIGINT) AS n_langs,
+          MAX(CASE WHEN g.cnt = x.mm THEN g.lang END) AS major_lang,
+          CAST(ANY_VALUE(x.mm) AS BIGINT) AS major_count,
+          CAST(SUM(g.sw) AS BIGINT) AS n_switches
+        FROM g JOIN mx x USING (doc_id) GROUP BY g.doc_id)
+      SELECT doc_id, n_lines, n_langs, major_lang, major_count, n_switches,
+        CAST(major_count AS DOUBLE) / CAST(n_lines AS DOUBLE)
+          AS major_share,
+        CAST(n_langs > 1 AS INT) AS code_switched
+      FROM a ORDER BY doc_id"""
+    })
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8214,7 +8271,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -436,6 +436,50 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** LINE-LEVEL LANGUAGE MIXING / CODE-SWITCH DETECTION: doc-level
+    * language ID ([[langPred]], the q23 face) hides documents that
+    * switch language mid-stream — boilerplate injections, concatenation
+    * artifacts, genuine code-switching — all of which poison
+    * monolingual training slices. Per document: line count, distinct
+    * predicted line languages, the majority language and its share, and
+    * the number of ADJACENT-line language switches (in line order).
+    * Lines are padded with one space each side so boundary marker words
+    * (" the ") can match; ties on the majority language break by (count,
+    * lang) max. Exact counts + one IEEE division.
+    *
+    * Scale shape: one doc-key hash shuffle serves the order window AND
+    * both aggregates (same clustering, exchanges reused); per-line work
+    * is a fixed marker-scan dag at the scan.
+    */
+  def lineLangMix(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines0 = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val perLine = docs.select(docId.cast("long").as("doc_id"),
+        posexplode(lines0).as(Seq("pos", "line")))
+      .withColumn("lang",
+        langPred(concat(lit(" "), col("line"), lit(" "))))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    perLine
+      .withColumn("prev", lag(col("lang"), 1).over(w))
+      .withColumn("switch",
+        (col("prev").isNotNull && col("prev") =!= col("lang")).cast("long"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"), sum(col("switch")).as("sw"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_lines"),
+        count(lit(1)).as("n_langs"),
+        max(struct(col("cnt"), col("lang"))).as("top"),
+        sum(col("sw")).as("n_switches"))
+      .select(col("doc_id"), col("n_lines"), col("n_langs"),
+        col("top.lang").as("major_lang"), col("top.cnt").as("major_count"),
+        col("n_switches"))
+      .withColumn("major_share",
+        col("major_count").cast("double") / col("n_lines").cast("double"))
+      .withColumn("code_switched", (col("n_langs") > 1).cast("int"))
+  }
+
   /** Unicode script classes for [[scriptMix]]: name → character class,
     * in the FIXED priority order the dominant-script tie rule reads
     * (earlier wins ties). BMP ranges only, written so the Java regex

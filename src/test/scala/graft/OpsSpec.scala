@@ -4725,6 +4725,28 @@ class OpsSpec extends AnyFunSuite {
       c3.getAs[Long]("top_freq") == 1L)
   }
 
+  test("lineLangMix: switches counted in line order, majority share, monolingual silent") {
+    // en / es / en lines -> 3 langs? no: en, es, en -> 2 langs, 2 switches
+    val mixed = Seq(
+      "the cat and the dog of the house",
+      "el perro y la casa de la abuela",
+      "the end and the start of it").mkString("\n")
+    val mono = "the cat and the dog\nthe end of the story and more"
+    val out = TextOps.lineLangMix(docs(1L -> mixed, 2L -> mono),
+      col("doc_id"), col("text")).orderBy(col("doc_id")).collect()
+    val m = out(0)
+    assert(m.getAs[Long]("n_lines") == 3L && m.getAs[Long]("n_langs") == 2L)
+    assert(m.getAs[String]("major_lang") == "en" &&
+      m.getAs[Long]("major_count") == 2L)
+    assert(m.getAs[Long]("n_switches") == 2L &&
+      m.getAs[Int]("code_switched") == 1)
+    assert(m.getAs[Double]("major_share") == 2.0 / 3.0)
+    val s = out(1)
+    assert(s.getAs[Long]("n_switches") == 0L &&
+      s.getAs[Int]("code_switched") == 0 &&
+      s.getAs[Double]("major_share") == 1.0)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
