@@ -696,13 +696,13 @@ object TextOps {
     * never reaches the output, so the struct-max is deterministic and
     * SQL-replayable.
     *
-    * Scale shape: ONE explode of all gram orders (Σ ≈ (maxN−minN+1)·|toks|
-    * instances) → partial-combined groupBy (doc_id, n, gram) → per-doc
-    * groupBy. Both aggregations are clustered by doc_id, so a doc_id-
-    * partitioned input makes the second exchange free. At 100 TB the
-    * gram strings in the first shuffle are the cost; the hash-key
-    * narrowing of [[scoreBigramLm]] applies verbatim if profiles demand
-    * it (counts are hash-invariant; the output carries no gram).
+    * Scale shape: ZERO SHUFFLE — every stat is a function of the doc's
+    * own gram multiset, computed by run-length-encoding the sorted gram
+    * array inside one projection (run starts → run lengths → folds);
+    * only the |docs|·(maxN−minN+1)-row RESULT ever leaves the scan. The
+    * explode + (doc, n, gram)-groupBy alternative shuffles one row per
+    * gram INSTANCE on near-unique keys and measured 26-43 s at 10×
+    * (spill-bound, high variance) vs scan-parallel narrow work here.
     */
   def gramRepetition(docs: DataFrame, docId: Column, text: Column,
                      minN: Int = 2, maxN: Int = 10): DataFrame = {
@@ -712,27 +712,50 @@ object TextOps {
       when(size(toks) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
           i => concat_ws(" ", slice(toks, i, lit(n)))))
-    val tagged = flatten(array((minN to maxN).map(n =>
-      transform(gramsOf(n), g => struct(lit(n).as("n"), g.as("gram")))): _*))
-    docs
+    // ZERO-SHUFFLE formulation: the per-(doc, n) stats are functions of
+    // the doc's OWN gram multiset, so they run-length-encode the SORTED
+    // gram array — run starts, run lengths, then type count / top
+    // (m, glen) / duplicated char mass as array folds. The explode+
+    // groupBy alternative shuffles one row per gram INSTANCE on
+    // near-unique (doc, gram) keys — measured 26-43 s at sf1 (spill-
+    // bound, high variance) vs scan-parallel narrow work here.
+    //
+    // Each intermediate array is STAGED AS A REAL COLUMN (the winnowing
+    // lesson): an inline subtree referenced from inside a lambda is
+    // re-evaluated per ELEMENT, turning O(G) passes into O(G²).
+    val staged = docs
       .select(docId.cast("long").as("doc_id"),
-        length(text).cast("long").as("n_chars"), explode(tagged).as("g"))
-      .groupBy(col("doc_id"), col("n_chars"), col("g.n").as("n"),
-        col("g.gram").as("gram"))
-      .agg(count(lit(1)).as("m"))
-      .groupBy(col("doc_id"), col("n_chars"), col("n"))
-      .agg(
-        count(lit(1)).as("n_types"),
-        sum(col("m")).as("n_grams"),
-        max(struct(col("m"), length(col("gram")).cast("long").as("glen")))
-          .as("top"),
-        sum(when(col("m") >= 2, col("m") * length(col("gram")).cast("long"))
-          .otherwise(lit(0L))).as("dup_chars"))
-      .select(col("doc_id"), col("n"), col("n_chars"), col("n_types"),
-        col("n_grams"),
-        col("top.m").as("top_m"),
-        (col("top.m") * col("top.glen")).as("top_chars"),
-        col("dup_chars"))
+        length(text).cast("long").as("n_chars"),
+        explode(array((minN to maxN).map(n =>
+          struct(lit(n).as("n"), array_sort(gramsOf(n)).as("g"))): _*))
+          .as("x"))
+      .select(col("doc_id"), col("n_chars"), col("x.n").as("n"),
+        col("x.g").as("g"))
+      .where(size(col("g")) > 0)
+    val g = col("g")
+    staged
+      // i === 1 guards the element_at(i−1) via greatest (both operand
+      // branches may evaluate; index 0 would throw under ANSI)
+      .withColumn("starts", filter(sequence(lit(1), size(g)), i =>
+        i === 1 ||
+          element_at(g, i) =!= element_at(g, greatest(i - 1, lit(1)))))
+      // next run start; the last run closes at |g| + 1
+      .withColumn("runs", zip_with(
+        col("starts"),
+        concat(slice(col("starts"), lit(2),
+          greatest(size(col("starts")) - 1, lit(0))), array(size(g) + 1)),
+        (s, nxt) => struct((nxt - s).cast("long").as("m"),
+          length(element_at(g, s)).cast("long").as("glen"))))
+      .select(col("doc_id"), col("n"), col("n_chars"),
+        size(col("starts")).cast("long").as("n_types"),
+        size(g).cast("long").as("n_grams"),
+        array_max(col("runs")).getField("m").as("top_m"),
+        (array_max(col("runs")).getField("m")
+          * array_max(col("runs")).getField("glen")).as("top_chars"),
+        aggregate(col("runs"), lit(0L), (acc, x) =>
+          acc + when(x.getField("m") >= 2,
+            x.getField("m") * x.getField("glen")).otherwise(lit(0L)))
+          .as("dup_chars"))
       .withColumn("top_char_frac",
         when(col("n_chars") > 0,
           col("top_chars").cast("double") / col("n_chars").cast("double"))
