@@ -8253,6 +8253,134 @@ object Queries {
       FROM a ORDER BY doc_id"""
     })
 
+  /** ACTIVITY-SPIKE DETECTION (Robust.madOutliers over per-user daily
+    * event counts, k=2.5): the behavioral-anomaly face of the Hampel
+    * filter — flags user-days whose volume robustly exceeds the user's
+    * own baseline. Both engines share the exact-percentile dag.
+    */
+  private val q232 = Q("q232_activity_spikes",
+    (s, d) => graft.ops.Robust.madOutliers(
+        t(s, d, "events")
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n")),
+        col("user_id"), unix_date(col("day")).cast("long"), col("n"),
+        k = 2.5)
+      .orderBy(col("grp"), col("id")),
+    Some("""
+      WITH daily AS (SELECT user_id AS grp,
+          CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS id,
+          CAST(COUNT(*) AS DOUBLE) AS x
+        FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      med AS (SELECT grp, quantile_cont(x, 0.5) AS med
+        FROM daily GROUP BY grp),
+      dev AS (SELECT d.grp, d.id, d.x, m.med, abs(d.x - m.med) AS absdev
+        FROM daily d JOIN med m USING (grp)),
+      mad AS (SELECT grp, quantile_cont(absdev, 0.5) AS mad
+        FROM dev GROUP BY grp)
+      SELECT d.grp, d.id, d.x, d.med, a.mad,
+        d.absdev / (1.4826 * a.mad) AS robust_z
+      FROM dev d JOIN mad a USING (grp)
+      WHERE a.mad > 0.0 AND d.absdev / (1.4826 * a.mad) > 2.5
+      ORDER BY d.grp, d.id"""))
+
+  /** BURSTINESS PROFILE (Sessions.burstiness, Goh & Barabási 2008):
+    * per-user inter-event-gap stats + B = (σ−μ)/(σ+μ) — the
+    * bot-vs-human cadence screen. Exact micro gaps; Σg² as
+    * DECIMAL(38,0); fixed variance dag.
+    */
+  private val q233 = Q("q233_burstiness",
+    (s, d) => graft.ops.Sessions.burstiness(t(s, d, "events"),
+        col("user_id"), col("event_id"), col("ts"))
+      .orderBy(col("entity")),
+    Some("""
+      WITH b AS (SELECT user_id AS entity, event_id AS ord,
+          epoch_us(ts) AS us FROM events),
+      g AS (SELECT entity,
+          us - lag(us) OVER (PARTITION BY entity ORDER BY us, ord) AS gap
+        FROM b),
+      a AS (SELECT entity,
+          CAST(COUNT(*) AS BIGINT) AS n_gaps,
+          CAST(SUM(gap) AS BIGINT) AS sum_gap,
+          CAST(SUM(CAST(gap AS DECIMAL(19,0)) * CAST(gap AS DECIMAL(19,0)))
+            AS DECIMAL(38,0)) AS sum_gap2,
+          CAST(MIN(gap) AS BIGINT) AS min_gap,
+          CAST(MAX(gap) AS BIGINT) AS max_gap
+        FROM g WHERE gap IS NOT NULL GROUP BY entity),
+      m AS (SELECT *,
+          CAST(sum_gap AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap_us
+        FROM a),
+      v AS (SELECT *,
+          CAST(sum_gap2 AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+            - mean_gap_us * mean_gap_us AS var_gap
+        FROM m),
+      sd AS (SELECT *, sqrt(greatest(var_gap, 0.0)) AS std_gap FROM v)
+      SELECT entity, n_gaps, sum_gap, sum_gap2, min_gap, max_gap,
+        mean_gap_us, var_gap, std_gap,
+        CASE WHEN std_gap + mean_gap_us > 0.0
+          THEN (std_gap - mean_gap_us) / (std_gap + mean_gap_us)
+          ELSE 0.0 END AS burstiness
+      FROM sd ORDER BY entity"""))
+
+  /** CLASS-BALANCE / EFFECTIVE-NUMBER-OF-CLASSES (Eval.classBalance):
+    * per source, language-label health — class count, majority share,
+    * inverse-Simpson ENS. Exact counts (Σn² decimal), two divisions.
+    */
+  private val q234 = Q("q234_class_balance",
+    (s, d) => graft.ops.Eval.classBalance(t(s, d, "documents"),
+        col("source"), col("lang"))
+      .orderBy(col("grp")),
+    Some("""
+      WITH c AS (SELECT source AS grp, CAST(lang AS VARCHAR) AS lab,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang),
+      mx AS (SELECT grp, MAX(n) AS mm FROM c GROUP BY grp),
+      a AS (SELECT c.grp,
+          CAST(SUM(c.n) AS BIGINT) AS n_rows,
+          CAST(COUNT(*) AS BIGINT) AS n_classes,
+          MAX(CASE WHEN c.n = x.mm THEN c.lab END) AS major_label,
+          CAST(ANY_VALUE(x.mm) AS BIGINT) AS major_count,
+          CAST(SUM(CAST(c.n AS DECIMAL(19,0)) * CAST(c.n AS DECIMAL(19,0)))
+            AS DECIMAL(38,0)) AS sum_n2
+        FROM c JOIN mx x USING (grp) GROUP BY c.grp)
+      SELECT grp, n_rows, n_classes, major_label, major_count,
+        CAST(major_count AS DOUBLE) / CAST(n_rows AS DOUBLE)
+          AS major_share,
+        CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)
+          / CAST(sum_n2 AS DOUBLE) AS ens
+      FROM a ORDER BY grp"""))
+
+  /** TEMPORAL LEAKAGE VALIDATOR (Mix.temporalLeakage): under a RANDOM
+    * hash split of the event stream, every multi-event user trains on
+    * their own future — this query materializes exactly that audit (per
+    * user: train max vs test min event time, overlap, leak flag). Exact
+    * longs; the hashGate dag replays in SQL.
+    */
+  private val q235 = Q("q235_temporal_leakage",
+    (s, d) => graft.ops.Mix.temporalLeakage(t(s, d, "events"),
+        col("user_id"), col("ts"),
+        graft.ops.Mix.hashGate(col("event_id")) < 800)
+      .orderBy(col("entity")),
+    Some("""
+      WITH b AS (SELECT user_id AS entity, epoch_us(ts) AS us,
+          ((event_id % 2147483648) * 2654435761 % 2147483648 % 1000) < 800
+            AS tr
+        FROM events),
+      a AS (SELECT entity,
+          CAST(SUM(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+          CAST(SUM(CASE WHEN NOT tr THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+          CAST(MAX(CASE WHEN tr THEN us END) AS BIGINT) AS train_max_us,
+          CAST(MIN(CASE WHEN NOT tr THEN us END) AS BIGINT) AS test_min_us
+        FROM b GROUP BY entity),
+      o AS (SELECT *,
+          CASE WHEN train_max_us IS NOT NULL AND test_min_us IS NOT NULL
+                AND test_min_us <= train_max_us
+            THEN train_max_us - test_min_us END AS overlap_us
+        FROM a)
+      SELECT entity, n_train, n_test, train_max_us, test_min_us,
+        overlap_us,
+        CAST(overlap_us IS NOT NULL AS INT) AS leaks
+      FROM o ORDER BY entity"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8271,7 +8399,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -552,6 +552,43 @@ object Eval {
             (x.getField("rank") + kappa).cast("double")).as("rrf"))
   }
 
+  /** CLASS-BALANCE REPORT with EFFECTIVE NUMBER OF CLASSES: per group,
+    * the label-distribution health a stratified trainer checks before
+    * weighting anything — class count, majority share, and the inverse
+    * Simpson index ENS = N² / Σ n_i² (the "effective number of equally
+    * likely classes"; ENS ≪ class count means the tail is decorative).
+    * All sums exact (Σn² as DECIMAL(38,0) — n² overflows a long at real
+    * corpus scale); two fixed divisions at the end. Ties on the majority
+    * label break by max label string.
+    *
+    * Scale shape: one partial-combined (group, label) count shuffle, then
+    * a per-group rollup on the same clustering.
+    */
+  def classBalance(df: DataFrame, group: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    df.select(group.as("grp"), label.cast("string").as("lab"))
+      .groupBy(col("grp"), col("lab"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(col("n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        max(struct(col("n"), col("lab"))).as("top"),
+        sum((col("n").cast(DecimalType(19, 0))
+          * col("n").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+          .as("sum_n2"))
+      .select(col("grp"), col("n_rows"), col("n_classes"),
+        col("top.lab").as("major_label"), col("top.n").as("major_count"),
+        col("sum_n2"))
+      .withColumn("major_share",
+        col("major_count").cast("double") / col("n_rows").cast("double"))
+      .withColumn("ens", {
+        val nD = col("n_rows").cast("double")
+        nD * nD / col("sum_n2").cast("double")
+      })
+      .drop("sum_n2")
+  }
+
   /** POPULATION STABILITY INDEX (the standard production drift metric
     * between two corpus snapshots — Karakoulas 2004 credit-scoring
     * lineage, now the default "did my feature distribution move" alarm):

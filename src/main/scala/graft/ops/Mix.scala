@@ -379,6 +379,35 @@ object Mix {
     df.withColumn("split", split)
   }
 
+  /** TEMPORAL LEAKAGE VALIDATOR — the complement of [[leakageSafeSplit]]
+    * for TIME-ordered data: a random split of per-entity event streams
+    * lets the model train on an entity's FUTURE and be evaluated on its
+    * past. Per entity: train/test counts, the latest train and earliest
+    * test event times, the overlap in microseconds, and the violation
+    * flag (`test_min_us ≤ train_max_us`). Run it before trusting any
+    * time-series eval; the fix is a per-entity (or global) time cut.
+    * Exact longs end-to-end.
+    *
+    * Scale shape: ONE partial-combined groupBy on the entity key
+    * (conditional min/max aggregates — no join, no window); entities
+    * present on only one side report null on the other and never flag.
+    */
+  def temporalLeakage(df: DataFrame, entity: Column, ts: Column,
+                      isTrain: Column): DataFrame =
+    df.select(entity.as("entity"), unix_micros(ts).as("us"),
+        isTrain.cast("boolean").as("tr"))
+      .groupBy(col("entity"))
+      .agg(
+        sum(col("tr").cast("long")).as("n_train"),
+        sum((!col("tr")).cast("long")).as("n_test"),
+        max(when(col("tr"), col("us"))).as("train_max_us"),
+        min(when(!col("tr"), col("us"))).as("test_min_us"))
+      .withColumn("overlap_us",
+        when(col("train_max_us").isNotNull && col("test_min_us").isNotNull
+            && col("test_min_us") <= col("train_max_us"),
+          col("train_max_us") - col("test_min_us")))
+      .withColumn("leaks", col("overlap_us").isNotNull.cast("int"))
+
   /** Sequential token-budget packing: within each stratum, docs (in `order`)
     * are laid onto a continuous token tape and the tape is cut every
     * `budget` tokens; a doc belongs to the shard where it STARTS —

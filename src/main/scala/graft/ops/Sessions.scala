@@ -56,6 +56,52 @@ object Sessions {
     * (traj_id, ord, reward, n_future, ret) so shorter-than-H tails are
     * visible.
     */
+  /** BURSTINESS PROFILE (Goh & Barabási 2008): per entity, the
+    * inter-event-gap statistics and the burstiness parameter
+    * B = (σ − μ)/(σ + μ) ∈ [−1, 1] — B ≈ −1 is a metronome (bot-like
+    * regularity), B ≈ 0 Poisson, B → 1 extreme bursts. The behavioral
+    * screen for scripted traffic and for event streams whose cadence a
+    * session model must respect.
+    *
+    * Exactness: gaps are exact MICROSECOND longs from the event-time
+    * order (id tiebreak ⇒ total order); Σg is a long and Σg² accumulates
+    * as DECIMAL(38,0) (a day-long gap squared is ~7.5e18 — one gap can
+    * overflow a long at real scale), so the population-variance dag
+    * (Σg²/n − μ²) runs on exact sums and replays bit-identically.
+    *
+    * Scale shape: one entity-key hash shuffle serves the lag window AND
+    * the aggregate (exchange reused); entities with < 2 events drop
+    * (no gaps — documented).
+    */
+  def burstiness(events: DataFrame, entity: Column, order: Column,
+                 ts: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = events.select(entity.as("entity"), order.as("ord"),
+      unix_micros(ts).as("us"))
+    val w = Window.partitionBy(col("entity")).orderBy(col("us"), col("ord"))
+    base
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .where(col("gap").isNotNull)
+      .groupBy(col("entity"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sum_gap"),
+        sum((col("gap").cast(DecimalType(19, 0))
+          * col("gap").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+          .as("sum_gap2"),
+        min(col("gap")).as("min_gap"), max(col("gap")).as("max_gap"))
+      .withColumn("mean_gap_us",
+        col("sum_gap").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("var_gap",
+        col("sum_gap2").cast("double") / col("n_gaps").cast("double")
+          - col("mean_gap_us") * col("mean_gap_us"))
+      .withColumn("std_gap", sqrt(greatest(col("var_gap"), lit(0.0))))
+      .withColumn("burstiness",
+        when(col("std_gap") + col("mean_gap_us") > 0.0,
+          (col("std_gap") - col("mean_gap_us"))
+            / (col("std_gap") + col("mean_gap_us"))).otherwise(lit(0.0)))
+  }
+
   def discountedReturns(events: DataFrame, traj: Column, ord: Column,
                         reward: Column, horizon: Int = 16): DataFrame = {
     require(horizon >= 1 && horizon <= 40,

@@ -4747,6 +4747,70 @@ class OpsSpec extends AnyFunSuite {
       s.getAs[Double]("major_share") == 1.0)
   }
 
+  test("burstiness: metronome B near -1, exact gap moments, single-event entity drops") {
+    import graft.ops.Sessions
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // metronome: gaps exactly [10s, 10s, 10s] -> sigma 0 -> B = -1
+    val metro = (0 to 3).map(i => ("m", i.toLong, ts(i * 10000000L)))
+    // bursty: gaps [1s, 1s, 100s]
+    val burst = Seq(("b", 0L, ts(0L)), ("b", 1L, ts(1000000L)),
+      ("b", 2L, ts(2000000L)), ("b", 3L, ts(102000000L)))
+    val lone = Seq(("l", 0L, ts(0L)))
+    val df = (metro ++ burst ++ lone).toDF("u", "o", "t")
+    val out = Sessions.burstiness(df, col("u"), col("o"), col("t"))
+      .orderBy(col("entity")).collect()
+    assert(out.length == 2) // single-event entity has no gaps
+    val b = out(0)
+    assert(b.getAs[Long]("n_gaps") == 3L &&
+      b.getAs[Long]("sum_gap") == 102000000L)
+    val mean = 102000000.0 / 3.0
+    val varG = (1e12 + 1e12 + 1e16) / 3.0 - mean * mean
+    val std = math.sqrt(varG)
+    assert(b.getAs[Double]("burstiness") == (std - mean) / (std + mean))
+    assert(b.getAs[Double]("burstiness") > 0.0) // bursty side of Poisson
+    val m = out(1)
+    assert(m.getAs[Double]("std_gap") == 0.0 &&
+      m.getAs[Double]("burstiness") == -1.0)
+  }
+
+  test("classBalance: ENS equals class count when uniform, collapses under skew") {
+    import graft.ops.Eval
+    val df = (Seq.fill(5)(("u", "a")) ++ Seq.fill(5)(("u", "b")) ++
+      Seq.fill(98)(("s", "a")) ++ Seq.fill(1)(("s", "b")) ++
+      Seq.fill(1)(("s", "c"))).toDF("g", "lab")
+    val out = Eval.classBalance(df, col("g"), col("lab"))
+      .orderBy(col("grp")).collect()
+    val skew = out(0) // group "s": 98/1/1 of 100
+    assert(skew.getAs[Long]("n_classes") == 3L &&
+      skew.getAs[String]("major_label") == "a")
+    assert(skew.getAs[Double]("major_share") == 0.98)
+    assert(skew.getAs[Double]("ens") == 10000.0 / (98.0 * 98 + 1 + 1))
+    assert(skew.getAs[Double]("ens") < 1.1) // tail is decorative
+    val uni = out(1) // group "u": 5/5 -> ENS exactly 2
+    assert(uni.getAs[Double]("ens") == 2.0)
+  }
+
+  test("temporalLeakage: future-training flagged, clean time-cut silent, one-sided null") {
+    import graft.ops.Mix
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    val df = Seq(
+      // u1: train event AFTER the test event -> leaks
+      (1L, ts(1000000L), false), (1L, ts(2000000L), true),
+      // u2: clean time cut (all train before test)
+      (2L, ts(1000000L), true), (2L, ts(2000000L), false),
+      // u3: train only
+      (3L, ts(1000000L), true)
+    ).toDF("u", "t", "tr")
+    val out = Mix.temporalLeakage(df, col("u"), col("t"), col("tr"))
+      .orderBy(col("entity")).collect()
+    assert(out(0).getAs[Int]("leaks") == 1 &&
+      out(0).getAs[Long]("overlap_us") == 1000000L)
+    assert(out(1).getAs[Int]("leaks") == 0 &&
+      out(1).isNullAt(out(1).fieldIndex("overlap_us")))
+    assert(out(2).getAs[Int]("leaks") == 0 &&
+      out(2).isNullAt(out(2).fieldIndex("test_min_us")))
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
