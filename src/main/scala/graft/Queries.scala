@@ -8381,6 +8381,82 @@ object Queries {
         CAST(overlap_us IS NOT NULL AS INT) AS leaks
       FROM o ORDER BY entity"""))
 
+  /** QUANTILE REPORT (Robust.quantileReport): exact interpolated
+    * p10/p25/p50/p75/p90 of event values per type, long format — the
+    * datacard distribution snapshot. Both engines share the
+    * lo+(hi−lo)·f dag at ARBITRARY fractions (multiplication commutes).
+    */
+  private val q236 = Q("q236_quantile_report",
+    (s, d) => graft.ops.Robust.quantileReport(t(s, d, "events"),
+        col("event_type"), col("value"))
+      .orderBy(col("grp"), col("q")),
+    Some("""
+      WITH b AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS x
+        FROM events),
+      a AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+          MIN(x) AS min_x, MAX(x) AS max_x,
+          quantile_cont(x, 0.1) AS p10, quantile_cont(x, 0.25) AS p25,
+          quantile_cont(x, 0.5) AS p50, quantile_cont(x, 0.75) AS p75,
+          quantile_cont(x, 0.9) AS p90
+        FROM b GROUP BY grp)
+      SELECT grp, 0.1 AS q, p10 AS p, n, min_x, max_x FROM a
+      UNION ALL SELECT grp, 0.25, p25, n, min_x, max_x FROM a
+      UNION ALL SELECT grp, 0.5, p50, n, min_x, max_x FROM a
+      UNION ALL SELECT grp, 0.75, p75, n, min_x, max_x FROM a
+      UNION ALL SELECT grp, 0.9, p90, n, min_x, max_x FROM a
+      ORDER BY grp, q"""))
+
+  /** GINI CONCENTRATION (Eval.gini) of per-user activity within each
+    * event type — the "three power users in a trench coat" audit.
+    * Integer x, decimal Σi·xᵢ, order-proof ties, fixed final dag.
+    */
+  private val q237 = Q("q237_activity_gini",
+    (s, d) => graft.ops.Eval.gini(
+        t(s, d, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("x")),
+        col("event_type"), col("x"))
+      .orderBy(col("grp")),
+    Some("""
+      WITH act AS (SELECT event_type AS grp, user_id,
+          CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY event_type, user_id),
+      a AS (SELECT grp, list_sort(list(x)) AS xs,
+          CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+        FROM act GROUP BY grp),
+      si AS (SELECT grp, n, s,
+          list_sum(list_transform(xs,
+            (x, i) -> CAST(i AS DECIMAL(38,0)) * x)) AS si
+        FROM a)
+      SELECT grp, n, s,
+        CASE WHEN s > 0
+          THEN (2.0 * CAST(si AS DOUBLE)
+                - CAST(n + 1 AS DOUBLE) * CAST(s AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+          ELSE 0.0 END AS gini
+      FROM si ORDER BY grp"""))
+
+  /** CORPUS CONTENT CHECKSUM (Dedup.corpusChecksum): order-free per-
+    * source content fingerprint (Σ roll-hash of md5 hex) + doc/distinct
+    * counts — the dataset-versioning identity two snapshots compare.
+    */
+  private val q238 = Q("q238_corpus_checksum",
+    (s, d) => graft.ops.Dedup.corpusChecksum(t(s, d, "documents"),
+        col("source"), col("text"))
+      .orderBy(col("grp")),
+    Some("""
+      WITH h AS (SELECT source AS grp, md5(text) AS h FROM documents),
+      r AS (SELECT grp, h,
+          list_reduce(
+            list_transform(string_split(h, ''),
+              c -> CAST(ascii(c) AS BIGINT)),
+            (a, c) -> (a * 31 + c) % 2147483647) AS rh
+        FROM h)
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+        CAST(SUM(rh) AS BIGINT) AS checksum
+      FROM r GROUP BY grp ORDER BY grp"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8399,7 +8475,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

@@ -88,6 +88,27 @@ object Dedup {
           (col("total_chars") - col("distinct_chars")).cast("double")
             / col("total_chars").cast("double")).otherwise(lit(0.0)))
 
+  /** CORPUS CONTENT CHECKSUM — the dataset-versioning fingerprint: per
+    * group, an ORDER-FREE content checksum (Σ of a per-doc 31-bit roll
+    * hash of the md5 hex — md5 renders identically across engines, the
+    * roll hash is the SQL-replayable q132/q142 recipe) plus doc and
+    * distinct-content counts. Two corpus snapshots with equal
+    * (n_docs, n_distinct, checksum) per group are content-identical up
+    * to the hash; any ingest dup/drop/mutation moves at least one
+    * number. Exact long sum (each term < 2³¹).
+    *
+    * Scale shape: one narrow md5+roll dag at the scan, one partial-agg
+    * groupBy; the distinct count keys the same shuffle.
+    */
+  def corpusChecksum(docs: DataFrame, group: Column, text: Column): DataFrame =
+    docs.select(group.as("grp"),
+        md5(to_binary(text, lit("utf-8"))).as("h"))
+      .withColumn("rh", TextOps.rollHash(col("h")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        sum(col("rh")).as("checksum"))
+
   /** SOFT DEDUPLICATION WEIGHTS (the SoftDeDup idea — He et al. 2024:
     * reweight common text down instead of deleting it): per document, the
     * mean corpus frequency of its k-token grams ("commonness") and the

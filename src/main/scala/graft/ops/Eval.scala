@@ -589,6 +589,43 @@ object Eval {
       .drop("sum_n2")
   }
 
+  /** GINI CONCENTRATION of a non-negative integer quantity per group —
+    * the inequality lens [[classBalance]]'s ENS summarizes away: how
+    * concentrated is activity/volume across entities (0 = perfectly
+    * even, → 1 = one entity owns everything)? The standard "is this
+    * source three power users in a trench coat" audit. Closed form on
+    * the ascending-sorted values:
+    *
+    *   G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx),  i 1-based ascending.
+    *
+    * Exact: counts are longs, Σ i·xᵢ accumulates as DECIMAL(38,0) (i·x
+    * overflows a long at corpus scale), ties in x are order-proof
+    * (equal values swap indices without changing the sum), and the
+    * final dag is two fixed divisions.
+    *
+    * Scale shape: one (group) collect of the group's VALUES — bounded
+    * by entities-per-group (the contingency-style contract); the input
+    * is usually already a per-entity aggregate.
+    */
+  def gini(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val weighted = transform(sort_array(col("xs")), (x, i) =>
+      ((i + 1).cast("long") * x).cast(DecimalType(38, 0)))
+    df.select(group.as("grp"), value.cast("long").as("x"))
+      .groupBy(col("grp"))
+      .agg(collect_list(col("x")).as("xs"), count(lit(1)).as("n"),
+        sum(col("x")).as("s"))
+      .withColumn("si", aggregate(weighted,
+        lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)),
+        (a, e) => a + e))
+      .select(col("grp"), col("n"), col("s"),
+        when(col("s") > 0,
+          (lit(2.0) * col("si").cast("double")
+            - (col("n") + 1).cast("double") * col("s").cast("double"))
+            / (col("n").cast("double") * col("s").cast("double")))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
   /** POPULATION STABILITY INDEX (the standard production drift metric
     * between two corpus snapshots — Karakoulas 2004 credit-scoring
     * lineage, now the default "did my feature distribution move" alarm):

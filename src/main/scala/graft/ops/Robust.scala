@@ -47,6 +47,33 @@ object Robust {
         col("robust_z"))
   }
 
+  /** PER-GROUP QUANTILE REPORT: exact interpolated percentiles at the
+    * requested probabilities, long format (one row per (group, q)) with
+    * the group's count/min/max alongside — the distribution snapshot a
+    * datacard or drift check reads. Same exact-percentile parity as
+    * [[madOutliers]] (both engines share the lo + (hi−lo)·f dag; the
+    * multiplication commutes bitwise).
+    *
+    * Scale shape: ONE grouped exact percentile (buffers each group's
+    * values — `percentile_approx` is the huge-group escape, same plan)
+    * + a bounded posexplode of the ≤|qs| result array.
+    */
+  def quantileReport(df: DataFrame, group: Column, value: Column,
+                     qs: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      : DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0), s"bad $qs")
+    df.select(group.as("grp"), value.cast("double").as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"),
+        percentile(col("x"), typedLit(qs)).as("ps"))
+      .select(col("grp"), col("n"), col("min_x"), col("max_x"),
+        posexplode(col("ps")).as(Seq("i", "p")))
+      .select(col("grp"),
+        element_at(typedLit(qs), col("i") + 1).as("q"),
+        col("p"), col("n"), col("min_x"), col("max_x"))
+  }
+
   /** Benford first-digit expectations log10(1 + 1/d), d = 1..9, rounded
     * to 6 dp so the Spark and SQL faces share LITERAL constants (no
     * engine-log10 in the compared dag).

@@ -4811,6 +4811,53 @@ class OpsSpec extends AnyFunSuite {
       out(2).isNullAt(out(2).fieldIndex("test_min_us")))
   }
 
+  test("quantileReport: exact interpolation at arbitrary fractions, long format") {
+    import graft.ops.Robust
+    // group g: [1, 2, 3, 4] -> p50 = 2.5; p25 = 1 + 0.75*(2-1) = 1.75
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0))
+      .toDF("grp0", "v")
+    val out = Robust.quantileReport(df, col("grp0"), col("v"),
+        qs = Seq(0.25, 0.5, 0.9))
+      .orderBy(col("q")).collect()
+    assert(out.map(_.getAs[Double]("q")).toSeq == Seq(0.25, 0.5, 0.9))
+    assert(out(0).getAs[Double]("p") == 1.0 + 0.75 * 1.0)
+    assert(out(1).getAs[Double]("p") == 2.5)
+    assert(out(2).getAs[Double]("p") == 1.0 + 0.9 * 3.0)
+    assert(out.forall(r => r.getAs[Long]("n") == 4L &&
+      r.getAs[Double]("min_x") == 1.0 && r.getAs[Double]("max_x") == 4.0))
+  }
+
+  test("gini: 0 for uniform, hand-computed concentration, tie order-proof") {
+    import graft.ops.Eval
+    val df = (Seq.fill(4)(("u", 5L)) ++
+      Seq(("c", 1L), ("c", 1L), ("c", 1L), ("c", 97L))).toDF("g", "x")
+    val out = Eval.gini(df, col("g"), col("x")).orderBy(col("grp")).collect()
+    // concentrated group: xs=[1,1,1,97], si=1+2+3+4*97=394, s=100, n=4
+    // G = (2*394 - 5*100)/(4*100) = 288/400 = 0.72
+    val c = out(0)
+    assert(c.getAs[Long]("n") == 4L && c.getAs[Long]("s") == 100L)
+    assert(c.getAs[Double]("gini") == 0.72)
+    // uniform group: xs=[5,5,5,5], si=50, s=20 -> (100-100)/80 = 0
+    assert(out(1).getAs[Double]("gini") == 0.0)
+  }
+
+  test("corpusChecksum: order-free, dup-sensitive, distinct-aware") {
+    val a = docs(1L -> "alpha", 2L -> "beta", 3L -> "alpha")
+      .withColumn("src", lit("s"))
+    val r = Dedup.corpusChecksum(a, col("src"), col("text")).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 3L && r.getAs[Long]("n_distinct") == 2L)
+    // permuting rows leaves the checksum fixed (pure sum)
+    val b = docs(9L -> "beta", 7L -> "alpha", 8L -> "alpha")
+      .withColumn("src", lit("s"))
+    val r2 = Dedup.corpusChecksum(b, col("src"), col("text")).collect()(0)
+    assert(r2.getAs[Long]("checksum") == r.getAs[Long]("checksum"))
+    // dropping a dup moves the checksum
+    val c = docs(1L -> "alpha", 2L -> "beta").withColumn("src", lit("s"))
+    val r3 = Dedup.corpusChecksum(c, col("src"), col("text")).collect()(0)
+    assert(r3.getAs[Long]("checksum") != r.getAs[Long]("checksum"))
+    assert(r3.getAs[Long]("n_distinct") == 2L)
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
