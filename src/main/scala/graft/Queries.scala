@@ -8457,6 +8457,71 @@ object Queries {
         CAST(SUM(rh) AS BIGINT) AS checksum
       FROM r GROUP BY grp ORDER BY grp"""))
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT (Eval.ksDrift): D = sup|Fa−Fb|
+    * between the hash-split halves of each event type's value
+    * distribution — the bucket-free, unit-free drift number next to PSI
+    * (q204) and W1 (q206). Exact step-point CDFs; MAX is order-free.
+    */
+  private val q239 = Q("q239_ks_drift",
+    (s, d) => graft.ops.Eval.ksDrift(t(s, d, "events"),
+        col("event_type"), col("value"),
+        graft.ops.Mix.hashGate(col("event_id")) < 500)
+      .orderBy(col("grp")),
+    Some("""
+      WITH b AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v,
+          ((event_id % 2147483648) * 2654435761 % 2147483648 % 1000) < 500
+            AS a
+        FROM events),
+      c AS (SELECT grp, v,
+          CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+          CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM b GROUP BY grp, v),
+      r AS (SELECT *,
+          CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_a,
+          CAST(SUM(cb) OVER (PARTITION BY grp ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_b,
+          CAST(SUM(ca) OVER (PARTITION BY grp) AS BIGINT) AS n_a,
+          CAST(SUM(cb) OVER (PARTITION BY grp) AS BIGINT) AS n_b
+        FROM c),
+      dd AS (SELECT *,
+          CASE WHEN n_a > 0 AND n_b > 0
+            THEN abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) END AS d
+        FROM r)
+      SELECT grp, CAST(MAX(n_a) AS BIGINT) AS n_a,
+        CAST(MAX(n_b) AS BIGINT) AS n_b,
+        CAST(COUNT(*) AS BIGINT) AS n_values, MAX(d) AS ks_d
+      FROM dd GROUP BY grp ORDER BY grp"""))
+
+  /** COLLAPSE ADJACENT DUPLICATE LINES (TextOps.collapseAdjacentLines):
+    * the within-doc stutter fix for what q217 audits — keep the first
+    * line of each consecutive-identical run, emit the cleaned text +
+    * exact char accounting. Purely narrow.
+    */
+  private val q240 = Q("q240_collapse_lines",
+    (s, d) => graft.ops.TextOps.collapseAdjacentLines(docsSpread(s, d),
+        col("doc_id"), col("text"))
+      .orderBy(col("doc_id")),
+    Some("""
+      WITH t AS (SELECT doc_id,
+          list_filter(list_transform(string_split(text, chr(10)),
+            l -> trim(l)), l -> len(l) > 0) AS ls
+        FROM documents),
+      k AS (SELECT doc_id, ls,
+          list_filter(ls, (l, i) -> i = 1 OR l <> ls[i - 1]) AS kept
+        FROM t)
+      SELECT doc_id,
+        CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(kept) AS BIGINT) AS n_kept,
+        CAST(COALESCE(list_sum(list_transform(ls, l -> len(l))), 0)
+          - COALESCE(list_sum(list_transform(kept, l -> len(l))), 0)
+          AS BIGINT) AS chars_removed,
+        array_to_string(kept, chr(10)) AS clean_text
+      FROM k ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11,
     q12, q13, q14, q15, q16, q17, q18, q19,
@@ -8475,7 +8540,7 @@ object Queries {
     q170, q171, q172, q173, q174, q175, q176, q177, q178, q179, q180,
     q181, q182, q183, q184, q185, q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196, q197, q198, q199, q200, q201, q202, q203, q204,
     q205, q206, q207, q208, q209, q210, q211, q212, q213, q214, q215, q216,
-    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238)
+    q217, q218, q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229, q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240)
 
   /** For every catalog query WITHOUT a DuckDB oracle (the driver records a
     * weaker rows-only check), the named ScalaTest(s) that pin its values —

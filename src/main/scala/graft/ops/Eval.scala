@@ -589,6 +589,47 @@ object Eval {
       .drop("sum_n2")
   }
 
+  /** TWO-SAMPLE KOLMOGOROV–SMIRNOV per group: D = max |F_a(v) − F_b(v)|
+    * between the A- and B-side empirical CDFs — the drift lens that is
+    * bucket-free (PSI, q204) and unit-free (Wasserstein-1, q206) at
+    * once: one number, no edge choice, sensitive anywhere on the axis.
+    * A/B membership is the caller's predicate (snapshot flag, split
+    * gate, time half).
+    *
+    * Exactness: per (group, value) the side counts are exact; the CDFs
+    * are running count sums over the value-ordered spine (ties
+    * collapse: one row per distinct value, so the sup is evaluated at
+    * step points exactly); the two divisions and |·| are fixed dags and
+    * MAX is order-free. Groups missing a side report D = null.
+    *
+    * Scale shape: one (group, value) partial-agg, then a GROUP-
+    * partitioned window over the group's distinct-value spine and a
+    * per-group max.
+    */
+  def ksDrift(df: DataFrame, group: Column, value: Column,
+              isA: Column): DataFrame = {
+    val counts = df.select(group.as("grp"), value.cast("double").as("v"),
+        isA.cast("boolean").as("a"))
+      .groupBy(col("grp"), col("v"))
+      .agg(sum(col("a").cast("long")).as("ca"),
+        sum((!col("a")).cast("long")).as("cb"))
+    val wRun = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wG = Window.partitionBy(col("grp"))
+    counts
+      .withColumn("cum_a", sum(col("ca")).over(wRun))
+      .withColumn("cum_b", sum(col("cb")).over(wRun))
+      .withColumn("n_a", sum(col("ca")).over(wG))
+      .withColumn("n_b", sum(col("cb")).over(wG))
+      .withColumn("d",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          abs(col("cum_a").cast("double") / col("n_a").cast("double")
+            - col("cum_b").cast("double") / col("n_b").cast("double"))))
+      .groupBy(col("grp"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        count(lit(1)).as("n_values"), max(col("d")).as("ks_d"))
+  }
+
   /** GINI CONCENTRATION of a non-negative integer quantity per group —
     * the inequality lens [[classBalance]]'s ENS summarizes away: how
     * concentrated is activity/volume across entities (0 = perfectly

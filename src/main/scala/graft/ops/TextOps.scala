@@ -766,6 +766,41 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** COLLAPSE ADJACENT DUPLICATE LINES — the FIX for the pattern
+    * [[lineRepetition]] audits: stutter artifacts (scraper retries,
+    * progress spinners, repeated headers) arrive as consecutive
+    * identical lines; keep the first of each run, preserve everything
+    * else (a later reappearance is NOT removed — that needs the
+    * cross-doc q104 face, this is the within-doc local pass). Blank
+    * lines drop, lines trim. Per doc: line count before/after, chars
+    * removed, and the cleaned text.
+    *
+    * Purely NARROW — an indexed filter over the line array (the line
+    * array staged per row; index i keeps line i iff i = 1 or
+    * lines[i] ≠ lines[i−1]); zero shuffle; exact counts.
+    */
+  def collapseAdjacentLines(docs: DataFrame, docId: Column,
+                            text: Column): DataFrame = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)),
+      l => length(l) > 0)
+    docs
+      .select(docId.cast("long").as("doc_id"), lines.as("ls"))
+      .withColumn("kept", {
+        val ls = col("ls")
+        // greatest() guards element_at(i−1): ANSI throws on index 0 and
+        // both branches of || may evaluate
+        filter(ls, (l, i) =>
+          i === 0 || l =!= element_at(ls, greatest(i, lit(1))))
+      })
+      .select(col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (aggregate(col("ls"), lit(0L), (a, l) => a + length(l))
+          - aggregate(col("kept"), lit(0L), (a, l) => a + length(l)))
+          .as("chars_removed"),
+        array_join(col("kept"), "\n").as("clean_text"))
+  }
+
   /** C4 LINE-LEVEL CLEANING (Raffel et al. 2020 §2.2): the heuristics
     * that turned Common Crawl into C4, per document —
     *   keep a line iff it ends in terminal punctuation (. ! ? "),

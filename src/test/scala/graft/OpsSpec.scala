@@ -4858,6 +4858,41 @@ class OpsSpec extends AnyFunSuite {
     assert(r3.getAs[Long]("n_distinct") == 2L)
   }
 
+  test("ksDrift: identical halves D=0, disjoint supports D=1, hand-computed middle") {
+    import graft.ops.Eval
+    // identical A/B -> D = 0
+    val same = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 1.0, false), ("g", 2.0, false)).toDF("grp0", "v", "a")
+    val d0 = Eval.ksDrift(same, col("grp0"), col("v"), col("a"))
+      .collect()(0)
+    assert(d0.getAs[Double]("ks_d") == 0.0 && d0.getAs[Long]("n_a") == 2L)
+    // disjoint supports -> D = 1
+    val dis = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 10.0, false), ("g", 11.0, false)).toDF("grp0", "v", "a")
+    assert(Eval.ksDrift(dis, col("grp0"), col("v"), col("a"))
+      .collect()(0).getAs[Double]("ks_d") == 1.0)
+    // A = [1, 2], B = [2, 3]: at v=1 |1/2 - 0| = .5; v=2 |1 - 1/2| = .5;
+    // v=3 |1 - 1| = 0 -> D = 0.5
+    val mid = Seq(("g", 1.0, true), ("g", 2.0, true),
+      ("g", 2.0, false), ("g", 3.0, false)).toDF("grp0", "v", "a")
+    assert(Eval.ksDrift(mid, col("grp0"), col("v"), col("a"))
+      .collect()(0).getAs[Double]("ks_d") == 0.5)
+    // one-sided group -> null D
+    val one = Seq(("g", 1.0, true)).toDF("grp0", "v", "a")
+    val r1 = Eval.ksDrift(one, col("grp0"), col("v"), col("a")).collect()(0)
+    assert(r1.isNullAt(r1.fieldIndex("ks_d")))
+  }
+
+  test("collapseAdjacentLines: runs collapse to first, later reappearance kept, exact chars") {
+    val text = "spin\nspin\nspin\nreal content here\nspin\nend."
+    val r = TextOps.collapseAdjacentLines(docs(1L -> text),
+      col("doc_id"), col("text")).collect()(0)
+    assert(r.getAs[Long]("n_lines") == 6L && r.getAs[Long]("n_kept") == 4L)
+    assert(r.getAs[String]("clean_text") ==
+      "spin\nreal content here\nspin\nend.")
+    assert(r.getAs[Long]("chars_removed") == 8L) // two dropped "spin"s
+  }
+
   test("linearAlign recovers a planted linear map exactly and beats it on a nonlinear target") {
     import graft.ops.LinAlg
     // y = A·x for a fixed integer matrix A: lattice-exact, so r2 == 1 and
