@@ -30,4 +30,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // iterative graph ops GC-thrashing in 8g — a 3x headroom bump removes
   // old-gen pressure as a variance source. Override with SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // r11, measured root cause of the gram-family bench variance (one pass
+  // in ~6 burning 7-10x the TASK CPU on byte-identical shuffles — q140
+  // 280s-cpu vs 40s-cpu normal, GC/shuffle/spill/peak-mem all flat):
+  // HotSpot refuses to JIT methods over 8000 bytecodes
+  // (DontCompileHugeMethods), and q140's 5-join whole-stage-codegen
+  // method exceeds that, so whether the pass ran compiled or INTERPRETED
+  // was profiler luck. 12-pass A/B: bursts 2-in-10 before, zero after,
+  // worst pass 11.8s -> 5.9s, median 4.7 -> 3.3s. The code-cache bump
+  // keeps 240 queries x 3 passes of generated classes resident (240 MB
+  // default flushes hot code mid-run).
+  "-XX:-DontCompileHugeMethods",
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -28,6 +28,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // r11: the default 100-entry generated-code cache evicts constantly
+      // under a 240-query catalog (each query emits tens of codegen
+      // fragments), so every pass re-Janino-compiles and the JIT starts
+      // cold — the interpreter-vs-C2 race is the measured source of the
+      // intermittent 10x-task-CPU passes. Static conf: must be set on the
+      // FIRST session of the JVM.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -37,7 +44,13 @@ object Bench {
     def run(q: Queries.Q): Unit =
       q.build(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // dev-iteration knobs (the driver sets neither): restrict to name
+    // prefixes and/or change the pass count, so a 3-query GC/variance
+    // experiment doesn't pay the full 240-query catalog
+    val onlyPrefixes = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
     val ordered = Queries.all.sortBy(_.name)
+      .filter(q => onlyPrefixes.isEmpty || onlyPrefixes.exists(q.name.startsWith))
     // warm the JVM + parquet footers once so per-query numbers measure the
     // query, not first-touch classloading
     ordered.headOption.foreach { q =>
@@ -45,7 +58,7 @@ object Bench {
     }
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
-    val passes = 3
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
 
     // Fixed-work CPU calibration, run before every pass: a deterministic
     // xorshift spin on one thread and on every core at once. Pure JVM
@@ -85,27 +98,47 @@ object Bench {
     // wall clock stops and the next query's Caches.drainAll + System.gc
     // gives stragglers time to land, so attribution error is at most a few
     // straggler tasks, fine for an order-of-magnitude annex.
-    val ioAcc = new java.util.concurrent.atomic.AtomicLongArray(4)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = t.taskMetrics
-          if (m != null) {
-            ioAcc.addAndGet(0, m.shuffleWriteMetrics.bytesWritten)
-            ioAcc.addAndGet(1, m.shuffleReadMetrics.totalBytesRead)
-            ioAcc.addAndGet(2, m.memoryBytesSpilled)
-            ioAcc.addAndGet(3, m.diskBytesSpilled)
-          }
+    // [0..3] additive byte counters; [4] task-GC ms (additive); plus a
+    // separate max-tracker for per-task peak execution memory. r10 proved
+    // spill is zero everywhere, so the residual-variance suspects (GC and
+    // execution-memory pressure) get their own columns (r11).
+    val ioAcc = new java.util.concurrent.atomic.AtomicLongArray(7)
+    val peakMemAcc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val benchListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          ioAcc.addAndGet(0, m.shuffleWriteMetrics.bytesWritten)
+          ioAcc.addAndGet(1, m.shuffleReadMetrics.totalBytesRead)
+          ioAcc.addAndGet(2, m.memoryBytesSpilled)
+          ioAcc.addAndGet(3, m.diskBytesSpilled)
+          ioAcc.addAndGet(4, m.jvmGCTime)
+          ioAcc.addAndGet(5, m.executorRunTime)
+          ioAcc.addAndGet(6, m.executorCpuTime / 1000000L)
+          peakMemAcc.accumulateAndGet(m.peakExecutionMemory, Math.max)
         }
-      })
-    def ioSnap(): Array[Long] = Array.tabulate(4)(ioAcc.get)
-    // per query, per pass: [shuffle_write, shuffle_read, spill_mem, spill_disk]
+      }
+    }
+    spark.sparkContext.addSparkListener(benchListener)
+    // whole-JVM GC time (driver + executor threads share one JVM in local
+    // mode) — the task-attributed jvmGCTime misses driver-side collection
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def jvmGcMs(): Long = {
+      var s = 0L; val it = gcBeans.iterator()
+      while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
+      s
+    }
+    def ioSnap(): Array[Long] = Array.tabulate(7)(ioAcc.get) :+ jvmGcMs()
+    // per query, per pass: [shuffle_write, shuffle_read, spill_mem,
+    // spill_disk, task_gc_ms, task_run_ms, task_cpu_ms, jvm_gc_ms,
+    // peak_task_mem]
     val ioSamples = scala.collection.mutable.Map.empty[String, Vector[Array[Long]]]
+    val ioCols = 9
     def ioMedians(name: String): Array[Long] =
       ioSamples.get(name).filter(_.nonEmpty) match {
-        case None => Array.fill(4)(-1L)
-        case Some(v) => Array.tabulate(4) { i =>
+        case None => Array.fill(ioCols)(-1L)
+        case Some(v) => Array.tabulate(ioCols) { i =>
           val s = v.map(_(i)).sorted; s((s.length - 1) / 2)
         }
       }
@@ -126,18 +159,33 @@ object Bench {
       val spread = rows
         .map { case (k, (_, lo, hi)) => "\"" + k + "\":[" + lo + "," + hi + "]" }
         .mkString("{", ",", "}")
+      // raw per-pass samples in pass order (detail file only): the spread
+      // alone can't distinguish "first pass pays JIT" from "random hiccup"
+      val raw = done.map { n =>
+        "\"" + n + "\":[" +
+          samples.getOrElse(n, Vector.empty).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      // matching raw annex rows per pass (detail only) — lets a slow
+      // sample be attributed to ITS OWN gc/spill/shuffle, not the median's
+      val rawIo = done.map { n =>
+        "\"" + n + "\":[" + ioSamples.getOrElse(n, Vector.empty)
+          .map(_.mkString("[", ",", "]")).mkString(",") + "]"
+      }.mkString("{", ",", "}")
       val total = rows.collect { case (_, (med, _, _)) if med >= 0 => med }.sum
       val cal = calibrations
         .map { case (s1, sn) => f"[$s1%.3f,$sn%.3f]" }.mkString("[", ",", "]")
-      // median-of-passes [shuffle_write, shuffle_read, spill_mem, spill_disk]
-      // bytes per query — the attribution annex (r10)
+      // median-of-passes [shuffle_write B, shuffle_read B, spill_mem B,
+      // spill_disk B, task_gc ms, task_run ms, task_cpu ms, jvm_gc ms,
+      // peak_task_mem B] per query — the attribution annex (r10; GC,
+      // run/cpu-time + peak-memory columns r11)
       val io = done.map { n =>
         "\"" + n + "\":[" + ioMedians(n).mkString(",") + "]"
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread_min_max":$spread,"runs_per_query":$passes,"stat":"median",""" +
         s""""calibration_single_allcore_sec_per_pass":$cal,""" +
-        s""""io_bytes_shufw_shufr_spillmem_spilldisk":$io,""" +
+        s""""io_shufw_shufr_spillmem_spilldisk_gcms_runms_cpums_jvmgcms_peakmem":$io,""" +
+        s""""samples_sec":$raw,"samples_io":$rawIo,""" +
         s""""order":"shuffled_per_pass","failed":${failed.size},"sf":"$sfDir"}"""
     }
     // The LAST stdout line, and the one the harness is meant to parse:
@@ -192,13 +240,14 @@ object Bench {
         System.gc()
         try {
           val io0 = ioSnap()
+          peakMemAcc.set(0L) // queries run one-at-a-time: reset per query
           val t0 = System.nanoTime()
           run(q)
           val sec = (System.nanoTime() - t0) / 1e9
           samples(q.name) = samples.getOrElse(q.name, Vector.empty) :+ sec
           val io1 = ioSnap()
           ioSamples(q.name) = ioSamples.getOrElse(q.name, Vector.empty) :+
-            Array.tabulate(4)(i => io1(i) - io0(i))
+            (Array.tabulate(8)(i => io1(i) - io0(i)) :+ peakMemAcc.get())
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           failed += q.name
@@ -210,6 +259,9 @@ object Bench {
     }
     println(renderJson())
     println(renderCompact())
+    // don't leave the metrics listener behind if this JVM outlives main
+    // (sbt runs keep the session; stale listeners would keep accumulating)
+    spark.sparkContext.removeSparkListener(benchListener)
     spark.stop()
   }
 

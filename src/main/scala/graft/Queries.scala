@@ -140,7 +140,7 @@ object Queries {
         .orderBy(col("user_id"), col("rn"))
     },
     Some("""
-      SELECT user_id, event_id, rn FROM (
+      SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn FROM (
         SELECT user_id, event_id,
                row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
         FROM events) x
@@ -2605,7 +2605,7 @@ object Queries {
         SELECT o_custkey, day,
                ntile(32) OVER (ORDER BY zcode, o_orderkey) AS chunk
         FROM z)
-      SELECT chunk, COUNT(*) AS n,
+      SELECT CAST(chunk AS INTEGER) AS chunk, COUNT(*) AS n,
              MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
              MIN(day) AS min_day, MAX(day) AS max_day
       FROM c GROUP BY chunk ORDER BY chunk"""))
@@ -3259,7 +3259,8 @@ object Queries {
         SELECT s_suppkey,
                CASE WHEN s_suppkey % 7 = 0 THEN NULL ELSE s_nationkey END AS sk
         FROM supplier)
-      SELECT COALESCE(ck, -1) AS nation_or_null, COUNT(*) AS n_pairs,
+      SELECT CAST(COALESCE(ck, -1) AS BIGINT) AS nation_or_null,
+             COUNT(*) AS n_pairs,
              CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_cust,
              CAST(COUNT(DISTINCT s_suppkey) AS BIGINT) AS n_supp
       FROM cust JOIN supp ON ck IS NOT DISTINCT FROM sk
@@ -6042,13 +6043,20 @@ object Queries {
                                     UNION ALL SELECT vec_id FROM p3
                                     UNION ALL SELECT vec_id FROM p4)
              ORDER BY r.rel - m4.ms DESC, r.vec_id LIMIT 1)
-      SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
-             ms AS max_sim, rel - ms AS mmr_num FROM p1
-      UNION ALL SELECT 2, vec_id, rel, ms, rel - ms FROM p2
-      UNION ALL SELECT 3, vec_id, rel, ms, rel - ms FROM p3
-      UNION ALL SELECT 4, vec_id, rel, ms, rel - ms FROM p4
-      UNION ALL SELECT 5, vec_id, rel, ms, rel - ms FROM p5
-      ORDER BY sel_rank"""))
+      , u AS (
+        SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel,
+               ms AS max_sim, rel - ms AS mmr_num FROM p1
+        UNION ALL SELECT 2, vec_id, rel, ms, rel - ms FROM p2
+        UNION ALL SELECT 3, vec_id, rel, ms, rel - ms FROM p3
+        UNION ALL SELECT 4, vec_id, rel, ms, rel - ms FROM p4
+        UNION ALL SELECT 5, vec_id, rel, ms, rel - ms FROM p5)
+      -- DuckDB SUM(BIGINT) promotes to HUGEINT; Spark emits BIGINT —
+      -- cast the three sum-derived columns so the dtype-sensitive hash
+      -- matches (values were already identical).
+      SELECT sel_rank, vec_id, CAST(rel AS BIGINT) AS rel,
+             CAST(max_sim AS BIGINT) AS max_sim,
+             CAST(mmr_num AS BIGINT) AS mmr_num
+      FROM u ORDER BY sel_rank"""))
 
   /** RETRIEVAL METRICS (Eval.retrievalMetrics): MRR / recall@10 / NDCG@10
     * of the exact knn results (self excluded, labels as relevance) for 20
@@ -7030,7 +7038,7 @@ object Queries {
             FROM documents),
       g(cutoff) AS (VALUES (0.0), (4.0), (4.5), (5.0), (5.5), (6.0),
                            (100.0))
-      SELECT g.cutoff,
+      SELECT CAST(g.cutoff AS DOUBLE) AS cutoff,
              CAST(COUNT(*) FILTER (WHERE d.score >= g.cutoff) AS BIGINT)
                AS n_docs_kept,
              CAST(COALESCE(SUM(d.toks) FILTER (WHERE d.score >= g.cutoff),
@@ -7754,8 +7762,8 @@ object Queries {
             AS BIGINT) AS dup_chars
         FROM cnt c JOIN mx x USING (doc_id, n)
         GROUP BY c.doc_id, c.n_chars, c.n)
-      SELECT doc_id, n, n_chars, n_types, n_grams, top_m,
-        top_m * top_glen AS top_chars, dup_chars,
+      SELECT doc_id, CAST(n AS INTEGER) AS n, n_chars, n_types, n_grams,
+        top_m, top_m * top_glen AS top_chars, dup_chars,
         CASE WHEN n_chars > 0 THEN CAST(top_m * top_glen AS DOUBLE)
           / CAST(n_chars AS DOUBLE) ELSE 0.0 END AS top_char_frac,
         CASE WHEN n_chars > 0 THEN CAST(dup_chars AS DOUBLE)
@@ -7892,13 +7900,13 @@ object Queries {
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_f
         FROM r)
-      SELECT c.rank AS vocab_size, c.f AS kth_freq, c.cum_f,
-        t.n_tokens, t.n_types,
+      SELECT CAST(k.cut AS BIGINT) AS vocab_size, c.f AS kth_freq,
+        c.cum_f, t.n_tokens, t.n_types,
         CAST(c.cum_f AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS coverage,
         1.0 - CAST(c.cum_f AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
           AS oov_rate
-      FROM c, tot t
-      WHERE c.rank IN (4, 8, 16, 24)
+      FROM c, tot t, (VALUES (4), (8), (16), (24)) k(cut)
+      WHERE c.rank = LEAST(k.cut, t.n_types)
       ORDER BY vocab_size"""))
 
   /** VOCABULARY RICHNESS (TextOps.vocabRichness): TTR, hapax fraction,
@@ -8285,8 +8293,9 @@ object Queries {
 
   /** BURSTINESS PROFILE (Sessions.burstiness, Goh & Barabási 2008):
     * per-user inter-event-gap stats + B = (σ−μ)/(σ+μ) — the
-    * bot-vs-human cadence screen. Exact micro gaps; Σg² as
-    * DECIMAL(38,0); fixed variance dag.
+    * bot-vs-human cadence screen. Exact micro gaps; Σg² accumulates as
+    * DECIMAL(38,0) internally but the output face carries it as DOUBLE
+    * (decimal-38 round-trips differently per driver reader).
     */
   private val q233 = Q("q233_burstiness",
     (s, d) => graft.ops.Sessions.burstiness(t(s, d, "events"),
@@ -8314,7 +8323,8 @@ object Queries {
             - mean_gap_us * mean_gap_us AS var_gap
         FROM m),
       sd AS (SELECT *, sqrt(greatest(var_gap, 0.0)) AS std_gap FROM v)
-      SELECT entity, n_gaps, sum_gap, sum_gap2, min_gap, max_gap,
+      SELECT entity, n_gaps, sum_gap,
+        CAST(sum_gap2 AS DOUBLE) AS sum_gap2, min_gap, max_gap,
         mean_gap_us, var_gap, std_gap,
         CASE WHEN std_gap + mean_gap_us > 0.0
           THEN (std_gap - mean_gap_us) / (std_gap + mean_gap_us)
@@ -8399,11 +8409,16 @@ object Queries {
           quantile_cont(x, 0.5) AS p50, quantile_cont(x, 0.75) AS p75,
           quantile_cont(x, 0.9) AS p90
         FROM b GROUP BY grp)
-      SELECT grp, 0.1 AS q, p10 AS p, n, min_x, max_x FROM a
-      UNION ALL SELECT grp, 0.25, p25, n, min_x, max_x FROM a
-      UNION ALL SELECT grp, 0.5, p50, n, min_x, max_x FROM a
-      UNION ALL SELECT grp, 0.75, p75, n, min_x, max_x FROM a
-      UNION ALL SELECT grp, 0.9, p90, n, min_x, max_x FROM a
+      SELECT grp, CAST(0.1 AS DOUBLE) AS q, p10 AS p, n, min_x, max_x
+        FROM a
+      UNION ALL SELECT grp, CAST(0.25 AS DOUBLE), p25, n, min_x, max_x
+        FROM a
+      UNION ALL SELECT grp, CAST(0.5 AS DOUBLE), p50, n, min_x, max_x
+        FROM a
+      UNION ALL SELECT grp, CAST(0.75 AS DOUBLE), p75, n, min_x, max_x
+        FROM a
+      UNION ALL SELECT grp, CAST(0.9 AS DOUBLE), p90, n, min_x, max_x
+        FROM a
       ORDER BY grp, q"""))
 
   /** GINI CONCENTRATION (Eval.gini) of per-user activity within each
@@ -8475,7 +8490,7 @@ object Queries {
       c AS (SELECT grp, v,
           CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
           CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS cb
-        FROM b GROUP BY grp, v),
+        FROM b WHERE v IS NOT NULL GROUP BY grp, v),
       r AS (SELECT *,
           CAST(SUM(ca) OVER (PARTITION BY grp ORDER BY v
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)

@@ -610,6 +610,9 @@ object Eval {
               isA: Column): DataFrame = {
     val counts = df.select(group.as("grp"), value.cast("double").as("v"),
         isA.cast("boolean").as("a"))
+      // nulls carry no CDF mass — and Spark orders nulls first while
+      // DuckDB orders them last, which would skew the running sums
+      .where(col("v").isNotNull)
       .groupBy(col("grp"), col("v"))
       .agg(sum(col("a").cast("long")).as("ca"),
         sum((!col("a")).cast("long")).as("cb"))
@@ -650,8 +653,11 @@ object Eval {
     */
   def gini(df: DataFrame, group: Column, value: Column): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // operands cast to decimal BEFORE multiplying so i·x itself
+    // accumulates as decimal (a long product can overflow silently at
+    // corpus scale), matching the q237 oracle's cast order
     val weighted = transform(sort_array(col("xs")), (x, i) =>
-      ((i + 1).cast("long") * x).cast(DecimalType(38, 0)))
+      (i + 1).cast(DecimalType(38, 0)) * x.cast(DecimalType(38, 0)))
     df.select(group.as("grp"), value.cast("long").as("x"))
       .groupBy(col("grp"))
       .agg(collect_list(col("x")).as("xs"), count(lit(1)).as("n"),

@@ -37,8 +37,11 @@ object Mix {
     *   (ties: stratum asc — total order, engine-replayable).
     *
     * All arithmetic exact in longs (n·c_s needs n·c_s < 2^63 — at corpus
-    * scale promote the product to DECIMAL(38,0), same dag). Quota never
-    * exceeds c_s because n ≤ T is required.
+    * scale promote the product to DECIMAL(38,0), same dag). With n ≤ T
+    * the apportionment itself never exceeds a stratum size (a zero-
+    * remainder stratum never draws a bonus seat); for n > T the quota is
+    * CAPPED at c_s in-plan, so Σ quota = min(n, T) — you can't keep more
+    * rows than exist.
     *
     * Scale shape: one per-stratum count shuffle to a G-row frame, then
     * G-row windows — the corpus pays one pass.
@@ -72,7 +75,10 @@ object Mix {
       .join(broadcast(rankTbl), Seq("stratum"))
       .crossJoin(broadcast(glob))
       .withColumn("quota",
-        col("base") + (col("bonus_rank") <= col("leftover")).cast("long"))
+        // least() caps the n > T case (base ≥ c there); a no-op for
+        // n ≤ T, where the apportionment never exceeds a stratum size
+        least(col("base") + (col("bonus_rank") <= col("leftover"))
+          .cast("long"), col("c")))
       .select(col("stratum"), col("c"), col("base"), col("rem"),
         col("quota"))
   }

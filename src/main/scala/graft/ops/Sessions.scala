@@ -95,6 +95,10 @@ object Sessions {
       .withColumn("var_gap",
         col("sum_gap2").cast("double") / col("n_gaps").cast("double")
           - col("mean_gap_us") * col("mean_gap_us"))
+      // output face carries Σg² as DOUBLE: raw DECIMAL(38,0) round-trips
+      // differently through parquet/pyarrow vs DuckDB readers; the exact
+      // decimal stays internal to the variance dag above
+      .withColumn("sum_gap2", col("sum_gap2").cast("double"))
       .withColumn("std_gap", sqrt(greatest(col("var_gap"), lit(0.0))))
       .withColumn("burstiness",
         when(col("std_gap") + col("mean_gap_us") > 0.0,

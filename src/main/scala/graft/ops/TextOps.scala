@@ -846,6 +846,8 @@ object TextOps {
     * the curve flattens is where growing the vocab stops paying.
     * Entirely integer-exact (counts, cumulative counts) + one final
     * division, so the oracle replays value-exactly — no FP-order hazard.
+    * Cuts beyond the type count clamp to the full-vocab row (coverage
+    * 1.0) labeled with the requested cut.
     *
     * Scale shape: one (term) count shuffle; the top-maxK cut is a
     * bounded TakeOrdered (never a global sort — the [[zipfFit]] recipe);
@@ -874,10 +876,16 @@ object TextOps {
             (acc, e) => acc - e.getField("nf")).as("cum_f")))).as("r"))
       .select(col("r.rank").as("rank"), col("r.f").as("f"),
         col("r.cum_f").as("cum_f"))
+    // each cut clamps to min(cut, n_types): a cut beyond the vocabulary
+    // reports the full-vocab row (coverage 1.0) under the REQUESTED cut
+    // label instead of silently vanishing
+    val cutRows = totals.select(
+      explode(typedlit(cuts.map(_.toLong).distinct.sorted)).as("cut"),
+      col("n_tokens"), col("n_types"))
     ranked
-      .where(col("rank").isin(cuts.map(_.toLong): _*))
-      .crossJoin(broadcast(totals))
-      .select(col("rank").as("vocab_size"), col("f").as("kth_freq"),
+      .join(broadcast(cutRows),
+        col("rank") === least(col("cut"), col("n_types")))
+      .select(col("cut").as("vocab_size"), col("f").as("kth_freq"),
         col("cum_f"), col("n_tokens"), col("n_types"))
       .withColumn("coverage",
         col("cum_f").cast("double") / col("n_tokens").cast("double"))
@@ -1360,7 +1368,12 @@ object TextOps {
     */
   def trainStupidBackoff(docs: DataFrame, text: Column,
                          alpha: Double = 0.4): BackoffLm = {
-    val toks = docs.select(arrToks(text).as("toks"))
+    // tokenize the train slice ONCE and cache the arrays: tri/big/uni each
+    // consume `toks`, and without the persist each re-scans and re-splits
+    // the corpus (3 tokenization passes -> 1). MEMORY_AND_DISK: at real
+    // scale the tokenized train slice spills to local disk, still cheaper
+    // than three parquet scans + splits of the same bytes.
+    val toks = Caches.track(docs.select(arrToks(text).as("toks")))
     val tri = Caches.track(
       toks.select(explode(trigramStructs(col("toks"))).as("g"))
         .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))

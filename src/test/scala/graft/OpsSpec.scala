@@ -4544,10 +4544,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0).getAs[Double]("coverage") == 4.0 / 7.0)
     assert(out(2).getAs[Double]("coverage") == 1.0 &&
       out(2).getAs[Double]("oov_rate") == 0.0)
-    // a cut beyond the vocabulary yields no row (both engines agree)
+    // a cut beyond the vocabulary clamps to the full-vocab row (coverage
+    // 1.0) under the requested label instead of silently vanishing
     val sparse = TextOps.coverageCurve(docs(1L -> "a a b"),
-      col("text"), cuts = Seq(2, 100)).collect()
-    assert(sparse.length == 1 && sparse(0).getAs[Long]("vocab_size") == 2L)
+      col("text"), cuts = Seq(2, 100)).orderBy(col("vocab_size")).collect()
+    assert(sparse.length == 2)
+    assert(sparse(0).getAs[Long]("vocab_size") == 2L)
+    assert(sparse(1).getAs[Long]("vocab_size") == 100L &&
+      sparse(1).getAs[Double]("coverage") == 1.0 &&
+      sparse(1).getAs[Double]("oov_rate") == 0.0)
     // frequency tie breaks by term asc: "b" and "c" both 1 -> rank1 is "b"
     val tie = TextOps.coverageCurve(docs(1L -> "b c"),
       col("text"), cuts = Seq(1)).collect()(0)
@@ -4696,6 +4701,12 @@ class OpsSpec extends AnyFunSuite {
     val first = sel.where(col("kept") === 1).select(col("id"))
       .collect().map(_.getLong(0)).toSet
     assert(again == first)
+    // n > T: quotas cap at the stratum sizes (you can't keep more rows
+    // than exist), so Σ quota = T, not n
+    val over = Mix.quotaApportion(df, col("s"), 25L)
+      .orderBy(col("stratum")).collect()
+    assert(over.map(r => (r.getAs[String]("stratum"), r.getAs[Long]("quota")))
+      .toSeq == Seq(("a", 5L), ("b", 3L), ("c", 2L)))
   }
 
   test("lDiversity: homogeneity attack caught in a big-but-uniform class, tie by max value") {

@@ -62,10 +62,6 @@ class QueriesSpec extends AnyFunSuite {
     // A Window with an empty partition spec moves EVERY row through one
     // task — the q105 scale-killer the round-5 verdict flagged. Allowlist
     // (each carries an in-code justification at its definition):
-    //   q56_resample_fill — the forward-fill window sorts the generated
-    //     GRID (time-range/step rows, ~526k/year at 1 min), not the events;
-    //     event-sized work ended at the per-bucket aggregate (ops/Resample
-    //     scaladoc);
     //   q107_chi_square   — marginal/total window sums over the contingency
     //     CELLS frame (|event_type| x 5 cohorts rows, bounded by the
     //     categorical domains), after the event-sized hash aggregate
@@ -89,7 +85,10 @@ class QueriesSpec extends AnyFunSuite {
     // q98_zorder_layout is deliberately NO LONGER here: its former global
     // ntile now routes through Layout.exactNtileByRange (range partition +
     // offset-lifted per-partition ranks — no unpartitioned window).
-    val allow = Set("q56_resample_fill",
+    // q56_resample_fill is deliberately NO LONGER here (r11): the forward
+    // fill now range-partitions the grid and lifts per-partition fills
+    // with broadcast boundary carries (ops/Resample scaladoc).
+    val allow = Set(
       "q107_chi_square", "q126_exact_auc", "q127_roc_curve",
       "q201_yield_curve", "q206_wasserstein_drift")
     import org.apache.spark.sql.execution.window.WindowExec

@@ -20,7 +20,9 @@ for name in sorted(os.listdir(out_dir)):
     if not os.path.isdir(qdir):
         continue
     try:
-        spark_df = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").fetchdf()
+        spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        spark_types = dict(zip(spark_rel.columns, map(str, spark_rel.types)))
+        spark_df = spark_rel.fetchdf()
     except Exception as e:
         results[name] = f"SPARK-READ-FAIL {e}"
         continue
@@ -28,9 +30,24 @@ for name in sorted(os.listdir(out_dir)):
         results[name] = f"rows-only ({len(spark_df)} rows)"
         continue
     try:
-        ora_df = con.sql(oracle[name]).fetchdf()
+        ora_rel = con.sql(oracle[name])
+        ora_types = dict(zip(ora_rel.columns, map(str, ora_rel.types)))
+        ora_df = ora_rel.fetchdf()
     except Exception as e:
         results[name] = f"ORACLE-FAIL {type(e).__name__}: {e}"
+        continue
+    # dtype-parity gate (r11): a value-exact result can still hash-red in
+    # the driver when the two sides carry different logical types (DuckDB
+    # SUM(BIGINT) -> HUGEINT, raw DECIMAL(38,0) outputs, INT32 vs INT64) —
+    # exactly the class that kept q176/q233 red for a round+. Fail loudly
+    # here so it can't ship.
+    dtype_bad = sorted(
+        c for c in set(spark_types) & set(ora_types)
+        if spark_types[c] != ora_types[c])
+    if dtype_bad:
+        results[name] = "DTYPE-MISMATCH " + "; ".join(
+            f"{c}: spark={spark_types[c]} oracle={ora_types[c]}"
+            for c in dtype_bad)
         continue
     s = spark_df.reindex(sorted(spark_df.columns), axis=1)
     o = ora_df.reindex(sorted(ora_df.columns), axis=1)
