@@ -42,4 +42,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default flushes hot code mid-run).
   "-XX:-DontCompileHugeMethods",
   "-XX:ReservedCodeCacheSize=1g",
+  // Second failure mode, same symptom (q202 pass burning 280s task CPU
+  // with only 6 fresh codegen fragments): generated joins deopt on
+  // uncommon traps, and once a method crosses the per-method/bytecode
+  // RECOMPILATION cutoff HotSpot banishes it to the interpreter for the
+  // rest of the JVM. Unlimited recompilation keeps the worst case at
+  // "recompile again" instead of "interpret a 100M-row loop". 8-pass A/B
+  // on the q135/q137/q202 trio: bursts gone, task CPU flat at ~30s.
+  "-XX:PerMethodRecompilationCutoff=-1",
+  "-XX:PerBytecodeRecompilationCutoff=-1",
 )

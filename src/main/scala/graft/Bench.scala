@@ -129,12 +129,19 @@ object Bench {
       while (it.hasNext) { val t = it.next().getCollectionTime; if (t > 0) s += t }
       s
     }
-    def ioSnap(): Array[Long] = Array.tabulate(7)(ioAcc.get) :+ jvmGcMs()
+    // Janino compilations since JVM start: a pass-2+ nonzero delta means
+    // the codegen cache MISSED and the JIT starts cold on a fresh class —
+    // the compile-tier lottery behind the residual gram-family variance
+    def nCompiles(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    def ioSnap(): Array[Long] =
+      Array.tabulate(7)(ioAcc.get) :+ jvmGcMs() :+ nCompiles()
     // per query, per pass: [shuffle_write, shuffle_read, spill_mem,
     // spill_disk, task_gc_ms, task_run_ms, task_cpu_ms, jvm_gc_ms,
-    // peak_task_mem]
+    // n_janino_compiles, peak_task_mem]
     val ioSamples = scala.collection.mutable.Map.empty[String, Vector[Array[Long]]]
-    val ioCols = 9
+    val ioCols = 10
     def ioMedians(name: String): Array[Long] =
       ioSamples.get(name).filter(_.nonEmpty) match {
         case None => Array.fill(ioCols)(-1L)
@@ -184,7 +191,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""spread_min_max":$spread,"runs_per_query":$passes,"stat":"median",""" +
         s""""calibration_single_allcore_sec_per_pass":$cal,""" +
-        s""""io_shufw_shufr_spillmem_spilldisk_gcms_runms_cpums_jvmgcms_peakmem":$io,""" +
+        s""""io_shufw_shufr_spillmem_spilldisk_gcms_runms_cpums_jvmgcms_ncompile_peakmem":$io,""" +
         s""""samples_sec":$raw,"samples_io":$rawIo,""" +
         s""""order":"shuffled_per_pass","failed":${failed.size},"sf":"$sfDir"}"""
     }
@@ -247,7 +254,7 @@ object Bench {
           samples(q.name) = samples.getOrElse(q.name, Vector.empty) :+ sec
           val io1 = ioSnap()
           ioSamples(q.name) = ioSamples.getOrElse(q.name, Vector.empty) :+
-            (Array.tabulate(8)(i => io1(i) - io0(i)) :+ peakMemAcc.get())
+            (Array.tabulate(9)(i => io1(i) - io0(i)) :+ peakMemAcc.get())
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} FAILED: ${e.getMessage}")
           failed += q.name
