@@ -2511,6 +2511,30 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0L, Some("1.0")), (4L, 1L, Some("2.0"))))
   }
 
+  test("resample: fill carries across range-partition boundaries (two-pass lift)") {
+    // 200-bucket grid, real values ONLY at buckets 1 and 150: with the
+    // test session's shuffle partitions the grid spans many range
+    // partitions, so every bucket in (1, 150) must be filled by the
+    // CARRY from an earlier partition, not a local window — and the
+    // partitions between the two real buckets have no non-null of their
+    // own. Also pins: no unpartitioned Window in the plan.
+    val d = evts((1L, 1L, "view", 60000000L), (1L, 2L, "view", 9000000000L))
+      .withColumn("value", col("event_id").cast("double"))
+    val out = graft.ops.Resample.resampleFill(d, stepUs = 60000000L)
+    import org.apache.spark.sql.execution.window.WindowExec
+    val global = out.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "forward-fill must not plan a global Window")
+    val rows = out.orderBy("bucket_us").collect()
+      .map(x => (x.getLong(0) / 60000000L, Option(x.get(3)).map(_.toString)))
+    assert(rows.length == 150)
+    assert(rows.head == (1L, Some("1.0")))
+    assert(rows.take(149).forall(_._2.contains("1.0")),
+      "every gap bucket before the second event fills with the carry 1.0")
+    assert(rows.last == (150L, Some("2.0")))
+  }
+
   test("interval join matches a nested-loop BETWEEN join and plans no nested loop") {
     val pts = (0L until 200L).map(i => (i, i * 7L)).toDF("p_id", "p_us")
     val ivs = (0L until 40L).map(i => (i, i * 31L, i * 31L + 50L))
