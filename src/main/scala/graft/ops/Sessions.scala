@@ -67,7 +67,10 @@ object Sessions {
     * order (id tiebreak ⇒ total order); Σg is a long and Σg² accumulates
     * as DECIMAL(38,0) (a day-long gap squared is ~7.5e18 — one gap can
     * overflow a long at real scale), so the population-variance dag
-    * (Σg²/n − μ²) runs on exact sums and replays bit-identically.
+    * (Σg²/n − μ²) runs on exact sums and replays bit-identically. The
+    * OUTPUT face carries sum_gap2 as DOUBLE (exact-integer decimals
+    * convert round-to-nearest identically in both engines; a raw
+    * decimal-38 column round-trips differently per reader).
     *
     * Scale shape: one entity-key hash shuffle serves the lag window AND
     * the aggregate (exchange reused); entities with < 2 events drop
