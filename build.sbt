@@ -51,4 +51,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // on the q135/q137/q202 trio: bursts gone, task CPU flat at ~30s.
   "-XX:PerMethodRecompilationCutoff=-1",
   "-XX:PerBytecodeRecompilationCutoff=-1",
+  // static SQL conf, read from system properties by every SparkSession
+  // in the JVM (Bench/Verify set it on the builder too; this covers the
+  // ScalaTest sessions): the 100-entry default evicts constantly under
+  // this catalog's fragment count
+  "-Dspark.sql.codegen.cache.maxEntries=10000",
 )

@@ -266,6 +266,21 @@ object Bench {
     }
     println(renderJson())
     println(renderCompact())
+    // code-heap usage at end of run (stderr, diagnostic): if the
+    // non-profiled segment sits near ReservedCodeCacheSize, flushing has
+    // been evicting hot compiled methods mid-run — the interpreted-tier
+    // burst signature
+    locally {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.toLowerCase.contains("code"))
+        .foreach { p =>
+          val u = p.getUsage
+          System.err.println(
+            s"[bench] codeheap '${p.getName}': used=${u.getUsed / 1048576}MB " +
+            s"peak=${p.getPeakUsage.getUsed / 1048576}MB max=${u.getMax / 1048576}MB")
+        }
+    }
     // don't leave the metrics listener behind if this JVM outlives main
     // (sbt runs keep the session; stale listeners would keep accumulating)
     spark.sparkContext.removeSparkListener(benchListener)
