@@ -327,11 +327,28 @@ class OpsSpec extends AnyFunSuite {
 
   test("connected components converge on a 300-node chain (diameter >> rounds)") {
     // a duplicate CHAIN is the adversarial case for naive label propagation:
-    // diameter 300 but star contraction needs only O(log n) rounds
+    // diameter 300 but star contraction needs only O(log n) rounds.
+    // driverEdgeLimit = 0 forces the DISTRIBUTED star contraction (the
+    // auto-dispatch would otherwise take the driver union-find here)
     val chain = (0L until 300L).sliding(2).map(s => (s(0), s(1))).toSeq
-    val got = Components.connectedComponents(chain.toDF("a_id", "b_id"), maxIter = 15)
+    val got = Components.connectedComponents(chain.toDF("a_id", "b_id"),
+        maxIter = 15, driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 300 && got.forall(_._2 == 0L))
+  }
+
+  test("connected components: driver union-find and star contraction agree row-for-row") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 150).map { _ =>
+      (rnd.nextInt(90).toLong, rnd.nextInt(90).toLong)
+    }.filter(e => e._1 != e._2) ++ Seq((900L, 901L))
+    val df = edges.toDF("a_id", "b_id")
+    def rows(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auto = rows(Components.connectedComponents(df)) // driver path
+    val dist = rows(Components.connectedComponents(df, driverEdgeLimit = 0L))
+    assert(auto == dist)
+    assert(auto == ufComponents(edges))
   }
 
   // ---- mixing / decontamination ----
