@@ -857,7 +857,9 @@ object Queries {
       val pairs = Dedup.exactNearDups(t(s, d, "documents"), threshold = 0.5)
         .select(col("a_id"), col("b_id"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
-      Components.connectedComponents(pairs)
+      // exactNearDups emits one row per (a_id < b_id) pair — vouch so the
+      // components dispatch skips the redundant dedup exchange
+      Components.connectedComponents(pairs, edgesDistinct = true)
         .withColumnRenamed("id", "doc_id")
         .withColumn("cluster_size", count(lit(1)).over(w))
         .withColumn("is_keeper", (col("doc_id") === col("cluster_id")).cast("int"))
@@ -2074,7 +2076,8 @@ object Queries {
       val docs = t(s, d, "documents")
       val pairs = Dedup.exactNearDups(docs, threshold = 0.5)
         .select(col("a_id"), col("b_id"))
-      val clusters = Components.connectedComponents(pairs)
+      val clusters = Components.connectedComponents(pairs,
+          edgesDistinct = true)
         .withColumnRenamed("id", "doc_id")
       graft.ops.Mix.leakageSafeSplit(
           docs.select(col("doc_id"))
@@ -3604,7 +3607,8 @@ object Queries {
       val pairs = graft.ops.FuzzyJoin
         .editDistancePairs(cust, "c_custkey", "c_name", maxDist = 1)
         .select(col("id_a").as("a_id"), col("id_b").as("b_id"))
-      val labels = Components.connectedComponents(pairs)
+      val labels = Components.connectedComponents(pairs,
+          edgesDistinct = true)
         .select(col("id").as("c_custkey"), col("cluster_id"))
       val ents = cust.select(col("c_custkey"))
         .join(labels, Seq("c_custkey"), "left")
@@ -4283,10 +4287,13 @@ object Queries {
     (s, d) => graft.ops.Classify.naiveBayes(
         docsSpread(s, d), col("text"), col("doc_id"), col("lang"),
         trainGate = graft.ops.Mix.hashGate(col("doc_id")) < 600, buckets = 64,
-        bucketOf = Some(w => pmod(aggregate(
-          zip_with(split(w, ""), sequence(lit(1), length(w)),
-            (c, i) => ascii(c).cast("long") * i),
-          lit(0L), (a, x) => a + x), lit(64L))))
+        // native positional-checksum kernel — value-identical to the HOF
+        // dag pmod(aggregate(zip_with(split(w,''), sequence(1, length(w)),
+        // (c,i) -> ascii(c)*i), 0, +), 64) the oracle replays (and which
+        // this query shipped with through r10: the interpreted
+        // per-character chain was ~60% of the query's task CPU); parity
+        // pinned in OpsSpec on corpus tokens + unicode edge cases
+        bucketOf = Some(w => graft.functions.gfn.ascii_weighted_mod(w, 64L)))
       .select(col("id").as("doc_id"), col("label"),
         col("is_train").cast("long").as("is_train"),
         col("pred"), col("score12"))
@@ -5079,7 +5086,10 @@ object Queries {
       val seeds = cust
         .where(graft.ops.Mix.hashGate(col("c_custkey")) < 300)
         .select(col("c_custkey").as("node"), col("c_nationkey").as("label"))
-      graft.ops.Graph.labelPropagation(pairs, seeds, rounds = 2)
+      // pairs are one row per unordered (a < b) pair by construction —
+      // vouch so labelPropagation skips the redundant symmetrize-dedup
+      graft.ops.Graph.labelPropagation(pairs, seeds, rounds = 2,
+          edgesDistinct = true)
         .orderBy(col("node"))
     },
     Some("""
@@ -7115,7 +7125,7 @@ object Queries {
       val pairs = Dedup.exactNearDups(docs, threshold = 0.5)
         .select(col("a_id"), col("b_id"))
       graft.ops.Dedup.qualityKeepers(pairs, docs, col("doc_id"),
-          col("n_chars").cast("double"))
+          col("n_chars").cast("double"), pairsDistinct = true)
         .orderBy(col("doc_id"))
     },
     Some("""

@@ -239,6 +239,92 @@ case class EditTokens(left: Expression, right: Expression, cap: Int)
 /** Luhn-validated payment-card-shaped digit-run count per string — the
   * checksum-gated PII detector (TextKernel.luhnCount).
   */
+/** Multiset w-token window hashes (TextKernel.gramHashMultiset) — the
+  * native gram pass behind soft-dedup: no gram strings, duplicates kept.
+  */
+case class GramHashMultiset(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hash_multiset"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.gramHashMultiset(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.gramHashMultiset($c, $w);")
+
+  override protected def withNewChildInternal(c: Expression): GramHashMultiset =
+    copy(child = c)
+}
+
+/** Polynomial 31-bit rolling code-point hash (TextKernel.rollHash31) —
+  * the native form of TextOps.rollHash's aggregate/transform dag; also
+  * evaluated per element inside HOF lambdas (one JVM call per token vs a
+  * nested interpreted fold per character).
+  */
+case class RollHash31(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "roll_hash31"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.rollHash31(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.rollHash31($c);")
+
+  override protected def withNewChildInternal(c: Expression): RollHash31 =
+    copy(child = c)
+}
+
+/** Positional code-point checksum bucket (TextKernel.asciiWeightedMod):
+  * the native form of the q139 feature-hash dag — one loop per token vs an
+  * interpreted per-character zip_with/aggregate chain.
+  */
+case class AsciiWeightedMod(child: Expression, m: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "ascii_weighted_mod"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.asciiWeightedMod(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.asciiWeightedMod($c, ${m}L);")
+
+  override protected def withNewChildInternal(c: Expression): AsciiWeightedMod =
+    copy(child = c)
+}
+
+/** Per-(doc, n) gram-repetition stats array (TextKernel.gramRepStats) — the
+  * one-pass native form of TextOps.gramRepetition's sorted-gram-array RLE.
+  */
+case class GramRepStats(child: Expression, minN: Int, maxN: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("n_types", LongType, nullable = false),
+    StructField("n_grams", LongType, nullable = false),
+    StructField("top_m", LongType, nullable = false),
+    StructField("top_chars", LongType, nullable = false),
+    StructField("dup_chars", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "gram_rep_stats"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.gramRepStats(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minN, maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.gramRepStats($c, $minN, $maxN);")
+
+  override protected def withNewChildInternal(c: Expression): GramRepStats =
+    copy(child = c)
+}
+
 case class LuhnCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "luhn_count"
@@ -618,6 +704,13 @@ object gfn {
   def clipped_grams(l: Column, r: Column, maxN: Int = 3): Column =
     col(ClippedGrams(ex(l), ex(r), maxN))
   def luhn_count(c: Column): Column = col(LuhnCount(ex(c)))
+  def roll_hash31(c: Column): Column = col(RollHash31(ex(c)))
+  def gram_hash_multiset(c: Column, w: Int): Column =
+    col(GramHashMultiset(ex(c), w))
+  def ascii_weighted_mod(c: Column, m: Long): Column =
+    col(AsciiWeightedMod(ex(c), m))
+  def gram_rep_stats(c: Column, minN: Int, maxN: Int): Column =
+    col(GramRepStats(ex(c), minN, maxN))
   def ngram_jaccard(l: Column, r: Column, w: Int = 3): Column =
     col(NgramJaccard(ex(l), ex(r), w))
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =

@@ -253,4 +253,190 @@ object TextKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
+
+  /** All w-token window hashes of a text as a MULTISET (one hash per
+    * window, document order) — the native form of
+    *   transform(sequence(0, size(toks) - w),
+    *             i -> xxhash64(concat_ws(' ', slice(toks, i + 1, w))))
+    * over toks = filter(split(text, ' '), len > 0): split on single
+    * 0x20 bytes only (runs collapse via the empty filter; other
+    * whitespace stays inside tokens), NO lowercase fold, duplicates kept.
+    * Hash values differ from xxhash64-of-the-gram-string (splitmix chain
+    * over raw token bytes instead) — callers use them only as join/count
+    * keys, where any injective-up-to-negligible-collision function is
+    * equivalent and multiplicities are hash-invariant. Returns an empty
+    * array when fewer than w tokens (the caller's `size(toks) >= w` gate).
+    */
+  def gramHashMultiset(text: UTF8String, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    var tokHash = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < nBytes) {
+      while (i < nBytes && bytes(i) == ' ') i += 1
+      if (i < nBytes) {
+        val start = i
+        while (i < nBytes && bytes(i) != ' ') i += 1
+        if (nTok == tokHash.length)
+          tokHash = java.util.Arrays.copyOf(tokHash, nTok * 2)
+        var h = 0x2545f4914f6cdd1dL
+        var p = start
+        while (p < i) { h = MinHashKernel.mix(h ^ (bytes(p) & 0xffL)); p += 1 }
+        tokHash(nTok) = h
+        nTok += 1
+      }
+    }
+    val nWin = nTok - w + 1
+    if (nWin < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val out = new Array[Long](nWin)
+    var j = 0
+    while (j < nWin) {
+      var h = 0L
+      var d = 0
+      while (d < w) { h = MinHashKernel.mix(h ^ tokHash(j + d)); d += 1 }
+      out(j) = h
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Polynomial 31-bit rolling hash over CODE POINTS:
+    * a ← (a·31 + cp) mod (2^31 − 1), seed 0 — the native form of the
+    * SQL-replayable dag
+    *   aggregate(transform(split(s, ''), c -> ascii(c)), 0,
+    *             (a, c) -> pmod(a*31 + c, 2147483647))
+    * (same split('')/ascii() code-point semantics as [[asciiWeightedMod]];
+    * a < 2^31 and cp ≤ 0x10FFFF keep a·31 + cp far under 2^63, and both
+    * operands are non-negative so pmod ≡ %). Empty string hashes to 0,
+    * matching the dag's fold seed.
+    */
+  def rollHash31(s0: UTF8String): Long = {
+    val s = s0.toString
+    val n = s.length
+    var a = 0L
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      a = (a * 31 + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    a
+  }
+
+  /** Positional code-point checksum bucket: pmod(Σ_j cp_j · j, m) with j
+    * 1-based over the string's CODE POINTS — the native form of the HOF dag
+    *   pmod(aggregate(zip_with(split(w, ''), sequence(1, length(w)),
+    *        (c, i) -> ascii(c)*i), 0, +), m)
+    * (split('', non-empty w) yields one element per code point with no
+    * trailing empty, ascii() the full code point, length() code points —
+    * verified against Spark 4.1 on BMP, supplementary and accented input).
+    * Returns -1 for the empty string: the composition's zip_with over the
+    * descending sequence(1, 0) nulls out, so callers must have filtered
+    * empties already (naiveBayes does); -1 never collides with a pmod
+    * bucket, making an unfiltered misuse visible instead of silently
+    * wrong. Sum fits a long: cp ≤ 0x10FFFF and j ≤ |w|.
+    */
+  def asciiWeightedMod(w: UTF8String, m: Long): Long = {
+    val s = w.toString
+    val n = s.length
+    if (n == 0) return -1L
+    var sum = 0L
+    var i = 0
+    var j = 1L
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      sum += cp * j
+      j += 1
+      i += Character.charCount(cp)
+    }
+    java.lang.Math.floorMod(sum, m)
+  }
+
+  /** Per-(doc, n) gram-repetition statistics for n = minN..maxN in ONE pass
+    * over the text — the native form of TextOps.gramRepetition's staged
+    * RLE-over-sorted-gram-array dag (which re-sorts G gram STRINGS per
+    * (doc, n) and dominated the catalog's task CPU). Tokenization matches
+    * arrToks exactly: split on single spaces (0x20), drop empties. Gram
+    * identity is a 64-bit positional chain over token hashes (the
+    * MinHashKernel.mix recipe) — the q44/q48 negligible-collision budget;
+    * gram char length = Σ token code-point counts + (n−1), matching
+    * length(concat_ws(' ', window)) since tokens contain no spaces.
+    * Emits one struct per n with at least one window (nTok ≥ n):
+    * (n, n_types, n_grams, top_m, top_glen, dup_chars) where (top_m,
+    * top_glen) is the lexicographic max over runs — exactly
+    * array_max(struct(m, glen)) — and dup_chars = Σ_{m≥2} m·glen.
+    */
+  def gramRepStats(text: UTF8String, minN: Int, maxN: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    // tokenize: offsets + per-token (hash, charLen)
+    var tokHash = new Array[Long](16)
+    var tokLen = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < nBytes) {
+      while (i < nBytes && bytes(i) == ' ') i += 1
+      if (i < nBytes) {
+        val start = i
+        while (i < nBytes && bytes(i) != ' ') i += 1
+        if (nTok == tokHash.length) {
+          tokHash = java.util.Arrays.copyOf(tokHash, nTok * 2)
+          tokLen = java.util.Arrays.copyOf(tokLen, nTok * 2)
+        }
+        var h = 0x2545f4914f6cdd1dL
+        var chars = 0L
+        var p = start
+        while (p < i) {
+          val b = bytes(p)
+          h = MinHashKernel.mix(h ^ (b & 0xffL))
+          // count UTF-8 lead bytes = code points
+          if ((b & 0xc0) != 0x80) chars += 1
+          p += 1
+        }
+        tokHash(nTok) = h
+        tokLen(nTok) = chars
+        nTok += 1
+      }
+    }
+    val rows = new java.util.ArrayList[Any](maxN - minN + 1)
+    var n = minN
+    while (n <= maxN) {
+      val nWin = nTok - n + 1
+      if (nWin >= 1) {
+        // multiplicity + glen per distinct gram hash
+        val counts = new java.util.HashMap[java.lang.Long, Array[Long]](nWin * 2)
+        var w = 0
+        while (w < nWin) {
+          var h = 0L
+          var glen = (n - 1).toLong
+          var d = 0
+          while (d < n) {
+            h = MinHashKernel.mix(h ^ tokHash(w + d))
+            glen += tokLen(w + d)
+            d += 1
+          }
+          val e = counts.get(h)
+          if (e == null) counts.put(h, Array(1L, glen)) else e(0) += 1
+          w += 1
+        }
+        var topM = 0L
+        var topGlen = 0L
+        var dup = 0L
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val m = e(0); val g = e(1)
+          if (m > topM || (m == topM && g > topGlen)) { topM = m; topGlen = g }
+          if (m >= 2) dup += m * g
+        }
+        rows.add(org.apache.spark.sql.catalyst.InternalRow(
+          n, counts.size().toLong, nWin.toLong, topM, topM * topGlen, dup))
+      }
+      n += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
 }

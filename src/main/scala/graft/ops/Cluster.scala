@@ -116,8 +116,17 @@ object Cluster {
       .select(col("id"),
         pmod(col("packed"), lit(65536L)).as("cluster"),
         expr("packed div 65536").as("dist2"))
-    out.count() // materialize before unpersist (q77 staged-frame lesson)
-    q.unpersist()
+    // Returned LAZY; q is released immediately (lineage intact — consumers
+    // re-derive the narrow quantize+assign kernel from parquet, which the
+    // r11 probes measured FASTER than any caching variant: caching the
+    // fat qv arrays or the assignment both lost ~1 s on q123 to cache
+    // round-trips vs the cheap codegen loop). The r10 shape additionally
+    // ran out.count() here — a full assignment job whose output was
+    // dropped (out was never persisted, so nothing was materialized
+    // "before unpersist") — removed. Multi-consumer callers that need the
+    // assignment materialized once track it themselves
+    // (semanticDedupKeepers).
+    q.unpersist(blocking = false)
     out
   }
 
@@ -309,24 +318,31 @@ object Cluster {
                            k: Int, iters: Int, thrNum: Int = 1, thrDen: Int = 2,
                            scale: Int = 1000)
                           (implicit spark: SparkSession): DataFrame = {
-    val asg = kmeansLattice(emb, idCol, vecCol, k, iters, scale)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // four consumers (pair scan a/b sides, entity labeling, prototype
+    // argmin) — track the assignment so it materializes once; released at
+    // the session owner's drain (no eager count: the first consumer
+    // populates the cache)
+    val asg = Caches.track(kmeansLattice(emb, idCol, vecCol, k, iters, scale))
     val pairs = pairsFromAssignment(asg, emb, idCol, vecCol, thrNum, thrDen)
       .select(col("a_id"), col("b_id"))
-    val labels = Components.connectedComponents(pairs)
+    // pairsFromAssignment emits a_id < b_id within a vector's single
+    // cluster — one row per pair, so the components dedup is vouched away
+    val labels = Components.connectedComponents(pairs, edgesDistinct = true)
       .select(col("id"), col("cluster_id"))
     val ents = asg.join(labels, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), col("id")).as("entity_id"), col("dist2"))
     val proto = ents.groupBy(col("entity_id"))
       .agg(min(struct(col("dist2"), col("id"))).as("m"))
-    val out = ents.join(proto, "entity_id")
+    // No eager count here: the shared assignment is Caches-tracked inside
+    // kmeansLattice (released at the session owner's drain), so both ents
+    // consumers read its cache and the caller's one consumption of `out`
+    // is the only execution of the keeper join — the r11 first cut paid an
+    // extra full execution just to unpersist one step earlier.
+    ents.join(proto, "entity_id")
       .select(col("id"), col("entity_id"), col("dist2"),
         (col("dist2") === col("m.dist2") && col("id") === col("m.id"))
           .cast("int").as("is_keeper"))
-    out.count() // materialize before unpersisting the shared assignment
-    asg.unpersist()
-    out
   }
 
   /** K-CENTER DIVERSITY SELECTION — greedy farthest-point traversal

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the step that turns
@@ -40,11 +40,11 @@ object Components {
     * id in the node's connected component. Input columns `a_id`/`b_id`;
     * self-loops ignored; direction ignored.
     *
-    * Auto-dispatch (the `learnBpeAuto` pattern, r11): the DEDUPED edge
-    * count is already on hand from the materialized input, and when it
-    * fits the driver budget the whole contraction runs as a local
-    * union-find — identical output (min-id roots are order-free), zero
-    * scheduled rounds. Rationale: each distributed round costs two
+    * Auto-dispatch (the `learnBpeAuto` pattern, r11): one
+    * `limit(budget+1)` collect of the deduped edges both decides the
+    * dispatch and feeds a local union-find when they fit the driver budget
+    * — identical output (min-id roots are order-free), zero scheduled
+    * rounds, and no separate count job. Rationale: each distributed round costs two
     * sequential JOBS (checkpoint + convergence probe) and near-dup edge
     * sets are usually tiny relative to the corpus, so the O(log n)-round
     * loop was measured job-LATENCY-bound, not work-bound (q128: 3.6 s
@@ -54,7 +54,8 @@ object Components {
     * forces it (specs pin both paths against each other).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25,
-                          driverEdgeLimit: Long = 4000000L): DataFrame = {
+                          driverEdgeLimit: Long = 4000000L,
+                          edgesDistinct: Boolean = false): DataFrame = {
     // Materialize the input ONCE: both the node inventory and the contraction
     // read it, and upstream `edges` is typically an expensive near-dup join
     // that must not be re-executed per consumer. The blocks feed the lazy
@@ -63,20 +64,42 @@ object Components {
     Caches.trackRdd(e0.rdd)
     val nodes = e0.df
       .select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-    val clean = e0.df.filter(col("a_id") =!= col("b_id"))
+    // `edgesDistinct = true` is the caller's vouch that the (a_id, b_id)
+    // pairs are one-row-per-unordered-pair already (every catalog producer
+    // — exactNearDups, editDistancePairs, pairsFromAssignment — emits
+    // a_id < b_id distinct), making the normalization a no-op and the
+    // dedup a redundant corpus-sized exchange (the pageRankInt flag, r11).
+    // Both contraction paths tolerate duplicates (union-find trivially;
+    // large/small-star's mins are dup-invariant) — the dedup exists to
+    // shrink the first rounds / keep the driver budget honest, so only a
+    // vouched caller may skip it. With the vouch, the driver dispatch
+    // below is one NARROW limited collect off the cached edges: no
+    // shuffle at all before the labeling join.
+    val normalized = e0.df.filter(col("a_id") =!= col("b_id"))
       .select(greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))
-      .distinct()
+    val clean = if (edgesDistinct) normalized else normalized.distinct()
     // driver path additionally requires integral ids (the collect decodes
     // longs); non-integral id schemes keep the type-generic contraction
     val integralIds = clean.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
       f.dataType == org.apache.spark.sql.types.IntegerType)
-    val stars =
-      if (driverEdgeLimit > 0 && integralIds &&
-          clean.count() <= driverEdgeLimit)
-        driverUnionFind(clean)
+    // ONE bounded collect decides the dispatch AND feeds the union-find:
+    // the r11 first cut ran clean.count() and then collect() — two full
+    // executions of the dedup shuffle back to back. limit(budget+1) keeps
+    // driver memory bounded; when the limit truncates (rows > budget) the
+    // collected subset is discarded and the distributed contraction runs.
+    val stars = {
+      val rows =
+        if (driverEdgeLimit > 0 && integralIds &&
+            driverEdgeLimit < Int.MaxValue - 1)
+          clean.select(col("u").cast("long"), col("v").cast("long"))
+            .limit(driverEdgeLimit.toInt + 1).collect()
+        else null
+      if (rows != null && rows.length <= driverEdgeLimit)
+        driverUnionFind(edges.sparkSession, rows)
       else starContraction(clean, maxIter)
+    }
     // At the fixpoint every non-root points straight at its component's
     // minimum; roots don't appear as `u` at all, so they label themselves.
     nodes
@@ -85,17 +108,18 @@ object Components {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
-  /** Local union-find over a bounded, deduped edge list: parent pointers
-    * with path compression, unions attach the LARGER root under the
-    * smaller, so every root is its component's minimum and the output is
-    * value-identical to the distributed fixpoint — one (u → component
-    * min) row per non-root node, roots omitted (the caller's coalesce
-    * labels them with themselves). Order-free: min-root unions commute.
-    * Driver memory: the edge array + a parent map over touched nodes,
-    * bounded by `driverEdgeLimit` (4M edges ≈ ~200 MB transient).
+  /** Local union-find over the bounded, deduped edge rows the dispatcher
+    * already collected: parent pointers with path compression, unions
+    * attach the LARGER root under the smaller, so every root is its
+    * component's minimum and the output is value-identical to the
+    * distributed fixpoint — one (u → component min) row per non-root node,
+    * roots omitted (the caller's coalesce labels them with themselves).
+    * Order-free: min-root unions commute, so the limit's row order is
+    * irrelevant. Driver memory: the edge array + a parent map over touched
+    * nodes, bounded by `driverEdgeLimit` (4M edges ≈ ~200 MB transient).
     */
-  private def driverUnionFind(edges: DataFrame): DataFrame = {
-    val spark = edges.sparkSession
+  private def driverUnionFind(spark: SparkSession,
+                              rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
@@ -107,8 +131,7 @@ object Components {
       }
       x
     }
-    edges.select(col("u").cast("long"), col("v").cast("long")).collect()
-      .foreach { r =>
+    rows.foreach { r =>
         val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
         if (ra != rb) {
           if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)

@@ -35,10 +35,11 @@ object Dedup {
     * (a_id, b_id) frame).
     */
   def qualityKeepers(pairs: DataFrame, docs: DataFrame, id: Column,
-                     quality: Column): DataFrame = {
+                     quality: Column,
+                     pairsDistinct: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val labeled = Components.connectedComponents(
-      pairs.select(col("a_id"), col("b_id")))
+      pairs.select(col("a_id"), col("b_id")), edgesDistinct = pairsDistinct)
       .withColumnRenamed("id", "doc_id")
     val base = docs.select(id.cast("long").as("doc_id"),
       quality.cast("double").as("quality"))
@@ -135,14 +136,16 @@ object Dedup {
   def softDedupWeights(docs: DataFrame, id: Column, text: Column,
                        k: Int = 8): DataFrame = {
     require(k >= 1 && k <= 64, s"k in 1..64, got $k")
+    // native multiset gram pass (r11): one primitive loop per doc instead
+    // of an interpreted slice+concat_ws+xxhash64 per window. Hash VALUES
+    // differ from the old dag but are join-internal (both consumers derive
+    // from this frame); multiplicities — the only thing that reaches the
+    // output — are hash-invariant. OpsSpec pins (doc, m)-multiset parity
+    // against the string-gram dag on the corpus.
     val grams = docs
       .select(id.cast("long").as("doc_id"),
-        filter(split(text, " "), t => length(t) > 0).as("toks"))
-      .where(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(toks) - $k), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
-        .as("gram_hash"))
+        explode(graft.functions.gfn.gram_hash_multiset(text, k))
+          .as("gram_hash"))
     val docGrams = Caches.track(
       grams.groupBy(col("doc_id"), col("gram_hash"))
         .agg(count(lit(1)).as("m")))
@@ -913,8 +916,15 @@ object Dedup {
     // typed struct<src_a:string,src_b:string>, so a non-string group (an
     // int snapshot id, a date) would otherwise fail analysis with a
     // branch-type mismatch.
+    // grams travel as 64-bit hashes from the native ShingleHashes kernel
+    // (one primitive loop per doc), never as strings: the corpus-sized
+    // distinct + the per-gram collect_set then carry (string, long) rows
+    // ~5x narrower and skip the per-window concat_ws allocation — the
+    // q44/q48 negligible-collision-mass budget (sizes and intersections
+    // are hash-invariant; no output column carries a gram)
     val grams = Caches.track(docs
-      .select(group.cast("string").as("src"), explode(shingles(text, w)).as("g"))
+      .select(group.cast("string").as("src"),
+        explode(graft.functions.gfn.shingle_hashes64(text, w)).as("g"))
       .distinct())
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_set"))
     val pairCols = "struct<src_a:string,src_b:string>"

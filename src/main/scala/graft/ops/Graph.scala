@@ -112,18 +112,25 @@ object Graph {
     * symmetrized, deduped, and persisted once; released before return.
     */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
-                       rounds: Int, checkpointEvery: Int = 10): DataFrame = {
+                       rounds: Int, checkpointEvery: Int = 10,
+                       edgesDistinct: Boolean = false): DataFrame = {
     require(rounds >= 1 && checkpointEvery >= 1)
     // NOT pre-partitioned on src (unlike pageRankLoop): the vote join
     // broadcasts the node-sized label frame, so the edge side never
     // re-exchanges per round anyway, and there is no src-keyed aggregate
     // here to reuse the partitioning — measured, the extra exchange only
     // cost (q156 6.3 -> 7.1 s with it)
-    val e = edges
+    //
+    // `edgesDistinct = true` vouches the input is one row per unordered
+    // pair (a < b distinct — every catalog pair producer), so the two
+    // symmetrized directions are disjoint and globally distinct already:
+    // the dedup below would be a redundant corpus-sized exchange (the
+    // pageRankInt vouching flag, r11; GraphSpec pins flag-on == flag-off).
+    val sym = edges
       .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
       .unionByName(edges
         .select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
-      .distinct()
+    val e = (if (edgesDistinct) sym else sym.distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node")).distinct()
     // one row per seed node, deterministically: duplicate seed rows (or
@@ -136,7 +143,14 @@ object Graph {
         col("label").cast("long").as("seed_label"))
       .groupBy(col("node"))
       .agg(min(col("seed_label")).as("seed_label"))
-    var lab = nodes.join(s, Seq("node"), "left")
+    // LOOP-INVARIANT: every round rebuilds its label frame as
+    // nodes ⟕ seeds ⟕ win — the (node, seed_label) half never changes, so
+    // it is computed and persisted ONCE instead of re-running the node
+    // distinct and the seed aggregate per round (the unrolled 2-round plan
+    // evaluated each 3×). Node-sized, released with the edge cache below.
+    val base = nodes.join(s, Seq("node"), "left")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = base
       .select(col("node"), col("seed_label").as("label"))
     var ck: Option[Caches.Checkpointed] = None
     for (i <- 1 to rounds) {
@@ -149,7 +163,7 @@ object Graph {
       val win = votes.groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("prop"))
-      lab = nodes.join(s, Seq("node"), "left")
+      lab = base
         .join(win, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("seed_label"), col("prop")).as("label"))
@@ -166,6 +180,7 @@ object Graph {
     val out = Caches.checkpoint(lab)
     ck.foreach(_.release())
     e.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     Caches.trackRdd(out.rdd)
     out.df
   }

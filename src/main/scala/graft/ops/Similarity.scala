@@ -216,24 +216,45 @@ object Similarity {
     */
   def marginMineAnn(xs: DataFrame, ys: DataFrame, k: Int = 4,
                     nBits: Int = -1, dim: Int = 64,
-                    nTables: Int = 8): DataFrame =
-    marginCore(xs, ys, k, (c, q, kk) =>
-      // per-leg auto-sizing: each leg's corpus is a different side; the
-      // count is a bounded aggregate (the cosineNearDupsAuto contract)
-      annKnnJoin(c, q, kk,
-        if (nBits > 0) nBits else autoBits(c.count(), 64),
-        dim, nTables, quantizedDot))
+                    nTables: Int = 8): DataFrame = {
+    // per-leg auto-sizing: each leg's corpus is a different side; the two
+    // sizing counts are independent jobs, so they run CONCURRENTLY from
+    // driver threads (guide-§2.6 back-fill — the second count's tasks fill
+    // the first's tail) instead of back to back
+    val (ysBits, xsBits) =
+      if (nBits > 0) (nBits, nBits)
+      else {
+        val Seq(ty, tx) = Seq(ys, xs).map { d =>
+          val t = new java.util.concurrent.FutureTask(() => d.count())
+          val th = new Thread(t); th.setDaemon(true); th.start(); t
+        }
+        (autoBits(ty.get(), 64), autoBits(tx.get(), 64))
+      }
+    marginCore(xs, ys, k,
+      (c, q, kk) => annKnnJoin(c, q, kk, ysBits, dim, nTables, quantizedDot),
+      Some((c, q, kk) =>
+        annKnnJoin(c, q, kk, xsBits, dim, nTables, quantizedDot)))
+  }
 
   private[graft] def marginCore(xs: DataFrame, ys: DataFrame, k: Int,
-                                knn: (DataFrame, DataFrame, Int) => DataFrame)
+                                knn: (DataFrame, DataFrame, Int) => DataFrame,
+                                knnBwd: Option[(DataFrame, DataFrame, Int)
+                                  => DataFrame] = None)
       : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     def side(df: DataFrame, idTo: String) = df.select(
       col("vec_id").as(idTo), col("embedding"))
+    // Each leg feeds two consumers (its marginal aggregate and its best-pair
+    // window); the duplicated dag copies share their shuffle via
+    // ReuseExchange, so the expensive candidate join executes once. An r11
+    // experiment staged the legs through Caches.track instead: the exact
+    // face was unchanged but the ANN face regressed 5.5 -> 15 s (the cache
+    // barrier hides the leg from AQE's runtime join planning) — measured
+    // and reverted; exchange reuse is the right sharing mechanism here.
     val fwd = knn(side(ys, "vec_id"),
       xs.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       k)
-    val bwd = knn(side(xs, "vec_id"),
+    val bwd = knnBwd.getOrElse(knn)(side(xs, "vec_id"),
       ys.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       k)
     val aX = fwd.groupBy(col("query_id").as("x_id"))

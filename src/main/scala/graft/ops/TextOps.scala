@@ -707,55 +707,31 @@ object TextOps {
   def gramRepetition(docs: DataFrame, docId: Column, text: Column,
                      minN: Int = 2, maxN: Int = 10): DataFrame = {
     require(minN >= 1 && maxN >= minN, s"bad gram range [$minN, $maxN]")
-    val toks = arrToks(text)
-    def gramsOf(n: Int): Column =
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-    // ZERO-SHUFFLE formulation: the per-(doc, n) stats are functions of
-    // the doc's OWN gram multiset, so they run-length-encode the SORTED
-    // gram array — run starts, run lengths, then type count / top
-    // (m, glen) / duplicated char mass as array folds. The explode+
-    // groupBy alternative shuffles one row per gram INSTANCE on
-    // near-unique (doc, gram) keys — measured 26-43 s at sf1 (spill-
-    // bound, high variance) vs scan-parallel narrow work here.
-    //
-    // Each intermediate array is STAGED AS A REAL COLUMN (the winnowing
-    // lesson): an inline subtree referenced from inside a lambda is
-    // re-evaluated per ELEMENT, turning O(G) passes into O(G²).
-    val staged = docs
+    // ZERO-SHUFFLE formulation, native kernel (r11): the per-(doc, n)
+    // stats are functions of the doc's OWN gram multiset, so one pass per
+    // document computes all of n = minN..maxN (TextKernel.gramRepStats —
+    // token hashes chained positionally per window, a HashMap of
+    // multiplicities per n; gram identity by 64-bit hash under the
+    // q44/q48 negligible-collision budget). History of this operator:
+    //  - explode + (doc, n, gram) groupBy shuffles one row per gram
+    //    INSTANCE on near-unique keys — measured 26-43 s at sf1
+    //    (spill-bound, high variance);
+    //  - the r10 shape staged array_sort(grams-as-STRINGS) + RLE column
+    //    dags per (doc, n) — zero-shuffle but 9 string sorts per doc;
+    //    76 s of task CPU at sf0.1, the catalog's largest CPU item;
+    //  - this kernel keeps the zero-shuffle shape and drops the string
+    //    materialization/sorting; OpsSpec pins it row-identical to the
+    //    staged-RLE dag on the corpus and on adversarial edge cases.
+    docs
       .select(docId.cast("long").as("doc_id"),
         length(text).cast("long").as("n_chars"),
-        explode(array((minN to maxN).map(n =>
-          struct(lit(n).as("n"), array_sort(gramsOf(n)).as("g"))): _*))
-          .as("x"))
-      .select(col("doc_id"), col("n_chars"), col("x.n").as("n"),
-        col("x.g").as("g"))
-      .where(size(col("g")) > 0)
-    val g = col("g")
-    staged
-      // i === 1 guards the element_at(i−1) via greatest (both operand
-      // branches may evaluate; index 0 would throw under ANSI)
-      .withColumn("starts", filter(sequence(lit(1), size(g)), i =>
-        i === 1 ||
-          element_at(g, i) =!= element_at(g, greatest(i - 1, lit(1)))))
-      // next run start; the last run closes at |g| + 1
-      .withColumn("runs", zip_with(
-        col("starts"),
-        concat(slice(col("starts"), lit(2),
-          greatest(size(col("starts")) - 1, lit(0))), array(size(g) + 1)),
-        (s, nxt) => struct((nxt - s).cast("long").as("m"),
-          length(element_at(g, s)).cast("long").as("glen"))))
-      .select(col("doc_id"), col("n"), col("n_chars"),
-        size(col("starts")).cast("long").as("n_types"),
-        size(g).cast("long").as("n_grams"),
-        array_max(col("runs")).getField("m").as("top_m"),
-        (array_max(col("runs")).getField("m")
-          * array_max(col("runs")).getField("glen")).as("top_chars"),
-        aggregate(col("runs"), lit(0L), (acc, x) =>
-          acc + when(x.getField("m") >= 2,
-            x.getField("m") * x.getField("glen")).otherwise(lit(0L)))
-          .as("dup_chars"))
+        explode(graft.functions.gfn.gram_rep_stats(text, minN, maxN)).as("x"))
+      .select(col("doc_id"), col("x.n").as("n"), col("n_chars"),
+        col("x.n_types").as("n_types"),
+        col("x.n_grams").as("n_grams"),
+        col("x.top_m").as("top_m"),
+        col("x.top_chars").as("top_chars"),
+        col("x.dup_chars").as("dup_chars"))
       .withColumn("top_char_frac",
         when(col("n_chars") > 0,
           col("top_chars").cast("double") / col("n_chars").cast("double"))
@@ -1630,8 +1606,15 @@ object TextOps {
     * intermediate a·31 + c < 2³⁶ never trips ANSI overflow.
     */
   def rollHash(s: Column): Column =
-    aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
-      lit(0L), (a, c) => pmod(a * 31 + c, lit(2147483647L)))
+    // native kernel, value-identical to the SQL-replayable dag
+    //   aggregate(transform(split(s, ''), c -> ascii(c)), 0,
+    //             (a, c) -> pmod(a*31 + c, 2147483647))
+    // which every consuming oracle replays (OpsSpec pins parity on corpus
+    // tokens + unicode edge cases); as a single JVM call it also stays
+    // cheap INSIDE HOF lambdas, where the old nested fold evaluated
+    // interpreted per character (q170's per-token transform was the
+    // catalog's #6 task-CPU item)
+    graft.functions.gfn.roll_hash31(s)
 
   /** WINNOWING FINGERPRINTS (Schleimer, Wilkerson & Aiken, SIGMOD '03 —
     * the MOSS algorithm): hash every word k-gram, then keep the MINIMUM of

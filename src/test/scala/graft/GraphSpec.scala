@@ -159,6 +159,13 @@ class GraphSpec extends AnyFunSuite {
     // seeds stay clamped even with opposing neighbors
     assert(r2(1L).contains(10L) && r2(5L).contains(20L))
     assert(r2(8L).isEmpty && r2(9L).isEmpty, "isolated pair never labeled")
+    // edgesDistinct vouching (the input above IS one row per a<b pair):
+    // bit-identical rows with the dedup exchange skipped
+    val vouched = Graph.labelPropagation(edges, seeds, rounds = 2,
+        edgesDistinct = true)
+      .collect().map(x => x.getLong(0) ->
+        (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(vouched == r2, "edgesDistinct vouching changed the result")
   }
 
   test("label propagation: 25 rounds runs through the checkpoint path and holds the fixpoint") {

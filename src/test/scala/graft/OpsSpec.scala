@@ -349,6 +349,15 @@ class OpsSpec extends AnyFunSuite {
     val dist = rows(Components.connectedComponents(df, driverEdgeLimit = 0L))
     assert(auto == dist)
     assert(auto == ufComponents(edges))
+    // edgesDistinct vouching on a genuinely distinct a<b pair set: same
+    // rows with and without the vouch, on BOTH contraction paths
+    val distinctDf = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toDF("a_id", "b_id")
+    val base = rows(Components.connectedComponents(distinctDf))
+    assert(base == rows(Components.connectedComponents(distinctDf,
+      edgesDistinct = true)))
+    assert(base == rows(Components.connectedComponents(distinctDf,
+      driverEdgeLimit = 0L, edgesDistinct = true)))
   }
 
   // ---- mixing / decontamination ----
@@ -5023,6 +5032,147 @@ class OpsSpec extends AnyFunSuite {
         s"dim $j sse ${out(j).getDouble(2)} vs $sse")
       assert(math.abs(out(j).getDouble(4) - r2) < 1e-9,
         s"dim $j r2 ${out(j).getDouble(4)} vs $r2")
+    }
+  }
+
+  // ---- r11 native-kernel parity (optimization round: internals changed,
+  // results must not) ----
+
+  test("gramRepetition kernel == staged string-RLE dag on corpus + edge cases") {
+    // the r10 formulation, re-implemented verbatim as the parity reference
+    def referenceDag(df: org.apache.spark.sql.DataFrame,
+                     minN: Int, maxN: Int): org.apache.spark.sql.DataFrame = {
+      val toks = filter(split(col("text"), " "), w => length(w) > 0)
+      def gramsOf(n: Int) =
+        when(size(toks) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+      val staged = df
+        .select(col("doc_id").cast("long").as("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          explode(array((minN to maxN).map(n =>
+            struct(lit(n).as("n"), array_sort(gramsOf(n)).as("g"))): _*)).as("x"))
+        .select(col("doc_id"), col("n_chars"), col("x.n").as("n"), col("x.g").as("g"))
+        .where(size(col("g")) > 0)
+      val g = col("g")
+      staged
+        .withColumn("starts", filter(sequence(lit(1), size(g)), i =>
+          i === 1 || element_at(g, i) =!= element_at(g, greatest(i - 1, lit(1)))))
+        .withColumn("runs", zip_with(
+          col("starts"),
+          concat(slice(col("starts"), lit(2),
+            greatest(size(col("starts")) - 1, lit(0))), array(size(g) + 1)),
+          (s, nxt) => struct((nxt - s).cast("long").as("m"),
+            length(element_at(g, s)).cast("long").as("glen"))))
+        .select(col("doc_id"), col("n"),
+          size(col("starts")).cast("long").as("n_types"),
+          size(g).cast("long").as("n_grams"),
+          array_max(col("runs")).getField("m").as("top_m"),
+          (array_max(col("runs")).getField("m")
+            * array_max(col("runs")).getField("glen")).as("top_chars"),
+          aggregate(col("runs"), lit(0L), (acc, x) =>
+            acc + when(x.getField("m") >= 2,
+              x.getField("m") * x.getField("glen")).otherwise(lit(0L)))
+            .as("dup_chars"))
+    }
+    val edge = docs(
+      1L -> "",                              // no tokens: no rows at all
+      2L -> "solo",                          // single token: n=... none (minN=2)
+      3L -> "a  b   a  b a",                 // multi-space runs
+      4L -> "x y x y x",                     // overlapping repeats
+      5L -> "aa bb . c d",                   // tie on m, glen breaks
+      6L -> ("w1 w2 w3 " * 40).trim,         // long periodic doc, all n
+      7L -> "Héllo wörld Héllo wörld naïve") // multi-byte chars: glen = code points
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val cols = Seq("doc_id", "n", "n_types", "n_grams", "top_m",
+        "top_chars", "dup_chars").map(col)
+      val got = TextOps.gramRepetition(df, col("doc_id"), col("text"))
+        .select(cols: _*)
+      val want = referenceDag(df, 2, 10).select(cols: _*)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"gramRepetition kernel diverged from reference dag")
+    }
+  }
+
+  test("softDedupWeights with native gram kernel == string-gram dag on corpus") {
+    // the r10 gram pass, re-implemented verbatim; downstream algebra copied
+    // so the only difference is the gram hash function — outputs must be
+    // bit-identical (multiplicities are hash-invariant)
+    def reference(df: org.apache.spark.sql.DataFrame, k: Int)
+        : org.apache.spark.sql.DataFrame = {
+      val grams = df
+        .select(col("doc_id").cast("long").as("doc_id"),
+          filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+        .where(size(col("toks")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(toks) - $k), " +
+            s"i -> xxhash64(concat_ws(' ', slice(toks, i + 1, $k))))"))
+          .as("gram_hash"))
+      val docGrams = grams.groupBy(col("doc_id"), col("gram_hash"))
+        .agg(count(lit(1)).as("m"))
+      val corpus = docGrams.groupBy(col("gram_hash")).agg(sum(col("m")).as("c"))
+      val perDoc = docGrams.join(corpus, Seq("gram_hash"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_grams"), sum(col("m") * col("c")).as("mass"))
+      df.select(col("doc_id").cast("long").as("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          when(col("n_grams").isNull, lit(1.0))
+            .otherwise(col("mass").cast("double") / col("n_grams").cast("double"))
+            .as("mean_gram_freq"),
+          when(col("n_grams").isNull, lit(1.0))
+            .otherwise(col("n_grams").cast("double") / col("mass").cast("double"))
+            .as("weight"))
+    }
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val edge = docs(1L -> "", 2L -> "a b c", 3L -> ("x y " * 30).trim,
+      4L -> "a  b   c a b c a b c d e f g h")
+    for (df <- Seq(edge, corpus)) {
+      val got = Dedup.softDedupWeights(df, col("doc_id"), col("text"), k = 8)
+      val want = reference(df, 8)
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "softDedupWeights kernel diverged from string-gram dag")
+    }
+  }
+
+  test("rollHash kernel == aggregate/transform dag on corpus tokens + unicode") {
+    val dag: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      s => aggregate(transform(split(s, ""), c => ascii(c).cast("long")),
+        lit(0L), (a, c) => pmod(a * 31 + c, lit(2147483647L)))
+    val edge = Seq("", "a", "ab", "Héllo", "naïve", "日本語テスト",
+      "a" + new String(Character.toChars(0x1F4A9)) + "b",
+      "0123456789abcdef0123456789abcdef").toDF("w")
+    val corpusToks = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+    for (df <- Seq(edge, corpusToks)) {
+      val bad = df.select(col("w"), dag(col("w")).as("want"),
+          TextOps.rollHash(col("w")).as("got"))
+        .where(!(col("want") <=> col("got")))
+      assert(bad.isEmpty, s"rollHash mismatch: ${bad.take(5).mkString}")
+    }
+  }
+
+  test("ascii_weighted_mod kernel == HOF checksum dag on corpus tokens + unicode") {
+    val hof: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      w => pmod(aggregate(
+      zip_with(split(w, ""), sequence(lit(1), length(w)),
+        (c, i) => ascii(c).cast("long") * i),
+      lit(0L), (a, x) => a + x), lit(64L))
+    val edge = Seq("a", "ab", "Héllo", "naïve", "日本語テスト",
+      "a" + new String(Character.toChars(0x1F4A9)) + "b", // supplementary
+      "ZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZ").toDF("w")
+    val corpusToks = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+      .where(length(col("w")) > 0)
+    for (df <- Seq(edge, corpusToks)) {
+      val bad = df.select(col("w"), hof(col("w")).as("want"),
+          graft.functions.gfn.ascii_weighted_mod(col("w"), 64L).as("got"))
+        .where(!(col("want") <=> col("got")))
+      assert(bad.isEmpty, s"ascii_weighted_mod mismatch: ${bad.take(5).mkString}")
     }
   }
 }
