@@ -3205,6 +3205,11 @@ object Queries {
       val li = graft.ops.Caches.track(t(s, d, "lineitem")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x")))
+      // builtin exact percentile KEPT (measured both ways, r11): the
+      // order-statistics form (Robust.groupedExactPercentiles, bitwise
+      // identical) costs an extra exchange + spine window and ran
+      // ~0.3-0.5 s slower here; it remains the documented escape for the
+      // huge-group regime where the builtin's value-map merge OOMs
       val pct = li.groupBy(col("flag"))
         .agg(expr("percentile(x, 0.05)").as("lo"), expr("percentile(x, 0.95)").as("hi"))
       val clipped = when(col("x") < col("lo"), col("lo"))

@@ -325,6 +325,137 @@ case class GramRepStats(child: Expression, minN: Int, maxN: Int)
     copy(child = c)
 }
 
+/** Space-split tokens, empties dropped (TextKernel.tokens) — the native
+  * arrToks: one byte pass, tokens wrap the text bytes; replaces the
+  * interpreted ArrayFilter lambda at every tokenizer site.
+  */
+case class Tokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tokens"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.tokens(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.tokens($c);")
+
+  override protected def withNewChildInternal(c: Expression): Tokens =
+    copy(child = c)
+}
+
+/** Adjacent-bigram structs (TextKernel.bigramStructs) — the native
+  * bigramStructs(arrToks(text)) dag (train-side gram tables, PMI).
+  */
+case class BigramStructs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_structs"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.bigramStructs(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.bigramStructs($c);")
+
+  override protected def withNewChildInternal(c: Expression): BigramStructs =
+    copy(child = c)
+}
+
+/** Adjacent-trigram structs (TextKernel.trigramStructs). */
+case class TrigramStructs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false),
+    StructField("w3", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "trigram_structs"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.trigramStructs(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.trigramStructs($c);")
+
+  override protected def withNewChildInternal(c: Expression): TrigramStructs =
+    copy(child = c)
+}
+
+/** Ordered skip-gram pairs within `window` (TextKernel.skipgramPairs) —
+  * the native form of skipgramCounts' doubly-nested transform.
+  */
+case class SkipgramPairs(child: Expression, window: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = false),
+    StructField("w2", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "skipgram_pairs"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.skipgramPairs(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.skipgramPairs($c, $window);")
+
+  override protected def withNewChildInternal(c: Expression): SkipgramPairs =
+    copy(child = c)
+}
+
+/** Per adjacent bigram, the xxhash64 join keys (h12, h1, h2) the LM
+  * scoring dags need (TextKernel.bigramHashKeys) — one byte pass over the
+  * text, no token array, no gram-struct strings, no per-key string
+  * re-hash; bit-identical to explode(bigramStructs)+xxhash64 (OpsSpec).
+  */
+case class BigramHashKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h12", LongType, nullable = false),
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_hash_keys"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.bigramHashKeys(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.bigramHashKeys($c);")
+
+  override protected def withNewChildInternal(c: Expression): BigramHashKeys =
+    copy(child = c)
+}
+
+/** Per adjacent trigram, the xxhash64 join keys (h123, h12, h23, h2, h3)
+  * Stupid Backoff scoring needs (TextKernel.trigramHashKeys) — same
+  * one-pass contract as [[BigramHashKeys]].
+  */
+case class TrigramHashKeys(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h123", LongType, nullable = false),
+    StructField("h12", LongType, nullable = false),
+    StructField("h23", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false),
+    StructField("h3", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "trigram_hash_keys"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.trigramHashKeys(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.trigramHashKeys($c);")
+
+  override protected def withNewChildInternal(c: Expression): TrigramHashKeys =
+    copy(child = c)
+}
+
 case class LuhnCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "luhn_count"
@@ -711,6 +842,13 @@ object gfn {
     col(AsciiWeightedMod(ex(c), m))
   def gram_rep_stats(c: Column, minN: Int, maxN: Int): Column =
     col(GramRepStats(ex(c), minN, maxN))
+  def bigram_hash_keys(c: Column): Column = col(BigramHashKeys(ex(c)))
+  def trigram_hash_keys(c: Column): Column = col(TrigramHashKeys(ex(c)))
+  def tokens(c: Column): Column = col(Tokens(ex(c)))
+  def bigram_structs(c: Column): Column = col(BigramStructs(ex(c)))
+  def trigram_structs(c: Column): Column = col(TrigramStructs(ex(c)))
+  def skipgram_pairs(c: Column, window: Int): Column =
+    col(SkipgramPairs(ex(c), window))
   def ngram_jaccard(l: Column, r: Column, w: Int = 3): Column =
     col(NgramJaccard(ex(l), ex(r), w))
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =

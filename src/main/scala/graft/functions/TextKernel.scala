@@ -303,6 +303,191 @@ object TextKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  // ---- xxhash64-compatible adjacent-gram join keys ----
+  // Spark's xxhash64(c1, .., ck) folds left: h = 42; h = XXH64(bytes(ci), h).
+  // These kernels emit, per adjacent token window, EXACTLY the longs the
+  // LM scoring dags derived via explode(gramStructs) + k separate
+  // xxhash64(...) string re-hashes — same keys bit-for-bit (OpsSpec pins
+  // parity on the corpus), one pass, no gram strings materialized.
+  // Tokenization matches arrToks: split on single 0x20, drop empties.
+
+  private def tokenOffsets(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
+    var starts = new Array[Int](16)
+    var lens = new Array[Int](16)
+    var nTok = 0
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        val s = i
+        while (i < n && bytes(i) != ' ') i += 1
+        if (nTok == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, nTok * 2)
+          lens = java.util.Arrays.copyOf(lens, nTok * 2)
+        }
+        starts(nTok) = s; lens(nTok) = i - s; nTok += 1
+      }
+    }
+    (starts, lens, nTok)
+  }
+
+  private val ByteArrayOffset =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  private def xxh(bytes: Array[Byte], start: Int, len: Int, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(bytes, ByteArrayOffset + start, len, seed)
+
+  /** Per adjacent bigram: (h12, h1, h2) == (xxhash64(w1, w2),
+    * xxhash64(w1), xxhash64(w2)). Empty array when < 2 tokens.
+    */
+  def bigramHashKeys(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val (st, ln, nTok) = tokenOffsets(bytes)
+    val nOut = nTok - 1
+    if (nOut < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val u = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) { u(i) = xxh(bytes, st(i), ln(i), 42L); i += 1 }
+    val rows = new Array[Any](nOut)
+    i = 0
+    while (i < nOut) {
+      val h12 = xxh(bytes, st(i + 1), ln(i + 1), u(i))
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(h12, u(i), u(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Per adjacent trigram: (h123, h12, h23, h2, h3) ==
+    * (xxhash64(w1,w2,w3), xxhash64(w1,w2), xxhash64(w2,w3),
+    * xxhash64(w2), xxhash64(w3)). Empty array when < 3 tokens.
+    */
+  def trigramHashKeys(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val (st, ln, nTok) = tokenOffsets(bytes)
+    val nOut = nTok - 2
+    if (nOut < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val u = new Array[Long](nTok)
+    var i = 0
+    while (i < nTok) { u(i) = xxh(bytes, st(i), ln(i), 42L); i += 1 }
+    val p = new Array[Long](nTok - 1) // p(i) = xxhash64(w_i, w_{i+1})
+    i = 0
+    while (i < nTok - 1) { p(i) = xxh(bytes, st(i + 1), ln(i + 1), u(i)); i += 1 }
+    val rows = new Array[Any](nOut)
+    i = 0
+    while (i < nOut) {
+      val h123 = xxh(bytes, st(i + 2), ln(i + 2), p(i))
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        h123, p(i), p(i + 1), u(i + 1), u(i + 2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Space-split tokens with empties dropped — the native form of
+    * `filter(split(text, " "), w -> length(w) > 0)` (TextOps.arrToks;
+    * ArrayFilter is CodegenFallback, so the dag form runs interpreted
+    * per element). Tokens WRAP the text's byte array (UTF8String.fromBytes
+    * slices — no copy); 0x20 never occurs inside a UTF-8 multi-byte
+    * sequence, so byte-splitting equals the regex split.
+    */
+  def tokens(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val (st, ln, nTok) = tokenOffsets(bytes)
+    val out = new Array[Any](nTok)
+    var i = 0
+    while (i < nTok) {
+      out(i) = UTF8String.fromBytes(bytes, st(i), ln(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Adjacent-bigram structs (w1, w2) — the native form of
+    * TextOps.bigramStructs(arrToks(text)) (transform + element_at lambdas
+    * run interpreted); same tokens-wrap-the-bytes contract as [[tokens]].
+    * Empty array when < 2 tokens.
+    */
+  def bigramStructs(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val (st, ln, nTok) = tokenOffsets(bytes)
+    val nOut = nTok - 1
+    if (nOut < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val t = new Array[UTF8String](nTok)
+    var i = 0
+    while (i < nTok) { t(i) = UTF8String.fromBytes(bytes, st(i), ln(i)); i += 1 }
+    val rows = new Array[Any](nOut)
+    i = 0
+    while (i < nOut) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(t(i), t(i + 1))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Adjacent-trigram structs (w1, w2, w3) — [[bigramStructs]] at order 3.
+    * Empty array when < 3 tokens.
+    */
+  def trigramStructs(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val (st, ln, nTok) = tokenOffsets(bytes)
+    val nOut = nTok - 2
+    if (nOut < 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val t = new Array[UTF8String](nTok)
+    var i = 0
+    while (i < nTok) { t(i) = UTF8String.fromBytes(bytes, st(i), ln(i)); i += 1 }
+    val rows = new Array[Any](nOut)
+    i = 0
+    while (i < nOut) {
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(t(i), t(i + 1), t(i + 2))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  /** Ordered skip-gram pairs (w_i, w_j) for j in (i, i+window] — the native
+    * form of TextOps.skipgramCounts' nested transform (whose doubly-nested
+    * interpreted lambdas were the q137 task-CPU lottery). Pair order
+    * matches flatten(transform(...)): all pairs for i before i+1, j
+    * ascending within i.
+    */
+  def skipgramPairs(text: UTF8String, window: Int): ArrayData = {
+    val bytes = text.getBytes
+    val (st, ln, nTok) = tokenOffsets(bytes)
+    if (nTok < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val t = new Array[UTF8String](nTok)
+    var i = 0
+    while (i < nTok) { t(i) = UTF8String.fromBytes(bytes, st(i), ln(i)); i += 1 }
+    var nOut = 0
+    i = 0
+    while (i < nTok - 1) { nOut += math.min(window, nTok - 1 - i); i += 1 }
+    val rows = new Array[Any](nOut)
+    var p = 0
+    i = 0
+    while (i < nTok - 1) {
+      val jEnd = math.min(i + window, nTok - 1)
+      var j = i + 1
+      while (j <= jEnd) {
+        rows(p) = org.apache.spark.sql.catalyst.InternalRow(t(i), t(j))
+        p += 1; j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   /** Polynomial 31-bit rolling hash over CODE POINTS:
     * a ← (a·31 + cp) mod (2^31 − 1), seed 0 — the native form of the
     * SQL-replayable dag
@@ -402,40 +587,64 @@ object TextKernel {
       }
     }
     val rows = new java.util.ArrayList[Any](maxN - minN + 1)
-    var n = minN
-    while (n <= maxN) {
-      val nWin = nTok - n + 1
-      if (nWin >= 1) {
-        // multiplicity + glen per distinct gram hash
-        val counts = new java.util.HashMap[java.lang.Long, Array[Long]](nWin * 2)
-        var w = 0
-        while (w < nWin) {
-          var h = 0L
-          var glen = (n - 1).toLong
-          var d = 0
-          while (d < n) {
-            h = MinHashKernel.mix(h ^ tokHash(w + d))
-            glen += tokLen(w + d)
-            d += 1
+    // One OPEN-ADDRESSED primitive table, reused across n (r11): the boxed
+    // java.util.HashMap<Long, long[]> here allocated a boxed key per
+    // window probe plus a 2-long array per distinct gram — at catalog
+    // scale that churn WAS q218's GC surface (6-9 s task-GC per bench
+    // pass) and most of its 2x task-CPU spread. Occupancy is m > 0 (so a
+    // gram hash of 0 needs no special slot); linear probing on the mixed
+    // hash's low bits; aggregation is order-free (lexicographic max +
+    // a sum), so bucket order cannot change the output — bit-identical
+    // rows to the HashMap form.
+    val maxWin = nTok - minN + 1
+    if (maxWin >= 1) {
+      var cap = 4
+      while (cap < maxWin * 2) cap <<= 1
+      val mask = cap - 1
+      val keys = new Array[Long](cap)
+      val ms = new Array[Long](cap)
+      val gs = new Array[Long](cap)
+      var n = minN
+      while (n <= maxN) {
+        val nWin = nTok - n + 1
+        if (nWin >= 1) {
+          java.util.Arrays.fill(ms, 0L)
+          var nTypes = 0L
+          var w = 0
+          while (w < nWin) {
+            var h = 0L
+            var glen = (n - 1).toLong
+            var d = 0
+            while (d < n) {
+              h = MinHashKernel.mix(h ^ tokHash(w + d))
+              glen += tokLen(w + d)
+              d += 1
+            }
+            var slot = (h & mask).toInt
+            while (ms(slot) != 0L && keys(slot) != h) slot = (slot + 1) & mask
+            if (ms(slot) == 0L) {
+              keys(slot) = h; ms(slot) = 1L; gs(slot) = glen; nTypes += 1L
+            } else ms(slot) += 1L
+            w += 1
           }
-          val e = counts.get(h)
-          if (e == null) counts.put(h, Array(1L, glen)) else e(0) += 1
-          w += 1
+          var topM = 0L
+          var topGlen = 0L
+          var dup = 0L
+          var s = 0
+          while (s < cap) {
+            val m = ms(s)
+            if (m != 0L) {
+              val g = gs(s)
+              if (m > topM || (m == topM && g > topGlen)) { topM = m; topGlen = g }
+              if (m >= 2L) dup += m * g
+            }
+            s += 1
+          }
+          rows.add(org.apache.spark.sql.catalyst.InternalRow(
+            n, nTypes, nWin.toLong, topM, topM * topGlen, dup))
         }
-        var topM = 0L
-        var topGlen = 0L
-        var dup = 0L
-        val it = counts.values().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val m = e(0); val g = e(1)
-          if (m > topM || (m == topM && g > topGlen)) { topM = m; topGlen = g }
-          if (m >= 2) dup += m * g
-        }
-        rows.add(org.apache.spark.sql.catalyst.InternalRow(
-          n, counts.size().toLong, nWin.toLong, topM, topM * topGlen, dup))
+        n += 1
       }
-      n += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }

@@ -9,6 +9,75 @@ import org.apache.spark.sql.functions._
   */
 object Robust {
 
+  /** GROUPED EXACT PERCENTILES BY ORDER STATISTICS — bit-identical to
+    * Spark's `percentile(value, f)` (PercentileBase.getPercentile,
+    * replayed operation-for-operation from the 4.1 bytecode:
+    * position = (n−1).toDouble · f; lower/higher = floor/ceil(position);
+    * lowerKey = min x with cum > lower; result = lowerKey when
+    * higher == lower or higherKey == lowerKey, else
+    * (higher − position)·lowerKey + (position − lower)·higherKey — every
+    * step a fixed IEEE double op, so equality is exact; OpsSpec pins
+    * bitwise parity on lineitem + adversarial groups).
+    *
+    * When to use WHICH (measured both ways, r11): the builtin buffers a
+    * value→count map per partition and merges the maps per group in the
+    * final aggregate; this helper flows the same counts as (grp, x, c)
+    * ROWS — one partial-combined aggregate, a per-group running sum over
+    * the distinct-value spine, a per-group argmin. At catalog scale the
+    * builtin WINS (r11 A/B across q41/q77/q111/q200/q220/q232/q236: the
+    * helper's extra exchange + window stages cost ~0.3–1.7 s/query while
+    * the map merges stay sub-second), so every catalog face keeps the
+    * builtin. The helper is the HUGE-GROUP escape: a group whose distinct
+    * values don't fit one aggregation buffer OOMs the builtin's merge,
+    * while the spine sort here spills gracefully — swap it in (bitwise
+    * identical) when groups are corpus-sized, alongside the documented
+    * `percentile_approx` sketch route.
+    *
+    * Null values carry no rank (the builtin's null-skip); a group whose
+    * values are all null is absent from the output (the builtin would
+    * return null — callers here always join the result back anyway).
+    * Returns (grp, p_<i> double for each requested fraction, in order).
+    */
+  def groupedExactPercentiles(df: DataFrame, group: Column, value: Column,
+                              fracs: Seq[Double],
+                              withStats: Boolean = false): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(f => f >= 0.0 && f <= 1.0))
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(group.as("grp"), value.cast("double").as("x"))
+      .where(col("x").isNotNull)
+      .groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
+    // distinct x per (grp, x) row, so the default RANGE frame equals ROWS
+    val wRun = Window.partitionBy(col("grp")).orderBy(col("x"))
+    val wG = Window.partitionBy(col("grp"))
+    val cum = counts
+      .withColumn("cum", sum(col("c")).over(wRun))
+      .withColumn("n", sum(col("c")).over(wG))
+    val cols = fracs.zipWithIndex.flatMap { case (f, i) =>
+      val pos = lit(f) * (col("n") - 1).cast("double")
+      Seq(
+        min(when(col("cum") > floor(pos), col("x"))).as(s"lk_$i"),
+        min(when(col("cum") > ceil(pos), col("x"))).as(s"hk_$i"),
+        // pos/lower/higher are group constants; carry them out via max
+        max(pos).as(s"pos_$i"))
+    } ++ (if (withStats)
+      Seq(max(col("n")).as("n"), min(col("x")).as("min_x"),
+        max(col("x")).as("max_x"))
+    else Nil)
+    val agg = cum.groupBy(col("grp")).agg(cols.head, cols.tail: _*)
+    val out = fracs.indices.map { i =>
+      val pos = col(s"pos_$i")
+      val lower = floor(pos)
+      val higher = ceil(pos)
+      val lk = col(s"lk_$i")
+      val hk = col(s"hk_$i")
+      when(higher === lower, lk)
+        .when(hk === lk, lk)
+        .otherwise((higher - pos) * lk + (pos - lower) * hk)
+        .as(s"p_$i")
+    } ++ (if (withStats) Seq(col("n"), col("min_x"), col("max_x")) else Nil)
+    agg.select(col("grp") +: out: _*)
+  }
+
   /** MEDIAN/MAD OUTLIER DETECTION (Hampel filter, the robust alternative
     * to mean±kσ — one wild value cannot drag the threshold the way it
     * drags a standard deviation): per group, the exact median, the median

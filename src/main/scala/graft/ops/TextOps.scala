@@ -1057,16 +1057,18 @@ object TextOps {
     * `list_filter(string_split(text, ' '), w -> len(w) > 0)`.
     */
   private def arrToks(text: Column): Column =
-    filter(split(text, " "), w => length(w) > 0)
+    // r11: native kernel — the dag form `filter(split(text, " "),
+    // w -> length(w) > 0)` runs ArrayFilter's lambda INTERPRETED per
+    // element (CodegenFallback), which made every tokenizer site hostage
+    // to the shared interpreted-eval JIT profile (the measured gram-family
+    // task-CPU lottery). Bit-identical output (OpsSpec pin), one byte
+    // pass, tokens wrap the text bytes.
+    graft.functions.gfn.tokens(text)
 
-  /** Adjacent-bigram structs (w1, w2) as a NARROW array expression — no
-    * posexplode + self-join; the `sequence(1, 0)`-descends-under-ANSI guard
-    * as in [[repetitionStats]].
-    */
-  private def bigramStructs(toks: Column): Column =
-    when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+  // (The pre-r11 dag form of adjacent-gram extraction —
+  // transform(sequence(...), i -> struct(element_at(toks, i), ...)) — is
+  // now the native gfn.bigram_structs/trigram_structs kernel; OpsSpec
+  // replays the dag verbatim to pin bit-parity.)
 
   /** BIGRAM-LM CROSS-ENTROPY SCORING — the CCNet-style perplexity quality
     * filter (Wenzek et al. 2020): train an add-k-smoothed bigram language
@@ -1131,7 +1133,7 @@ object TextOps {
     import org.apache.spark.sql.types.DecimalType
     val D = 0.75
     val grams = docs.filter(trainGate)
-      .select(explode(bigramStructs(arrToks(text))).as("g"))
+      .select(explode(graft.functions.gfn.bigram_structs(text)).as("g"))
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
     val big = Caches.track(grams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12")))
@@ -1152,12 +1154,14 @@ object TextOps {
       .otherwise(pcont)
     // hashed join keys, instance rows — see [[scoreBigramLm]] for the
     // measured rationale (8-byte keys cut the exchange/spill bytes; a
-    // doc-gram pre-agg was tried and reverted)
+    // doc-gram pre-agg was tried and reverted). r11: doc-side keys come
+    // from the native kernel (bit-identical, one byte pass, no gram
+    // strings — OpsSpec parity pin).
     val terms = docs
       .select(docId.as("doc_id"),
-        explode(bigramStructs(arrToks(text))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g.w1"), col("g.w2")).as("h12"),
-        xxhash64(col("g.w1")).as("h1"), xxhash64(col("g.w2")).as("h2"))
+        explode(graft.functions.gfn.bigram_hash_keys(text)).as("g"))
+      .select(col("doc_id"), col("g.h12").as("h12"), col("g.h1").as("h1"),
+        col("g.h2").as("h2"))
       .join(big.select(xxhash64(col("w1"), col("w2")).as("h12"), col("c12")),
         Seq("h12"), "left")
       .join(ctx.select(xxhash64(col("w1")).as("h1"), col("c1"), col("n1pl")),
@@ -1195,7 +1199,7 @@ object TextOps {
     */
   def trainBigramLm(docs: DataFrame, docId: Column, text: Column,
                     addK: Int = 1): BigramLm = {
-    val grams = docs.select(explode(bigramStructs(arrToks(text))).as("g"))
+    val grams = docs.select(explode(graft.functions.gfn.bigram_structs(text)).as("g"))
       .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
     val big = Caches.track(grams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12")))
@@ -1229,10 +1233,15 @@ object TextOps {
     // instance shuffle + a spilling hash map and ran the q140 family 3-4x
     // SLOWER (bench_r10_run1 18.7s vs r9's 4-8s) — key narrowing attacks
     // the same byte surface without a new exchange.
+    // r11: the doc-side gram+hash pass is the native one-byte-pass kernel
+    // (gfn.bigram_hash_keys) — same (h12, h1) longs bit-for-bit (OpsSpec
+    // pins kernel == explode(bigramStructs)+xxhash64 on the corpus), but
+    // no token array, no gram-struct strings, no per-key string re-hash;
+    // the model side keeps word keys (the type tables need the words).
     val terms = docs
-      .select(docId.as("doc_id"), explode(bigramStructs(arrToks(text))).as("g"))
-      .select(col("doc_id"), xxhash64(col("g.w1"), col("g.w2")).as("h12"),
-        xxhash64(col("g.w1")).as("h1"))
+      .select(docId.as("doc_id"),
+        explode(graft.functions.gfn.bigram_hash_keys(text)).as("g"))
+      .select(col("doc_id"), col("g.h12").as("h12"), col("g.h1").as("h1"))
       .join(lm.big.select(xxhash64(col("w1"), col("w2")).as("h12"),
         col("c12")), Seq("h12"), "left")
       .join(lm.ctx.select(xxhash64(col("w1")).as("h1"), col("c1")),
@@ -1312,15 +1321,6 @@ object TextOps {
       .drop("cuts")
   }
 
-  /** Adjacent-trigram structs (w1, w2, w3) — same narrow array shape as
-    * [[bigramStructs]]; docs with <3 tokens yield an empty array.
-    */
-  private def trigramStructs(toks: Column): Column =
-    when(size(toks) < 3, array().cast("array<struct<w1:string,w2:string,w3:string>>"))
-      .otherwise(transform(sequence(lit(1), size(toks) - 2), i =>
-        struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"),
-          element_at(toks, i + 2).as("w3"))))
-
   /** A trained Stupid Backoff trigram model (Brants et al. 2007, "Large
     * Language Models in Machine Translation"): trigram / bigram / unigram
     * TYPE-count tables, the one-row (total tokens, vocab size) frame, and
@@ -1344,22 +1344,25 @@ object TextOps {
     */
   def trainStupidBackoff(docs: DataFrame, text: Column,
                          alpha: Double = 0.4): BackoffLm = {
-    // tokenize the train slice ONCE and cache the arrays: tri/big/uni each
-    // consume `toks`, and without the persist each re-scans and re-splits
-    // the corpus (3 tokenization passes -> 1). MEMORY_AND_DISK: at real
-    // scale the tokenized train slice spills to local disk, still cheaper
-    // than three parquet scans + splits of the same bytes.
-    val toks = Caches.track(docs.select(arrToks(text).as("toks")))
+    // scan the train slice ONCE and cache the TEXT: tri/big/uni each
+    // re-derive their grams from it via the native kernels (r11 — the
+    // r10 shape cached tokenized ARRAYS to amortize the interpreted
+    // split+filter; with tokenization now a native byte pass, caching the
+    // narrower text column and re-tokenizing three times is cheaper than
+    // writing/reading the fat token arrays). MEMORY_AND_DISK: at real
+    // scale the train slice spills to local disk, still cheaper than
+    // three parquet scans of the same bytes.
+    val txt = Caches.track(docs.select(text.as("text")))
     val tri = Caches.track(
-      toks.select(explode(trigramStructs(col("toks"))).as("g"))
+      txt.select(explode(graft.functions.gfn.trigram_structs(col("text"))).as("g"))
         .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"), col("g.w3").as("w3"))
         .agg(count(lit(1)).as("c123")))
     val big = Caches.track(
-      toks.select(explode(bigramStructs(col("toks"))).as("g"))
+      txt.select(explode(graft.functions.gfn.bigram_structs(col("text"))).as("g"))
         .groupBy(col("g.w1").as("w1"), col("g.w2").as("w2"))
         .agg(count(lit(1)).as("c12")))
     val uni = Caches.track(
-      toks.select(explode(col("toks")).as("w"))
+      txt.select(explode(graft.functions.gfn.tokens(col("text"))).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c1")))
     val totals = uni.agg(sum(col("c1")).as("n_tokens"),
       count(lit(1)).as("v"))
@@ -1397,13 +1400,13 @@ object TextOps {
     // measured rationale: the five scoring exchanges carry a 6-long frame
     // (~8-10x fewer bytes than the word-tuple keys the r9 official bench
     // spilled on); a doc-gram pre-agg was tried and reverted (3-4x slower)
+    // r11: doc-side trigram keys from the native kernel (bit-identical to
+    // explode(trigramStructs)+xxhash64 — OpsSpec pin), one byte pass
     val terms = withId
-      .select(col("doc_id"), explode(trigramStructs(arrToks(col("text")))).as("g"))
       .select(col("doc_id"),
-        xxhash64(col("g.w1"), col("g.w2"), col("g.w3")).as("h123"),
-        xxhash64(col("g.w1"), col("g.w2")).as("h12"),
-        xxhash64(col("g.w2"), col("g.w3")).as("h23"),
-        xxhash64(col("g.w2")).as("h2"), xxhash64(col("g.w3")).as("h3"))
+        explode(graft.functions.gfn.trigram_hash_keys(col("text"))).as("g"))
+      .select(col("doc_id"), col("g.h123").as("h123"), col("g.h12").as("h12"),
+        col("g.h23").as("h23"), col("g.h2").as("h2"), col("g.h3").as("h3"))
       .join(lm.tri.select(
         xxhash64(col("w1"), col("w2"), col("w3")).as("h123"), col("c123")),
         Seq("h123"), "left")
@@ -1454,13 +1457,10 @@ object TextOps {
   def skipgramCounts(docs: DataFrame, text: Column, window: Int = 3,
                      minCount: Long = 2L): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    val toks = arrToks(text)
-    val pairs =
-      when(size(toks) < 2, array().cast("array<struct<w1:string,w2:string>>"))
-        .otherwise(flatten(transform(sequence(lit(1), size(toks) - 1), i =>
-          transform(sequence(i + 1, least(i + lit(window), size(toks))), j =>
-            struct(element_at(toks, i).as("w1"),
-              element_at(toks, j).as("w2"))))))
+    // r11: native pair kernel — the doubly-nested transform dag ran its
+    // lambdas interpreted (measured as q137's 20x task-CPU lottery);
+    // identical pairs in identical order (OpsSpec pin)
+    val pairs = graft.functions.gfn.skipgram_pairs(text, window)
     docs.select(explode(pairs).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c"))
@@ -1538,7 +1538,7 @@ object TextOps {
     // slowest catalog query at 13.3 s before, 4 full corpus passes);
     // Caches-tracked so ONE pass builds the vocab-sized frame
     val bi = Caches.track(
-      docs.select(explode(bigramStructs(arrToks(text))).as("p"))
+      docs.select(explode(graft.functions.gfn.bigram_structs(text)).as("p"))
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("c_ab")))
     val left  = bi.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))

@@ -5096,6 +5096,125 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("groupedExactPercentiles == builtin percentile bitwise on lineitem + edges") {
+    import graft.ops.Robust
+    val fracs = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.95, 1.0)
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+    // adversarial groups: n=1; n=2; all-identical (lk==hk branch); exact
+    // integer positions (higher==lower branch at f=0.25 with n=5)
+    val edge = Seq(("a", 1.0), ("b", 1.0), ("b", 2.0),
+      ("c", 7.0), ("c", 7.0), ("c", 7.0),
+      ("d", 1.0), ("d", 2.0), ("d", 3.0), ("d", 4.0), ("d", 5.0))
+      .toDF("g", "v")
+    for (df <- Seq(edge, li)) {
+      val want = df.groupBy(col("g").as("grp"))
+        .agg(percentile(col("v").cast("double"),
+          typedlit(fracs.toArray)).as("ps"))
+      val got = Robust.groupedExactPercentiles(df, col("g"), col("v"), fracs)
+        .select(col("grp"),
+          array(fracs.indices.map(i => col(s"p_$i")): _*).as("ps"))
+      val bad = got.alias("g").join(want.alias("w"), Seq("grp"))
+        .where(!(col("g.ps") <=> col("w.ps")))
+      assert(bad.isEmpty,
+        s"percentile mismatch: ${bad.take(3).mkString}")
+    }
+  }
+
+  test("tokens/gram-struct/skipgram kernels == HOF dags on corpus + edges") {
+    // the pre-r11 interpreted-HOF forms, re-implemented verbatim; the
+    // native kernels must reproduce arrays positionally (<=> compare
+    // on the whole array column, null-safe)
+    import graft.functions.gfn
+    val edge = docs(1L -> "", 2L -> "one", 3L -> "a b", 4L -> "a b c",
+      5L -> "a  b   c a b c d", 6L -> "  leading and trailing  ",
+      7L -> "Héllo naïve 日本語テスト wörld",
+      8L -> ("tok " * 40).trim,
+      9L -> ("a" + new String(Character.toChars(0x1F4A9)) + "b c d"))
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val toks = filter(split(col("text"), " "), t => length(t) > 0)
+      val wantBi = when(size(toks) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2"))))
+      val wantTri = when(size(toks) < 3,
+          array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2), i =>
+          struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"),
+            element_at(toks, i + 2).as("w3"))))
+      val window = 3
+      val wantSkip = when(size(toks) < 2,
+          array().cast("array<struct<w1:string,w2:string>>"))
+        .otherwise(flatten(transform(sequence(lit(1), size(toks) - 1), i =>
+          transform(sequence(i + 1, least(i + lit(window), size(toks))), j =>
+            struct(element_at(toks, i).as("w1"),
+              element_at(toks, j).as("w2"))))))
+      val bad = df.select(col("doc_id"),
+          toks.as("want_toks"), gfn.tokens(col("text")).as("got_toks"),
+          wantBi.as("want_bi"), gfn.bigram_structs(col("text")).as("got_bi"),
+          wantTri.as("want_tri"), gfn.trigram_structs(col("text")).as("got_tri"),
+          wantSkip.as("want_sk"),
+          gfn.skipgram_pairs(col("text"), window).as("got_sk"))
+        .where(!(col("want_toks") <=> col("got_toks")) ||
+          !(col("want_bi") <=> col("got_bi")) ||
+          !(col("want_tri") <=> col("got_tri")) ||
+          !(col("want_sk") <=> col("got_sk")))
+      assert(bad.isEmpty,
+        s"token/gram kernel diverged: ${bad.select(col("doc_id")).take(5).mkString}")
+    }
+  }
+
+  test("bigram/trigram hash-key kernels == explode(structs)+xxhash64 dag on corpus") {
+    // the pre-r11 doc-side scoring pass, re-implemented verbatim: tokenize
+    // (split on ' ', drop empties), adjacent gram structs, k separate
+    // xxhash64 string hashes — the kernels must reproduce every long
+    // bit-for-bit AND in the same per-doc order (positional compare)
+    import graft.functions.gfn
+    val edge = docs(1L -> "", 2L -> "one", 3L -> "a b", 4L -> "a b c",
+      5L -> "a  b   c a b c d", 6L -> "  leading and trailing  ",
+      7L -> "Héllo naïve 日本語テスト wörld",
+      8L -> ("tok " * 40).trim,
+      9L -> ("a" + new String(Character.toChars(0x1F4A9)) + "b c d"))
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    for (df <- Seq(edge, corpus)) {
+      val toks = df.select(col("doc_id"),
+        filter(split(col("text"), " "), t => length(t) > 0).as("toks"))
+      val wantBi = toks.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2))"))
+          .as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(col("g.w1"), col("g.w2")).as("h12"),
+          xxhash64(col("g.w1")).as("h1"), xxhash64(col("g.w2")).as("h2"))
+      val gotBi = df.select(col("doc_id"),
+          posexplode(gfn.bigram_hash_keys(col("text"))).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), col("g.h12"), col("g.h1"), col("g.h2"))
+      assert(gotBi.exceptAll(wantBi).isEmpty && wantBi.exceptAll(gotBi).isEmpty,
+        "bigram_hash_keys diverged from struct+xxhash64 dag")
+      val wantTri = toks.where(size(col("toks")) >= 3)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> struct(element_at(toks, i) as w1, element_at(toks, i + 1) as w2, " +
+            "element_at(toks, i + 2) as w3))")).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(col("g.w1"), col("g.w2"), col("g.w3")).as("h123"),
+          xxhash64(col("g.w1"), col("g.w2")).as("h12"),
+          xxhash64(col("g.w2"), col("g.w3")).as("h23"),
+          xxhash64(col("g.w2")).as("h2"), xxhash64(col("g.w3")).as("h3"))
+      val gotTri = df.select(col("doc_id"),
+          posexplode(gfn.trigram_hash_keys(col("text"))).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), col("g.h123"), col("g.h12"),
+          col("g.h23"), col("g.h2"), col("g.h3"))
+      assert(gotTri.exceptAll(wantTri).isEmpty && wantTri.exceptAll(gotTri).isEmpty,
+        "trigram_hash_keys diverged from struct+xxhash64 dag")
+    }
+  }
+
   test("softDedupWeights with native gram kernel == string-gram dag on corpus") {
     // the r10 gram pass, re-implemented verbatim; downstream algebra copied
     // so the only difference is the gram hash function — outputs must be
