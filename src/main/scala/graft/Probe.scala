@@ -70,6 +70,7 @@ object Probe {
       var busySum = 0.0; var gapSum = 0.0
       for (id <- order.asScala.toSeq.sorted) {
         val j = jobs.get(id)
+        if (j.t1 == 0L) j.t1 = j.t0 // event not yet drained: show dur 0
         val dur = (j.t1 - j.t0) / 1e3
         val gap = if (prevEnd == 0) 0.0 else (j.t0 - prevEnd) / 1e3
         busySum += dur; if (prevEnd != 0) gapSum += math.max(gap, 0)

@@ -21,9 +21,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Schema METADATA memo (r11): every `spark.read.parquet` call re-infers
+  // the schema from footers on the driver (~60 ms here, worse on
+  // many-file tables at scale); a catalog session builds hundreds of
+  // frames over the same ten immutable tables, so the inferred StructType
+  // is cached per path and handed to the reader explicitly. Data is never
+  // cached — each query still scans parquet; this is exactly what a table
+  // catalog (metastore/Iceberg manifest) provides in production.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events") {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
       df.schema("ts").dataType match {

@@ -456,6 +456,25 @@ case class TrigramHashKeys(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** xxhash64 sigs of a string + its single-deletion variants
+  * (TextKernel.del1Sigs) — the d=1 deletion neighborhood of
+  * FuzzyJoin.editDistancePairs, one native pass.
+  */
+case class Del1Sigs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "del1_sigs"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.del1Sigs(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.del1Sigs($c);")
+
+  override protected def withNewChildInternal(c: Expression): Del1Sigs =
+    copy(child = c)
+}
+
 case class LuhnCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "luhn_count"
@@ -493,6 +512,84 @@ case class ClippedGrams(left: Expression, right: Expression, maxN: Int)
       s"${ev.value} = graft.functions.TextKernel.clippedGrams($l, $r, $maxN);")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): ClippedGrams =
+    copy(left = l, right = r)
+}
+
+/** Integer lattice quantization of an array<float> column
+  * (VecKernel.quantizeLattice): round(x*scale)+shift per element,
+  * bit-identical to the transform+round dag it replaces.
+  */
+case class QuantizeLattice(child: Expression, scale: Long, shift: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_lattice"
+
+  // element-type code for the kernel read (the dag's cast(x as double)
+  // accepted any numeric element)
+  private def et: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case t => throw new IllegalArgumentException(s"quantize_lattice: $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.quantizeLattice(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], scale, shift, et)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.quantizeLattice($c, ${scale}L, ${shift}L, $et);")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeLattice =
+    copy(child = c)
+}
+
+/** [[QuantizeLattice]] into array<int> (VecKernel.quantizeLatticeI). */
+case class QuantizeLatticeI(child: Expression, scale: Long, shift: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quantize_lattice_i"
+
+  private def et: Int = child.dataType match {
+    case ArrayType(FloatType, _) => 0
+    case ArrayType(DoubleType, _) => 1
+    case ArrayType(IntegerType, _) => 2
+    case ArrayType(LongType, _) => 3
+    case t => throw new IllegalArgumentException(s"quantize_lattice_i: $t")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.quantizeLatticeI(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], scale, shift, et)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.quantizeLatticeI($c, ${scale}L, ${shift}L, $et);")
+
+  override protected def withNewChildInternal(c: Expression): QuantizeLatticeI =
+    copy(child = c)
+}
+
+/** Exact long dot of two pre-quantized int lattice vectors
+  * (VecKernel.latticeDotI).
+  */
+case class LatticeDotI(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lattice_dot_i"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    VecKernel.latticeDotI(
+      l.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      r.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) =>
+      s"${ev.value} = graft.functions.VecKernel.latticeDotI($l, $r);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LatticeDotI =
     copy(left = l, right = r)
 }
 
@@ -849,6 +946,13 @@ object gfn {
   def trigram_structs(c: Column): Column = col(TrigramStructs(ex(c)))
   def skipgram_pairs(c: Column, window: Int): Column =
     col(SkipgramPairs(ex(c), window))
+  def del1_sigs(c: Column): Column = col(Del1Sigs(ex(c)))
+  def quantize_lattice(c: Column, scale: Long, shift: Long): Column =
+    col(QuantizeLattice(ex(c), scale, shift))
+  def quantize_lattice_i(c: Column, scale: Long, shift: Long): Column =
+    col(QuantizeLatticeI(ex(c), scale, shift))
+  def lattice_dot_i(l: Column, r: Column): Column =
+    col(LatticeDotI(ex(l), ex(r)))
   def ngram_jaccard(l: Column, r: Column, w: Int = 3): Column =
     col(NgramJaccard(ex(l), ex(r), w))
   def hyperplane_sig(c: Column, planes: Array[Double], nBits: Int, dim: Int): Column =

@@ -488,6 +488,44 @@ object TextKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
+  /** xxhash64 (seed 42) of the string itself plus each single-CODE-POINT
+    * deletion variant — the native form of FuzzyJoin.editDistancePairs'
+    * d=1 deletion neighborhood (explode(transform(sequence(1, length(v)),
+    * p -> concat(substring(...), substring(...)))) + xxhash64, whose
+    * interpreted per-position string rebuilds dominated the fuzzy-join
+    * family's variant stage). Hash-set-identical to the dag (same bytes,
+    * same seed; duplicates collapse in the caller's distinct()). Variants
+    * are hashed from a scratch buffer — no UTF8String/String allocation.
+    */
+  def del1Sigs(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // code-point starts (UTF-8 lead bytes)
+    var nCp = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xc0) != 0x80) nCp += 1; i += 1 }
+    val out = new Array[Long](1 + nCp)
+    out(0) = xxh(bytes, 0, n, 42L)
+    if (nCp > 0) {
+      val buf = new Array[Byte](n)
+      var cp = 0
+      i = 0
+      while (i < n) {
+        if ((bytes(i) & 0xc0) != 0x80) {
+          var end = i + 1
+          while (end < n && (bytes(end) & 0xc0) == 0x80) end += 1
+          // variant = bytes[0, i) ++ bytes[end, n)
+          System.arraycopy(bytes, 0, buf, 0, i)
+          System.arraycopy(bytes, end, buf, i, n - end)
+          out(1 + cp) = xxh(buf, 0, n - (end - i), 42L)
+          cp += 1
+          i = end
+        } else i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Polynomial 31-bit rolling hash over CODE POINTS:
     * a ← (a·31 + cp) mod (2^31 − 1), seed 0 — the native form of the
     * SQL-replayable dag

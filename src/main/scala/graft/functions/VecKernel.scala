@@ -33,6 +33,80 @@ object VecKernel {
   @inline private def roundHalfAway(x: Double): Long =
     (if (x >= 0) Math.floor(x + 0.5) else Math.ceil(x - 0.5)).toLong
 
+  /** Integer lattice quantization of a float-element vector:
+    * round(x.toDouble * scale) + shift per element — the native form of
+    * the `transform(v, x -> cast(round(cast(x as double) * scale) as
+    * bigint) + shift)` dag shared by Cluster/Pq/Similarity (whose
+    * interpreted per-element lambda was the measured hot cost of the
+    * kmeans/pair-scan exchanges). Rounding replays Spark's Round on
+    * DoubleType EXACTLY — BigDecimal.valueOf(x).setScale(0, HALF_UP) — so
+    * every lattice coordinate is bit-identical to the dag (pinned on the
+    * embeddings corpus + adversarial doubles in OpsSpec). On float-sourced
+    * inputs this coincides with [[roundHalfAway]] (a 24-bit mantissa times
+    * an integer scale cannot land on the 0.49999999999999994-style cases
+    * where the two rules split), but the BigDecimal route removes the
+    * question.
+    */
+  /** Element read dispatched on the declared element type (the dag's
+    * `cast(x as double)` accepted any numeric): 0=float, 1=double, 2=int,
+    * 3=long — resolved once at expression construction, a constant in the
+    * generated call.
+    */
+  @inline private def elemAsDouble(v: ArrayData, i: Int, et: Int): Double =
+    et match {
+      case 0 => v.getFloat(i).toDouble
+      case 1 => v.getDouble(i)
+      case 2 => v.getInt(i).toDouble
+      case _ => v.getLong(i).toDouble
+    }
+
+  def quantizeLattice(v: ArrayData, scale: Long, shift: Long, et: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val x = elemAsDouble(v, i, et) * scale
+      out(i) = java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong + shift
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** [[quantizeLattice]] into an INT array — same values (|round(x*scale)|
+    * + shift must fit an int, callers bound scale), half the bytes of the
+    * long form and no wider than the float input: the right carrier when
+    * the lattice crosses an exchange (guide §2.3, narrower types).
+    */
+  def quantizeLatticeI(v: ArrayData, scale: Long, shift: Long, et: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val x = elemAsDouble(v, i, et) * scale
+      out(i) = (java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong + shift)
+        .toInt
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Exact dot of two pre-quantized INT lattice vectors in long arithmetic
+    * — with [[quantizeLatticeI]](scale, 0) inputs this equals
+    * [[quantizedDot]] of the original float vectors (each element rounds
+    * once per VECTOR instead of once per PAIR; OpsSpec pins the equality
+    * on the corpus). The per-pair hot loop of the within-cluster dedup
+    * scan.
+    */
+  def latticeDotI(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += a.getInt(i).toLong * b.getInt(i); i += 1 }
+    acc
+  }
+
   /** Integer-quantized dot product: sum of round(x*1000)*round(y*1000) as
     * exact long arithmetic (matches the DuckDB oracle formulation
     * bit-for-bit).

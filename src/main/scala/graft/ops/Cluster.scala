@@ -46,9 +46,12 @@ object Cluster {
 
   private def quantized(emb: DataFrame, idCol: String, vecCol: String,
                         scale: Int): DataFrame =
+    // native kernel (r11): the transform+round HOF ran interpreted per
+    // element and was the measured hot cost of every exchange that
+    // re-derives the lattice (q123's 2-task pair-scan stages); rounding
+    // replays Spark's Round bit-for-bit (OpsSpec pin)
     emb.select(col(idCol).cast("long").as("id"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint) + ${scale}L)")
-        .as("qv"))
+      graft.functions.gfn.quantize_lattice(col(vecCol), scale, scale).as("qv"))
 
   /** Packed `dist2*65536 + cluster` of the nearest centroid — the native
     * codegen kernel (VecKernel.latticeNearest; centroids ride along as a
@@ -277,21 +280,25 @@ object Cluster {
     require(thrDen >= 1 && thrNum >= 0 && thrNum <= thrDen)
     import graft.functions.gfn
     val asg = asgFull.select(col("id"), col("cluster"))
-    // the pair predicate runs on the NATIVE quantized-dot kernel
-    // (VecKernel.quantizedDot, fixed 1000-scale — the q26-proven codegen
-    // path; the interpreted HOF formulation measured ~10x slower on the
-    // 780k-pair q123 hot loop). `scale` tunes the CLUSTERING lattice only;
+    // Each vector quantizes ONCE (int lattice, unshifted — same bytes as
+    // the float array across the cluster exchange, guide §2.3) and pairs
+    // dot the pre-quantized ints: bit-equal to quantized_dot(va, vb) (the
+    // per-element round commutes out of the pair loop; OpsSpec pins the
+    // equality), but the 64 rounds per side are paid per VECTOR, not per
+    // PAIR — the per-pair loop is a pure integer dot. `scale` tunes the
+    // CLUSTERING lattice only; the pair predicate's fixed 1000-scale
     // cosine is scale-invariant up to quantization granularity.
     val f = asg
       .join(emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "id")
-      .withColumn("n2", gfn.quantized_dot(col("v"), col("v")))
+      .withColumn("qv1000", gfn.quantize_lattice_i(col("v"), 1000L, 0L))
+      .withColumn("n2", gfn.lattice_dot_i(col("qv1000"), col("qv1000")))
     val a = f.select(col("id").as("a_id"), col("cluster"),
-      col("v").as("va"), col("n2").as("na2"))
+      col("qv1000").as("va"), col("n2").as("na2"))
     val b = f.select(col("id").as("b_id"), col("cluster"),
-      col("v").as("vb"), col("n2").as("nb2"))
+      col("qv1000").as("vb"), col("n2").as("nb2"))
     a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
-      .withColumn("dot", gfn.quantized_dot(col("va"), col("vb")))
+      .withColumn("dot", gfn.lattice_dot_i(col("va"), col("vb")))
       .filter(col("dot") > 0 &&
         lit(thrDen.toLong * thrDen) * col("dot") * col("dot") >=
           lit(thrNum.toLong * thrNum) * col("na2") * col("nb2"))
@@ -457,6 +464,5 @@ object Cluster {
   private def quantized2(emb: DataFrame, labCol: String, vecCol: String,
                          scale: Int): DataFrame =
     emb.select(col(labCol).cast("long").as("lab"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint) + ${scale}L)")
-        .as("qv"))
+      graft.functions.gfn.quantize_lattice(col(vecCol), scale, scale).as("qv"))
 }

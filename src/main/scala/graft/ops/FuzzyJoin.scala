@@ -54,21 +54,27 @@ object FuzzyJoin {
     // deletion neighborhood: level k = all strings reachable by exactly k
     // deletions from level k-1; the running union is del<=d. Duplicate
     // variants (deleting "aa" at either position) are collapsed per id
-    // before the join.
-    var level = base.select(col("id"), col("len"), col("str").as("variant"))
-    var variants = level
-    for (_ <- 1 to d) {
-      level = level
-        .select(col("id"), col("len"),
-          explode(expr(
-            "transform(sequence(1, length(variant)), p -> " +
-              "concat(substring(variant, 1, p - 1), substring(variant, p + 1, length(variant))))"))
-            .as("variant"))
-      variants = variants.unionByName(level)
-    }
-    val sigs = variants
-      .select(col("id"), col("len"), xxhash64(col("variant")).as("sig"))
-      .distinct()
+    // before the join. d=1 (every catalog face) runs the native kernel —
+    // the transform dag rebuilt two substrings per position through
+    // interpreted HOF eval (r11; hash-set-identical, OpsSpec pin); the
+    // generic d>1 ladder keeps the dag.
+    val sigs = (if (d == 1)
+      base.select(col("id"), col("len"),
+        explode(graft.functions.gfn.del1_sigs(col("str"))).as("sig"))
+    else {
+      var level = base.select(col("id"), col("len"), col("str").as("variant"))
+      var variants = level
+      for (_ <- 1 to d) {
+        level = level
+          .select(col("id"), col("len"),
+            explode(expr(
+              "transform(sequence(1, length(variant)), p -> " +
+                "concat(substring(variant, 1, p - 1), substring(variant, p + 1, length(variant))))"))
+              .as("variant"))
+        variants = variants.unionByName(level)
+      }
+      variants.select(col("id"), col("len"), xxhash64(col("variant")).as("sig"))
+    }).distinct()
 
     // candidate pairs: share any deletion variant (by 64-bit hash; a
     // collision is just an extra candidate for the verify to kill)

@@ -45,8 +45,7 @@ object Pq {
   private def quantized(emb: DataFrame, idCol: String, vecCol: String,
                         scale: Int): DataFrame =
     emb.select(col(idCol).cast("long").as("id"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint) + ${scale}L)")
-        .as("qv"))
+      graft.functions.gfn.quantize_lattice(col(vecCol), scale, scale).as("qv"))
 
   /** Packed (dist2·65536 + code) nearest-centroid over the row's `sub`
     * subspace — a when-chain dispatching to per-subspace kernels so one

@@ -59,8 +59,7 @@ object Similarity {
                     outDim: Int = 16, scale: Int = 1000): DataFrame = {
     require(outDim >= 1 && scale >= 1)
     val qv = emb.select(col(idCol).cast("long").as("id"),
-      expr(s"transform($vecCol, x -> cast(round(cast(x as double) * $scale) as bigint))")
-        .as("qv"))
+      graft.functions.gfn.quantize_lattice(col(vecCol), scale, 0L).as("qv"))
     val comps = (0 until outDim).map { j =>
       expr(s"aggregate(transform(qv, (x, i) -> x * (1L - 2L * " +
         s"(bit_count(cast(i as bigint) * 73856093L + ${j}L * 19349663L) % 2))), " +
@@ -405,9 +404,18 @@ object Similarity {
         explode(array(col("q_sig") +:
           (0 until nBits).map(i => col("q_sig").bitwiseXOR(shiftleft(lit(1L), i))): _*))
           .as("sig"))
-    // no broadcast hint: with a LARGE query table the probe frame scales
-    // with it — AQE broadcasts when it fits, shuffles otherwise
-    bucketed.join(probes, Seq("tbl", "sig"))
+    // SHUFFLE_HASH, not broadcast (r11, guide §3.1 "pick the strategy
+    // deliberately"): this join is COMPUTE-dense, not byte-dense — every
+    // output row pays a dim-length exact score plus dedup/top-k work, so
+    // the join's parallelism IS the scoring parallelism. When AQE
+    // broadcast the byte-small side, the whole candidate pipeline
+    // collapsed onto the other side's scan partitioning (measured: both
+    // legs ran as single 7.3 s one-task jobs at sf0.1 — the corpus
+    // parquet is one row group). Shuffling both sides by (tbl, sig)
+    // spreads candidates over the shuffle partitioning at every scale;
+    // at corpus size both sides are too big to broadcast anyway, so the
+    // hint only pins what the planner would have had to do regardless.
+    bucketed.hint("shuffle_hash").join(probes, Seq("tbl", "sig"))
       // score BEFORE the dedup: a candidate pair surfaces from up to
       // nTables·(nBits+1) buckets, and deduping first would shuffle both
       // 64-float embeddings per duplicate (measured 10 s for 2.5M

@@ -73,6 +73,25 @@ class FuzzyJoinSpec extends AnyFunSuite {
       yield (a, b, 0)).toSet)
   }
 
+  test("del1_sigs kernel == deletion-transform dag sig set (incl. unicode)") {
+    // the pre-r11 d=1 variant dag, verbatim; the kernel must produce the
+    // same DISTINCT sig set per id (duplicates collapse either way)
+    val rows = (corpus ++ Seq((100L, "Héllo"), (101L, "日本語"),
+      (102L, "a" + new String(Character.toChars(0x1F4A9)) + "b")))
+      .toDF("id", "s")
+    val dag = rows.select(col("id"), col("s").as("variant"))
+      .unionByName(rows.select(col("id"),
+        explode(expr(
+          "transform(sequence(1, length(s)), p -> " +
+            "concat(substring(s, 1, p - 1), substring(s, p + 1, length(s))))"))
+          .as("variant")))
+      .select(col("id"), xxhash64(col("variant")).as("sig")).distinct()
+    val ker = rows.select(col("id"),
+        explode(graft.functions.gfn.del1_sigs(col("s"))).as("sig")).distinct()
+    assert(ker.exceptAll(dag).isEmpty && dag.exceptAll(ker).isEmpty,
+      "del1_sigs diverged from the deletion-transform dag")
+  }
+
   test("plan is equi-join shaped: no cartesian or nested-loop join") {
     val plan = FuzzyJoin.editDistancePairs(corpus.toDF("id", "s"), "id", "s", 1)
       .queryExecution.executedPlan.toString

@@ -5121,6 +5121,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quantize_lattice kernel == transform+round dag on corpus + edge floats") {
+    import graft.functions.gfn
+    // exact-half products (x*1000 = ±.5 lands on HALF_UP), tiny/large
+    // magnitudes, negatives — every element must match Spark's round()
+    val edge = Seq(
+      (1L, Seq(0.0005f, -0.0005f, 0.0015f, -0.0015f, 0.00049999f)),
+      (2L, Seq(1.2345f, -0.9995f, 0.49999997f, -0.5000001f, 123.456f)),
+      (3L, Seq(0.0f, -0.0f, 1e-8f, -1e-8f, 65.535f)),
+      (4L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    // DOUBLE-element arrays (spec fixtures use them): incl. the
+    // 0.49999999999999994-style value where floor(x+0.5) and decimal
+    // HALF_UP split — the kernel must follow Spark's round()
+    val edgeD = Seq(
+      (1L, Seq(0.0005, -0.0005, 0.00049999999999999994, 2.5, -2.5)),
+      (2L, Seq(0.1, 0.0, -0.0, 123.4565, -0.49999999999999994)))
+      .toDF("vec_id", "embedding")
+    locally {
+      val dag = expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000) as bigint) + 1000L)")
+      val bad = edgeD.select(col("vec_id"), dag.as("want"),
+          graft.functions.gfn.quantize_lattice(col("embedding"), 1000L, 1000L).as("got"))
+        .where(!(col("want") <=> col("got")))
+      assert(bad.isEmpty, s"double-array quantize diverged: ${bad.take(3).mkString}")
+    }
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    for ((df, scale, shift) <- Seq((edge, 1000L, 1000L), (corpus, 1000L, 1000L),
+        (corpus, 1000L, 0L), (corpus, 7L, 7L))) {
+      val dag = expr(s"transform(embedding, x -> " +
+        s"cast(round(cast(x as double) * $scale) as bigint) + ${shift}L)")
+      val bad = df.select(col("vec_id"), dag.as("want"),
+          gfn.quantize_lattice(col("embedding"), scale, shift).as("got"))
+        .where(!(col("want") <=> col("got")))
+      assert(bad.isEmpty,
+        s"quantize_lattice diverged (scale=$scale): ${bad.take(3).mkString}")
+    }
+    // per-vector rounding commutes out of the pair dot: lattice_dot_i over
+    // quantize_lattice_i(·, 1000, 0) must equal quantized_dot on the raw
+    // float vectors (the q123/q128 pair-scan rewrite)
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .join(emb.select(col("vec_id").as("b"), col("embedding").as("vb")),
+        col("a") % 13 === col("b") % 13)
+    val badDot = pairs.select(col("a"), col("b"),
+        gfn.quantized_dot(col("va"), col("vb")).as("want"),
+        gfn.lattice_dot_i(gfn.quantize_lattice_i(col("va"), 1000L, 0L),
+          gfn.quantize_lattice_i(col("vb"), 1000L, 0L)).as("got"))
+      .where(!(col("want") <=> col("got")))
+    assert(badDot.isEmpty, s"lattice_dot_i diverged: ${badDot.take(3).mkString}")
+  }
+
   test("tokens/gram-struct/skipgram kernels == HOF dags on corpus + edges") {
     // the pre-r11 interpreted-HOF forms, re-implemented verbatim; the
     // native kernels must reproduce arrays positionally (<=> compare
