@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// r12: forked-run stdout must reach the console UNPREFIXED — the default
+// LoggedOutput strategy stamps "[info] " on every line, which breaks any
+// line-based JSON parse of the bench's one-line total (every
+// BENCH_r01..r11.json shows "parsed": null). StdoutOutput passes the
+// child's stdout/stderr straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -264,8 +264,6 @@ object Bench {
         writeJson(renderJson())
       }
     }
-    println(renderJson())
-    println(renderCompact())
     // code-heap usage at end of run (stderr, diagnostic): if the
     // non-profiled segment sits near ReservedCodeCacheSize, flushing has
     // been evicting hot compiled methods mid-run — the interpreted-tier
@@ -285,6 +283,16 @@ object Bench {
     // (sbt runs keep the session; stale listeners would keep accumulating)
     spark.sparkContext.removeSparkListener(benchListener)
     spark.stop()
+    // r12 (VERDICT r11 item 2): the compact total line is the ONLY stdout
+    // JSON and the LAST program output — every BENCH_r01..r11.json came
+    // back `"parsed": null` even when the compact line sat complete inside
+    // the driver's 2000-char tail, because (a) the full renderJson line
+    // (tens of KB) used to print first and eat the tail, and (b) sbt's
+    // LoggedOutput prefixed every line with "[info] ", defeating a
+    // line-based json.loads. The detail JSON still lands in `outPath`
+    // (rewritten after every query); build.sbt now forks with
+    // StdoutOutput so this line reaches stdout unprefixed.
+    println(renderCompact())
   }
 
   /** Headline subset for the COMPACT stdout line: one representative per
@@ -311,5 +319,13 @@ object Bench {
     "q185_blocklist_scan", "q191_margin_mining", "q196_margin_mining_ann",
     "q195_span_corrupt", "q202_kneser_ney",
     // round-10 additions: the gram-heaviest new op and the chrF rewrite
-    "q205_soft_dedup", "q186_chrf")
+    "q205_soft_dedup", "q186_chrf",
+    // round-12 additions (never remove/rename entries — additions only):
+    // the r12 optimization targets, so the driver's per-query comparison
+    // can see their deltas from the compact line alone
+    "q41_quantiles", "q82_gram_novelty", "q111_winsorized",
+    "q135_lm_score", "q137_skipgram", "q149_winnow_candidates",
+    "q156_label_propagation", "q200_curriculum_stages",
+    "q218_gram_repetition", "q220_mad_outliers", "q232_activity_spikes",
+    "q236_quantile_report")
 }

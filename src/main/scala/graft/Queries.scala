@@ -691,8 +691,15 @@ object Queries {
   private val q41 = Q("q41_quantiles",
     (s, d) => t(s, d, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.9)").as("p90"),
+      // r12: primitive-buffer exact percentile. The DOUBLE cast is
+      // injective on DECIMAL(15,2) (scaled ints < 2^53, gaps ≥ 0.01 ≫ ulp),
+      // so key order/coincidence match the builtin's decimal keys and the
+      // interpolation consumes the same toDouble values — bit-identical
+      // (oracle-pinned)
+      .agg(graft.functions.gfn
+          .exact_percentile(col("o_totalprice").cast("double"), 0.5).as("p50"),
+        graft.functions.gfn
+          .exact_percentile(col("o_totalprice").cast("double"), 0.9).as("p90"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority")),
     Some("""
@@ -1776,14 +1783,19 @@ object Queries {
       val li = t(s, d, "lineitem")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
-      val med = li.groupBy(col("flag")).agg(expr("percentile(x, 0.5)").as("med"))
+      // r12: primitive-buffer exact percentile; DOUBLE cast injective on
+      // DECIMAL(15,2) (the q41 argument) — bit-identical
+      val med = li.groupBy(col("flag"))
+        .agg(graft.functions.gfn
+          .exact_percentile(col("x").cast("double"), 0.5).as("med"))
       // dev feeds both the MAD percentile and the final outlier count, and
       // its lineage holds the med percentile: without persistence the scan
       // runs 4x and the median twice (exchange reuse does not fire across
       // the aliased subtrees — verified in the executed plan)
       val dev = graft.ops.Caches.track(
         li.join(med, "flag").withColumn("adev", abs(col("x") - col("med"))))
-      val mad = dev.groupBy(col("flag")).agg(expr("percentile(adev, 0.5)").as("mad"))
+      val mad = dev.groupBy(col("flag"))
+        .agg(graft.functions.gfn.exact_percentile(col("adev"), 0.5).as("mad"))
       dev.join(mad, "flag")
         .groupBy(col("flag"))
         .agg(count(lit(1)).as("n"),
@@ -3211,7 +3223,10 @@ object Queries {
       // ~0.3-0.5 s slower here; it remains the documented escape for the
       // huge-group regime where the builtin's value-map merge OOMs
       val pct = li.groupBy(col("flag"))
-        .agg(expr("percentile(x, 0.05)").as("lo"), expr("percentile(x, 0.95)").as("hi"))
+        .agg(graft.functions.gfn
+            .exact_percentile(col("x").cast("double"), 0.05).as("lo"),
+          graft.functions.gfn
+            .exact_percentile(col("x").cast("double"), 0.95).as("hi"))
       val clipped = when(col("x") < col("lo"), col("lo"))
         .when(col("x") > col("hi"), col("hi")).otherwise(col("x"))
       li.join(pct, "flag")

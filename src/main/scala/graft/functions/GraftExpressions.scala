@@ -947,6 +947,17 @@ object gfn {
   def skipgram_pairs(c: Column, window: Int): Column =
     col(SkipgramPairs(ex(c), window))
   def del1_sigs(c: Column): Column = col(Del1Sigs(ex(c)))
+  /** Drop-in for the builtin `percentile(c, f)` on DOUBLE columns —
+    * bit-identical output (OpsSpec pin), primitive buffer instead of the
+    * builtin's boxed-Double OpenHashMap. Same aggregate operator placement
+    * (ObjectHashAggregate with partial aggregation).
+    */
+  def exact_percentile(c: Column, f: Double): Column =
+    col(ExactPercentileDouble(ex(c), Seq(f), returnArray = false)
+      .toAggregateExpression())
+  def exact_percentiles(c: Column, fs: Seq[Double]): Column =
+    col(ExactPercentileDouble(ex(c), fs, returnArray = true)
+      .toAggregateExpression())
   def quantize_lattice(c: Column, scale: Long, shift: Long): Column =
     col(QuantizeLattice(ex(c), scale, shift))
   def quantize_lattice_i(c: Column, scale: Long, shift: Long): Column =

@@ -167,8 +167,10 @@ object Mix {
     val w = Window.partitionBy(col("stratum")).orderBy(col("score"), col("id"))
     val ranked = base.withColumn("pct", percent_rank().over(w))
     val ps = (0 to nGrid).map(_.toDouble / nGrid)
+    // r12: primitive-buffer exact percentile — same doubles in (the SQL
+    // literal path round-trips to identical fracs), bit-identical grid out
     val grid = base.agg(
-      expr(s"percentile(score, array(${ps.mkString(",")}))").as("grid"))
+      graft.functions.gfn.exact_percentiles(col("score"), ps).as("grid"))
     // bucket = floor(pct * nGrid) clamped; linear interpolation inside it.
     // percent_rank is exactly 1.0 at the top row, so clamp keeps the index
     // in range and the interpolation degenerates to the last grid point.
@@ -306,8 +308,9 @@ object Mix {
     val base = df.select(id.cast("long").as("id"),
       difficulty.cast("double").as("difficulty"))
     val ps = (1 until nStages).map(_.toDouble / nStages)
+    // r12: primitive-buffer exact percentile, bit-identical (q200)
     val cuts = base.agg(
-      expr(s"percentile(difficulty, array(${ps.mkString(",")}))").as("cuts"))
+      graft.functions.gfn.exact_percentiles(col("difficulty"), ps).as("cuts"))
     base.join(broadcast(cuts))
       .select(col("id"), col("difficulty"),
         aggregate(col("cuts"), lit(0L),

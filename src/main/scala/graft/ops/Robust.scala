@@ -101,12 +101,15 @@ object Robust {
                   k: Double = 3.5): DataFrame = {
     val base = df.select(group.as("grp"), id.as("id"),
       value.cast("double").as("x"))
+    // r12: primitive-buffer exact percentile (bit-identical to the builtin,
+    // OpsSpec pin) — the builtin's boxed value map was the family's
+    // dominant task-GC source (guide §5)
     val med = base.groupBy(col("grp"))
-      .agg(percentile(col("x"), lit(0.5)).as("med"))
+      .agg(graft.functions.gfn.exact_percentile(col("x"), 0.5).as("med"))
     val dev = base.join(broadcast(med), Seq("grp"))
       .withColumn("absdev", abs(col("x") - col("med")))
     val mad = dev.groupBy(col("grp"))
-      .agg(percentile(col("absdev"), lit(0.5)).as("mad"))
+      .agg(graft.functions.gfn.exact_percentile(col("absdev"), 0.5).as("mad"))
     dev.join(broadcast(mad), Seq("grp"))
       .withColumn("robust_z",
         when(col("mad") > 0.0,
@@ -135,7 +138,8 @@ object Robust {
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), min(col("x")).as("min_x"),
         max(col("x")).as("max_x"),
-        percentile(col("x"), typedLit(qs)).as("ps"))
+        // r12: primitive-buffer exact percentile, bit-identical (q236)
+        graft.functions.gfn.exact_percentiles(col("x"), qs).as("ps"))
       .select(col("grp"), col("n"), col("min_x"), col("max_x"),
         posexplode(col("ps")).as(Seq("i", "p")))
       .select(col("grp"),

@@ -5121,6 +5121,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("exact_percentile == builtin percentile bitwise (primitive-map aggregate, r12)") {
+    import graft.functions.gfn
+    val fracs = Seq(0.0, 0.05, 0.25, 0.5, 0.75, 0.9, 0.95, 1.0)
+    // corpus face: the q41/q77/q111 shape (DECIMAL(15,2) cast to double)
+    val li = Tables(spark, "/root/testdata/sf0.01", "lineitem")
+      .select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+    val want = li.groupBy(col("g"))
+      .agg(percentile(col("v"), typedlit(fracs.toArray)).as("w"),
+        percentile(col("v"), lit(0.9)).as("w9"))
+    val got = li.groupBy(col("g"))
+      .agg(gfn.exact_percentiles(col("v"), fracs).as("ps"),
+        gfn.exact_percentile(col("v"), 0.9).as("p9"))
+    val bad = got.join(want, Seq("g"))
+      .where(!(col("ps") <=> col("w")) || !(col("p9") <=> col("w9")))
+    assert(bad.isEmpty, s"corpus percentile diverged: ${bad.take(3).mkString}")
+    // adversarial groups, compared BITWISE (<=> treats ±0.0 as equal):
+    // n=1; all-identical (lk==hk); exact integer cut positions; nulls
+    // skipped; all-null group (null array); NaN sorts greatest; duplicate
+    // mass; negative values
+    val edge = Seq(
+      ("a", Some(1.0)), ("b", Some(1.0)), ("b", Some(2.0)),
+      ("c", Some(7.0)), ("c", Some(7.0)), ("c", Some(7.0)),
+      ("d", Some(1.0)), ("d", Some(2.0)), ("d", Some(3.0)),
+      ("d", Some(4.0)), ("d", Some(5.0)),
+      ("e", Some(Double.NaN)), ("e", Some(1.0)), ("e", Some(-3.5)),
+      ("f", None), ("f", Some(2.0)), ("g", None),
+      ("h", Some(-1.0)), ("h", Some(-1.0)), ("h", Some(0.0)),
+      ("h", Some(4.25)))
+      .toDF("g", "v")
+    val rows = edge.groupBy(col("g"))
+      .agg(percentile(col("v"), typedlit(fracs.toArray)).as("w"),
+        gfn.exact_percentiles(col("v"), fracs).as("ps"))
+      .collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val w = Option(r.getSeq[Double](1)).map(_.map(
+        java.lang.Double.doubleToLongBits))
+      val p = Option(r.getSeq[Double](2)).map(_.map(
+        java.lang.Double.doubleToLongBits))
+      assert(w == p, s"edge group ${r.getString(0)}: $w != $p")
+    }
+  }
+
   test("quantize_lattice kernel == transform+round dag on corpus + edge floats") {
     import graft.functions.gfn
     // exact-half products (x*1000 = ±.5 lands on HALF_UP), tiny/large
