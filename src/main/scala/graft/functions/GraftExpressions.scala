@@ -958,6 +958,11 @@ object gfn {
   def exact_percentiles(c: Column, fs: Seq[Double]): Column =
     col(ExactPercentileDouble(ex(c), fs, returnArray = true)
       .toAggregateExpression())
+  /** Most frequent label, ties to the smallest — the fused LPA vote+argmax
+    * (== count-then-max(struct(c, −label)); GraphSpec parity pin).
+    */
+  def majority_label(c: Column): Column =
+    col(MajorityLabelLong(ex(c)).toAggregateExpression())
   def quantize_lattice(c: Column, scale: Long, shift: Long): Column =
     col(QuantizeLattice(ex(c), scale, shift))
   def quantize_lattice_i(c: Column, scale: Long, shift: Long): Column =

@@ -1,92 +1,11 @@
 package graft.functions
 
-import java.nio.ByteBuffer
-
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
-
-/** Primitive open-addressed double→count multiset for the exact-percentile
-  * aggregate. Keys are `Double.doubleToLongBits` of the value — the SAME key
-  * identity as the builtin `percentile`'s boxed-Double OpenHashMap
-  * (`java.lang.Double.equals` compares `doubleToLongBits`): every NaN
-  * pattern collapses to the one canonical key, −0.0 and +0.0 stay distinct.
-  * Occupancy is `counts(slot) != 0` (counts are always ≥ 1), so bits == 0
-  * (the value 0.0) needs no sentinel slot. Linear probing on a mixed hash;
-  * grows at 50% load. No boxing anywhere on the per-row path — the builtin
-  * allocates a boxed Double per row plus tuple/array churn on rehash, which
-  * r11 measured as the percentile family's task-GC surface (q111 1.1–1.5 s
-  * of task GC per bench pass from this map alone).
-  */
-final class DoubleCountMap(initialCapacity: Int = 16) {
-  private var cap = {
-    var c = 4
-    while (c < initialCapacity) c <<= 1
-    c
-  }
-  private var mask = cap - 1
-  var keys = new Array[Long](cap)
-  var counts = new Array[Long](cap)
-  var nEntries = 0
-
-  // finalizer-style bit mix (xxhash64 avalanche) — table index spread for
-  // adjacent double bit patterns, which differ only in low mantissa bits
-  @inline private def mix(k: Long): Long = {
-    var h = k
-    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-    h ^= h >>> 33
-    h
-  }
-
-  def add(bits: Long, c: Long): Unit = {
-    var slot = (mix(bits) & mask).toInt
-    while (counts(slot) != 0L && keys(slot) != bits) slot = (slot + 1) & mask
-    if (counts(slot) == 0L) {
-      keys(slot) = bits
-      counts(slot) = c
-      nEntries += 1
-      if (nEntries * 2 > cap) grow()
-    } else counts(slot) += c
-  }
-
-  private def grow(): Unit = {
-    val oldKeys = keys
-    val oldCounts = counts
-    val oldCap = cap
-    cap <<= 1
-    mask = cap - 1
-    keys = new Array[Long](cap)
-    counts = new Array[Long](cap)
-    var s = 0
-    while (s < oldCap) {
-      if (oldCounts(s) != 0L) {
-        val bits = oldKeys(s)
-        var slot = (mix(bits) & mask).toInt
-        while (counts(slot) != 0L) slot = (slot + 1) & mask
-        keys(slot) = bits
-        counts(slot) = oldCounts(s)
-      }
-      s += 1
-    }
-  }
-
-  def mergeInto(other: DoubleCountMap): Unit = {
-    var s = 0
-    val oc = other.counts
-    val ok = other.keys
-    val n = oc.length
-    while (s < n) {
-      if (oc(s) != 0L) add(ok(s), oc(s))
-      s += 1
-    }
-  }
-
-  def capacity: Int = cap
-}
 
 object PercentileKernel {
 
@@ -107,7 +26,7 @@ object PercentileKernel {
     *     builtin is exact (OpsSpec pins bitwise parity on the corpus plus
     *     adversarial duplicates/NaN/±0 groups).
     */
-  def evalPercentiles(map: DoubleCountMap, percentages: Array[Double],
+  def evalPercentiles(map: LongCountMap, percentages: Array[Double],
                       returnArray: Boolean): Any = {
     val n = map.nEntries
     if (n == 0) return null
@@ -238,32 +157,6 @@ object PercentileKernel {
     }
   }
 
-  def serialize(map: DoubleCountMap): Array[Byte] = {
-    val n = map.nEntries
-    val bb = ByteBuffer.allocate(4 + 16 * n)
-    bb.putInt(n)
-    var s = 0
-    val ks = map.keys
-    val cs = map.counts
-    val capN = cs.length
-    while (s < capN) {
-      if (cs(s) != 0L) { bb.putLong(ks(s)); bb.putLong(cs(s)) }
-      s += 1
-    }
-    bb.array()
-  }
-
-  def deserialize(bytes: Array[Byte]): DoubleCountMap = {
-    val bb = ByteBuffer.wrap(bytes)
-    val n = bb.getInt()
-    val map = new DoubleCountMap(math.max(16, n * 2))
-    var i = 0
-    while (i < n) {
-      map.add(bb.getLong(), bb.getLong())
-      i += 1
-    }
-    map
-  }
 }
 
 /** EXACT interpolated percentile over a DOUBLE column — bit-identical to
@@ -293,7 +186,7 @@ case class ExactPercentileDouble(
     returnArray: Boolean,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[DoubleCountMap] with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[LongCountMap] with UnaryLike[Expression] {
 
   require(percentages.nonEmpty && percentages.forall(f => f >= 0.0 && f <= 1.0),
     s"percentages must be in [0, 1], got $percentages")
@@ -316,9 +209,9 @@ case class ExactPercentileDouble(
   override def dataType: DataType =
     if (returnArray) ArrayType(DoubleType, containsNull = false) else DoubleType
 
-  override def createAggregationBuffer(): DoubleCountMap = new DoubleCountMap()
+  override def createAggregationBuffer(): LongCountMap = new LongCountMap()
 
-  override def update(buffer: DoubleCountMap, input: InternalRow): DoubleCountMap = {
+  override def update(buffer: LongCountMap, input: InternalRow): LongCountMap = {
     val v = child.eval(input)
     if (v != null) {
       buffer.add(
@@ -327,19 +220,19 @@ case class ExactPercentileDouble(
     buffer
   }
 
-  override def merge(buffer: DoubleCountMap, other: DoubleCountMap): DoubleCountMap = {
+  override def merge(buffer: LongCountMap, other: LongCountMap): LongCountMap = {
     buffer.mergeInto(other)
     buffer
   }
 
-  override def eval(buffer: DoubleCountMap): Any =
+  override def eval(buffer: LongCountMap): Any =
     PercentileKernel.evalPercentiles(buffer, percArray, returnArray)
 
-  override def serialize(buffer: DoubleCountMap): Array[Byte] =
-    PercentileKernel.serialize(buffer)
+  override def serialize(buffer: LongCountMap): Array[Byte] =
+    buffer.serialize()
 
-  override def deserialize(storageFormat: Array[Byte]): DoubleCountMap =
-    PercentileKernel.deserialize(storageFormat)
+  override def deserialize(storageFormat: Array[Byte]): LongCountMap =
+    LongCountMap.deserialize(storageFormat)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): ExactPercentileDouble =
     copy(mutableAggBufferOffset = newOffset)

@@ -504,11 +504,35 @@ object TextKernel {
     var nCp = 0
     var i = 0
     while (i < n) { if ((bytes(i) & 0xc0) != 0x80) nCp += 1; i += 1 }
+    // r12: emit each sig ONCE (first occurrence) — repeated characters
+    // produce identical deletion variants ("Customer#000000042": deleting
+    // any of the six 0s is the same string), and duplicate (id, sig) rows
+    // multiply candidate-join fan-out k_a·k_b per bucket. Deduping here
+    // (one tiny open-addressed probe per sig) lets editDistancePairs drop
+    // its corpus-sized distinct() exchange entirely; set-equality with
+    // the deletion-transform dag is unchanged (FuzzyJoinSpec pin). A
+    // 64-bit sig collision between distinct variants collapses here
+    // exactly as the old distinct-on-sig collapsed it.
     val out = new Array[Long](1 + nCp)
-    out(0) = xxh(bytes, 0, n, 42L)
+    var nOut = 0
+    var setCap = 4
+    while (setCap < (nCp + 2) * 2) setCap <<= 1
+    val setKeys = new Array[Long](setCap)
+    val setUsed = new Array[Boolean](setCap)
+    val mask = setCap - 1
+    def addDistinct(h: Long): Unit = {
+      var slot = (h & mask).toInt
+      while (setUsed(slot) && setKeys(slot) != h) slot = (slot + 1) & mask
+      if (!setUsed(slot)) {
+        setUsed(slot) = true
+        setKeys(slot) = h
+        out(nOut) = h
+        nOut += 1
+      }
+    }
+    addDistinct(xxh(bytes, 0, n, 42L))
     if (nCp > 0) {
       val buf = new Array[Byte](n)
-      var cp = 0
       i = 0
       while (i < n) {
         if ((bytes(i) & 0xc0) != 0x80) {
@@ -517,13 +541,13 @@ object TextKernel {
           // variant = bytes[0, i) ++ bytes[end, n)
           System.arraycopy(bytes, 0, buf, 0, i)
           System.arraycopy(bytes, end, buf, i, n - end)
-          out(1 + cp) = xxh(buf, 0, n - (end - i), 42L)
-          cp += 1
+          addDistinct(xxh(buf, 0, n - (end - i), 42L))
           i = end
         } else i += 1
       }
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, nOut))
   }
 
   /** Polynomial 31-bit rolling hash over CODE POINTS:

@@ -54,11 +54,16 @@ object FuzzyJoin {
     // deletion neighborhood: level k = all strings reachable by exactly k
     // deletions from level k-1; the running union is del<=d. Duplicate
     // variants (deleting "aa" at either position) are collapsed per id
-    // before the join. d=1 (every catalog face) runs the native kernel —
-    // the transform dag rebuilt two substrings per position through
-    // interpreted HOF eval (r11; hash-set-identical, OpsSpec pin); the
-    // generic d>1 ladder keeps the dag.
-    val sigs = (if (d == 1)
+    // before the join — they multiply candidate fan-out k_a·k_b per
+    // bucket. d=1 (every catalog face) runs the native kernel — the
+    // transform dag rebuilt two substrings per position through
+    // interpreted HOF eval (r11; hash-set-identical, OpsSpec pin) — which
+    // since r12 dedups IN the kernel (one probe per sig against a tiny
+    // per-row set), so the corpus-sized distinct() exchange disappears
+    // from the plan outright (guide §2.4; base has one row per id, so
+    // per-row-distinct sigs are globally distinct). The generic d>1
+    // ladder keeps the dag + the global distinct.
+    val sigs = if (d == 1)
       base.select(col("id"), col("len"),
         explode(graft.functions.gfn.del1_sigs(col("str"))).as("sig"))
     else {
@@ -74,11 +79,20 @@ object FuzzyJoin {
         variants = variants.unionByName(level)
       }
       variants.select(col("id"), col("len"), xxhash64(col("variant")).as("sig"))
-    }).distinct()
+        .distinct()
+    }
 
     // candidate pairs: share any deletion variant (by 64-bit hash; a
-    // collision is just an extra candidate for the verify to kill)
+    // collision is just an extra candidate for the verify to kill).
+    // SHUFFLE_HASH (r12, the q196 recipe): left to AQE this join
+    // broadcasts one sigs copy, which (a) recomputes the explode dag for
+    // the build side and (b) chains the probe side directly onto the
+    // single-row-group scan — the whole candidate expansion ran as ONE
+    // task (probe-measured). Exchanging both sides on sig parallelizes
+    // the compute-dense expansion at any scale, and the two exchange
+    // subtrees are identical, so ReusedExchange computes the sigs once.
     val cand = sigs.select(col("id").as("id_a"), col("len").as("len_a"), col("sig"))
+      .hint("shuffle_hash")
       .join(sigs.select(col("id").as("id_b"), col("len").as("len_b"), col("sig")),
         Seq("sig"))
       .filter(col("id_a") < col("id_b") &&

@@ -115,11 +115,20 @@ object Graph {
                        rounds: Int, checkpointEvery: Int = 10,
                        edgesDistinct: Boolean = false): DataFrame = {
     require(rounds >= 1 && checkpointEvery >= 1)
-    // NOT pre-partitioned on src (unlike pageRankLoop): the vote join
-    // broadcasts the node-sized label frame, so the edge side never
-    // re-exchanges per round anyway, and there is no src-keyed aggregate
-    // here to reuse the partitioning — measured, the extra exchange only
-    // cost (q156 6.3 -> 7.1 s with it)
+    // r12 round shape (guide §2.4/§3.1 — co-locate once, iterate with ONE
+    // fundamental shuffle per round): edges are cached pre-partitioned on
+    // SRC; the label frame stays hash-partitioned on node through every
+    // round (it descends from the node set, which is read off the cached
+    // edge partitioning), so the per-round vote join is co-partitioned —
+    // a shuffled-hash join that builds on the node-sized side and streams
+    // the edges with no exchange and no sort. The vote count and argmax
+    // are FUSED into one majority_label aggregate (see MajorityKernel):
+    // partial label→count maps combine map-side, and the single exchange
+    // per round is the post-combine fan-in on dst — the same cost model
+    // as a PageRank iteration. The old dag (measured, r12 probe/plan)
+    // paid per round: a SortMergeJoin of the label frame, TWO aggregate
+    // exchanges, and a SORT aggregate for the struct-argmax — a
+    // 23-job AQE ladder at sf0.1 whose wall was stage cadence, not work.
     //
     // `edgesDistinct = true` vouches the input is one row per unordered
     // pair (a < b distinct — every catalog pair producer), so the two
@@ -131,7 +140,12 @@ object Graph {
       .unionByName(edges
         .select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
     val e = (if (edgesDistinct) sym else sym.distinct())
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the src node set (== the dst node set — the graph is symmetrized);
+    // reading it off SRC reuses the cached partitioning (no exchange) and
+    // leaves `nodes` — and everything derived from it — hash-partitioned
+    // on node, co-partitioned with the edge cache for every round's join
     val nodes = e.select(col("src").as("node")).distinct()
     // one row per seed node, deterministically: duplicate seed rows (or
     // two rows labeling one node differently) would fan out through every
@@ -154,17 +168,20 @@ object Graph {
       .select(col("node"), col("seed_label").as("label"))
     var ck: Option[Caches.Checkpointed] = None
     for (i <- 1 to rounds) {
-      val votes = lab.where(col("label").isNotNull)
-        .join(e, lab("node") === e("src"))
-        .groupBy(col("dst").as("node"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      // lexicographic max of (count, -label): majority, ties to the
-      // SMALLEST label — one aggregate, never a per-node window
-      val win = votes.groupBy(col("node"))
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("prop"))
+      // majority label among labeled neighbors, ties to the smallest —
+      // one fused aggregate (== the count + max(struct(c, −label)) pair,
+      // GraphSpec parity pin). The shuffle_hash hints pin the exchange-
+      // free co-partitioned joins: build on the node-sized label frame,
+      // stream the edge cache (a sort-merge join would re-sort the
+      // corpus side every round; broadcast would collect a node-sized
+      // frame — wrong at scale).
+      val voters = lab.where(col("label").isNotNull).hint("shuffle_hash")
+      val win = voters
+        .join(e, voters("node") === e("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(graft.functions.gfn.majority_label(col("label")).as("prop"))
       lab = base
-        .join(win, Seq("node"), "left")
+        .join(win.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("seed_label"), col("prop")).as("label"))
       // same bounded-plan-depth rule as pageRankLoop: label values are
