@@ -910,6 +910,122 @@ case class MultiPatternCounts(child: Expression, patterns: Seq[String])
 }
 
 /** Column-API + SQL surface for the custom expressions. */
+
+/** Winnowing fingerprints, fused tokenize→gram-hash→window-min→distinct
+  * (TextKernel.winnowFps; bit-parity with the HOF dag pinned in OpsSpec).
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.winnowFps(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.winnowFps($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
+/** Distinct w-gram strings over lower(trim(text)) \s+ tokens
+  * (TextKernel.shingleStrings; parity with Dedup.shingles' dag pinned in
+  * OpsSpec).
+  */
+case class ShingleStrings(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingle_strings"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.shingleStrings(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.shingleStrings($c, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleStrings =
+    copy(child = newChild)
+}
+
+/** Achlioptas ±1 projection of an integer-lattice vector to outDim exact
+  * integer components (VecKernel.randomProjectSigns; OpsSpec parity pin).
+  */
+case class RandomProjectSigns(child: Expression, outDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "random_project_signs"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.randomProjectSigns(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], outDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.randomProjectSigns($c, $outDim);")
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectSigns =
+    copy(child = newChild)
+}
+
+/** nSub contiguous subDim-length subvectors of a quantized vector
+  * (VecKernel.subvectors; Pq staging).
+  */
+case class Subvectors(child: Expression, nSub: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(ArrayType(LongType, containsNull = false), containsNull = false)
+  override def prettyName: String = "subvectors"
+
+  override def nullSafeEval(v: Any): Any =
+    VecKernel.subvectors(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], nSub, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VecKernel.subvectors($c, $nSub, $subDim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Subvectors =
+    copy(child = newChild)
+}
+
+
+/** Ascending-index (a_id, b_id) pairs of a long id array
+  * (TextKernel.longPairs; the posting-bucket pair expansion, order-exact
+  * vs the nested-transform dag — OpsSpec pin).
+  */
+case class LongPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "long_pairs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"long_pairs takes array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.longPairs(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.longPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): LongPairs =
+    copy(child = newChild)
+}
+
 object gfn {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -963,6 +1079,13 @@ object gfn {
     */
   def majority_label(c: Column): Column =
     col(MajorityLabelLong(ex(c)).toAggregateExpression())
+  def winnow_fps(c: Column, k: Int, w: Int): Column = col(WinnowFps(ex(c), k, w))
+  def shingle_strings(c: Column, w: Int = 3): Column = col(ShingleStrings(ex(c), w))
+  def random_project_signs(c: Column, outDim: Int): Column =
+    col(RandomProjectSigns(ex(c), outDim))
+  def subvectors(c: Column, nSub: Int, subDim: Int): Column =
+    col(Subvectors(ex(c), nSub, subDim))
+  def long_pairs(c: Column): Column = col(LongPairs(ex(c)))
   def quantize_lattice(c: Column, scale: Long, shift: Long): Column =
     col(QuantizeLattice(ex(c), scale, shift))
   def quantize_lattice_i(c: Column, scale: Long, shift: Long): Column =

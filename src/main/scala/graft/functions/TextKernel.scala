@@ -710,4 +710,215 @@ object TextKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
   }
+
+  /** WINNOWING FINGERPRINTS, fused (r12): distinct per-window minima of
+    * rolling-31 gram hashes — the native form of
+    *   transform(sequence(1, nG), i -> rollHash31(concat_ws(" ", slice(toks, i, k))))
+    *   → array_distinct(transform(sequence(1, nW), j -> array_min(slice(hs, j, w))))
+    * over gfn.tokens (space-split, empties dropped). Value-identical
+    * (OpsSpec pin): nG = max(nTok − k + 1, 1) — a short/empty doc hashes
+    * its whole (possibly empty) token list once, so the empty doc emits
+    * the empty-string hash 0; nW = max(nG − w + 1, 1); the last window
+    * truncates when nG < w; first-occurrence order. The HOF dag built
+    * every gram STRING and evaluated three interpreted lambda layers per
+    * doc; this is one code-point pass plus an O(nG·w) window scan with no
+    * string materialization.
+    */
+  def winnowFps(text: UTF8String, k: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    // decode to code points once, recording token spans [tokSt, tokEnd)
+    // in code-point indices (tokens split on the space BYTE, as
+    // gfn.tokens does; space cannot occur inside a multi-byte sequence)
+    val cps = new Array[Int](n)
+    var tokSt = new Array[Int](16)
+    var tokEnd = new Array[Int](16)
+    var nCp = 0
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        if (nTok == tokSt.length) {
+          tokSt = java.util.Arrays.copyOf(tokSt, nTok * 2)
+          tokEnd = java.util.Arrays.copyOf(tokEnd, nTok * 2)
+        }
+        tokSt(nTok) = nCp
+        while (i < n && bytes(i) != ' ') {
+          val b0 = bytes(i) & 0xff
+          var cp = 0
+          var len = 1
+          if (b0 < 0x80) cp = b0
+          else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
+          else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
+          else { cp = b0 & 0x07; len = 4 }
+          var j = 1
+          while (j < len && i + j < n) {
+            cp = (cp << 6) | (bytes(i + j) & 0x3f)
+            j += 1
+          }
+          cps(nCp) = cp
+          nCp += 1
+          i += len
+        }
+        tokEnd(nTok) = nCp
+        nTok += 1
+      }
+    }
+    val M = 2147483647L
+    // gram hashes: fold a = (a·31 + cp) mod M over the gram's code points
+    // with a single separator cp (32) between tokens — exactly the fold
+    // rollHash31 runs over the concat_ws(" ", ...) string
+    val nG = math.max(nTok - k + 1, 1)
+    val hs = new Array[Long](nG)
+    var g = 0
+    while (g < nG) {
+      var a = 0L
+      val lastTok = math.min(g + k, nTok) - 1
+      var t = g
+      while (t <= lastTok) {
+        if (t > g) a = (a * 31 + 32) % M
+        var c = tokSt(t)
+        val e = tokEnd(t)
+        while (c < e) {
+          a = (a * 31 + cps(c)) % M
+          c += 1
+        }
+        t += 1
+      }
+      hs(g) = a
+      g += 1
+    }
+    // distinct window minima, first-occurrence order
+    val nW = math.max(nG - w + 1, 1)
+    val out = new Array[Long](nW)
+    var nOut = 0
+    var setCap = 4
+    while (setCap < (nW + 2) * 2) setCap <<= 1
+    val setKeys = new Array[Long](setCap)
+    val setUsed = new Array[Boolean](setCap)
+    val mask = setCap - 1
+    var j = 0
+    while (j < nW) {
+      var m = hs(j)
+      var x = j + 1
+      val e = math.min(j + w, nG)
+      while (x < e) {
+        if (hs(x) < m) m = hs(x)
+        x += 1
+      }
+      var slot = ((m * 0x9e3779b97f4a7c15L >>> 33) & mask).toInt
+      while (setUsed(slot) && setKeys(slot) != m) slot = (slot + 1) & mask
+      if (!setUsed(slot)) {
+        setUsed(slot) = true
+        setKeys(slot) = m
+        out(nOut) = m
+        nOut += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, nOut))
+  }
+
+  /** DISTINCT w-GRAM STRINGS (r12): the native form of Dedup.shingles —
+    *   array_distinct(transform(sequence(0, greatest(size(toks) − w, 0)),
+    *     i -> concat_ws(" ", slice(toks, i + 1, w))))
+    * over toks = split(lower(trim(text)), "\\s+"). Replicates Spark's
+    * composition exactly (OpsSpec pin): trim strips 0x20 only; lower is
+    * UTF8String.toLowerCase; regex-\s+ split emits a LEADING empty token
+    * when the trimmed text starts with non-space whitespace, keeps
+    * interior empties never (maximal runs), drops trailing empties, and
+    * yields [""] for empty input — so the empty doc emits the "" gram;
+    * the final (or only) grams truncate at the token list's end;
+    * first-occurrence order. Gram strings are built once into a shared
+    * byte buffer (the dag rebuilt them through three interpreted lambda
+    * layers per element).
+    */
+  def shingleStrings(text: UTF8String, w: Int): ArrayData = {
+    val lowered = text.trim().toLowerCase()
+    val bytes = lowered.getBytes
+    val n = bytes.length
+    // token spans in BYTES over the lowered text; java-regex \s =
+    // [ \t\n\x0B\f\r], all single-byte
+    @inline def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+    var tokSt = new Array[Int](16)
+    var tokEnd = new Array[Int](16)
+    var nTok = 0
+    @inline def push(st: Int, en: Int): Unit = {
+      if (nTok == tokSt.length) {
+        tokSt = java.util.Arrays.copyOf(tokSt, nTok * 2)
+        tokEnd = java.util.Arrays.copyOf(tokEnd, nTok * 2)
+      }
+      tokSt(nTok) = st
+      tokEnd(nTok) = en
+      nTok += 1
+    }
+    if (n == 0) push(0, 0) // split("") == [""]
+    else {
+      var i = 0
+      if (isWs(bytes(0))) push(0, 0) // leading separator -> leading ""
+      while (i < n) {
+        while (i < n && isWs(bytes(i))) i += 1
+        if (i < n) {
+          val st = i
+          while (i < n && !isWs(bytes(i))) i += 1
+          push(st, i)
+        }
+      }
+    }
+    val nGrams = math.max(nTok - w, 0) + 1
+    val out = new java.util.ArrayList[Any](nGrams)
+    val seen = new java.util.HashSet[UTF8String]()
+    val buf = new Array[Byte](n + w) // gram bytes + separators upper bound
+    var g = 0
+    while (g < nGrams) {
+      var len = 0
+      val lastTok = math.min(g + w, nTok) - 1
+      var t = g
+      while (t <= lastTok) {
+        if (t > g) { buf(len) = ' '; len += 1 }
+        val tl = tokEnd(t) - tokSt(t)
+        System.arraycopy(bytes, tokSt(t), buf, len, tl)
+        len += tl
+        t += 1
+      }
+      val gram = UTF8String.fromBytes(java.util.Arrays.copyOf(buf, len))
+      if (seen.add(gram)) out.add(gram)
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** All ascending-index pairs of a bucket's id array (r12): the native
+    * form of the posting-list pair expansion
+    *   flatten(transform(ids, (a, i) -> transform(slice(ids, i+2, size),
+    *     b -> struct(a AS a_id, b AS b_id))))
+    * — same pair ORDER (outer index ascending, inner ascending), long
+    * elements. The nested lambdas evaluated interpreted per PAIR, i.e.
+    * O(bucket²) interpreted calls per bucket (q44/q149/q25 family).
+    */
+  def longPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val v = new Array[Long](n)
+    var i = 0
+    while (i < n) { v(i) = ids.getLong(i); i += 1 }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var o = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(v(i), v(j))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

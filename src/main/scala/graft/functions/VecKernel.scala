@@ -291,6 +291,55 @@ object VecKernel {
     sig
   }
 
+
+  /** Achlioptas ±1 random projection over the integer lattice (r12): the
+    * native form of Similarity.randomProject's per-output-dim dag
+    *   aggregate(transform(qv, (x, i) -> x · (1 − 2·(bit_count(i·73856093
+    *     + j·19349663) % 2))), 0, +)
+    * for every j in [0, outDim) — one pass over the vector per output
+    * dim, no interpreted lambdas, no per-row array churn (the HOF pair
+    * evaluated interpreted per ELEMENT per output dim). Exact integer
+    * sums, identical popcount-parity signs (OpsSpec pin).
+    */
+  def randomProjectSigns(qv: ArrayData, outDim: Int): ArrayData = {
+    val n = qv.numElements()
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0L
+      val jMix = j.toLong * 19349663L
+      var i = 0
+      while (i < n) {
+        val parity = java.lang.Long.bitCount(i.toLong * 73856093L + jMix) & 1
+        val x = qv.getLong(i)
+        acc += (if (parity == 0) x else -x)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Split a quantized vector into nSub contiguous subvectors (r12): the
+    * native form of transform(sequence(0, nSub−1), s -> slice(qv,
+    * s·subDim + 1, subDim)) — Pq.train's per-row staging, whose
+    * transform+slice pair evaluated interpreted per subvector.
+    */
+  def subvectors(qv: ArrayData, nSub: Int, subDim: Int): ArrayData = {
+    val rows = new Array[Any](nSub)
+    var s = 0
+    while (s < nSub) {
+      val sub = new Array[Long](subDim)
+      var i = 0
+      val base = s * subDim
+      while (i < subDim) { sub(i) = qv.getLong(base + i); i += 1 }
+      rows(s) = new org.apache.spark.sql.catalyst.util.GenericArrayData(sub)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
   @inline private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\t' || b == '\r' || b == '\f' || b == 0x0b
 }

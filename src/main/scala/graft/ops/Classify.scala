@@ -63,7 +63,10 @@ object Classify {
       .agg(sum(col("cb")).as("ctok"))
     val classDocs = base.where(col("is_train"))
       .groupBy(col("label")).agg(count(lit(1)).as("ndocs"))
-    val nTrain = base.where(col("is_train")).agg(count(lit(1)).as("n"))
+    // r12: Σ ndocs == the train-row count (every train row lands in
+    // exactly one label group, null included) — derived from the tiny
+    // per-class frame instead of a THIRD corpus scan + spread shuffle
+    val nTrain = classDocs.agg(sum(col("ndocs")).as("n"))
     // per-class frame with prior12 and the unseen-bucket likelihood zl12
     // (ln of the Laplace floor 1/(ctok+B)) — the COALESCE default for
     // buckets the class never saw in training

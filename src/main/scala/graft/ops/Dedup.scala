@@ -182,12 +182,15 @@ object Dedup {
   }
 
   /** Word w-shingles of the lowercased text, distinct. */
-  def shingles(text: Column, w: Int = 3): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - w, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(w)))))
-  }
+  def shingles(text: Column, w: Int = 3): Column =
+    // r12: native kernel — the dag form
+    //   array_distinct(transform(sequence(0, greatest(size(toks)-w, 0)),
+    //     i -> concat_ws(" ", slice(toks, i+1, w))))
+    // over toks = split(lower(trim(text)), "\\s+") ran transform's lambda
+    // interpreted per gram and rebuilt each gram through three expression
+    // layers. Bit-identical output incl. the leading-empty-token and
+    // empty-doc edges (OpsSpec pin); one byte pass per doc.
+    graft.functions.gfn.shingle_strings(text, w)
 
   /** doc_id + 31-bit hashed w-shingles, via the native ShingleHashes
     * expression (one primitive loop per doc; no shingle strings, no
@@ -488,9 +491,9 @@ object Dedup {
         .filter(size(col("ids")) <= cap)
     }
     capped
-      .select(explode(flatten(transform(ids, (a, i) =>
-        transform(slice(ids, i + 2, size(ids)),
-          bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
+      // r12: native pair kernel — the nested transform pair expansion ran
+      // interpreted per PAIR (OpsSpec order-exact pin)
+      .select(explode(graft.functions.gfn.long_pairs(ids)).as("p"))
       .groupBy(col("p.a_id"), col("p.b_id")).agg(count(lit(1)).as("c"))
       .join(sizes, col("doc_id") === col("a_id")).withColumnRenamed("sz", "a_sz")
       .drop("doc_id")
@@ -565,9 +568,8 @@ object Dedup {
         .filter(size(col("ids")) <= cap)
     }
     capped
-      .select(explode(flatten(transform(ids, (a, i) =>
-        transform(slice(ids, i + 2, size(ids)),
-          bId => struct(a.as("a_id"), bId.as("b_id")))))).as("p"))
+      // r12: native pair kernel (see above)
+      .select(explode(graft.functions.gfn.long_pairs(ids)).as("p"))
       .select(col("p.a_id"), col("p.b_id"))
       .dropDuplicates("a_id", "b_id")
   }

@@ -74,9 +74,11 @@ object Pq {
     require(subDim.toLong * 4L * scale.toLong * scale.toLong < (1L << 47),
       s"packing bound: subDim*(2*scale)^2 < 2^47 (subDim=$subDim, scale=$scale)")
     // one (id, sub, subvector) frame: nSub rows per vector, built narrowly
+    // (r12: native subvector split — the transform+slice dag ran its
+    // lambda interpreted per subvector)
     val sv = q.select(col("id"),
-        posexplode(expr(s"transform(sequence(0, ${nSub - 1}), " +
-          s"s -> slice(qv, s * $subDim + 1, $subDim))")).as(Seq("sub", "sv")))
+        posexplode(graft.functions.gfn.subvectors(col("qv"), nSub, subDim))
+          .as(Seq("sub", "sv")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val init = q.orderBy(col("id")).limit(k).select(col("qv"))

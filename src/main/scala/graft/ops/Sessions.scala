@@ -114,20 +114,32 @@ object Sessions {
     require(horizon >= 1 && horizon <= 40,
       s"horizon must be in 1..40 (exactness bit budget), got $horizon")
     val weights = (0 until horizon).map(i => 1.0 / (1L << i))
-    val w = Window.partitionBy(col("traj_id")).orderBy(col("ord"))
-      .rowsBetween(Window.currentRow, horizon - 1)
+    // r12 (guide expressions/codegen + §5): the old form collected a
+    // horizon-sized (ord, reward) struct array PER ROW (window
+    // collect_list), array_sorted it, and folded it through interpreted
+    // transform/aggregate lambdas — the catalog's last big per-row
+    // allocator + CodegenFallback site (q193 ran as a single 1.7 s task).
+    // Same values from `horizon` lead() offset frames over one window
+    // pass: term_i = reward_{t+i} · 2^{-i} in ascending-i fold order, the
+    // exact FP sequence of the old fold (array_sort over the ROWS frame
+    // ordered the structs by (ord, reward), which the window order below
+    // replays; missing leads add +0.0, which cannot flip any reachable
+    // partial sum — terms are never −0.0, and x + (−x) is +0.0 in IEEE —
+    // OpsSpec pins the dyadic targets and a corpus replay of the old dag).
+    val wOrd = Window.partitionBy(col("traj_id"))
+      .orderBy(col("ord"), col("reward"))
+    val wFrame = wOrd.rowsBetween(Window.currentRow, horizon - 1)
+    val terms = (0 until horizon).map { i =>
+      val r = if (i == 0) col("reward")
+        else lead(col("reward"), i).over(wOrd)
+      coalesce(r.cast("double") * lit(weights(i)), lit(0.0))
+    }
     events
       .select(traj.cast("long").as("traj_id"), ord.cast("long").as("ord"),
         reward.cast("long").as("reward"))
-      .withColumn("future",
-        collect_list(struct(col("ord"), col("reward"))).over(w))
       .select(col("traj_id"), col("ord"), col("reward"),
-        size(col("future")).cast("long").as("n_future"),
-        aggregate(
-          transform(array_sort(col("future")), (x, i) =>
-            x.getField("reward").cast("double") *
-              element_at(typedLit(weights), (i + 1).cast("int"))),
-          lit(0.0), (acc, t) => acc + t).as("ret"))
+        count(lit(1)).over(wFrame).as("n_future"),
+        terms.foldLeft(lit(0.0))(_ + _).as("ret"))
   }
 
   /** Built-in session_window aggregation (works batch + streaming). */

@@ -60,12 +60,14 @@ object Similarity {
     require(outDim >= 1 && scale >= 1)
     val qv = emb.select(col(idCol).cast("long").as("id"),
       graft.functions.gfn.quantize_lattice(col(vecCol), scale, 0L).as("qv"))
-    val comps = (0 until outDim).map { j =>
-      expr(s"aggregate(transform(qv, (x, i) -> x * (1L - 2L * " +
-        s"(bit_count(cast(i as bigint) * 73856093L + ${j}L * 19349663L) % 2))), " +
-        s"0L, (a, v) -> a + v)")
-    }
-    qv.select(col("id"), posexplode(array(comps: _*)).as(Seq("j", "comp")))
+    // r12: fused native kernel — the per-output-dim dag
+    //   aggregate(transform(qv, (x, i) -> x * (1L - 2L*(bit_count(
+    //     i*73856093 + j*19349663) % 2))), 0L, +)
+    // evaluated interpreted per ELEMENT per output dim (outDim·dim lambda
+    // evals per row); same exact integer sums (OpsSpec pin)
+    qv.select(col("id"),
+      posexplode(graft.functions.gfn.random_project_signs(col("qv"), outDim))
+        .as(Seq("j", "comp")))
   }
 
   private def queryVector(emb: DataFrame, queryId: Long): DataFrame =

@@ -1637,18 +1637,28 @@ object TextOps {
     */
   def winnowFingerprints(docs: DataFrame, id: Column, text: Column,
                          k: Int = 4, w: Int = 5,
-                         hashOf: Column => Column = rollHash): DataFrame = {
+                         hashOf: Option[Column => Column] = None): DataFrame = {
     require(k >= 1 && w >= 1)
-    val toks = arrToks(text)
-    val nG = greatest(size(toks) - (k - 1), lit(1))
-    docs
-      .select(id.as("doc_id"),
-        transform(sequence(lit(1), nG), i =>
-          hashOf(concat_ws(" ", slice(toks, i, lit(k))))).as("hs"))
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-          j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+    hashOf match {
+      case None =>
+        // r12: default (rollHash) path runs the fused native kernel —
+        // one code-point pass + an O(nG·w) window scan; the dag below
+        // evaluated three interpreted lambda layers per doc and built
+        // every gram string (OpsSpec pins kernel == dag bit-for-bit)
+        docs.select(id.as("doc_id"),
+          explode(graft.functions.gfn.winnow_fps(text, k, w)).as("fp"))
+      case Some(h) =>
+        val toks = arrToks(text)
+        val nG = greatest(size(toks) - (k - 1), lit(1))
+        docs
+          .select(id.as("doc_id"),
+            transform(sequence(lit(1), nG), i =>
+              h(concat_ws(" ", slice(toks, i, lit(k))))).as("hs"))
+          .select(col("doc_id"),
+            explode(array_distinct(transform(
+              sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+              j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+    }
   }
 
   /** Winnowing DEDUP CANDIDATES: document pairs sharing ≥ `minShared`
@@ -1661,7 +1671,7 @@ object TextOps {
   def winnowCandidates(docs: DataFrame, id: Column, text: Column,
                        k: Int = 4, w: Int = 5, minShared: Long = 2L,
                        maxDf: Option[Int] = None,
-                       hashOf: Column => Column = rollHash): DataFrame = {
+                       hashOf: Option[Column => Column] = None): DataFrame = {
     val posting = winnowFingerprints(docs, id, text, k, w, hashOf)
     val grouped = posting.groupBy(col("fp"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
@@ -1672,9 +1682,8 @@ object TextOps {
         max(size(col("ids"))).as("max_bucket_size"))
       .filter(size(col("ids")) <= cap))
     capped
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("a_id"), b.as("b_id")))))).as("p"))
+      // r12: native pair kernel (order-exact vs the nested-transform dag)
+      .select(explode(graft.functions.gfn.long_pairs(col("ids"))).as("p"))
       .groupBy(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)

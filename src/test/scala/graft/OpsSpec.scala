@@ -878,6 +878,38 @@ class OpsSpec extends AnyFunSuite {
     val h16 = Sessions.discountedReturns(ev, col("u"), col("o"), col("r"),
         horizon = 16).orderBy("traj_id", "ord").collect()
     assert(h16.head.getDouble(4) == 1.0 + 2.0 / 2 + 4.0 / 4 + 8.0 / 8)
+    // r12 lead()-rewrite pin: bitwise replay of the original
+    // collect_list + array_sort + interpreted-fold dag on corpus events
+    locally {
+      import org.apache.spark.sql.expressions.Window
+      val horizon = 16
+      val weights = (0 until horizon).map(i => 1.0 / (1L << i))
+      val w = Window.partitionBy(col("traj_id")).orderBy(col("ord"))
+        .rowsBetween(Window.currentRow, horizon - 1)
+      val ev2 = Tables(spark, "/root/testdata/sf0.001", "events")
+        .select(col("user_id").cast("long").as("traj_id"),
+          col("event_id").cast("long").as("ord"),
+          (floor(col("value")).cast("long") % 256).as("reward"))
+      val want = ev2
+        .withColumn("future",
+          collect_list(struct(col("ord"), col("reward"))).over(w))
+        .select(col("traj_id"), col("ord"), col("reward"),
+          size(col("future")).cast("long").as("n_future"),
+          aggregate(
+            transform(array_sort(col("future")), (x, i) =>
+              x.getField("reward").cast("double") *
+                element_at(typedLit(weights), (i + 1).cast("int"))),
+            lit(0.0), (acc, t) => acc + t).as("ret"))
+      val got = Sessions.discountedReturns(
+        Tables(spark, "/root/testdata/sf0.001", "events"),
+        col("user_id"), col("event_id"),
+        floor(col("value")).cast("long") % 256, horizon = horizon)
+      val bad = got.alias("g").join(want.alias("w"), Seq("traj_id", "ord"))
+        .where(!(col("g.n_future") <=> col("w.n_future")) ||
+          !(col("g.ret") <=> col("w.ret")))
+      assert(bad.isEmpty,
+        s"lead-rewrite diverged from the collect_list dag: ${bad.take(3).mkString}")
+    }
   }
 
   test("temperatureWeights: sqrt-temperature reweighting, bitwise replay, head/tail property") {
@@ -5118,6 +5150,91 @@ class OpsSpec extends AnyFunSuite {
         .where(!(col("g.ps") <=> col("w.ps")))
       assert(bad.isEmpty,
         s"percentile mismatch: ${bad.take(3).mkString}")
+    }
+  }
+
+  test("r12 HOF-kernel parity: winnow_fps, shingle_strings, random_project_signs, subvectors == their dags") {
+    import graft.functions.gfn
+    val docsDf = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").as("id"), col("text").as("s"))
+    val edge = Seq(
+      (1000001L, ""), (1000002L, " "), (1000003L, "a"), (1000004L, "a b"),
+      (1000005L, "a b c d"),
+      (1000006L, "a  b   c d e f g"), (1000007L, "x x x x x x x x"),
+      (1000008L, "Héllo wörld Héllo wörld naïve Σ"),
+      (1000009L, "a" + new String(Character.toChars(0x1F4A9)) + " b c d e"),
+      (1000010L, "\tTab lead"), (1000011L, "UPPER Case MiXeD case case"))
+      .toDF("id", "s")
+    val both = edge.unionByName(docsDf)
+
+    // winnow_fps == transform/array_min/array_distinct dag over rollHash
+    locally {
+      val k = 4; val w = 5
+      val toks = gfn.tokens(col("s"))
+      val nG = greatest(size(toks) - (k - 1), lit(1))
+      val dag = both
+        .select(col("id"),
+          transform(sequence(lit(1), nG), i =>
+            graft.functions.gfn.roll_hash31(
+              concat_ws(" ", slice(toks, i, lit(k))))).as("hs"))
+        .select(col("id"),
+          explode(array_distinct(transform(
+            sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+            j => array_min(slice(col("hs"), j, lit(w)))))).as("fp"))
+      val ker = both.select(col("id"),
+        explode(gfn.winnow_fps(col("s"), k, w)).as("fp"))
+      assert(ker.exceptAll(dag).isEmpty && dag.exceptAll(ker).isEmpty,
+        "winnow_fps diverged from the HOF dag")
+    }
+
+    // shingle_strings == array_distinct/transform/concat_ws dag
+    locally {
+      val toks = split(lower(trim(col("s"))), "\\s+")
+      val dag = both.select(col("id"), array_distinct(
+        transform(sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("g"))
+      val ker = both.select(col("id"), gfn.shingle_strings(col("s"), 3).as("g"))
+      val bad = ker.alias("k").join(dag.alias("d"), Seq("id"))
+        .where(!(col("k.g") <=> col("d.g")))
+      assert(bad.isEmpty,
+        s"shingle_strings diverged (order included): ${bad.take(3).mkString}")
+    }
+
+    // random_project_signs == per-dim aggregate(transform(...)) dag
+    locally {
+      val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      val qv = emb.select(col("vec_id").as("id"),
+        gfn.quantize_lattice(col("embedding"), 1000L, 0L).as("qv"))
+      val outDim = 16
+      val comps = (0 until outDim).map { j =>
+        expr(s"aggregate(transform(qv, (x, i) -> x * (1L - 2L * " +
+          s"(bit_count(cast(i as bigint) * 73856093L + ${j}L * 19349663L) % 2))), " +
+          s"0L, (a, v) -> a + v)")
+      }
+      val dag = qv.select(col("id"),
+        posexplode(array(comps: _*)).as(Seq("j", "comp")))
+      val ker = qv.select(col("id"),
+        posexplode(gfn.random_project_signs(col("qv"), outDim))
+          .as(Seq("j", "comp")))
+      val bad = ker.alias("k").join(dag.alias("d"), Seq("id", "j"))
+        .where(!(col("k.comp") <=> col("d.comp")))
+      assert(bad.isEmpty, s"random_project_signs diverged: ${bad.take(3).mkString}")
+    }
+
+    // subvectors == transform(sequence, slice) dag
+    locally {
+      val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      val qv = emb.select(col("vec_id").as("id"),
+        gfn.quantize_lattice(col("embedding"), 1000L, 1000L).as("qv"))
+      val (nSub, subDim) = (8, 8)
+      val dag = qv.select(col("id"),
+        expr(s"transform(sequence(0, ${nSub - 1}), " +
+          s"s -> slice(qv, s * $subDim + 1, $subDim))").as("sv"))
+      val ker = qv.select(col("id"),
+        gfn.subvectors(col("qv"), nSub, subDim).as("sv"))
+      val bad = ker.alias("k").join(dag.alias("d"), Seq("id"))
+        .where(!(col("k.sv") <=> col("d.sv")))
+      assert(bad.isEmpty, s"subvectors diverged: ${bad.take(3).mkString}")
     }
   }
 
