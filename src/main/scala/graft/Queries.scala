@@ -48,9 +48,17 @@ object Queries {
 
   // ---------------------------------------------------------------- relational
 
-  /** Hash aggregate with partial (map-side) combine — TPC-H Q1 shape. */
+  /** Hash aggregate with partial (map-side) combine — TPC-H Q1 shape.
+    * r12: projected to the 6 consumed columns and spread off the
+    * single-split scan (guide §2.5 "one huge unsplittable file →
+    * repartition immediately after the read"): the decimal partial sums
+    * ran as ONE ~1 s task on the one-row-group testdata file.
+    */
   private val q01 = Q("q01_pricing_summary",
     (s, d) => t(s, d, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .repartition(s.sparkContext.defaultParallelism)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -1618,14 +1626,20 @@ object Queries {
     */
   private val q71 = Q("q71_ppl_proxy",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = t(s, d, "documents")
+      // r12: adjacent bigrams come from zipping the token array against
+      // its own tail (slice + arrays_zip, all codegen'd builtins) instead
+      // of a lead() window — the window exchanged and SORTED every token
+      // by (doc_id, pos) just to pair neighbors; identical rows (same
+      // split array, same adjacency, empty-token edges included)
+      val arr = split(lower(trim(col("text"))), "\\s+")
+      val docsArr = t(s, d, "documents").select(col("doc_id"), arr.as("arr"))
+      val toks = docsArr.select(col("doc_id"), explode(col("arr")).as("w"))
+      val big = docsArr
         .select(col("doc_id"),
-          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
-      val big = toks
-        .withColumn("w2", lead(col("w"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .where(col("w2").isNotNull)
+          explode(arrays_zip(
+            slice(col("arr"), lit(1), size(col("arr")) - 1).as("wa"),
+            slice(col("arr"), lit(2), size(col("arr")) - 1).as("wb"))).as("bg"))
+        .select(col("doc_id"), col("bg.wa").as("w"), col("bg.wb").as("w2"))
       val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
       val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
       big.join(c2, Seq("w", "w2")).join(c1, Seq("w"))
@@ -1829,7 +1843,13 @@ object Queries {
       val x = dec(col("l_quantity"))
       val y = dec(col("l_extendedprice"))
       def dbl(c: Column): Column = c.cast("double")
+      // r12: project to the 3 needed columns and spread the single-split
+      // scan (q77 recipe) — the five DECIMAL(38,4) partial sums ran as ONE
+      // 1.3 s task on the one-row-group testdata file; round-robin, not
+      // by the 3-value flag (that would recreate the skew)
       t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
@@ -2161,14 +2181,18 @@ object Queries {
     */
   private val q87 = Q("q87_bigram_pmi",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = t(s, d, "documents")
+      // r12: adjacent bigrams by zipping the token array against its own
+      // tail (the q71 rewrite) — identical rows, no token-wide window
+      // exchange + per-doc sort
+      val arr = split(lower(trim(col("text"))), "\\s+")
+      val docsArr = t(s, d, "documents").select(col("doc_id"), arr.as("arr"))
+      val toks = docsArr.select(col("doc_id"), explode(col("arr")).as("w"))
+      val big = docsArr
         .select(col("doc_id"),
-          posexplode(split(lower(trim(col("text"))), "\\s+")).as(Seq("pos", "w")))
-      val big = toks
-        .withColumn("w2", lead(col("w"), 1).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-        .where(col("w2").isNotNull)
+          explode(arrays_zip(
+            slice(col("arr"), lit(1), size(col("arr")) - 1).as("wa"),
+            slice(col("arr"), lit(2), size(col("arr")) - 1).as("wb"))).as("bg"))
+        .select(col("doc_id"), col("bg.wa").as("w"), col("bg.wb").as("w2"))
       val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
       val c1 = toks.groupBy(col("w")).agg(count(lit(1)).as("c1"))
       val n = toks.agg(count(lit(1)).as("n_tok"))
