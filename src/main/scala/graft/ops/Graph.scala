@@ -250,16 +250,26 @@ object Graph {
       .getOrElse(nodes.select(col("node"), lit(unit).as("r")))
     var ck: Option[Caches.Checkpointed] = None
     for (i <- 1 to iters) {
+      // r12 (the q156 lesson): every node-sized frame in the loop is
+      // hash-partitioned on the node key (it descends from deg, read off
+      // the src-partitioned edge cache), so all three per-iteration joins
+      // are co-partitioned — the SHUFFLE_HASH hints pin them to
+      // exchange-free, sort-free shuffled-hash joins building on the
+      // node-sized side (AQE used to broadcast deg/share/contrib, one
+      // broadcast-materialization job each per iteration; a sort-merge
+      // fallback would re-sort per iteration). The groupBy(dst) fan-in
+      // stays the iteration's ONE fundamental shuffle.
       val contrib = r
-        .join(deg, r("node") === deg("src"))
+        .join(deg.hint("shuffle_hash"), r("node") === deg("src"))
         .select(col("src"), expr(s"r * $dampNum div $dampDen div deg").as("share"))
+        .hint("shuffle_hash")
         .join(e, "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("share")).as("inflow"))
       r = nb match {
-        case Some(f) => f.join(contrib, Seq("node"), "left")
+        case Some(f) => f.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"), (col("b") + coalesce(col("inflow"), lit(0L))).as("r"))
-        case None => nodes.join(contrib, Seq("node"), "left")
+        case None => nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"), (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
       }
       // truncate lineage: rank values are identical (checkpoint is a

@@ -417,7 +417,21 @@ object Similarity {
     // spreads candidates over the shuffle partitioning at every scale;
     // at corpus size both sides are too big to broadcast anyway, so the
     // hint only pins what the planner would have had to do regardless.
-    bucketed.hint("shuffle_hash").join(probes, Seq("tbl", "sig"))
+    // r12: pin the candidate exchange at the CONFIGURED shuffle
+    // parallelism (explicit-N repartition is exempt from AQE's byte-based
+    // coalescing). The legs are compute-dense — AQE's 1 MB-advisory
+    // coalescing squeezed them to ~9 tasks at sf0.1 (probe-measured
+    // 2×1.1 s legs) because the candidate BYTES are small while the
+    // per-row scoring is not. spark.sql.shuffle.partitions is the
+    // deployment's scale dial (the driver sets it to the core count
+    // locally; a cluster sets it to its own width), so this pins exactly
+    // the partitioning a non-coalesced exchange would have had.
+    val nPart = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "200").toInt
+    bucketed.repartition(nPart, col("tbl"), col("sig"))
+      .hint("shuffle_hash")
+      .join(probes.repartition(nPart, col("tbl"), col("sig")),
+        Seq("tbl", "sig"))
       // score BEFORE the dedup: a candidate pair surfaces from up to
       // nTables·(nBits+1) buckets, and deduping first would shuffle both
       // 64-float embeddings per duplicate (measured 10 s for 2.5M
