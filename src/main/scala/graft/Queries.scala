@@ -2329,7 +2329,11 @@ object Queries {
       val slope =
         (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
         (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      // r12: the q78 recipe — project + spread the single-split scan so
+      // the decimal partial sums parallelize (guide §2.5)
       t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .repartition(s.sparkContext.defaultParallelism)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
@@ -4009,10 +4013,13 @@ object Queries {
     (s, d) => graft.ops.Mix.importanceWeights(
         t(s, d, "documents"), col("text"), col("doc_id"),
         isTarget = col("lang") === "en", buckets = 64,
-        bucketOf = Some(w => pmod(aggregate(
-          zip_with(split(w, ""), sequence(lit(1), length(w)),
-            (c, i) => ascii(c).cast("long") * i),
-          lit(0L), (a, x) => a + x), lit(64L))))
+        // r12: native positional-checksum kernel — value-identical to the
+        // HOF dag pmod(aggregate(zip_with(split(w,''), sequence(1,
+        // length(w)), (c,i) -> ascii(c)*i), 0, +), 64) the oracle replays
+        // (the q139 swap; OpsSpec parity pin incl. unicode edges; tokens
+        // are pre-filtered non-empty, so the kernel's empty-string -1
+        // sentinel is unreachable)
+        bucketOf = Some(w => graft.functions.gfn.ascii_weighted_mod(w, 64L)))
       .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id")),
     Some("""
@@ -4534,10 +4541,15 @@ object Queries {
       val toks = docsSpread(s, d).select(explode(filter(
         split(lower(trim(col("text"))), "\\s+"),
         w => length(w) > 0)).as("w"))
-      val poly = (w: Column) => aggregate(
-        zip_with(split(w, ""), sequence(lit(1), length(w)),
-          (c, i) => ascii(c).cast("long") * i),
-        lit(0L), (a, x) => a + x)
+      // r12: the positional-checksum polynomial via the native kernel —
+      // pmod with Long.MaxValue is the identity on the sum (cp ≤ 0x10FFFF,
+      // positions ≤ |w| keep Σ cp_j·j far under 2^62), so this equals the
+      // interpreted zip_with/aggregate dag the oracle replays bit-for-bit
+      // (the q132/q139 swap; tokens pre-filtered non-empty). The dag ran
+      // interpreted per CHARACTER, four times per token instance (one per
+      // sketch row).
+      val poly = (w: Column) =>
+        graft.functions.gfn.ascii_weighted_mod(w, Long.MaxValue)
       val bucket = Some((w: Column, j: Int) =>
         pmod(poly(w) * lit(2 * j + 1) + lit(j), lit(256L)))
       val sketch = graft.ops.Sketch.countMin(toks, col("w"), 4, 256, bucket)
