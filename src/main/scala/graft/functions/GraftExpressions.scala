@@ -1026,6 +1026,38 @@ case class LongPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+
+/** Ascending-index (a, b) pairs of a string array (TextKernel.stringPairs;
+  * the sourceOverlap pair expansion).
+  */
+case class StringPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("a", StringType, nullable = false),
+    StructField("b", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "string_pairs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"string_pairs takes array<string>, got $t")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.stringPairs(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.stringPairs($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): StringPairs =
+    copy(child = newChild)
+}
+
 object gfn {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -1086,6 +1118,7 @@ object gfn {
   def subvectors(c: Column, nSub: Int, subDim: Int): Column =
     col(Subvectors(ex(c), nSub, subDim))
   def long_pairs(c: Column): Column = col(LongPairs(ex(c)))
+  def string_pairs(c: Column): Column = col(StringPairs(ex(c)))
   def quantize_lattice(c: Column, scale: Long, shift: Long): Column =
     col(QuantizeLattice(ex(c), scale, shift))
   def quantize_lattice_i(c: Column, scale: Long, shift: Long): Column =

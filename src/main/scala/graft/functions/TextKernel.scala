@@ -921,4 +921,34 @@ object TextKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** All ascending-index (a, b) pairs of a sorted string array (r12): the
+    * string-element mirror of [[longPairs]] — replaces the nested
+    * transform pair expansion in Dedup.sourceOverlap, which evaluated
+    * interpreted per PAIR per gram bucket. Pair SET equals the dag's
+    * (downstream aggregates, so pair order is immaterial); empty/singleton
+    * arrays yield an empty result (the dag's explicit empty branch).
+    */
+  def stringPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val v = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { v(i) = ids.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var o = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(o) = org.apache.spark.sql.catalyst.InternalRow(v(i), v(j))
+        o += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

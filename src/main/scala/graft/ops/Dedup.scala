@@ -929,15 +929,14 @@ object Dedup {
         explode(graft.functions.gfn.shingle_hashes64(text, w)).as("g"))
       .distinct())
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_set"))
-    val pairCols = "struct<src_a:string,src_b:string>"
+    // r12: native pair kernel (string mirror of long_pairs) — the nested
+    // transform expansion ran interpreted per pair per gram bucket; pair
+    // SET identical (downstream aggregates), empty/singleton buckets
+    // yield no rows exactly like the old empty-array branch
     val inter = grams
       .groupBy(col("g")).agg(sort_array(collect_set(col("src"))).as("ss"))
-      .select(explode(when(size(col("ss")) < 2, array().cast(s"array<$pairCols>"))
-        .otherwise(flatten(transform(sequence(lit(1), size(col("ss")) - 1), i =>
-          transform(sequence(lit(1), i), j =>
-            struct(element_at(col("ss"), j).as("src_a"),
-              element_at(col("ss"), i + 1).as("src_b"))))))).as("p"))
-      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .select(explode(graft.functions.gfn.string_pairs(col("ss"))).as("p"))
+      .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
       .agg(count(lit(1)).as("n_common"))
     val a = broadcast(sizes).select(col("src").as("src_a"), col("n_set").as("n_a"))
     val b = broadcast(sizes).select(col("src").as("src_b"), col("n_set").as("n_b"))
