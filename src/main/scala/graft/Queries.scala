@@ -52,13 +52,16 @@ object Queries {
     * r12: projected to the 6 consumed columns and spread off the
     * single-split scan (guide §2.5 "one huge unsplittable file →
     * repartition immediately after the read"): the decimal partial sums
-    * ran as ONE ~1 s task on the one-row-group testdata file.
+    * ran as ONE ~1 s task on the one-row-group testdata file. Hashed on
+    * the near-unique price — keyless round-robin pays a hidden serial
+    * per-map-task sort (sortBeforeRepartition, SPARK-23207; measured
+    * 1.04 → 0.74 s switching to the hash spread).
     */
   private val q01 = Q("q01_pricing_summary",
     (s, d) => t(s, d, "lineitem")
       .select(col("l_returnflag"), col("l_linestatus"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"), col("l_tax"))
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -292,8 +295,11 @@ object Queries {
       // which would run the CPU-bound render+parse chain single-threaded;
       // at real scale the scan has thousands of splits. Spread it explicitly
       // (the rows are tiny, the shuffle is cheap, the kernel is the cost).
+      // r12: HASH-spread on the unique id — keyless round-robin pays a
+      // hidden per-map-task LOCAL SORT (sortBeforeRepartition,
+      // SPARK-23207), serial on the one-split scan
       t(s, d, "events")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .withColumn("raw_ts", raw)
         .withColumn("parsed", gfn.lenient_ts(col("raw_ts")))
         .select(col("event_id"), col("parsed"))
@@ -608,9 +614,11 @@ object Queries {
   private val q37 = Q("q37_pipeline_parse",
     (s, d) => {
       // One parquet file = one input split at bench scale: repartition first
-      // so the CPU-bound render+parse chain uses every core (see q15 note).
+      // so the CPU-bound render+parse chain uses every core (see q15 note;
+      // r12: hash on the unique id, not round-robin — the keyless form
+      // pays a serial sortBeforeRepartition on the one-split scan)
       val raw = t(s, d, "events")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(s.sparkContext.defaultParallelism, col("event_id"))
         .select(to_json(struct(
           col("event_type").as("log_type"),
           col("event_id").cast("string").as("log_id"),
@@ -1792,10 +1800,12 @@ object Queries {
   private val q77 = Q("q77_mad_outliers",
     (s, d) => {
       // spread the single-split scan so the exact-percentile PARTIAL buffers
-      // build in parallel (round-robin, NOT by flag — only 3 flags, hashing
-      // by them would recreate the skew the spread removes)
+      // build in parallel — hashed on the near-unique price, NOT by flag
+      // (only 3 flags: hashing by them would recreate the skew) and NOT
+      // round-robin (r12: keyless repartition pays a hidden serial
+      // sortBeforeRepartition on the one-split scan, SPARK-23207)
       val li = t(s, d, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x"))
       // r12: primitive-buffer exact percentile; DOUBLE cast injective on
       // DECIMAL(15,2) (the q41 argument) — bit-identical
@@ -1845,11 +1855,12 @@ object Queries {
       def dbl(c: Column): Column = c.cast("double")
       // r12: project to the 3 needed columns and spread the single-split
       // scan (q77 recipe) — the five DECIMAL(38,4) partial sums ran as ONE
-      // 1.3 s task on the one-row-group testdata file; round-robin, not
-      // by the 3-value flag (that would recreate the skew)
+      // 1.3 s task on the one-row-group testdata file; hashed on the
+      // near-unique price (keyless round-robin pays a hidden serial
+      // sortBeforeRepartition; the 3-value flag would recreate the skew)
       t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
@@ -2329,11 +2340,11 @@ object Queries {
       val slope =
         (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
         (dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
-      // r12: the q78 recipe — project + spread the single-split scan so
-      // the decimal partial sums parallelize (guide §2.5)
+      // r12: the q78 recipe — project + hash-spread the single-split scan
+      // so the decimal partial sums parallelize (guide §2.5)
       t(s, d, "lineitem")
         .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
           sum(x).as("sx"), sum(y).as("sy"),
@@ -3243,7 +3254,7 @@ object Queries {
       // twice (exchange reuse does not fire across the aliased subtrees —
       // the q77 lesson, Queries.scala q77_mad_outliers)
       val li = graft.ops.Caches.track(t(s, d, "lineitem")
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
         .select(col("l_returnflag").as("flag"), col("l_extendedprice").as("x")))
       // builtin exact percentile KEPT (measured both ways, r11): the
       // order-statistics form (Robust.groupedExactPercentiles, bitwise
