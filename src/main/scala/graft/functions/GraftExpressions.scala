@@ -1058,6 +1058,27 @@ case class StringPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+
+/** Fused DSIR bigram hash buckets (TextKernel.dsirBuckets; OpsSpec pin vs
+  * the transform/zip_with dag).
+  */
+case class DsirBuckets(child: Expression, buckets: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_buckets"
+
+  override def nullSafeEval(v: Any): Any =
+    TextKernel.dsirBuckets(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextKernel.dsirBuckets($c, ${buckets}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): DsirBuckets =
+    copy(child = newChild)
+}
+
 object gfn {
   private def col(e: Expression): Column = ColumnBridge.column(e)
   private def ex(c: Column): Expression = ColumnBridge.expression(c)
@@ -1119,6 +1140,8 @@ object gfn {
     col(Subvectors(ex(c), nSub, subDim))
   def long_pairs(c: Column): Column = col(LongPairs(ex(c)))
   def string_pairs(c: Column): Column = col(StringPairs(ex(c)))
+  def dsir_buckets(c: Column, buckets: Long): Column =
+    col(DsirBuckets(ex(c), buckets))
   def quantize_lattice(c: Column, scale: Long, shift: Long): Column =
     col(QuantizeLattice(ex(c), scale, shift))
   def quantize_lattice_i(c: Column, scale: Long, shift: Long): Column =

@@ -951,4 +951,57 @@ object TextKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
+
+  /** DSIR bigram hash buckets, fused (r12): per adjacent token pair,
+    *   pmod(pmod(roll(w1)·131 + roll(w2), 2^31−1), buckets)
+    * with roll = [[rollHash31]] — the native form of dsirImportance's
+    *   transform(tokens, w -> rollHash(w))  →  zip_with(slice, slice,
+    *     (a, b) -> pmod(a·131 + b, 2^31−1))  →  pmod(hh, buckets)
+    * whose transform/zip_with WRAPPERS evaluated interpreted per token /
+    * per bigram even with the native hash inside (OpsSpec pin). Tokens are
+    * the space-byte split of gfn.tokens; empty docs yield an empty array.
+    */
+  def dsirBuckets(text: UTF8String, buckets: Long): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val M = 2147483647L
+    // rolling hash per token, single pass (code-point decode inline)
+    var tokHash = new Array[Long](16)
+    var nTok = 0
+    var i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        var a = 0L
+        while (i < n && bytes(i) != ' ') {
+          val b0 = bytes(i) & 0xff
+          var cp = 0
+          var len = 1
+          if (b0 < 0x80) cp = b0
+          else if (b0 < 0xe0) { cp = b0 & 0x1f; len = 2 }
+          else if (b0 < 0xf0) { cp = b0 & 0x0f; len = 3 }
+          else { cp = b0 & 0x07; len = 4 }
+          var j = 1
+          while (j < len && i + j < n) {
+            cp = (cp << 6) | (bytes(i + j) & 0x3f)
+            j += 1
+          }
+          a = (a * 31 + cp) % M
+          i += len
+        }
+        if (nTok == tokHash.length)
+          tokHash = java.util.Arrays.copyOf(tokHash, nTok * 2)
+        tokHash(nTok) = a
+        nTok += 1
+      }
+    }
+    val nOut = math.max(nTok - 1, 0)
+    val out = new Array[Long](nOut)
+    i = 0
+    while (i < nOut) {
+      out(i) = ((tokHash(i) * 131 + tokHash(i + 1)) % M) % buckets
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }

@@ -1914,14 +1914,23 @@ object TextOps {
     // higher-order exprs (measured: the concat form alone was ~4x the
     // comparable bigram ops at sf0.1)
     val nGrams = greatest(size(col("h")) - 1, lit(0))
-    val grams = docs.select(id.as("doc_id"), isTarget.as("is_target"),
-        transform(arrToks(text), w => tHash(w)).as("h"))
-      .select(col("doc_id"), col("is_target"),
-        explode(zip_with(
-          slice(col("h"), lit(1), nGrams), slice(col("h"), lit(2), nGrams),
-          (a, b) => pmod(a * 131 + b, lit(2147483647L)))).as("hh"))
-      .select(col("doc_id"), col("is_target"),
-        pmod(col("hh"), lit(buckets.toLong)).as("bkt"))
+    // r12: the default-hash path runs the fused native kernel — the
+    // transform/zip_with WRAPPERS below evaluate interpreted per token /
+    // per bigram even with a native hash in the lambda body (OpsSpec pins
+    // kernel == dag); custom tokenHash callers keep the dag.
+    val grams = tokenHash match {
+      case None => docs.select(id.as("doc_id"), isTarget.as("is_target"),
+        explode(graft.functions.gfn.dsir_buckets(text, buckets.toLong))
+          .as("bkt"))
+      case Some(_) => docs.select(id.as("doc_id"), isTarget.as("is_target"),
+          transform(arrToks(text), w => tHash(w)).as("h"))
+        .select(col("doc_id"), col("is_target"),
+          explode(zip_with(
+            slice(col("h"), lit(1), nGrams), slice(col("h"), lit(2), nGrams),
+            (a, b) => pmod(a * 131 + b, lit(2147483647L)))).as("hh"))
+        .select(col("doc_id"), col("is_target"),
+          pmod(col("hh"), lit(buckets.toLong)).as("bkt"))
+    }
     // one tokenize+hash pass: collapse to (doc, bucket) occurrence counts
     // FIRST (the Mix.importanceWeights recipe) — this frame feeds the raw
     // distribution, the target distribution, the totals AND the scoring

@@ -5221,6 +5221,24 @@ class OpsSpec extends AnyFunSuite {
       assert(bad.isEmpty, s"random_project_signs diverged: ${bad.take(3).mkString}")
     }
 
+    // dsir_buckets == transform(rollHash)/zip_with/pmod dag
+    locally {
+      val buckets = 256L
+      val toks = graft.functions.gfn.tokens(col("s"))
+      val nGrams = greatest(size(col("h")) - 1, lit(0))
+      val dag = both.select(col("id"),
+          transform(toks, w => TextOps.rollHash(w)).as("h"))
+        .select(col("id"),
+          explode(zip_with(
+            slice(col("h"), lit(1), nGrams), slice(col("h"), lit(2), nGrams),
+            (a, b) => pmod(a * 131 + b, lit(2147483647L)))).as("hh"))
+        .select(col("id"), pmod(col("hh"), lit(buckets)).as("bkt"))
+      val ker = both.select(col("id"),
+        explode(gfn.dsir_buckets(col("s"), buckets)).as("bkt"))
+      assert(ker.exceptAll(dag).isEmpty && dag.exceptAll(ker).isEmpty,
+        "dsir_buckets diverged from the HOF dag")
+    }
+
     // subvectors == transform(sequence, slice) dag
     locally {
       val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
